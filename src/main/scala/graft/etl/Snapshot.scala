@@ -1,0 +1,50 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Run-id snapshotting and watermark-gated incremental slices.
+  *
+  * The reference appends every load with a RUN_ID and reads back
+  * "latest" with `WHERE run_id = (SELECT MAX(RUN_ID) ...)`
+  * (code/ukg_delta_to_parquet.py:9, ukg_wrkload_dtl.py:29-31) — its
+  * poor-man's time travel. Here the same semantics are a 1-row
+  * aggregate broadcast-joined back, so the scan stays distributed
+  * and filter-pushdown-friendly (vs the reference's collect()).
+  */
+object Snapshot {
+
+  /** Rows belonging to the maximum value of `versionCol` (latest-run
+    * snapshot / `ukg_delta_to_parquet`). */
+  def latest(df: DataFrame, versionCol: Column): DataFrame = {
+    val mx = df.agg(max(versionCol).as("__max_ver"))
+    df.join(broadcast(mx), versionCol === col("__max_ver"))
+      .drop("__max_ver")
+  }
+
+  /** Time travel by explicit version (README: "time travels"). */
+  def asOf(df: DataFrame, versionCol: Column, version: Long): DataFrame = {
+    val mx = df.where(versionCol <= version)
+      .agg(max(versionCol).as("__max_ver"))
+    df.join(broadcast(mx), versionCol === col("__max_ver"))
+      .drop("__max_ver")
+  }
+
+  /** Incremental slice: rows of `df` strictly newer than the max of
+    * `watermarkCol` observed in `processed` (reference:
+    * `run_tsp > (select max(census_dttm) …)`, ukg_open_census.py:342,
+    * and the SharePoint last-modified gate,
+    * download_from_sharepoint.py:104-124). */
+  def newerThan(df: DataFrame, tsCol: Column,
+                processed: DataFrame, watermarkCol: Column): DataFrame = {
+    val wm = processed.agg(max(watermarkCol).as("__wm"))
+    df.join(broadcast(wm), tsCol > col("__wm"), "inner").drop("__wm")
+  }
+
+  /** New-item detection: rows of `incoming` whose `key` is absent from
+    * `processed` (reference collects both sides to Python lists,
+    * file_cleanser.py:33-51; here a distributed left-anti join). */
+  def unprocessed(incoming: DataFrame, processed: DataFrame,
+                  key: String): DataFrame =
+    incoming.join(processed.select(key).distinct(), Seq(key), "left_anti")
+}

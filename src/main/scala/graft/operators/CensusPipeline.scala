@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** The reference's flagship aggregation (`get_census_count`,
+  * code/ukg_open_census.py:331-352): a multi-CTE query that
+  *   1. snapshots the valid dimension rows,
+  *   2. inner-joins facts to the dim,
+  *   3. keeps facts newer than a high-watermark,
+  *   4. restricts to the latest file/batch,
+  *   5. counts per location.
+  *
+  * Re-expressed on the test schema: `customer` plays the department
+  * dim (validity flags -> not-null segment + positive balance),
+  * `orders` plays the census facts, the order *day* plays the census
+  * file timestamp, and the watermark is the trailing 90 days.
+  *
+  * Scale notes (100 TB): the reference `.collect()`s every scalar
+  * (max run_id, distinct dates) to the driver; here scalars stay
+  * distributed as 1-row aggregates joined back with `broadcast`, so
+  * the fact table is scanned once, filtered early, and never shuffled:
+  * dim and scalars are broadcast, and the final groupBy reduces
+  * map-side to |locations| rows. The reference's defensive
+  * `SELECT DISTINCT` after the dim join is dropped: `customer` is
+  * unique per `c_custkey` and `orders` per `o_orderkey`, so the join
+  * preserves uniqueness and the distinct would only add a full fact
+  * shuffle.
+  */
+object CensusPipeline {
+
+  /** Valid-dimension snapshot (reference: dep CTE, ukg_open_census.py:334-337). */
+  def validDim(t: Tables): DataFrame =
+    t.customer
+      .where(col("c_mktsegment").isNotNull && col("c_acctbal") > 0)
+      .select("c_custkey", "c_mktsegment")
+
+  def censusCount(t: Tables): DataFrame = {
+    val dep = validDim(t)
+    // High-watermark as a 1-row aggregate (never collect()).
+    val wm = t.orders.agg(
+      (max(col("o_orderdate")) - expr("INTERVAL 90 DAYS")).as("wm"))
+    val facts = t.orders
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(wm), col("o_orderdate") > col("wm"))
+      .join(broadcast(dep), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        to_date(col("o_orderdate")).as("o_day"))
+    // Latest file analog: keep only the most recent day in the slice
+    // (reference: ltst_file CTE, ukg_open_census.py:344-346).
+    val latest = facts.agg(max(col("o_day")).as("max_day"))
+    facts
+      .join(broadcast(latest), col("o_day") === col("max_day"))
+      .groupBy(col("c_mktsegment").as("location"))
+      .agg(count(col("o_orderkey")).as("census_cnt"))
+  }
+
+  /** Time-bucketed census counts (the posting cadence of
+    * ukg_open_census.py turned into a proper distributed aggregation;
+    * shares semantics with the streaming twin in graft.streaming).
+    */
+  def hourlyCensus(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+}
