@@ -1,21 +1,34 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.io.Tables
-import graft.etl.Snapshot
-import graft.operators.CensusPipeline
+import graft.etl.{Audit, Backfill, Batching, Compaction, Snapshot}
+import graft.functions.PathFns
+import graft.io.{Cleanser, Tables}
+import graft.operators._
 
-/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions shared with `oracleSql` (DuckDB):
+  *  - every computed column aliased identically on both sides;
+  *  - double *sums* go through DECIMAL(18,2) so the result is exact
+  *    and independent of partial-aggregation order;
+  *  - rankings carry explicit tie-breaks;
+  *  - timestamps are UTC.
+  */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     CensusPipeline.censusCount(Tables(spark, "/root/testdata/sf0.001"))
 
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ETL core (reference-derived) ----
     "q_census_count" -> ((s, dir) =>
       CensusPipeline.censusCount(Tables(s, dir))),
 
@@ -44,6 +57,128 @@ object SparkEntry {
       Snapshot.unprocessed(
         t.customer.select(col("c_custkey"), col("c_name")),
         recent.select(col("o_custkey").as("c_custkey")), "c_custkey")
+    }),
+
+    "q_ingest_normalize" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .na.drop(Seq("o_orderkey", "o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("total_amt"),
+          upper(col("o_orderpriority")).as("priority"),
+          to_date(col("o_orderdate")).as("order_day"))),
+
+    "q_audit_run_id" -> ((s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(Audit.runIdFrom(max(col("ts"))).as("run_id"))),
+
+    "q_rolling_window_explode" -> ((s, dir) => {
+      val zones = Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(to_date(min(col("ts"))).as("eff_dt"))
+      RollingWindow.explodeDaily(zones, col("eff_dt"), 7)
+        .select("event_type", "dt")
+    }),
+
+    "q_interval_join_plantype" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val day = t.events.agg(to_date(max(col("ts"))).as("day"))
+      val zones = t.events.select("event_type").distinct()
+        .crossJoin(broadcast(day))
+        .withColumn("h", explode(sequence(lit(0), lit(18), lit(6))))
+        .select(col("event_type"),
+          (col("day").cast("timestamp") +
+            col("h") * expr("INTERVAL 1 HOUR")).as("z_start"),
+          (col("day").cast("timestamp") +
+            (col("h") + lit(6)) * expr("INTERVAL 1 HOUR")).as("z_end"))
+      val facts = t.events
+        .join(broadcast(day), to_date(col("ts")) === col("day"))
+        .select("event_id", "event_type", "ts")
+      IntervalJoin
+        .classify(facts, zones, Seq("event_type"),
+          col("ts"), col("z_start"), col("z_end"))
+        .select(col("event_id"), hour(col("z_start")).as("zone_h"),
+          col("plan_type"))
+    }),
+
+    "q_cost_center" -> ((s, dir) =>
+      Tables(s, dir).part
+        .groupBy(PathFns.prefixPath(col("p_name"), " ", 3).as("cost_center"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q_multi_precision_join" -> ((s, dir) => {
+      val part = Tables(s, dir).part
+      val data = part.select(col("p_partkey"),
+        PathFns.prefixPath(col("p_name"), " ", 3).as("loc"))
+      val z3 = data.select(col("loc").as("z")).distinct()
+      val z2 = part.select(
+        PathFns.prefixPath(col("p_name"), " ", 2).as("z")).distinct()
+      val j1 = data.join(broadcast(z3), col("loc") === col("z"))
+        .select("p_partkey", "z")
+      val j2 = data.join(broadcast(z2),
+          PathFns.prefixPath(col("loc"), " ", 2) === col("z"))
+        .select("p_partkey", "z")
+      j1.union(j2).distinct()
+    }),
+
+    "q_latest_file_parse" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(max(PathFns.numericId(col("source"))).as("max_src"))),
+
+    "q_master_table" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val denorm = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("order_day", to_date(col("o_orderdate")))
+      MasterChild.master(denorm, Seq("o_orderkey"),
+        Seq("o_custkey", "order_day", "o_orderstatus"))
+    }),
+
+    "q_child_table" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .withColumn("o_orderkey", col("l_orderkey"))
+        .withColumn("net_price",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      MasterChild.child(li, Seq("o_orderkey"),
+        Seq("l_linenumber", "l_partkey", "l_quantity", "net_price"))
+    }),
+
+    "q_range_lookup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ranges = t.part.select(
+        (floor(col("p_size") / 10) * 10).as("low"),
+        (floor(col("p_size") / 10) * 10 + 9).as("high"),
+        (floor(col("p_size") / 10) + 1).as("stf_cnt")).distinct()
+      RangeLookup.lookup(t.lineitem.select("l_quantity"), ranges,
+          col("l_quantity"), col("low"), col("high"))
+        .groupBy("stf_cnt").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_batch_assign" -> ((s, dir) =>
+      Batching.assign(Tables(s, dir).customer.select("c_custkey"),
+        col("c_custkey"), 50)),
+
+    "q_retention_filter" -> ((s, dir) =>
+      Compaction.retain(Tables(s, dir).events.select("event_id", "ts"),
+        col("ts"), 14)),
+
+    "q_backfill_range" -> ((s, dir) =>
+      Backfill.range(Tables(s, dir).orders.select("o_orderkey", "o_orderdate"),
+        col("o_orderdate"), "1996-01-01 00:00:00", "1997-01-01 00:00:00")),
+
+    "q_cleanse_text" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        md5(Cleanser.normalized(col("text")).cast("binary")).as("clean_hash"))),
+
+    "q_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn").cast("long").as("rnk"),
+          col("o_orderkey"), col("o_totalprice"))
     })
   )
 
@@ -82,6 +217,120 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey
-        |    AND o.o_orderdate > (SELECT max(o_orderdate) - INTERVAL 365 DAY FROM orders))""".stripMargin
+        |    AND o.o_orderdate > (SELECT max(o_orderdate) - INTERVAL 365 DAY FROM orders))""".stripMargin,
+
+    "q_ingest_normalize" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DECIMAL(12,2)) AS total_amt,
+        |       upper(o_orderpriority) AS priority,
+        |       CAST(o_orderdate AS DATE) AS order_day
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin,
+
+    "q_audit_run_id" ->
+      """SELECT event_type,
+        |       CAST(strftime(max(ts), '%Y%m%d%H%M%S') AS BIGINT) * 100 AS run_id
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rolling_window_explode" ->
+      """WITH z AS (
+        |  SELECT event_type, CAST(min(ts) AS DATE) AS eff_dt FROM events GROUP BY 1
+        |)
+        |SELECT event_type,
+        |       CAST(unnest(generate_series(CAST(eff_dt AS TIMESTAMP),
+        |            CAST(eff_dt AS TIMESTAMP) + INTERVAL 7 DAY,
+        |            INTERVAL 1 DAY)) AS DATE) AS dt
+        |FROM z""".stripMargin,
+
+    "q_interval_join_plantype" ->
+      """WITH d AS (SELECT CAST(max(ts) AS DATE) AS day FROM events),
+        |hs AS (SELECT unnest(generate_series(0, 18, 6)) AS h),
+        |zones AS (
+        |  SELECT e.event_type,
+        |         CAST(day AS TIMESTAMP) + h * INTERVAL 1 HOUR AS z_start,
+        |         CAST(day AS TIMESTAMP) + (h + 6) * INTERVAL 1 HOUR AS z_end
+        |  FROM (SELECT DISTINCT event_type FROM events) e CROSS JOIN hs CROSS JOIN d),
+        |facts AS (
+        |  SELECT event_id, event_type, ts FROM events, d WHERE CAST(ts AS DATE) = day)
+        |SELECT f.event_id, hour(z.z_start) AS zone_h,
+        |       CASE WHEN f.ts >= z.z_start AND f.ts <= z.z_end
+        |            THEN 'ACTUAL' ELSE 'PLAN' END AS plan_type
+        |FROM facts f
+        |JOIN zones z ON f.event_type = z.event_type AND z.z_end >= f.ts""".stripMargin,
+
+    "q_cost_center" ->
+      """SELECT array_to_string(string_split(p_name, ' ')[1:3], ' ') AS cost_center,
+        |       count(*) AS n
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q_multi_precision_join" ->
+      """WITH data AS (
+        |  SELECT p_partkey,
+        |         array_to_string(string_split(p_name, ' ')[1:3], ' ') AS loc
+        |  FROM part),
+        |z3 AS (SELECT DISTINCT loc AS z FROM data),
+        |z2 AS (SELECT DISTINCT array_to_string(string_split(p_name, ' ')[1:2], ' ') AS z FROM part)
+        |SELECT DISTINCT p_partkey, z FROM (
+        |  SELECT d.p_partkey, z3.z FROM data d JOIN z3 ON d.loc = z3.z
+        |  UNION ALL
+        |  SELECT d.p_partkey, z2.z FROM data d
+        |  JOIN z2 ON array_to_string(string_split(d.loc, ' ')[1:2], ' ') = z2.z
+        |)""".stripMargin,
+
+    "q_latest_file_parse" ->
+      """SELECT lang,
+        |       max(CAST(nullif(regexp_extract(source, '([0-9]+)', 1), '') AS BIGINT)) AS max_src
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_master_table" ->
+      """SELECT DISTINCT o.o_orderkey, o.o_custkey,
+        |       CAST(o.o_orderdate AS DATE) AS order_day, o.o_orderstatus
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin,
+
+    "q_child_table" ->
+      """SELECT l_orderkey AS o_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem""".stripMargin,
+
+    "q_range_lookup" ->
+      """WITH ranges AS (
+        |  SELECT DISTINCT CAST(floor(p_size / 10) * 10 AS BIGINT) AS low,
+        |         CAST(floor(p_size / 10) * 10 + 9 AS BIGINT) AS high,
+        |         CAST(floor(p_size / 10) + 1 AS BIGINT) AS stf_cnt
+        |  FROM part)
+        |SELECT r.stf_cnt, count(*) AS n
+        |FROM lineitem l JOIN ranges r
+        |  ON l.l_quantity >= r.low AND l.l_quantity <= r.high
+        |GROUP BY 1""".stripMargin,
+
+    "q_batch_assign" ->
+      """SELECT c_custkey,
+        |       CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 50.0) AS BIGINT) AS batch_id
+        |FROM customer""".stripMargin,
+
+    "q_retention_filter" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= (SELECT max(ts) - INTERVAL 14 DAY FROM events)""".stripMargin,
+
+    "q_backfill_range" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+
+    // Note: the Spark side also repairs bare newlines ("(?<!\r)\n");
+    // RE2 (DuckDB) lacks lookbehind, and the corpus carries no \r, so
+    // plain newline replacement is equivalent here.
+    "q_cleanse_text" ->
+      """SELECT doc_id,
+        |       md5(lower(trim(replace(replace(replace(text, chr(10), ' '), '"', ''), ',', '')))) AS clean_hash
+        |FROM documents""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin
   )
 }

@@ -33,8 +33,9 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame  = t("lineitem")
   def events: DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw.withColumn("ts",
-      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    // integral `div`: epoch-nanos exceed 2^53, double division would
+    // round the low microsecond digit.
+    eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
