@@ -24,8 +24,6 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CensusPipeline.censusCount(Tables(spark, "/root/testdata/sf0.001"))
 
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ETL core (reference-derived) ----
@@ -59,11 +57,15 @@ object SparkEntry {
         recent.select(col("o_custkey").as("c_custkey")), "c_custkey")
     }),
 
+    // total_amt stays DOUBLE: a DECIMAL output canonicalizes with
+    // trailing zeros ('205941.60') while the DuckDB oracle prints
+    // '205941.6' — same value, different hash. round() on both sides
+    // keeps the representation identical.
     "q_ingest_normalize" -> ((s, dir) =>
       Tables(s, dir).orders
         .na.drop(Seq("o_orderkey", "o_custkey"))
         .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").cast("decimal(12,2)").as("total_amt"),
+          round(col("o_totalprice"), 2).as("total_amt"),
           upper(col("o_orderpriority")).as("priority"),
           to_date(col("o_orderdate")).as("order_day"))),
 
@@ -156,8 +158,8 @@ object SparkEntry {
     }),
 
     "q_batch_assign" -> ((s, dir) =>
-      Batching.assign(Tables(s, dir).customer.select("c_custkey"),
-        col("c_custkey"), 50)),
+      Batching.assignScalable(Tables(s, dir).customer.select("c_custkey"),
+        col("c_custkey"), 50, partitions = 8)),
 
     "q_retention_filter" -> ((s, dir) =>
       Compaction.retain(Tables(s, dir).events.select("event_id", "ts"),
@@ -171,15 +173,14 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("doc_id"),
         md5(Cleanser.normalized(col("text")).cast("binary")).as("clean_hash"))),
 
-    "q_topn_per_group" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables(s, dir).orders
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-        .select(col("o_orderpriority"), col("rn").cast("long").as("rnk"),
-          col("o_orderkey"), col("o_totalprice"))
-    })
+    "q_topn_per_group" -> ((s, dir) =>
+      TopK.perGroup(
+          Tables(s, dir).orders
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          groups = Seq(col("o_orderpriority")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,9 +199,12 @@ object SparkEntry {
         |FROM ptnt WHERE o_day = (SELECT max(o_day) FROM ptnt)
         |GROUP BY c_mktsegment""".stripMargin,
 
+    // value is exactly 2-decimal in the data, so the DECIMAL(18,2)
+    // cast is lossless and the sum is order-independent on both sides.
     "q_hourly_census" ->
       """SELECT event_type, date_trunc('hour', ts) AS hr,
-        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_latest_run_snapshot" ->
@@ -221,7 +225,7 @@ object SparkEntry {
 
     "q_ingest_normalize" ->
       """SELECT o_orderkey, o_custkey,
-        |       CAST(o_totalprice AS DECIMAL(12,2)) AS total_amt,
+        |       round(o_totalprice, 2) AS total_amt,
         |       upper(o_orderpriority) AS priority,
         |       CAST(o_orderdate AS DATE) AS order_day
         |FROM orders

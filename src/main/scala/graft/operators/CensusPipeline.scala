@@ -42,12 +42,16 @@ object CensusPipeline {
     // High-watermark as a 1-row aggregate (never collect()).
     val wm = t.orders.agg(
       (max(col("o_orderdate")) - expr("INTERVAL 90 DAYS")).as("wm"))
+    // The post-watermark slice is narrow (trailing 90 days of 3 thin
+    // columns); persist it so the latest-day aggregate below does not
+    // recompute the full fact scan + joins a second time.
     val facts = t.orders
       .select("o_orderkey", "o_custkey", "o_orderdate")
       .join(broadcast(wm), col("o_orderdate") > col("wm"))
       .join(broadcast(dep), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_mktsegment"),
         to_date(col("o_orderdate")).as("o_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Latest file analog: keep only the most recent day in the slice
     // (reference: ltst_file CTE, ukg_open_census.py:344-346).
     val latest = facts.agg(max(col("o_day")).as("max_day"))
@@ -62,7 +66,16 @@ object CensusPipeline {
     * shares semantics with the streaming twin in graft.streaming).
     */
   def hourlyCensus(t: Tables): DataFrame =
-    t.events
+    hourlyAgg(t.events)
+
+  /** The aggregation core, shared with the streaming twin
+    * (graft.streaming.EventPipelines): sums go through DECIMAL(18,2)
+    * so the result is exact regardless of partial-aggregation order,
+    * then back to DOUBLE for a canonical output representation.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 }

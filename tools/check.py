@@ -1,29 +1,39 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate.
+"""Local mirror of the driver's correctness gate — STRICT.
 
 Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
 
 Reads each <name>/ parquet produced by graft.Verify plus oracle_sql.json,
-runs the oracle in DuckDB against the sf tables, and compares after
-sorting columns by name and rows by all columns (the driver's scheme).
+runs the oracle in DuckDB against the sf tables, and compares the way the
+driver does: columns sorted by name, every value stringified, rows sorted,
+EXACT equality (no float tolerance, which round 1 proved hides real
+hash failures — a Decimal '205941.60' vs float '205941.6' mismatch).
+
+`--lenient` restores the old tolerant compare as a diagnostic mode.
 """
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+import numpy as np
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+LENIENT = "--lenient" in sys.argv
+
+
+def canon_rows(df: pd.DataFrame):
+    """Driver-style canonical form: sorted column names, all values as
+    strings, rows sorted. Returns (columns, list-of-row-tuples)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    s = df.astype(str)
+    rows = sorted(map(tuple, s.itertuples(index=False, name=None)))
+    return list(df.columns), rows
+
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = fail = 0
@@ -32,35 +42,36 @@ def main():
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
             print(f"MISSING  {name}: no spark output"); fail += 1; continue
-        got = canon(con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df())
-        want = canon(con.sql(sql).df())
-        if list(got.columns) != list(want.columns):
-            print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(want.columns)}")
+        got_df = con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df()
+        try:
+            want_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"ORACLE!  {name}: {e}"); fail += 1; continue
+        gc, got = canon_rows(got_df)
+        wc, want = canon_rows(want_df)
+        if gc != wc:
+            print(f"SCHEMA   {name}: spark={gc} oracle={wc}")
             fail += 1; continue
         if len(got) != len(want):
             print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
             fail += 1; continue
-        diffs = []
-        for c in got.columns:
-            a, b = got[c], want[c]
-            if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
-                import numpy as np
-                if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True):
-                    diffs.append(c)
-            else:
-                if not a.astype(str).equals(b.astype(str)):
-                    diffs.append(c)
-        if diffs:
-            print(f"VALUES   {name}: columns differ {diffs}")
-            for c in diffs[:2]:
-                m = got[c].astype(str) != want[c].astype(str)
-                print(got[m].head(3)); print(want[m].head(3))
+        if got != want:
+            if LENIENT and lenient_equal(got_df, want_df):
+                print(f"OK~LEN   {name} ({len(got)} rows) — strict hash would FAIL")
+                ok += 1; continue
+            bad = [i for i, (a, b) in enumerate(zip(got, want)) if a != b][:3]
+            print(f"VALUES   {name}: {len([1 for a,b in zip(got,want) if a!=b])} rows differ")
+            for i in bad:
+                print(f"  spark : {got[i]}")
+                print(f"  oracle: {want[i]}")
             fail += 1
         else:
             print(f"OK       {name} ({len(got)} rows)")
             ok += 1
     # queries with no oracle: rows-only
-    for name in SparkQueriesWithoutOracle(out_dir, oracles):
+    dirs = [d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))]
+    for name in sorted(set(dirs) - set(oracles)):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         n = len(con.sql(f"SELECT * FROM read_parquet({files!r})").df()) if files else 0
         print(f"{'ROWSONLY' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
@@ -69,10 +80,20 @@ def main():
     print(f"== {ok} ok, {fail} fail")
     sys.exit(1 if fail else 0)
 
-def SparkQueriesWithoutOracle(out_dir, oracles):
-    dirs = [d for d in os.listdir(out_dir)
-            if os.path.isdir(os.path.join(out_dir, d))]
-    return sorted(set(dirs) - set(oracles))
+
+def lenient_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    a = a.reindex(sorted(a.columns), axis=1).sort_values(by=list(sorted(a.columns))).reset_index(drop=True)
+    b = b.reindex(sorted(b.columns), axis=1).sort_values(by=list(sorted(b.columns))).reset_index(drop=True)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if str(x.dtype).startswith("float") or str(y.dtype).startswith("float"):
+            if not np.allclose(x.astype(float), y.astype(float),
+                               rtol=0, atol=1e-9, equal_nan=True):
+                return False
+        elif not x.astype(str).equals(y.astype(str)):
+            return False
+    return True
+
 
 if __name__ == "__main__":
     main()
