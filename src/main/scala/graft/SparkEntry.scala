@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Audit, Backfill, Batching, Compaction, Snapshot}
-import graft.functions.PathFns
+import graft.functions.{PathFns, TextFns}
 import graft.io.{Cleanser, Tables}
 import graft.operators._
 
@@ -180,7 +180,81 @@ object SparkEntry {
           groups = Seq(col("o_orderpriority")),
           order = Seq(col("o_totalprice").desc, col("o_orderkey")),
           k = 3)
-        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice"))
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")),
+
+    // ---- LLM-training-data pipeline (SURVEY §2 q21-q32) ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir).documents, col("doc_id"), col("text"))),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables(s, dir).documents, col("doc_id"),
+        col("text"), n = 3, threshold = 0.5)),
+
+    // rows-only: minhash signatures use xxhash64, not reproducible in SQL
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir).documents, col("doc_id"),
+        col("text"), n = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
+    // rows-only: simhash bit votes use xxhash64
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"),
+        col("text"), maxHamming = 3, bands = 4)),
+
+    // Axis-plane LSH candidates (sign of the first 16 dims, 8 bands of
+    // 2 bits) + exact-cosine verify — the oracle reproduces the exact
+    // same bucketing, so the result is deterministic.
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables(s, dir).embeddings, threshold = 0.4,
+        planes = Similarity.axisPlanes(64, 16), bitsPerBand = 2)),
+
+    "q_ann_topk_cosine" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.annTopKCosine(emb, emb.where(col("vec_id") < 8), k = 10)
+    }),
+
+    // rows-only: Gaussian hyperplanes are generated Scala-side
+    "q_ann_lsh_bucketed" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.annLshTopK(emb, emb.where(col("vec_id") < 8),
+        Similarity.hyperplanes(64, 6), k = 5)
+    }),
+
+    "q_text_stats" -> ((s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        size(toks).cast("long").as("n_tokens"),
+        TextFns.punctCount(col("text")).cast("long").as("n_punct"),
+        (TextFns.stopwordHits(toks, TextFns.stopwordsEn).cast("double") /
+          size(toks).cast("double")).as("stop_ratio"))
+    }),
+
+    "q_lang_id" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFns.langId(col("text")).as("lang_pred"))),
+
+    "q_token_count" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+        TextFns.bpeishCount(col("text")).cast("long").as("bpeish_tokens"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp_md5"),
+        TextFns.headFingerprint(col("text"), 32).as("fp_head"),
+        TextFns.rollingHash(col("text")).as("fp_roll"))),
+
+    // Binary-column plumbing: payload is the text cast to bytes (the
+    // container has no image/audio libs — decode is stubbed in
+    // operators.Multimodal); the metadata extraction is real.
+    "q_multimodal_meta" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        upper(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_kind")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,6 +409,116 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY o_orderpriority
         |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+
+    // ---- LLM-training-data pipeline oracles ----
+    // Shared normalization (mirrors Cleanser.normalized; the corpus has
+    // no \r so plain-newline replace equals the lookbehind repair).
+    "q_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS canonical_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) i)),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+        |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
+        |           JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |b AS ($embBandSql)
+        |, cand AS (SELECT DISTINCT a.id id_a, b2.id id_b
+        |           FROM b a JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
+        |                               AND a.id < b2.id)
+        |SELECT c.id_a, c.id_b, list_cosine_similarity(va.e, vb.e) AS cosine
+        |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
+
+    "q_ann_topk_cosine" ->
+      """WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) eq
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) ec FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(eq, ec) score
+        |      FROM q CROSS JOIN c WHERE n_id <> q_id)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rnk, n_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                   ORDER BY score DESC, n_id) rn
+        |      FROM s)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_txt,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+        |       CAST(len(list_filter(string_split(lower(text), ' '),
+        |              x -> x IN ('the','of','and','a','to','is'))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('the','of','and','a','to','is'))) en,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('el','la','de','los','y','es'))) es,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','das','und','ein'))) de,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('le','la','les','de','et'))) fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |            WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |            WHEN es >= de AND es >= fr THEN 'es'
+        |            WHEN de >= fr THEN 'de'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+        |       md5($normSql) AS fp_md5,
+        |       md5(substring($normSql, 1, 32)) AS fp_head,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split($normSql, ' '),
+        |                          t -> CAST(length(t) AS BIGINT))),
+        |         (h, x) -> (h * 31 + x) % 1000000007) AS fp_roll
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       upper(hex(encode(substring(text, 1, 8)))) AS header_hex,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_kind
+        |FROM documents""".stripMargin
   )
+
+  /** DuckDB mirror of `Cleanser.normalized` (see q_cleanse_text note). */
+  private val normSql =
+    """lower(trim(replace(replace(replace(text, chr(10), ' '), '"', ''), ',', '')))"""
+
+  /** The 8 two-bit axis-plane bands of q_dedup_embedding, as a UNION
+    * ALL (bit i of the Spark bucket = sign of dimension i; band b
+    * carries bits 2b and 2b+1, low bit first). */
+  private val embBandSql: String =
+    (0 until 8).map { b =>
+      s"SELECT id, $b AS band, " +
+        s"(CASE WHEN e[${2 * b + 1}] >= 0 THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN e[${2 * b + 2}] >= 0 THEN 2 ELSE 0 END) AS bits FROM v"
+    }.mkString(" UNION ALL ")
 }

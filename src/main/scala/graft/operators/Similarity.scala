@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Similarity search over an `Array[Float]` embedding column:
+  * brute-force cosine top-k (the exact baseline) and random-hyperplane
+  * LSH bucketing (the scale path), plus LSH-candidate near-duplicate
+  * pairs.
+  *
+  * Scale shapes:
+  *  - top-k: the query side is small → `broadcast`; the corpus is
+  *    scanned once, partition-locally ranked (TopK phase 1), and only
+  *    ≤ k·partitions rows reach the final per-query window.
+  *  - LSH: both sides map to a bucket id (sign bits of hyperplane
+  *    dots) and meet in an equi-join on the bucket — never a
+  *    cartesian. Probe-multiplicity (searching neighboring buckets)
+  *    raises recall at the cost of more candidate rows.
+  *  - near-dup: candidates from banded bucket bits (equi-join),
+  *    verified with the exact cosine.
+  */
+object Similarity {
+
+  /** Deterministic Gaussian hyperplanes (seeded), dim × planes. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Coordinate-axis "hyperplanes" (unit basis vectors for the first
+    * `planes` dimensions): `dot(v, e_i) = v(i)` exactly, so the bucket
+    * bits are reproducible in any engine as a plain sign test — the
+    * variant the DuckDB-checked query uses. */
+  def axisPlanes(dim: Int, planes: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => Seq.tabulate(dim)(d => if (d == p) 1.0 else 0.0))
+
+  /** Bucket id: bit p = 1 iff dot(vec, plane_p) >= 0. */
+  def bucketBits(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFns.dotConst(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Exact brute-force cosine top-k neighbors per query vector.
+    *
+    * `queries`/`corpus`: (id, vec). Output: q_id, rnk, n_id, score.
+    * Self-matches are dropped. Norms are precomputed once per side;
+    * the per-pair work is a single fused dot product.
+    */
+  def annTopKCosine(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("ec"))
+      .withColumn("nc", VectorFns.l2Norm(col("ec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("eq"))
+      .withColumn("nq", VectorFns.l2Norm(col("eq")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("score",
+        VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
+      .select("q_id", "n_id", "score")
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("score").desc, col("n_id")), k)
+      .select("q_id", "rnk", "n_id", "score")
+  }
+
+  /** LSH-bucketed approximate top-k: queries meet only corpus vectors
+    * in the same hyperplane-sign bucket (equi-join on the bucket id),
+    * then local exact cosine + top-k. Trades recall for a candidate
+    * set of expected size n/2^planes per query. */
+  def annLshTopK(corpus: DataFrame, queries: DataFrame,
+                 planes: Seq[Seq[Double]], k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("ec"))
+      .withColumn("bucket", bucketBits(col("ec"), planes))
+      .withColumn("nc", VectorFns.l2Norm(col("ec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("eq"))
+      .withColumn("bucket", bucketBits(col("eq"), planes))
+      .withColumn("nq", VectorFns.l2Norm(col("eq")))
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("score",
+        VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
+      .select("q_id", "n_id", "score")
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("score").desc, col("n_id")), k)
+      .select("q_id", "rnk", "n_id", "score")
+  }
+
+  /** Near-duplicate pairs by cosine ≥ `threshold`, id_a < id_b.
+    *
+    * Candidate generation: the first `planes.size` hyperplane sign
+    * bits, banded `bitsPerBand` at a time; a pair is a candidate iff
+    * some band matches — an equi-join on (band, bits). Candidates are
+    * then verified with the exact cosine, so precision is exact;
+    * recall is the standard LSH probability (1 for identical vectors,
+    * dropping with angle). The exact-recall alternative is a full
+    * block-nested pass (`annTopKCosine` against itself) — O(n²) and
+    * only for small corpora.
+    */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+                   planes: Seq[Seq[Double]], bitsPerBand: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(planes.size % bitsPerBand == 0, "bands must tile the planes")
+    val bands = planes.size / bitsPerBand
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("e"))
+      .withColumn("bucket", bucketBits(col("e"), planes))
+      .withColumn("nrm", VectorFns.l2Norm(col("e")))
+    val banded = v.select(col("id"),
+        explode(array((0 until bands).map { bi =>
+          struct(lit(bi).as("band"),
+            shiftrightunsigned(col("bucket"), bi * bitsPerBand)
+              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bits"))
+        }: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bits"))
+    val cand = banded.select(col("id").as("id_a"), col("band"), col("bits"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bits")),
+        Seq("band", "bits"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cosine",
+        VectorFns.cosinePre(col("ea"), col("eb"), col("na"), col("nb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}
