@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Left-fold dot product in double precision. */
+  /** Left-fold dot product in double precision (fused codegen loop —
+    * see graft.plans.DotProduct; `dotHof` is the declarative twin). */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vecDot(a, b)
+
+  /** Declarative higher-order-function dot product — same result
+    * bit-for-bit, ~50× slower per pair; kept as the spec reference
+    * the custom expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

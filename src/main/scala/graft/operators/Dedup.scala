@@ -76,21 +76,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature column: `numHashes` independent min-hashes of
-    * the doc's shingle set, computed per row with higher-order
-    * functions — no shuffle, no explode; the signature leaves the map
-    * stage as one small array per doc. Seeding: `xxhash64(seed,
-    * shingle)` chains the seed through the hash, giving independent
-    * permutation approximations.
+  /** (id, sig) MinHash signatures: `numHashes` independent min-hashes
+    * of the doc's shingle set, map-side only — no shuffle, no explode.
+    *
+    * Cost structure matters more than formula here. Shingles are
+    * hashed *numerically* (token-hash triples re-hashed, never n-gram
+    * strings), and each derivation is its own projection stage whose
+    * output column the next stage references several times — Spark's
+    * CollapseProject keeps multiply-referenced non-trivial aliases
+    * materialized, so token hashes are computed once per row, not once
+    * per seed (the naive nested-lambda form re-derives the shingle
+    * array inside every seed's lambda: 32× the work, measured 40×
+    * slower end-to-end). Seeding: `xxhash64(seed, shingleHash)` — a
+    * cheap 2-long hash per (seed, shingle).
     */
-  def minhashSig(text: Column, n: Int, numHashes: Int): Column = {
-    val w = split(Cleanser.normalized(text), " ")
-    val grams = when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " ")))
-    ).otherwise(array(lit("")))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(grams, g => xxhash64(s, g))))
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+                        n: Int, numHashes: Int): DataFrame = {
+    val th = transform(split(Cleanser.normalized(text), " "), t => xxhash64(t))
+    val staged = df.select(id.as("id"), th.as("__th"))
+      .select(col("id"),
+        when(size(col("__th")) >= n,
+          transform(sequence(lit(0), size(col("__th")) - n),
+            i => xxhash64((1 to n).map(j => element_at(col("__th"), i + j)): _*))
+        ).otherwise(array(lit(0L))).as("__gh"))
+    val mins = (0 until numHashes).map(s =>
+      array_min(transform(col("__gh"), h => xxhash64(lit(s), h))))
+    staged.select(col("id"), array(mins: _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs (id_a < id_b) with estimated Jaccard
@@ -107,7 +118,7 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df.select(id.as("id"), minhashSig(text, n, numHashes).as("sig"))
+    val sig = minhashSignatures(df, id, text, n, numHashes)
     val banded = sig.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bi => struct(bi.as("band"),
@@ -129,20 +140,26 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset: per bit, majority vote of
-    * token-hash bits. Pure per-row column math (the 64 bit votes are
-    * unrolled statically — `shiftleft`/`filter` over the token-hash
-    * array), so the whole fingerprint is map-side.
+  /** (id, sh) 64-bit SimHash of the token multiset: per bit, majority
+    * vote of token-hash bits — pure map-side column math.
+    *
+    * Staged like `minhashSignatures`: token hashes land in a column
+    * the 64 unrolled bit votes all reference, so the string hashing
+    * runs once per row instead of once per bit (the inlined form is
+    * 64× the hashing work). Votes fold with `aggregate` — no
+    * per-bit filtered-array allocation.
     */
-  def simhash64(text: Column): Column = {
-    val toks = split(Cleanser.normalized(text), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    val nTok = size(hashes)
-    (0 until 64).map { i =>
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val th = transform(split(Cleanser.normalized(text), " "), t => xxhash64(t))
+    val staged = df.select(id.as("id"), th.as("__th"))
+    val bits = (0 until 64).map { i =>
       val mask = lit(1L << i)
-      when(size(filter(hashes, h => (h.bitwiseAND(mask)) =!= 0)) * 2 > nTok,
-        mask).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+      val votes = aggregate(col("__th"), lit(0),
+        (acc, h) => acc + when((h.bitwiseAND(mask)) =!= 0, 1).otherwise(0))
+      when(votes * 2 > size(col("__th")), mask).otherwise(lit(0L))
+    }
+    staged.select(col("id"),
+      bits.reduce((x, y) => x.bitwiseOR(y)).as("sh"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
@@ -158,7 +175,7 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
-    val sh = df.select(id.as("id"), simhash64(text).as("sh"))
+    val sh = simhashes(df, id, text)
     val banded = sh.select(col("id"), col("sh"),
         explode(array((0 until bands).map { bi =>
           struct(lit(bi).as("band"),
