@@ -68,14 +68,19 @@ object CensusPipeline {
   def hourlyCensus(t: Tables): DataFrame =
     hourlyAgg(t.events)
 
-  /** The aggregation core, shared with the streaming twin
-    * (graft.streaming.EventPipelines): sums go through DECIMAL(18,2)
-    * so the result is exact regardless of partial-aggregation order,
-    * then back to DOUBLE for a canonical output representation.
+  /** Aggregate expressions shared verbatim with the streaming twin
+    * (graft.streaming.EventPipelines.streamHourlyCensus): sums go
+    * through DECIMAL(18,2) so the result is exact regardless of
+    * partial-aggregation order, then back to DOUBLE for a canonical
+    * output representation.
     */
+  val hourlyAggExprs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** The aggregation core (batch form). */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .agg(hourlyAggExprs.head, hourlyAggExprs.tail: _*)
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the
+  * pipeline as opaque `binary` columns with typed metadata, and
+  * decode / feature-extraction runs as a partition-mapped stage (the
+  * batch shape a real decoder needs: per-partition init of the
+  * native decoder, then a tight per-record loop).
+  *
+  * The container has no image/audio codecs, so `decode` below is a
+  * clearly-marked DETERMINISTIC STUB — it derives fake dimensions
+  * from the payload bytes. Everything around it (schema, encoders,
+  * partition batching, null handling) is the real plumbing a codec
+  * would drop into.
+  */
+object Multimodal {
+
+  /** One decoded media record. `width`/`height` are decode outputs
+    * (frames for audio/video); `ok` is the decode status. */
+  final case class MediaMeta(doc_id: Long, media_kind: String,
+                             n_bytes: Int, width: Int, height: Int,
+                             ok: Boolean)
+
+  /** Wrap a text-keyed table into (doc_id, media_kind, payload)
+    * binary rows — the ingest shape for opaque media. */
+  def asPayload(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_kind"),
+      col("text").cast("binary").as("payload"))
+
+  // ======================================================================
+  // STUB DECODER — deterministic fake. A real implementation binds an
+  // image/audio library here (one init per partition, reused across
+  // records). The fake derives "dimensions" from payload bytes so
+  // tests are reproducible without codecs.
+  // ======================================================================
+  private final class StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Boolean) =
+      if (payload == null || payload.isEmpty) (0, 0, false)
+      else {
+        val w = 16 + (payload(0) & 0x7f)
+        val h = 16 + (payload(payload.length - 1) & 0x7f)
+        (w, h, true)
+      }
+  }
+
+  /** Decode payloads partition-wise. The decoder is constructed once
+    * per partition (models expensive codec init), the iterator is
+    * consumed lazily (no partition-sized buffering), and output is a
+    * typed Dataset so downstream stages stay columnar.
+    */
+  def decode(payloads: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("media_kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new StubDecoder // per-partition init
+        it.map { case (id, kind, payload) =>
+          val (w, h, ok) = decoder.decode(payload)
+          val n = if (payload == null) 0 else payload.length
+          MediaMeta(id, kind, n, w, h, ok)
+        }
+      }
+  }
+}

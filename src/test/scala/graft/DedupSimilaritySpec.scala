@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.io.Tables
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class DedupSimilaritySpec extends GraftSuite {
+
+  lazy val t = Tables(spark, sfDir)
+
+  test("codegen DotProduct is bit-identical to the declarative fold") {
+    val pairs = t.embeddings.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(t.embeddings.where(col("vec_id") === 7)
+        .select(col("embedding").as("b")))
+      .limit(50)
+      .select(
+        VectorFns.dot(col("a"), col("b")).as("fast"),
+        VectorFns.dotHof(col("a"), col("b")).as("ref"))
+      .collect()
+    assert(pairs.nonEmpty)
+    // exact bit equality, not approximate
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("jaccardPairs agrees with a brute-force check on one pair") {
+    val pairs = Dedup.jaccardPairs(t.documents, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+    // brute-force the first reported pair
+    val r0 = pairs.head
+    val texts = t.documents
+      .where(col("doc_id").isin(r0.getLong(0), r0.getLong(1)))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh(s: String): Set[String] =
+      s.toLowerCase.trim.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(texts(r0.getLong(0))), sh(texts(r0.getLong(1))))
+    val expected = (a & b).size.toDouble / (a | b).size
+    assert(math.abs(r0.getDouble(2) - expected) < 1e-12)
+  }
+
+  test("minhash LSH finds the true near-dup pairs") {
+    val truth = Dedup.jaccardPairs(t.documents, col("doc_id"), col("text"),
+        n = 3, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = Dedup.minhashLshPairs(t.documents, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 8, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every verified-signature pair should be a real 3-gram near-dup
+    assert(truth.nonEmpty && est.nonEmpty)
+    assert((truth intersect est).size >= (truth.size * 0.8).toInt)
+  }
+
+  test("simhash pigeonhole banding has exact recall at maxHamming < bands") {
+    val sh = Dedup.simhashes(t.documents, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"),
+        maxHamming = 3, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute) // banding must not lose any pair
+  }
+
+  test("annTopKCosine rank-1 agrees with brute force for one query") {
+    val out = Similarity.annTopKCosine(
+      t.embeddings, t.embeddings.where(col("vec_id") === 3), k = 5)
+      .collect().sortBy(_.getLong(1))
+    assert(out.length == 5)
+    val vecs = t.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(3L)
+    val best = vecs.filter(_._1 != 3L)
+      .map { case (id, v) => id -> cos(q, v) }
+      .maxBy { case (id, c) => (c, -id) }
+    assert(out.head.getLong(2) == best._1)
+  }
+
+  test("LSH-bucketed ANN returns same-bucket neighbors only") {
+    val planes = Similarity.hyperplanes(64, 6)
+    val out = Similarity.annLshTopK(
+      t.embeddings, t.embeddings.where(col("vec_id") < 8), planes, k = 5)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) <= 5)) // rnk within k
+  }
+
+  test("multimodal decode plumbing preserves rows and is deterministic") {
+    implicit val s = spark
+    val decoded = Multimodal.decode(Multimodal.asPayload(t.documents))
+    val rows = decoded.collect()
+    assert(rows.length == t.documents.count())
+    assert(rows.forall(_.ok))
+    assert(rows.forall(r => r.width >= 16 && r.height >= 16))
+    val again = Multimodal.decode(Multimodal.asPayload(t.documents)).collect()
+    assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Batching, Compaction}
+import graft.io.CsvIngest
+import graft.util.{Notify, Retry}
+
+class InfraSpec extends GraftSuite {
+
+  // ---------------- Retry ----------------
+
+  test("withRetry returns first success") {
+    var calls = 0
+    val r = Retry.withRetry(Retry.Policy(maxAttempts = 3)) {
+      calls += 1
+      if (calls < 2) sys.error("boom") else 42
+    }
+    assert(r == Right(42) && calls == 2)
+  }
+
+  test("withRetry accumulates every attempt's error on exhaustion") {
+    val r = Retry.withRetry(Retry.Policy(maxAttempts = 3)) {
+      sys.error("always")
+    }
+    assert(r.isLeft && r.left.exists(_.size == 3))
+  }
+
+  test("postWithDegradation splits a failed batch into singletons") {
+    // items >= 100 always fail; a batch fails if ANY item fails —
+    // the reference's exact recovery ladder
+    def post(items: Seq[Int]): Unit =
+      if (items.exists(_ >= 100)) sys.error(s"reject ${items.mkString(",")}")
+    val out = Retry.postWithDegradation(
+      Seq(Seq(1, 2, 3), Seq(4, 100, 5), Seq(101, 102)),
+      Retry.Policy(maxAttempts = 2))(post)
+    assert(out.wholeBatches == 1)
+    assert(out.salvagedItems == Vector(4, 5))
+    assert(out.failedItems.map(_._1) == Vector(100, 101, 102))
+    assert(!out.fullySucceeded && out.allErrors.size == 3)
+  }
+
+  // ---------------- Notify ----------------
+
+  test("failureBody escapes HTML and tabulates errors") {
+    val body = Notify.failureBody("census", 20260101120000L,
+      Seq("file<1>.csv" -> "bad \"quote\""))
+    assert(body.contains("file&lt;1&gt;.csv"))
+    assert(body.contains("bad &quot;quote&quot;"))
+    assert(body.contains("<table") && body.contains("RUN_ID: 20260101120000"))
+  }
+
+  test("RecordingMailer captures instead of sending") {
+    val m = new Notify.RecordingMailer
+    m.send(Seq("ops@example.com"), "fail", Notify.successBody("p", 1L, 10L))
+    assert(m.sent.size == 1 && m.sent.head._2 == "fail")
+  }
+
+  // ---------------- CsvIngest ----------------
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("amt", LongType)))
+
+  private def tmpCsv(lines: String*): String = {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("part.csv")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("read applies schema and drops null-key rows") {
+    val p = tmpCsv("id,name,amt", "1,acme,10", ",orphan,20", "3,zeta,30")
+    val df = CsvIngest.read(spark, p, schema,
+      CsvIngest.Options(keyCols = Seq("id")))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("readCleansed strips quotes/commas inside fields and the header") {
+    val p = tmpCsv("id,name,amt", "1,\"acme, inc\",10", "2,plain,20")
+    val df = CsvIngest.readCleansed(spark, p, schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "acme inc") // comma + quotes removed
+    assert(rows(1).getString(1) == "plain" && rows(1).getLong(2) == 20L)
+  }
+
+  // ---------------- Compaction / Batching ----------------
+
+  test("compactTo rewrites to the targeted file count") {
+    val out = Files.createTempDirectory("graft_compact").resolve("t").toString
+    val df = spark.range(1000).toDF("id")
+    // ~ 4 MB input at 1 MB target -> 4 files
+    Compaction.compactTo(df, out, targetFileMB = 1,
+      approxInputBytes = 4L * 1024 * 1024)
+    val files = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4)
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
+  test("batchedByHash is deterministic and bounded") {
+    val df = Batching.batchedByHash(
+      spark.range(500).toDF("id"), Seq(col("id")), numBatches = 7)
+    val batches = df.groupBy("batch_id").count().collect()
+    assert(batches.length == 7)
+    assert(batches.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7))
+    // deterministic: same input -> same assignment
+    val again = Batching.batchedByHash(
+      spark.range(500).toDF("id"), Seq(col("id")), numBatches = 7)
+    assert(df.collect().toSet == again.collect().toSet)
+  }
+}
