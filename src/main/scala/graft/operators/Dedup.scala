@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
 import graft.io.Cleanser
+import graft.plans.HashExpressions
 
 /** Document deduplication for the training-data pipeline: exact,
   * n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
@@ -54,7 +55,18 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double,
                    maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(df, id, text, n)
+    // Shingles travel as 64-bit hashes (graft.plans.HashedShingles, a
+    // fused codegen loop), not strings: the inverted-index shuffle
+    // carries 8-byte keys and the candidate groupBy compares longs.
+    // Set semantics are unchanged short of an intra-corpus xxhash64
+    // collision (~|shingles|²/2⁶⁴ — vanishing, and only ever merges
+    // two shingles).
+    val w = split(Cleanser.normalized(text), " ")
+    val sh0 = df.select(id.as("id"), w.as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("id"),
+        explode(HashExpressions.hashedShingles(col("__w"), n)).as("shingle"))
+      .distinct()
     val sh = maxShingleDf.fold(sh0) { cap =>
       // document frequency per shingle is a dimension-sized aggregate
       val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
@@ -79,30 +91,22 @@ object Dedup {
   /** (id, sig) MinHash signatures: `numHashes` independent min-hashes
     * of the doc's shingle set, map-side only — no shuffle, no explode.
     *
-    * Cost structure matters more than formula here. Shingles are
-    * hashed *numerically* (token-hash triples re-hashed, never n-gram
-    * strings), and each derivation is its own projection stage whose
-    * output column the next stage references several times — Spark's
-    * CollapseProject keeps multiply-referenced non-trivial aliases
-    * materialized, so token hashes are computed once per row, not once
-    * per seed (the naive nested-lambda form re-derives the shingle
-    * array inside every seed's lambda: 32× the work, measured 40×
-    * slower end-to-end). Seeding: `xxhash64(seed, shingleHash)` — a
-    * cheap 2-long hash per (seed, shingle).
+    * Cost structure matters more than formula here: the whole chain
+    * (token hash → shingle hash → per-seed min) runs as two fused
+    * codegen loops (graft.plans.{HashedShingles,MinHashSig}) — the
+    * naive nested-lambda form re-derives the shingle array inside
+    * every seed's lambda (32× the work, measured 40× slower end-to-
+    * end), and even the staged column form pays an interpreted lambda
+    * call per (seed, shingle). Seeding matches declarative
+    * `xxhash64(lit(seed), shingleHash)` bit-for-bit.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-                        n: Int, numHashes: Int): DataFrame = {
-    val th = transform(split(Cleanser.normalized(text), " "), t => xxhash64(t))
-    val staged = df.select(id.as("id"), th.as("__th"))
-      .select(col("id"),
-        when(size(col("__th")) >= n,
-          transform(sequence(lit(0), size(col("__th")) - n),
-            i => xxhash64((1 to n).map(j => element_at(col("__th"), i + j)): _*))
-        ).otherwise(array(lit(0L))).as("__gh"))
-    val mins = (0 until numHashes).map(s =>
-      array_min(transform(col("__gh"), h => xxhash64(lit(s), h))))
-    staged.select(col("id"), array(mins: _*).as("sig"))
-  }
+                        n: Int, numHashes: Int): DataFrame =
+    df.select(id.as("id"),
+      HashExpressions.minhashSig(
+        HashExpressions.hashedShingles(
+          split(Cleanser.normalized(text), " "), n),
+        numHashes).as("sig"))
 
   /** MinHash + LSH near-dup pairs (id_a < id_b) with estimated Jaccard
     * (fraction of agreeing signature positions) ≥ `threshold`.
@@ -149,18 +153,11 @@ object Dedup {
     * 64× the hashing work). Votes fold with `aggregate` — no
     * per-bit filtered-array allocation.
     */
-  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val th = transform(split(Cleanser.normalized(text), " "), t => xxhash64(t))
-    val staged = df.select(id.as("id"), th.as("__th"))
-    val bits = (0 until 64).map { i =>
-      val mask = lit(1L << i)
-      val votes = aggregate(col("__th"), lit(0),
-        (acc, h) => acc + when((h.bitwiseAND(mask)) =!= 0, 1).otherwise(0))
-      when(votes * 2 > size(col("__th")), mask).otherwise(lit(0L))
-    }
-    staged.select(col("id"),
-      bits.reduce((x, y) => x.bitwiseOR(y)).as("sh"))
-  }
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      HashExpressions.simhash64(
+        HashExpressions.hashedShingles(
+          split(Cleanser.normalized(text), " "), 1)).as("sh"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     *

@@ -1,0 +1,219 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Fused hashing expressions for the dedup pipeline.
+  *
+  * The declarative forms (`transform(toks, t => xxhash64(t))`, per-seed
+  * `array_min(transform(...))`, 64 unrolled bit votes) run interpreted
+  * lambda calls per element — tens of thousands per row. These
+  * expressions collapse each chain into one JITed loop via `doGenCode`
+  * while reproducing the exact same hash chain Spark's `xxhash64`
+  * computes (`XXH64.hashUTF8String` / `hashLong` with seed 42, folded
+  * left-to-right), so results are identical to the declarative forms.
+  *
+  * All three assume null-free array inputs (they consume outputs of
+  * `split`/each other, which never produce null elements).
+  */
+object HashExpressions {
+  private[plans] final val Seed = 42L
+
+  /** array<string> tokens → array<long> hashes of every `n`-token
+    * shingle (`xxhash64(tok_i, .., tok_{i+n-1})`); fewer than `n`
+    * tokens yields the single sentinel hash 0L. `n = 1` is exactly
+    * per-token `xxhash64`. */
+  def hashedShingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), n))
+
+  /** array<long> shingle hashes → length-`k` MinHash signature
+    * (position s = min over shingles of `xxhash64(s, shingle)`). */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingleHashes), k))
+
+  /** array<long> token hashes → 64-bit SimHash (per-bit majority). */
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+}
+
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val nTok = a.numElements()
+    if (nTok < n) return new GenericArrayData(Array(0L))
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      th(i) = XXH64.hashUTF8String(a.getUTF8String(i), HashExpressions.Seed)
+      i += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    i = 0
+    while (i < out.length) {
+      var acc = HashExpressions.Seed
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+    nullSafeCodeGen(ctx, ev, a => {
+      val nTok = ctx.freshName("nTok")
+      val th = ctx.freshName("th")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $nTok = $a.numElements();
+         |long[] $out;
+         |if ($nTok < $n) { $out = new long[]{0L}; } else {
+         |  long[] $th = new long[$nTok];
+         |  for (int $i = 0; $i < $nTok; $i++) {
+         |    $th[$i] = $xxh.hashUTF8String($a.getUTF8String($i), ${HashExpressions.Seed}L);
+         |  }
+         |  $out = new long[$nTok - $n + 1];
+         |  for (int $i = 0; $i < $out.length; $i++) {
+         |    long $acc = ${HashExpressions.Seed}L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc = $xxh.hashLong($th[$i + $j], $acc);
+         |    }
+         |    $out[$i] = $acc;
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "need at least one hash")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  /** Seed chain of the declarative `xxhash64(lit(s), shingleHash)`:
+    * the int literal folds first, then the shingle hash. */
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(s => XXH64.hashInt(s, HashExpressions.Seed))
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val g = a.getLong(i)
+      var s = 0
+      while (s < k) {
+        val v = XXH64.hashLong(g, seeds(s))
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val g = ctx.freshName("g")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $g = $a.getLong($i);
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    long $v = $xxh.hashLong($g, $seedsRef[$s]);
+         |    if ($v < $mins[$s]) $mins[$s] = $v;
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) r |= (1L << b)
+      b += 1
+    }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] * 2 > $n) $r |= (1L << $b);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
