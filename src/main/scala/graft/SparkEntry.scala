@@ -219,6 +219,13 @@ object SparkEntry {
         Similarity.hyperplanes(64, 6), k = 5)
     }),
 
+    // rows-only: IVF scale path (hash-sampled centroid assignment)
+    "q_ann_ivf_probe" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.annIvfTopK(emb, emb.where(col("vec_id") < 8),
+        numCentroids = 16, nProbe = 4, k = 5)
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       val toks = TextFns.tokens(col("text"))
       Tables(s, dir).documents.select(

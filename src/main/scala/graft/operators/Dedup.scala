@@ -117,18 +117,34 @@ object Dedup {
     * never a cartesian. Verification compares full signatures only for
     * candidates.
     */
+  /** Drop (band, key) buckets holding more than `cap` rows — the
+    * skew guard for pathological corpora where one bucket would
+    * otherwise dominate the self-join (cost is Σ bucket²). Recall-
+    * lossy by definition; the bucket-size aggregate it adds is
+    * dimension-sized. */
+  private def capBuckets(banded: DataFrame, keyCol: String,
+                         cap: Option[Int]): DataFrame =
+    cap.fold(banded) { c =>
+      val ok = banded.groupBy("band", keyCol)
+        .agg(count(lit(1)).as("__bn")).where(col("__bn") <= c)
+        .select("band", keyCol)
+      banded.join(ok, Seq("band", keyCol))
+    }
+
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignatures(df, id, text, n, numHashes)
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = capBuckets(sig.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bi => struct(bi.as("band"),
             xxhash64(bi, slice(col("sig"), bi * r + lit(1), lit(r))).as("bh"))))
           .as("b"))
-      .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bh")),
+      "bh", maxBucketSize)
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bh"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -169,17 +185,19 @@ object Dedup {
     * candidates only.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
     val sh = simhashes(df, id, text)
-    val banded = sh.select(col("id"), col("sh"),
+    val banded = capBuckets(sh.select(col("id"), col("sh"),
         explode(array((0 until bands).map { bi =>
           struct(lit(bi).as("band"),
             shiftrightunsigned(col("sh"), bi * width)
               .bitwiseAND(lit((1L << width) - 1)).as("bits"))
         }: _*)).as("b"))
-      .select(col("id"), col("sh"), col("b.band"), col("b.bits"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.bits")),
+      "bits", maxBucketSize)
     val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
       col("band"), col("bits"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),

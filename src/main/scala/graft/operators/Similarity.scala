@@ -89,6 +89,90 @@ object Similarity {
       .select("q_id", "rnk", "n_id", "score")
   }
 
+  /** IVF-partitioned approximate top-k: the corpus is partitioned by
+    * nearest centroid (an inverted file), and each query probes only
+    * its `nProbe` closest centroid partitions.
+    *
+    * Centroids start as deterministic hash-sampled corpus vectors and
+    * are refined with `lloydIters` distributed k-means steps (assign →
+    * per-dimension mean; means shuffle as (cluster, dim) pairs, never
+    * through the driver). Assignment is a broadcast of the centroids
+    * against the scan (fused dot products), reduced map-side by
+    * `max_by`; the probe join is an equi-join on centroid id with the
+    * query side broadcast. At 100 TB the trained assignment is
+    * computed once and persisted/bucketed by centroid, making each
+    * query's work |corpus|·nProbe/k.
+    */
+  def annIvfTopK(corpus: DataFrame, queries: DataFrame,
+                 numCentroids: Int, nProbe: Int, k: Int,
+                 lloydIters: Int = 2,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    def withNorm(c: DataFrame): DataFrame =
+      c.withColumn("cn", VectorFns.l2Norm(col("cv")))
+    def assignTo(cents: DataFrame)(side: DataFrame, id: String, vec: String,
+                                   keep: Int): DataFrame = {
+      val scored = side
+        .select(col(id).as("__id"), col(vec).as("__v"))
+        .withColumn("__n", VectorFns.l2Norm(col("__v")))
+        .crossJoin(broadcast(cents))
+        .withColumn("__s",
+          VectorFns.cosinePre(col("__v"), col("cv"), col("__n"), col("cn")))
+      if (keep == 1)
+        // map-side partial max_by: one skinny shuffle of n rows
+        scored.groupBy("__id")
+          .agg(max_by(col("c_id"), struct(col("__s"), col("c_id"))).as("c_id"))
+      else
+        TopK.perGroup(scored.select(col("__id"), col("c_id"), col("__s")),
+            groups = Seq(col("__id")),
+            order = Seq(col("__s").desc, col("c_id")), k = keep)
+          .select(col("__id"), col("c_id"))
+    }
+    // Seed centroids: deterministic hash-sample of corpus vectors
+    // (smallest xxhash64, id tie-break) — dimension-sized sort input.
+    var cents = withNorm(TopK.perGroup(
+        corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+          .withColumn("__h", xxhash64(col("c_id"))),
+        groups = Seq(lit(1)), order = Seq(col("__h"), col("c_id")),
+        k = numCentroids)
+      .select(col("c_id"), col("cv")))
+    // Lloyd refinement: assign → per-dimension mean per cluster.
+    // Each iteration is one corpus pass + a (k × dim)-row aggregate;
+    // empty clusters drop out. Means shuffle as (cluster, dim) pairs,
+    // so no step is ever driver-side or cluster-count-bounded.
+    (0 until lloydIters).foreach { _ =>
+      val asg = assignTo(cents)(corpus, idCol, vecCol, keep = 1)
+        .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+          "__id")
+      cents = withNorm(asg
+        .select(col("c_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("c_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv")))
+      cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val assign = assignTo(cents) _
+    val corpusAsg = assign(corpus, idCol, vecCol, 1)
+      .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("ec")), "__id")
+      .select(col("__id").as("n_id"), col("c_id"), col("ec"))
+      .withColumn("nc", VectorFns.l2Norm(col("ec")))
+    val queryProbes = assign(queries, idCol, vecCol, nProbe)
+      .join(queries.select(col(idCol).as("__id"), col(vecCol).as("eq")), "__id")
+      .select(col("__id").as("q_id"), col("c_id"), col("eq"))
+      .withColumn("nq", VectorFns.l2Norm(col("eq")))
+    val scored = corpusAsg.join(broadcast(queryProbes), Seq("c_id"))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("score",
+        VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
+      .select("q_id", "n_id", "score")
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("score").desc, col("n_id")), k)
+      .select("q_id", "rnk", "n_id", "score")
+  }
+
   /** Near-duplicate pairs by cosine ≥ `threshold`, id_a < id_b.
     *
     * Candidate generation: the first `planes.size` hyperplane sign

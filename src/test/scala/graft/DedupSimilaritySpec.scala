@@ -90,6 +90,33 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(out.head.getLong(2) == best._1)
   }
 
+  test("IVF probe covers the exact top-1 for most queries") {
+    val queries = t.embeddings.where(col("vec_id") < 8)
+    val exact = Similarity.annTopKCosine(t.embeddings, queries, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf = Similarity.annIvfTopK(t.embeddings, queries,
+        numCentroids = 16, nProbe = 4, k = 5).collect()
+    assert(ivf.nonEmpty)
+    // every query produced neighbors, ranked within k
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    assert(ivf.forall(_.getLong(1) <= 5))
+    // probing 1/4 of the partitions should still catch a fair share
+    // of the true nearest neighbors (recall property, not exactness)
+    val hit = byQ.count { case (q, rows) =>
+      rows.exists(_.getLong(2) == exact(q))
+    }
+    assert(hit >= 3, s"IVF caught only $hit/8 exact top-1 neighbors")
+  }
+
+  test("minhash bucket cap drops oversized buckets only") {
+    val capped = Dedup.minhashLshPairs(t.documents, col("doc_id"),
+      col("text"), maxBucketSize = Some(2)).collect()
+    val full = Dedup.minhashLshPairs(t.documents, col("doc_id"),
+      col("text")).collect()
+    assert(capped.length <= full.length)
+  }
+
   test("LSH-bucketed ANN returns same-bucket neighbors only") {
     val planes = Similarity.hyperplanes(64, 6)
     val out = Similarity.annLshTopK(
