@@ -226,6 +226,11 @@ object SparkEntry {
         numCentroids = 16, nProbe = 4, k = 5)
     }),
 
+    // rows-only: end-to-end corpus prep composing the verified stages
+    "q_training_prep" -> ((s, dir) =>
+      TrainingPipeline.prepare(Tables(s, dir).documents,
+        col("doc_id"), col("text"))),
+
     "q_text_stats" -> ((s, dir) => {
       val toks = TextFns.tokens(col("text"))
       Tables(s, dir).documents.select(

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** End-to-end training-corpus preparation, composing the pipeline
+  * primitives the way a 100 TB pretraining-data job would: quality
+  * stats → language filter → exact dedup → near-dup removal. Each
+  * stage is one of the independently-verified operators; this is the
+  * composition, not new semantics.
+  *
+  * Stage costs: stats/lang are map-side projections on the scan;
+  * exact dedup is one hash-aggregate; near-dup removal is the
+  * MinHash-LSH banded join producing a (usually tiny) drop-list that
+  * broadcasts back as a left-anti join. Nothing driver-side.
+  */
+object TrainingPipeline {
+
+  final case class Config(minTokens: Int = 20,
+                          maxStopRatio: Double = 0.9,
+                          langs: Set[String] = Set("en", "es", "de", "fr"),
+                          shingleN: Int = 3,
+                          nearDupThreshold: Double = 0.8)
+
+  /** `docs(id, text)` → surviving docs with lineage columns
+    * (n_tokens, lang_pred). Near-dup policy: within a detected pair,
+    * the larger id drops (greedy keep-first). */
+  def prepare(docs: DataFrame, id: Column, text: Column,
+              cfg: Config = Config()): DataFrame = {
+    val toks = TextFns.tokens(text)
+    val staged = docs.select(id.as("id"), text.as("text"),
+        size(toks).cast("long").as("n_tokens"),
+        (TextFns.stopwordHits(toks, TextFns.stopwordsEn).cast("double") /
+          size(toks).cast("double")).as("stop_ratio"),
+        TextFns.langId(text).as("lang_pred"))
+      .where(col("n_tokens") >= cfg.minTokens &&
+        col("stop_ratio") <= cfg.maxStopRatio &&
+        col("lang_pred").isInCollection(cfg.langs))
+    // exact dedup: keep the canonical (minimum) id per fingerprint
+    val canonical = Dedup.exact(staged, col("id"), col("text"))
+      .select(col("canonical_id").as("id"))
+    val exactDeduped = staged.join(canonical, "id")
+    // near-dup removal: drop the higher id of each detected pair
+    val dropList = Dedup.minhashLshPairs(exactDeduped, col("id"),
+        col("text"), n = cfg.shingleN, threshold = cfg.nearDupThreshold)
+      .select(col("id_b").as("id")).distinct()
+    exactDeduped.join(dropList, Seq("id"), "left_anti")
+      .select("id", "text", "n_tokens", "lang_pred")
+  }
+}
