@@ -16,11 +16,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects by default. Read it as raw nanos (legacy conf) and
     * convert losslessly to a microsecond timestamp (the data carries
-    * no sub-microsecond parts). The conf stays set for the session —
-    * reverting it mid-session would break the deferred scan.
+    * no sub-microsecond parts).
+    *
+    * The conf must be set at session construction (all graft mains and
+    * the test harness do) — it cannot be a per-read option, and
+    * setting it here as a side effect would mutate session-global
+    * state out from under concurrent readers. Fail fast with the fix
+    * instead.
     */
   private def eventsRaw: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the SparkSession " +
+        "with spark.sql.legacy.parquet.nanosAsLong=true")
     t("events")
   }
 

@@ -23,6 +23,20 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
+  /** Final per-query ranking for the ANN operators: top-k
+    * (score DESC, n_id ASC) via the bounded map-side aggregate
+    * (graft.plans.TopKPairs) — only k rows per (query, input
+    * partition) shuffle, nothing is globally sorted. Equivalent to
+    * the window ranking (same deterministic order), better shape.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.plans.TopKAggregate
+        .topkPairs(col("score"), col("n_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("p.id").as("n_id"), col("p.score").as("score"))
+
   /** Deterministic Gaussian hyperplanes (seeded), dim × planes. */
   def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -60,9 +74,7 @@ object Similarity {
       .withColumn("score",
         VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
       .select("q_id", "n_id", "score")
-    TopK.perGroup(scored, Seq(col("q_id")),
-        Seq(col("score").desc, col("n_id")), k)
-      .select("q_id", "rnk", "n_id", "score")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: queries meet only corpus vectors
@@ -84,9 +96,7 @@ object Similarity {
       .withColumn("score",
         VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
       .select("q_id", "n_id", "score")
-    TopK.perGroup(scored, Seq(col("q_id")),
-        Seq(col("score").desc, col("n_id")), k)
-      .select("q_id", "rnk", "n_id", "score")
+    rankTopK(scored, k)
   }
 
   /** IVF-partitioned approximate top-k: the corpus is partitioned by
@@ -168,9 +178,7 @@ object Similarity {
       .withColumn("score",
         VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
       .select("q_id", "n_id", "score")
-    TopK.perGroup(scored, Seq(col("q_id")),
-        Seq(col("score").desc, col("n_id")), k)
-      .select("q_id", "rnk", "n_id", "score")
+    rankTopK(scored, k)
   }
 
   /** Near-duplicate pairs by cosine ≥ `threshold`, id_a < id_b.

@@ -90,6 +90,29 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(out.head.getLong(2) == best._1)
   }
 
+  test("TopKPairs aggregate matches the window ranking exactly") {
+    import graft.plans.TopKAggregate
+    import org.apache.spark.sql.expressions.Window
+    val scored = t.embeddings.select(col("vec_id").as("n_id"),
+        (col("vec_id") % 17).cast("double").as("score"))
+      .withColumn("q_id", col("n_id") % 4)
+    val viaAgg = scored.groupBy("q_id")
+      .agg(TopKAggregate.topkPairs(col("score"), col("n_id"), 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("p.id").as("n_id"), col("p.score").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaWindow = scored.withColumn("rnk",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))).cast("long"))
+      .where(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("IVF probe covers the exact top-1 for most queries") {
     val queries = t.embeddings.where(col("vec_id") < 8)
     val exact = Similarity.annTopKCosine(t.embeddings, queries, k = 1)
