@@ -17,16 +17,25 @@ object Bench {
     // is the query, not classloading + first-scan machinery
     spark.range(1000).selectExpr("sum(id)").count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // a failed query must not masquerade as a fast one: it reports
+    // timing -1 and lands in "errors", and the run exits non-zero
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += name; false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout is full of sbt/log4j noise; also write the line to a file
     // so the driver's parse can't fail silently.
     println(json)
@@ -34,5 +43,6 @@ object Bench {
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -51,11 +51,16 @@ object CsvIngest {
     */
   def readCleansed(spark: SparkSession, path: String, schema: StructType,
                    opts: Options = Options()): DataFrame = {
+    // header drop honors opts.header and tolerates quoted/CRLF header
+    // lines (`"id","name"` or a trailing \r still match)
     val headerLine = schema.fieldNames.mkString(opts.delimiter)
-    val parsed = spark.read
+    val lines = spark.read
       .option("encoding", opts.encoding)
       .text(path)
-      .where(col("value") =!= headerLine)
+    val parsed = (if (opts.header)
+        lines.where(
+          regexp_replace(col("value"), "[\"\r]", "") =!= headerLine)
+      else lines)
       .select(from_csv(col("value"), schema,
         Map("sep" -> opts.delimiter, "quote" -> "\"")).as("r"))
       .select(schema.fields.map { f =>

@@ -151,8 +151,15 @@ object Similarity {
     // Each iteration is one corpus pass + a (k × dim)-row aggregate;
     // empty clusters drop out. Means shuffle as (cluster, dim) pairs,
     // so no step is ever driver-side or cluster-count-bounded.
+    // Each iteration's centroids are persisted and eagerly
+    // materialized (k rows) so the next corpus pass reads them from
+    // cache instead of replaying the whole prior chain; the previous
+    // iteration's cache entry is released immediately. The final
+    // centroid frame stays cached for the two downstream assignments
+    // — k·dim doubles, freed with the session / cacheManager.
     (0 until lloydIters).foreach { _ =>
-      val asg = assignTo(cents)(corpus, idCol, vecCol, keep = 1)
+      val prev = cents
+      val asg = assignTo(prev)(corpus, idCol, vecCol, keep = 1)
         .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
           "__id")
       cents = withNorm(asg
@@ -163,6 +170,8 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv")))
       cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents.count() // eager: materialize before dropping prev's cache
+      prev.unpersist(blocking = false)
     }
     val assign = assignTo(cents) _
     val corpusAsg = assign(corpus, idCol, vecCol, 1)

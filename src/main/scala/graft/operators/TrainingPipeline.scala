@@ -25,11 +25,23 @@ object TrainingPipeline {
                           nearDupThreshold: Double = 0.8)
 
   /** `docs(id, text)` → surviving docs with lineage columns
-    * (n_tokens, lang_pred). Near-dup policy: within a detected pair,
-    * the larger id drops (greedy keep-first). */
+    * (n_tokens, lang_pred).
+    *
+    * Near-dup policy: a doc drops if it appears as the larger id of
+    * ANY detected pair — i.e. each near-dup *chain* collapses to its
+    * smallest-id member (A~B, B~C ⇒ keep A only, even if A≁C). That
+    * is the usual connected-component dedup bias toward recall
+    * (dropping borderline variants) over retention; a keep-first
+    * greedy that re-admits chain tails would keep C — choose per
+    * corpus policy.
+    */
   def prepare(docs: DataFrame, id: Column, text: Column,
               cfg: Config = Config()): DataFrame = {
     val toks = TextFns.tokens(text)
+    // persisted: the gate projection feeds the fingerprint aggregate,
+    // the canonical join, the LSH pairs job and the final anti-join —
+    // without caching that is four corpus scans of the priciest
+    // per-row text work
     val staged = docs.select(id.as("id"), text.as("text"),
         size(toks).cast("long").as("n_tokens"),
         (TextFns.stopwordHits(toks, TextFns.stopwordsEn).cast("double") /
@@ -38,6 +50,7 @@ object TrainingPipeline {
       .where(col("n_tokens") >= cfg.minTokens &&
         col("stop_ratio") <= cfg.maxStopRatio &&
         col("lang_pred").isInCollection(cfg.langs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact dedup: keep the canonical (minimum) id per fingerprint
     val canonical = Dedup.exact(staged, col("id"), col("text"))
       .select(col("canonical_id").as("id"))

@@ -28,27 +28,38 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  private def arity(name: String, sig: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.length == n) build(args)
+      else throw new IllegalArgumentException(
+        s"$name expects $n argument(s): $sig; got ${args.length}")
+
   private[plans] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double-precision dot product of two float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      arity("vec_dot", "vec_dot(a, b)", 2)(args => DotProduct(args(0), args(1)))),
     (FunctionIdentifier("hashed_shingles"),
-      info("hashed_shingles", "hashed_shingles(tokens, n) - xxhash64 of every n-token shingle"),
-      (args: Seq[Expression]) => HashedShingles(args(0), intArg(args(1), "n"))),
+      info("hashed_shingles", "hashed_shingles(tokens, n) - 64-bit hash of every n-token shingle"),
+      arity("hashed_shingles", "hashed_shingles(tokens, n)", 2)(args =>
+        HashedShingles(args(0), intArg(args(1), "hashed_shingles", "n")))),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingle_hashes, k) - k-position MinHash signature"),
-      (args: Seq[Expression]) => MinHashSig(args(0), intArg(args(1), "k"))),
+      arity("minhash_sig", "minhash_sig(shingle_hashes, k)", 2)(args =>
+        MinHashSig(args(0), intArg(args(1), "minhash_sig", "k")))),
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(token_hashes) - 64-bit majority-vote SimHash"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      arity("simhash64", "simhash64(token_hashes)", 1)(args =>
+        SimHash64(args(0)))))
 
-  private def intArg(e: Expression, name: String): Int = e match {
-    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-      lit.value.toString.toInt
+  private def intArg(e: Expression, fn: String, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+        if v.isValidInt => v.toInt
     case other =>
       throw new IllegalArgumentException(
-        s"$name must be an integer literal, got $other")
+        s"$fn: $name must be an integer literal, got ${other.sql}")
   }
 
   /** Register into an existing session's function registry. */

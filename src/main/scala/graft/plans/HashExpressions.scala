@@ -12,10 +12,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * The declarative forms (`transform(toks, t => xxhash64(t))`, per-seed
   * `array_min(transform(...))`, 64 unrolled bit votes) run interpreted
   * lambda calls per element — tens of thousands per row. These
-  * expressions collapse each chain into one JITed loop via `doGenCode`
-  * while reproducing the exact same hash chain Spark's `xxhash64`
-  * computes (`XXH64.hashUTF8String` / `hashLong` with seed 42, folded
-  * left-to-right), so results are identical to the declarative forms.
+  * expressions collapse each chain into one JITed loop via `doGenCode`,
+  * built from the same primitives Spark's `xxhash64` uses
+  * (`XXH64.hashUTF8String` / `hashLong`, seed 42, left-to-right folds).
+  *
+  * Hash-space note: a shingle hash is the fold over the *token
+  * hashes*, i.e. for n = 1 it is `hashLong(hashUTF8String(tok, 42),
+  * 42)` — deliberately one fold step over the per-token hash, which is
+  * NOT numerically equal to SQL `xxhash64(tok)`. All graft consumers
+  * (jaccard index, minhash, simhash) live in this one hash space; do
+  * not join these values against externally-computed `xxhash64`.
   *
   * All three assume null-free array inputs (they consume outputs of
   * `split`/each other, which never produce null elements).
@@ -24,9 +30,9 @@ object HashExpressions {
   private[plans] final val Seed = 42L
 
   /** array<string> tokens → array<long> hashes of every `n`-token
-    * shingle (`xxhash64(tok_i, .., tok_{i+n-1})`); fewer than `n`
-    * tokens yields the single sentinel hash 0L. `n = 1` is exactly
-    * per-token `xxhash64`. */
+    * shingle (fold of the n token hashes — see the hash-space note
+    * above); fewer than `n` tokens yields the single sentinel hash
+    * 0L. `n = 1` is the per-token variant. */
   def hashedShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), n))
 

@@ -79,9 +79,15 @@ final class TopKBuffer(k: Int) {
   private val ids = new Array[Long](k)
   private var n = 0
 
-  /** true if (s1, i1) ranks strictly better than (s2, i2). */
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long) =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** true if (s1, i1) ranks strictly better than (s2, i2).
+    * `Double.compare` gives the same *total* order Spark's window
+    * sort uses (NaN above +Inf, -0.0 below 0.0) — a plain `>` would
+    * let one NaN score sit at the heap root and reject every later
+    * insertion. */
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long) = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(s: Double, i: Long): Unit =
     if (n < k) {

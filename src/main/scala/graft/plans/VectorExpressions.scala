@@ -19,13 +19,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, N
   * promoted to double *before* the multiply and the sum is a strict
   * ascending-index left fold from +0.0 — the same double every time,
   * identical to DuckDB's `list_cosine_similarity` internals (verified
-  * bitwise on the test corpus). A null element makes the result null
-  * (as `zip_with`'s null-propagating multiply would).
+  * bitwise on the test corpus). A null element or a length mismatch
+  * makes the result null (exactly what `zip_with`'s null padding and
+  * null-propagating multiply produce in the declarative twin).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** Always nullable: a null element (or length mismatch) yields null
+    * regardless of child nullability. Also keeps `nullSafeCodeGen`
+    * from emitting `ev.isNull` as the literal `false` (which the
+    * null-element branch below would then try to assign). */
+  override def nullable: Boolean = true
 
   override def prettyName: String = "vec_dot"
 
@@ -47,7 +54,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (lt, rt) = (elemType(left), elemType(right))
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -77,13 +85,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $sum += ${get(a, i, lt)} * ${get(b, i, rt)};
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += ${get(a, i, lt)} * ${get(b, i, rt)};
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }

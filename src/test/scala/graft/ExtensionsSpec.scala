@@ -19,6 +19,29 @@ class ExtensionsSpec extends GraftSuite {
     assert(r.getInt(2) == 8)
   }
 
+  test("vec_dot nulls out on length mismatch and null elements") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D), array(3.0D, 4.0D)) AS mismatch,
+        |       vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS withnull
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("TopKPairs survives NaN scores like the window ordering") {
+    import graft.plans.TopKAggregate
+    val s = spark; import s.implicits._
+    // NaN sorts ABOVE +Inf in Spark's total order; it must neither
+    // block later insertions nor vanish
+    val df = Seq((1L, 0.9), (2L, Double.NaN), (3L, 0.99), (4L, 0.5))
+      .toDF("n_id", "score").withColumn("q_id", lit(0L))
+    val out = df.groupBy("q_id")
+      .agg(TopKAggregate.topkPairs(col("score"), col("n_id"), 3).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("p.id")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 3L, 1L)) // NaN first, then 0.99, 0.9
+  }
+
   test("hashed-shingle jaccard equals string-shingle jaccard") {
     // validates the 64-bit collision argument on the full corpus: the
     // hashed inverted index must reproduce the string-set jaccards
