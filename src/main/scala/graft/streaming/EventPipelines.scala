@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.CensusPipeline
 
@@ -43,4 +46,97 @@ object EventPipelines {
                   watermark: String = "1 hour"): DataFrame =
     df.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  // ---------------------------------------------------------------
+  // Sessionization: custom per-key state via flatMapGroupsWithState
+  // ---------------------------------------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(startMs: Long, endMs: Long,
+                                n: Long, sum: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long,
+                               sum_value: Double)
+
+  /** Per-user session windows with an inactivity `gap`: events closer
+    * than the gap chain into one session; a session emits once the
+    * event-time watermark passes its end + gap (EventTimeTimeout).
+    *
+    * This is the `flatMapGroupsWithState` pattern for semantics the
+    * built-in windows can't express: state is one small struct per
+    * *open* session per user, partitioned across executors by the
+    * group key and evicted by timeout — bounded regardless of stream
+    * length. Events inside one trigger batch are sorted and gap-split
+    * eagerly, so sessions fully contained in a batch emit immediately.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
+                 watermark: String = "1 hour"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def toSession(uid: Long, s: SessionState): UserSession =
+      UserSession(uid, new Timestamp(s.startMs), new Timestamp(s.endMs),
+        s.n, s.sum)
+
+    def fn(uid: Long, evts: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (evts.isEmpty && state.hasTimedOut) {
+        val out = state.getOption.map(toSession(uid, _))
+        state.remove()
+        return out.iterator
+      }
+      val sorted = evts.toArray.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val closed = Vector.newBuilder[UserSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.endMs <= gapMs =>
+            open = Some(SessionState(s.startMs, math.max(s.endMs, t),
+              s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += toSession(uid, s)
+            open = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            open = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      open match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        case None => state.remove()
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch twin of `sessionize` for backfills and the equivalence
+    * spec: the gap-break cumulative-sum sessionization (lag → break
+    * flag → running session index → group). Window partitions are
+    * per-user — thousands of small partitions at scale, not a global
+    * sort. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("ts").cast("long") - col("__prev").cast("long") >
+            gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .drop("__sid")
+  }
 }

@@ -35,6 +35,71 @@ class StreamingSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("streamHourlyCensus equals the batch twin on the real events table") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = graft.io.Tables(s, sfDir).events
+      .selectExpr("unix_micros(ts)", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData(rows: _*)
+    val stream = mem.toDF.toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"))
+    val q = EventPipelines.streamHourlyCensus(stream)
+      .writeStream.format("memory").queryName("shc_events")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("shc_events").collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = CensusPipeline.hourlyAgg(graft.io.Tables(s, sfDir).events)
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want) // decimal-exact sums: no tolerance needed
+  }
+
+  test("sessionize emits the same sessions as the batch twin") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val t = graft.io.Tables(s, sfDir)
+    val rows = t.events.selectExpr("user_id", "unix_micros(ts)", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val maxUs = rows.map(_._2).max
+    val mem = MemoryStream[EventPipelines.SessionEvent]
+    val evts = rows.map { case (u, us, v) =>
+      EventPipelines.SessionEvent(u, new Timestamp(us / 1000L), v)
+    }
+    val q = EventPipelines
+      .sessionize(mem.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(evts: _*)
+      q.processAllAvailable()
+      // sentinel batches: push the watermark far past every open
+      // session so EventTimeTimeout flushes them
+      val far = new Timestamp(maxUs / 1000L + 30L * 24 * 3600 * 1000)
+      mem.addData(EventPipelines.SessionEvent(-1L, far, 0.0))
+      q.processAllAvailable()
+      mem.addData(EventPipelines.SessionEvent(-1L,
+        new Timestamp(far.getTime + 3600_000L), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("sess").where(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3), math.round(r.getDouble(4) * 1e6)))
+      .toSet
+    val batchIn = evts.toDF()
+    val want = EventPipelines.sessionizeBatch(
+        batchIn.select(col("user_id"), col("ts"), col("value")), 60)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3), math.round(r.getDouble(4) * 1e6)))
+      .toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
