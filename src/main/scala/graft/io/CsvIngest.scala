@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.StructType
   */
 object CsvIngest {
 
+  /** `encoding` is the JVM-charset analog of the reference's
+    * utf-8→cp1252 decode fallback; Spark 4 allows iso-8859-1 (the
+    * cp1252 superset-for-printables) out of the box and the full
+    * windows-1252 set behind `spark.sql.legacy.javaCharsets=true`. */
   final case class Options(header: Boolean = true,
                            encoding: String = "UTF-8",
                            delimiter: String = ",",

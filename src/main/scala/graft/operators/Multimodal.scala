@@ -67,4 +67,57 @@ object Multimodal {
         }
       }
   }
+
+  final case class MediaFeature(doc_id: Long, embedding: Array[Float])
+
+  /** Feature extraction STUB: payload → fixed-`dim` float vector.
+    * A real model runs here (batched per partition); the stub folds
+    * payload bytes into buckets and L2-normalizes, so outputs are
+    * deterministic, non-degenerate, and feed directly into the
+    * `Similarity` ANN operators (same `Array[Float]` shape as the
+    * embeddings table).
+    */
+  def extractFeatures(payloads: DataFrame, dim: Int = 64)
+                     (implicit spark: SparkSession): Dataset[MediaFeature] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val acc = new Array[Float](dim)
+          if (payload != null) {
+            var i = 0
+            while (i < payload.length) {
+              acc(i % dim) += ((payload(i) & 0xff) - 128) / 128.0f
+              i += 1
+            }
+          }
+          val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x))
+          val out = if (norm > 0) acc.map(x => (x / norm).toFloat) else acc
+          MediaFeature(id, out)
+        }
+      }
+  }
+
+  /** Frame sampling STUB for video-like payloads: split the payload
+    * into fixed-size "frames" and keep every `stride`-th one, exploded
+    * to one row per sampled frame — the shape a frame-level pipeline
+    * (dedup, feature extraction per frame) consumes. Pure column ops:
+    * the slicing happens in the scan projection, no UDF.
+    */
+  def sampleFrames(payloads: DataFrame, frameBytes: Int,
+                   stride: Int): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1)
+    val nFrames = ceil(octet_length(col("payload")) / lit(frameBytes.toDouble))
+      .cast("int")
+    payloads.select(col("doc_id"), col("payload"), nFrames.as("__nf"))
+      .where(col("__nf") > 0)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), col("__nf") - 1, lit(stride)),
+          f => struct(f.as("frame_idx"),
+            col("payload").substr(f * frameBytes + 1, lit(frameBytes))
+              .as("frame")))).as("s"))
+      .select(col("doc_id"), col("s.frame_idx"), col("s.frame"))
+  }
 }

@@ -149,6 +149,27 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.forall(_.getLong(1) <= 5)) // rnk within k
   }
 
+  test("multimodal feature extraction feeds the ANN operators") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asPayload(t.documents), dim = 64).toDF()
+    val out = Similarity.annTopKCosine(feats,
+      feats.where(col("doc_id") < 3), k = 4, idCol = "doc_id")
+    val rows = out.collect()
+    assert(rows.length == 12) // 3 queries × 4 neighbors
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+  }
+
+  test("multimodal frame sampling slices payloads without a UDF") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asPayload(t.documents), frameBytes = 50, stride = 2)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    // every sampled frame is at most frameBytes long and stride-indexed
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 50))
+    assert(rows.forall(_.getAs[Int]("frame_idx") % 2 == 0))
+  }
+
   test("multimodal decode plumbing preserves rows and is deterministic") {
     implicit val s = spark
     val decoded = Multimodal.decode(Multimodal.asPayload(t.documents))

@@ -89,6 +89,16 @@ class InfraSpec extends GraftSuite {
     assert(rows(1).getString(1) == "plain" && rows(1).getLong(2) == 20L)
   }
 
+  test("read honors a non-UTF-8 encoding option") {
+    val dir = Files.createTempDirectory("graft_cp1252")
+    val f = dir.resolve("part.csv")
+    // 0xE9 = é in latin-1/cp1252; invalid as a UTF-8 single byte
+    Files.write(f, "id,name,amt\n1,café,10\n".getBytes("ISO-8859-1"))
+    val df = CsvIngest.read(spark, f.toString, schema,
+      CsvIngest.Options(encoding = "iso-8859-1"))
+    assert(df.collect()(0).getString(1) == "café")
+  }
+
   // ---------------- Compaction / Batching ----------------
 
   test("compactTo rewrites to the targeted file count") {
