@@ -28,7 +28,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors += name; false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // drop persisted intermediates so queries are timed independently
+      spark.sharedState.cacheManager.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -212,7 +212,8 @@ object SparkEntry {
       Similarity.annTopKCosine(emb, emb.where(col("vec_id") < 8), k = 10)
     }),
 
-    // rows-only: Gaussian hyperplanes are generated Scala-side
+    // oracle-checked: the Gaussian hyperplane constants are embedded
+    // verbatim in the generated DuckDB SQL (lshOracleSql)
     "q_ann_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       Similarity.annLshTopK(emb, emb.where(col("vec_id") < 8),
@@ -455,6 +456,8 @@ object SparkEntry {
         |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
         |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
 
+    "q_ann_lsh_bucketed" -> lshOracleSql,
+
     "q_ann_topk_cosine" ->
       """WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) eq
         |           FROM embeddings WHERE vec_id < 8),
@@ -533,4 +536,34 @@ object SparkEntry {
         s"(CASE WHEN e[${2 * b + 1}] >= 0 THEN 1 ELSE 0 END) + " +
         s"(CASE WHEN e[${2 * b + 2}] >= 0 THEN 2 ELSE 0 END) AS bits FROM v"
     }.mkString(" UNION ALL ")
+
+  /** q_ann_lsh_bucketed oracle: the exact Gaussian hyperplanes the
+    * Spark query uses (Similarity.hyperplanes(64, 6) — deterministic,
+    * seeded) are embedded as double literals; bucket bit p is the dot
+    * sign. Scala's Double.toString round-trips, so DuckDB parses the
+    * identical doubles; only the dot's *sign* feeds the join, which is
+    * robust to summation-order noise. Scores use
+    * list_cosine_similarity(CAST AS DOUBLE[]) — bitwise equal to the
+    * Spark fold (verified).
+    */
+  private def lshOracleSql: String = {
+    val planes = graft.operators.Similarity.hyperplanes(64, 6)
+    def bucketExpr: String = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(e, CAST($arr AS DOUBLE[])) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+       |      WHERE vec_id < 8),
+       |cb AS (SELECT n_id, e, $bucketExpr AS bucket FROM c),
+       |qb AS (SELECT q_id, e, $bucketExpr AS bucket FROM q),
+       |s AS (SELECT q_id, n_id, list_cosine_similarity(qb.e, cb.e) score
+       |      FROM qb JOIN cb ON qb.bucket = cb.bucket AND n_id <> q_id)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rnk, n_id, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                   ORDER BY score DESC, n_id) rn
+       |      FROM s)
+       |WHERE rn <= 5""".stripMargin
+  }
 }
