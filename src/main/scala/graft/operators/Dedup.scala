@@ -61,12 +61,18 @@ object Dedup {
     // Set semantics are unchanged short of an intra-corpus xxhash64
     // collision (~|shingles|²/2⁶⁴ — vanishing, and only ever merges
     // two shingles).
+    // persisted: the (id, shingle) index feeds the per-doc counts and
+    // BOTH sides of the candidate self-join — without caching, the
+    // corpus text pass (normalize + shingle-hash + distinct shuffle)
+    // runs three times. The cached frame is two longs per shingle,
+    // ~50× smaller than the text it derives from.
     val w = split(Cleanser.normalized(text), " ")
     val sh0 = df.select(id.as("id"), w.as("__w"))
       .where(size(col("__w")) >= n)
       .select(col("id"),
         explode(HashExpressions.hashedShingles(col("__w"), n)).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = maxShingleDf.fold(sh0) { cap =>
       // document frequency per shingle is a dimension-sized aggregate
       val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
@@ -137,7 +143,11 @@ object Dedup {
                       maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // persisted: both sides of the band self-join consume the
+    // signatures; caching (id, sig) — numHashes longs per doc —
+    // keeps the corpus text pass single
     val sig = minhashSignatures(df, id, text, n, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(sig.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bi => struct(bi.as("band"),
@@ -189,7 +199,9 @@ object Dedup {
                    maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
+    // persisted: one 8-byte hash per doc, consumed by both join sides
     val sh = simhashes(df, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(sh.select(col("id"), col("sh"),
         explode(array((0 until bands).map { bi =>
           struct(lit(bi).as("band"),

@@ -210,6 +210,11 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("e"))
       .withColumn("bucket", bucketBits(col("e"), planes))
       .withColumn("nrm", VectorFns.l2Norm(col("e")))
+    // persisted: both sides of the candidate self-join read the band
+    // bits; caching the 3-column frame (no vectors) avoids recomputing
+    // the hyperplane dots per side. The verify joins below re-scan the
+    // raw vectors instead of caching them — candidates ≪ corpus, and a
+    // (id, vec, norm) cache would hold the whole embedding table.
     val banded = v.select(col("id"),
         explode(array((0 until bands).map { bi =>
           struct(lit(bi).as("band"),
@@ -217,6 +222,7 @@ object Similarity {
               .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bits"))
         }: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("id").as("id_a"), col("band"), col("bits"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bits")),
         Seq("band", "bits"))
