@@ -99,6 +99,25 @@ class InfraSpec extends GraftSuite {
     assert(df.collect()(0).getString(1) == "café")
   }
 
+  test("binned range lookup equals the broadcast variant") {
+    val t = graft.io.Tables(spark, sfDir)
+    val ranges = t.part.select(
+      (floor(col("p_size") / 10) * 10).as("low"),
+      (floor(col("p_size") / 10) * 10 + 9).as("high"),
+      (floor(col("p_size") / 10) + 1).as("stf_cnt")).distinct()
+    val facts = t.lineitem.select("l_quantity")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("stf_cnt").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = agg(graft.operators.RangeLookup.lookup(
+      facts, ranges, col("l_quantity"), col("low"), col("high")))
+    for (w <- Seq(3L, 10L, 100L)) {
+      val viaBinned = agg(graft.operators.RangeLookup.lookupBinned(
+        facts, ranges, col("l_quantity"), col("low"), col("high"), w))
+      assert(viaBinned == viaBroadcast, s"binWidth=$w")
+    }
+  }
+
   // ---------------- Compaction / Batching ----------------
 
   test("compactTo rewrites to the targeted file count") {
