@@ -137,10 +137,36 @@ object Dedup {
       banded.join(ok, Seq("band", keyCol))
     }
 
+  /** Salted bucket self-join: the *recall-preserving* skew guard.
+    * With `salt = S > 1`, the left side takes one of S sub-keys
+    * (hash of its id) and the right side replicates to all S, so a
+    * hot (band, key) bucket of n rows runs as S tasks of n·n/S work
+    * instead of one n² task — every pair is still produced exactly
+    * once (the pair (a, b) meets only at a's salt). `salt = 1` is the
+    * plain equi-join. Cost: right side shuffles S×.
+    */
+  private def bucketPairs(banded: DataFrame, keyCol: String,
+                          carry: Seq[String], salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    def side(suffix: String) = banded.select(
+      (Seq(col("id").as(s"id_$suffix"), col("band"), col(keyCol)) ++
+        carry.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    val a = side("a").withColumn("__salt",
+      pmod(xxhash64(col("id_a")), lit(salt)))
+    val b = side("b").withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    a.join(b, Seq("band", keyCol, "__salt"))
+      .where(col("id_a") < col("id_b"))
+      .select((Seq(col("id_a"), col("id_b")) ++
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))): _*)
+      .distinct()
+  }
+
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+                      maxBucketSize: Option[Int] = None,
+                      salt: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // persisted: both sides of the band self-join consume the
@@ -155,13 +181,7 @@ object Dedup {
           .as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bh")),
       "bh", maxBucketSize)
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bh"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    bucketPairs(banded, "bh", carry = Seq("sig"), salt)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1))
@@ -196,7 +216,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 3, bands: Int = 4,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
+                   maxBucketSize: Option[Int] = None,
+                   salt: Int = 1): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
     // persisted: one 8-byte hash per doc, consumed by both join sides
@@ -210,13 +231,7 @@ object Dedup {
         }: _*)).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.bits")),
       "bits", maxBucketSize)
-    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("bits"))
-    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("bits"))
-    a.join(b, Seq("band", "bits"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    bucketPairs(banded, "bits", carry = Seq("sh"), salt)
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)

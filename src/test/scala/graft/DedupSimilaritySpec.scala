@@ -132,6 +132,19 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(hit >= 3, s"IVF caught only $hit/8 exact top-1 neighbors")
   }
 
+  test("salted bucket join yields exactly the unsalted pairs") {
+    def pairs(salt: Int) = Dedup.minhashLshPairs(t.documents,
+        col("doc_id"), col("text"), salt = salt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = pairs(1)
+    assert(unsalted.nonEmpty)
+    assert(pairs(4) == unsalted)
+    def shPairs(salt: Int) = Dedup.simhashPairs(t.documents,
+        col("doc_id"), col("text"), salt = salt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs(3) == shPairs(1))
+  }
+
   test("minhash bucket cap drops oversized buckets only") {
     val capped = Dedup.minhashLshPairs(t.documents, col("doc_id"),
       col("text"), maxBucketSize = Some(2)).collect()
