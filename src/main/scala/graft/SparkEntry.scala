@@ -232,6 +232,12 @@ object SparkEntry {
       TrainingPipeline.prepare(Tables(s, dir).documents,
         col("doc_id"), col("text"))),
 
+    // rows-only: near-dup pair list → dedup clusters (canonical = min id)
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables(s, dir).documents,
+          col("doc_id"), col("text")))),
+
     "q_text_stats" -> ((s, dir) => {
       val toks = TextFns.tokens(col("text"))
       Tables(s, dir).documents.select(

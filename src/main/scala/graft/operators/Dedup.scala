@@ -190,6 +190,52 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Connected components over a near-dup pair list: every doc in a
+    * component gets the component's minimum id as its label — the
+    * clustering step that turns pairwise LSH hits into dedup groups
+    * (keep the canonical, drop the rest).
+    *
+    * Algorithm: iterative hash-min label propagation — each round,
+    * every node takes the min of its own label and its neighbors'
+    * labels (one equi-join + groupBy per round), converging in
+    * O(component diameter) rounds; near-dup clusters are shallow, and
+    * `maxIters` bounds pathological chains (the O(log n) large-star /
+    * small-star variant is the upgrade path if diameters ever
+    * matter). Labels persist per round and the previous round's cache
+    * is released; the driver sees only a 1-row convergence probe per
+    * round — no component data.
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, component) for every id
+    * appearing in a pair (singletons are their own implicit
+    * component and are not emitted).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().persist(mem)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist(mem)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist(mem)
+      converged = next.join(labels.withColumnRenamed("comp", "__old"), "id")
+        .where(col("comp") =!= col("__old")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** (id, sh) 64-bit SimHash of the token multiset: per bit, majority
     * vote of token-hash bits — pure map-side column math.
     *

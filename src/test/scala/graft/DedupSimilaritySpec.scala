@@ -132,6 +132,28 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(hit >= 3, s"IVF caught only $hit/8 exact top-1 neighbors")
   }
 
+  test("connectedComponents matches brute-force union-find") {
+    val pairsDf = Dedup.jaccardPairs(t.documents, col("doc_id"),
+      col("text"), n = 3, threshold = 0.3)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = ids.map(id => id -> find(id)).toMap
+    val got = Dedup.connectedComponents(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("salted bucket join yields exactly the unsalted pairs") {
     def pairs(salt: Int) = Dedup.minhashLshPairs(t.documents,
         col("doc_id"), col("text"), salt = salt).collect()
