@@ -223,17 +223,29 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      // the change flag rides in the same projection that builds the
+      // round's labels — no separate old-vs-new join for the probe
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__changed"))
         .persist(mem)
-      converged = next.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .where(col("comp") =!= col("__old")).isEmpty
+      converged = next.where(col("__changed")).isEmpty
       labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
-    labels
+    sym.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "a component's diameter exceeds maxIters; raise it (rounds are " +
+          "cheap) or switch to a large-star/small-star variant")
+    }
+    // returned frame stays cached (it was materialized by the probe);
+    // freed with the session / cacheManager
+    labels.select("id", "comp")
   }
 
   /** (id, sh) 64-bit SimHash of the token multiset: per bit, majority
@@ -265,6 +277,8 @@ object Dedup {
                    maxBucketSize: Option[Int] = None,
                    salt: Int = 1): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    require(bands >= 2 && 64 % bands == 0,
+      "bands must divide 64 (and 1 band would put every doc in one bucket)")
     val width = 64 / bands
     // persisted: one 8-byte hash per doc, consumed by both join sides
     val sh = simhashes(df, id, text)

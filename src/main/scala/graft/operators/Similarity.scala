@@ -71,6 +71,7 @@ object Similarity {
       .withColumn("nq", VectorFns.l2Norm(col("eq")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("n_id") =!= col("q_id"))
+      .where(col("nc") > 0 && col("nq") > 0) // zero vectors: cosine is NaN
       .withColumn("score",
         VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
       .select("q_id", "n_id", "score")
@@ -93,6 +94,7 @@ object Similarity {
       .withColumn("nq", VectorFns.l2Norm(col("eq")))
     val scored = c.join(broadcast(q), "bucket")
       .where(col("n_id") =!= col("q_id"))
+      .where(col("nc") > 0 && col("nq") > 0)
       .withColumn("score",
         VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
       .select("q_id", "n_id", "score")
@@ -184,6 +186,7 @@ object Similarity {
       .withColumn("nq", VectorFns.l2Norm(col("eq")))
     val scored = corpusAsg.join(broadcast(queryProbes), Seq("c_id"))
       .where(col("n_id") =!= col("q_id"))
+      .where(col("nc") > 0 && col("nq") > 0)
       .withColumn("score",
         VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
       .select("q_id", "n_id", "score")
@@ -233,6 +236,7 @@ object Similarity {
         col("nrm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("e").as("eb"),
         col("nrm").as("nb")), "id_b")
+      .where(col("na") > 0 && col("nb") > 0)
       .withColumn("cosine",
         VectorFns.cosinePre(col("ea"), col("eb"), col("na"), col("nb")))
       .where(col("cosine") >= threshold)

@@ -62,12 +62,22 @@ object EventPipelines {
     * than the gap chain into one session; a session emits once the
     * event-time watermark passes its end + gap (EventTimeTimeout).
     *
-    * This is the `flatMapGroupsWithState` pattern for semantics the
-    * built-in windows can't express: state is one small struct per
-    * *open* session per user, partitioned across executors by the
-    * group key and evicted by timeout — bounded regardless of stream
-    * length. Events inside one trigger batch are sorted and gap-split
-    * eagerly, so sessions fully contained in a batch emit immediately.
+    * This is the `flatMapGroupsWithState` pattern for custom per-key
+    * state: one small struct per *open* session per user, partitioned
+    * across executors by the group key and evicted by timeout —
+    * bounded regardless of stream length.
+    *
+    * Append-mode policies (documented, not hidden): events inside one
+    * trigger batch are sorted and gap-split exactly; a *cross-batch*
+    * out-of-order event merges into the open session when within the
+    * gap of either session edge (extending `start` downward if
+    * needed), else emits as its own standalone session — an already-
+    * emitted session is never retracted, and a session gap-split
+    * eagerly within a batch is not re-merged by later events. For
+    * strictly watermark-correct late-data merging use
+    * `sessionizeWindows` (the built-in `session_window`); this
+    * operator is the shape for state logic the built-ins can't
+    * express.
     */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
                  watermark: String = "1 hour"): Dataset[UserSession] = {
@@ -92,9 +102,13 @@ object EventPipelines {
       sorted.foreach { e =>
         val t = e.ts.getTime
         open match {
-          case Some(s) if t - s.endMs <= gapMs =>
-            open = Some(SessionState(s.startMs, math.max(s.endMs, t),
-              s.n + 1, s.sum + e.value))
+          case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+            // within gap of either edge: merge, extending both ways
+            open = Some(SessionState(math.min(s.startMs, t),
+              math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+          case Some(s) if t < s.startMs - gapMs =>
+            // out-of-order beyond the gap: standalone historical session
+            closed += UserSession(uid, e.ts, e.ts, 1L, e.value)
           case Some(s) =>
             closed += toSession(uid, s)
             open = Some(SessionState(t, t, 1L, e.value))
@@ -118,11 +132,30 @@ object EventPipelines {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Watermark-correct built-in sessionization (`session_window`):
+    * late in-watermark events merge/extend sessions properly and
+    * results emit only once final. Note the built-in's `end` is
+    * last-event + gap (the window edge), not the last event time.
+    */
+  def sessionizeWindows(events: DataFrame, gapMinutes: Int,
+                        watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Batch twin of `sessionize` for backfills and the equivalence
     * spec: the gap-break cumulative-sum sessionization (lag → break
     * flag → running session index → group). Window partitions are
     * per-user — thousands of small partitions at scale, not a global
-    * sort. */
+    * sort. Gap compares in milliseconds (`unix_millis`), exactly like
+    * the streaming twin — a seconds cast would split/merge differently
+    * on sub-second boundaries. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")
@@ -130,8 +163,8 @@ object EventPipelines {
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__brk",
         when(col("__prev").isNull ||
-          col("ts").cast("long") - col("__prev").cast("long") >
-            gapMinutes * 60L, 1L).otherwise(0L))
+          unix_millis(col("ts")) - unix_millis(col("__prev")) >
+            gapMinutes * 60000L, 1L).otherwise(0L))
       .withColumn("__sid", sum(col("__brk")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("__sid"))

@@ -175,6 +175,18 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(capped.length <= full.length)
   }
 
+  test("zero-norm vectors are excluded from ANN results, not NaN-ranked") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // undecodable: zero vector
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.annTopKCosine(corpus,
+      corpus.where(col("vec_id") === 0), k = 3).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 3L)) // 2 excluded
+    assert(out.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("LSH-bucketed ANN returns same-bucket neighbors only") {
     val planes = Similarity.hyperplanes(64, 6)
     val out = Similarity.annLshTopK(

@@ -100,6 +100,32 @@ class StreamingSpec extends GraftSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("sessionizeWindows emits final gap sessions via session_window") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventPipelines.sessionizeWindows(
+        mem.toDF.toDF("user_id", "ts", "value"), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1.0),
+        (1L, ts("2026-01-01 10:30:00"), 2.0),
+        (1L, ts("2026-01-01 13:00:00"), 3.0),
+        (2L, ts("2026-01-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2026-02-01 00:00:00"), 0.0)) // watermark flush
+      q.processAllAvailable()
+      mem.addData((99L, ts("2026-02-01 02:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("sw").where(col("user_id") < 99)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
