@@ -195,15 +195,14 @@ object Dedup {
     * clustering step that turns pairwise LSH hits into dedup groups
     * (keep the canonical, drop the rest).
     *
-    * Algorithm: iterative hash-min label propagation — each round,
-    * every node takes the min of its own label and its neighbors'
-    * labels (one equi-join + groupBy per round), converging in
-    * O(component diameter) rounds; near-dup clusters are shallow, and
-    * `maxIters` bounds pathological chains (the O(log n) large-star /
-    * small-star variant is the upgrade path if diameters ever
-    * matter). Labels persist per round and the previous round's cache
-    * is released; the driver sees only a 1-row convergence probe per
-    * round — no component data.
+    * Algorithm: hash-min label propagation with pointer jumping —
+    * each round every node takes the min of its own label, its
+    * neighbors' labels (equi-join + groupBy), and *its label's
+    * label* (path halving), so chains converge in O(log diameter)
+    * rounds instead of O(diameter); each round is two equi-joins and
+    * one aggregate. Labels persist per round and the previous round's
+    * cache is released; the driver sees only a 1-row convergence
+    * probe per round — no component data.
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id
     * appearing in a pair (singletons are their own implicit
@@ -223,12 +222,23 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("comp").as("__oldc"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("__c1"))
+      // pointer jump: comp := label(comp) — halves chain depth
+      val lookup = stepped.select(col("id").as("__lid"),
+        col("__c1").as("__lcomp"))
       // the change flag rides in the same projection that builds the
       // round's labels — no separate old-vs-new join for the probe
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val next = stepped
+        .join(lookup, stepped("__c1") === col("__lid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__changed"))
+          least(col("__c1"), coalesce(col("__lcomp"), col("__c1")))
+            .as("comp"),
+          (least(col("__c1"), coalesce(col("__lcomp"), col("__c1"))) <
+            col("__oldc")).as("__changed"))
         .persist(mem)
       converged = next.where(col("__changed")).isEmpty
       labels.unpersist(blocking = false)
