@@ -488,14 +488,15 @@ object SparkEntry {
 
     "q_lang_id" ->
       """WITH s AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |    len(list_filter(string_split(lower(text),' '), x -> x IN ('the','of','and','a','to','is'))) en,
         |    len(list_filter(string_split(lower(text),' '), x -> x IN ('el','la','de','los','y','es'))) es,
         |    len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','das','und','ein'))) de,
         |    len(list_filter(string_split(lower(text),' '), x -> x IN ('le','la','les','de','et'))) fr
         |  FROM documents)
         |SELECT doc_id,
-        |       CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |       CASE WHEN text IS NULL THEN 'und'
+        |            WHEN greatest(en, es, de, fr) = 0 THEN 'und'
         |            WHEN en >= es AND en >= de AND en >= fr THEN 'en'
         |            WHEN es >= de AND es >= fr THEN 'es'
         |            WHEN de >= fr THEN 'de'

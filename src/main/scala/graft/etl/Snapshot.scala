@@ -34,11 +34,17 @@ object Snapshot {
     * `watermarkCol` observed in `processed` (reference:
     * `run_tsp > (select max(census_dttm) …)`, ukg_open_census.py:342,
     * and the SharePoint last-modified gate,
-    * download_from_sharepoint.py:104-124). */
+    * download_from_sharepoint.py:104-124).
+    *
+    * Bootstrap: an empty `processed` aggregates to a NULL watermark,
+    * which must pass *everything* through (first run processes the
+    * full input) — a bare `tsCol > NULL` would silently drop it all.
+    */
   def newerThan(df: DataFrame, tsCol: Column,
                 processed: DataFrame, watermarkCol: Column): DataFrame = {
     val wm = processed.agg(max(watermarkCol).as("__wm"))
-    df.join(broadcast(wm), tsCol > col("__wm"), "inner").drop("__wm")
+    df.join(broadcast(wm), col("__wm").isNull || tsCol > col("__wm"),
+      "inner").drop("__wm")
   }
 
   /** New-item detection: rows of `incoming` whose `key` is absent from

@@ -47,7 +47,11 @@ object TextFns {
     val es = stopwordHits(toks, stopwordsEs)
     val de = stopwordHits(toks, stopwordsDe)
     val fr = stopwordHits(toks, stopwordsFr)
-    when(greatest(en, es, de, fr) === 0, "und")
+    // null text first: the score comparisons below are all NULL for
+    // it, which would fall through to the `otherwise` branch and
+    // confidently mislabel a missing document as French
+    when(text.isNull, "und")
+      .when(greatest(en, es, de, fr) === 0, "und")
       .when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
       .when(de >= fr, "de")

@@ -38,7 +38,11 @@ object VectorFns {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; use `cosinePre` when norms are precomputed. */
+  /** Cosine similarity; use `cosinePre` when norms are precomputed.
+    * A zero-norm input yields NaN (double division — no ANSI error);
+    * callers ranking by the result must filter zero-norm vectors
+    * first, as the Similarity operators do, or NaN sorts above every
+    * real score. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 

@@ -26,10 +26,15 @@ object CsvIngest {
     * utf-8→cp1252 decode fallback; Spark 4 allows iso-8859-1 (the
     * cp1252 superset-for-printables) out of the box and the full
     * windows-1252 set behind `spark.sql.legacy.javaCharsets=true`. */
+  /** `repairBareNewlines` applies the reference's `(?<!\r)\n → " "`
+    * record repair before splitting — only valid for CRLF-terminated
+    * files (on plain-LF files it would fuse every record), hence
+    * opt-in. */
   final case class Options(header: Boolean = true,
                            encoding: String = "UTF-8",
                            delimiter: String = ",",
-                           keyCols: Seq[String] = Nil)
+                           keyCols: Seq[String] = Nil,
+                           repairBareNewlines: Boolean = false)
 
   /** Schema'd CSV reader: explicit schema (never inferSchema — an
     * extra full scan at scale), PERMISSIVE parse, null-key drop. */
@@ -45,26 +50,36 @@ object CsvIngest {
     if (opts.keyCols.isEmpty) df else df.na.drop(opts.keyCols)
   }
 
-  /** The file-cleanser path, mirroring the reference's ladder
-    * (ukg_open_census_file_cleanser.py:81-93: quote-aware csv parse
-    * per line, then strip quotes/commas *inside* each field, then drop
-    * the header row): text-line read → `from_csv` with the explicit
-    * schema (quote-aware) → per-field `Cleanser.stripQuotesCommas` on
-    * the string columns → header-row drop by value. All distributed —
-    * the reference rewrites whole files through the driver.
+  /** The file-cleanser path, mirroring the reference's full ladder
+    * (ukg_open_census_file_cleanser.py:62, 81-93: decode with charset
+    * fallback, repair bare `\n` not preceded by `\r`, quote-aware csv
+    * parse, strip quotes/commas *inside* each field, drop the header
+    * row) — but distributed: files load as binary
+    * (one task per file, exactly the reference's per-file unit of
+    * work), decode with `opts.encoding`, get the bare-newline repair
+    * *before* record splitting (a line-based reader would have
+    * already split on the broken newlines — the repair must see the
+    * whole file), then split on CRLF/LF, parse with `from_csv`, and
+    * cleanse per field.
     */
   def readCleansed(spark: SparkSession, path: String, schema: StructType,
                    opts: Options = Options()): DataFrame = {
-    // header drop honors opts.header and tolerates quoted/CRLF header
-    // lines (`"id","name"` or a trailing \r still match)
     val headerLine = schema.fieldNames.mkString(opts.delimiter)
-    val lines = spark.read
-      .option("encoding", opts.encoding)
-      .text(path)
+    val raw = spark.read.format("binaryFile").load(path)
+      .select(decode(col("content"), opts.encoding).as("__raw"))
+    val repaired = if (opts.repairBareNewlines)
+      raw.select(Cleanser.repairBareNewlines(col("__raw")).as("__raw"))
+    else raw
+    val records = repaired
+      .select(explode(split(col("__raw"), "\r\n|\n")).as("value"))
+      .where(length(trim(col("value"))) > 0)
+    // header drop tolerates quoted headers and case differences; a
+    // data row that literally equals the header line is
+    // indistinguishable from one and is dropped too (documented)
     val parsed = (if (opts.header)
-        lines.where(
-          regexp_replace(col("value"), "[\"\r]", "") =!= headerLine)
-      else lines)
+        records.where(lower(regexp_replace(col("value"), "\"", "")) =!=
+          headerLine.toLowerCase)
+      else records)
       .select(from_csv(col("value"), schema,
         Map("sep" -> opts.delimiter, "quote" -> "\"")).as("r"))
       .select(schema.fields.map { f =>

@@ -48,7 +48,11 @@ object CensusPipeline {
     val facts = t.orders
       .select("o_orderkey", "o_custkey", "o_orderdate")
       .join(broadcast(wm), col("o_orderdate") > col("wm"))
-      .join(broadcast(dep), col("o_custkey") === col("c_custkey"))
+      // no broadcast hint on the dim: `customer` scales with the data
+      // (unlike the zone/range dictionaries), so forcing a broadcast
+      // would OOM at the 100 TB target — AQE broadcasts it while it
+      // fits and falls back to a shuffled join beyond the threshold
+      .join(dep, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_mktsegment"),
         to_date(col("o_orderdate")).as("o_day"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

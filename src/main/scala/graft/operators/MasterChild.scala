@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions.col
   */
 object MasterChild {
 
-  /** Master side: unique key rows with header attributes. */
+  /** Master side: distinct (key, header) rows. Set semantics — NOT
+    * `dropDuplicates(key)`, which picks an arbitrary row when the
+    * same key carries conflicting header values and so is
+    * nondeterministic across runs; with `distinct()` a conflicted key
+    * surfaces as multiple rows (callers decide the resolution), and
+    * when headers are functionally dependent on the key the two
+    * behaviors coincide. */
   def master(denorm: DataFrame, key: Seq[String],
              headers: Seq[String]): DataFrame =
-    denorm.select((key ++ headers).map(col): _*).dropDuplicates(key)
+    denorm.select((key ++ headers).map(col): _*).distinct()
 
   /** Child side: key + per-line attributes (one row per child). */
   def child(denorm: DataFrame, key: Seq[String],

@@ -89,6 +89,30 @@ class InfraSpec extends GraftSuite {
     assert(rows(1).getString(1) == "plain" && rows(1).getLong(2) == 20L)
   }
 
+  test("readCleansed repairs bare newlines in CRLF files and decodes cp-style bytes") {
+    val dir = Files.createTempDirectory("graft_crlf")
+    val f = dir.resolve("part.csv")
+    // CRLF records; record 1 has an embedded bare \n inside a field
+    // and a latin-1 é byte — both from the reference's cleansing cases
+    Files.write(f, "id,name,amt\r\n1,café bro\nken,10\r\n2,plain,20\r\n"
+      .getBytes("ISO-8859-1"))
+    val df = CsvIngest.readCleansed(spark, f.toString, schema,
+      CsvIngest.Options(encoding = "iso-8859-1", repairBareNewlines = true))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "café bro ken")
+    assert(rows(1).getLong(2) == 20L)
+  }
+
+  test("newerThan passes everything through on an empty watermark (bootstrap)") {
+    val t = graft.io.Tables(spark, sfDir)
+    val empty = t.orders.where(lit(false))
+    val out = graft.etl.Snapshot.newerThan(
+      t.lineitem.select("l_orderkey", "l_shipdate"), col("l_shipdate"),
+      empty, col("o_orderdate"))
+    assert(out.count() == t.lineitem.count())
+  }
+
   test("read honors a non-UTF-8 encoding option") {
     val dir = Files.createTempDirectory("graft_cp1252")
     val f = dir.resolve("part.csv")
