@@ -253,6 +253,16 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("doc_id"),
         TextFns.langId(col("text")).as("lang_pred"))),
 
+    // Gopher-style repetition quality signal (staged projections so
+    // the token/gram arrays materialize once per row)
+    "q_quality_repetition" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__w"))
+        .where(size(col("__w")) >= 2)
+        .select(col("doc_id"), TextFns.bigramArray(col("__w")).as("__g"))
+        .select(col("doc_id"),
+          TextFns.topRunFraction(col("__g")).as("top_bigram_frac"))),
+
     "q_token_count" -> ((s, dir) =>
       Tables(s, dir).documents.select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
@@ -502,6 +512,18 @@ object SparkEntry {
         |            WHEN de >= fr THEN 'de'
         |            ELSE 'fr' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // max-count/total as exact integers on both sides; the Spark side
+    // computes the max via a sorted-run fold, same result
+    "q_quality_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |f AS (SELECT doc_id, w FROM t WHERE len(w) >= 2),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') gram
+        |      FROM f, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) i)),
+        |c AS (SELECT doc_id, gram, count(*) n FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -58,6 +58,52 @@ object TextFns {
       .otherwise("fr")
   }
 
+  /** PII redaction for training corpora: emails, international-ish
+    * phone numbers, and SSN-shaped ids replaced with typed tags —
+    * the standard scrub pass (C4/RefinedWeb-style) as a codegen'd
+    * regexp chain. Patterns are deliberately conservative (precision
+    * over recall); swap in stricter ones per deployment policy.
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email,
+      "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>")
+    regexp_replace(ssn,
+      "(?<![0-9])\\+?[0-9][0-9()\\-. ]{7,}[0-9](?![0-9])", "<PHONE>")
+  }
+
+  /** Word 2-gram array from a *materialized token-array column* (an
+    * attribute, not an inline `split` — a lambda referencing an
+    * inline expression re-evaluates it per element; stage tokens into
+    * their own projection first, as the dedup operators do). */
+  def bigramArray(toksAttr: Column): Column =
+    when(size(toksAttr) >= 2,
+      transform(sequence(lit(0), size(toksAttr) - 2),
+        i => concat_ws(" ", element_at(toksAttr, i + 1),
+          element_at(toksAttr, i + 2))))
+      .otherwise(array())
+
+  /** Gopher-style repetition signal: fraction of 2-gram positions
+    * covered by the single most frequent 2-gram (high → boilerplate).
+    * Single-pass per row: sort the gram array, fold counting the
+    * longest equal run — no explode, no shuffle; expects a
+    * materialized gram-array column (see `bigramArray`). */
+  def topRunFraction(gramsAttr: Column): Column = {
+    val folded = aggregate(array_sort(gramsAttr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    when(size(gramsAttr) > 0,
+      folded.getField("best").cast("double") /
+        size(gramsAttr).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Full-document fingerprint over cleansed text. */
   def fingerprint(c: Column): Column = md5(Cleanser.normalized(c).cast("binary"))
 

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Audit
+import graft.functions.TextFns
+
+class TextQualitySpec extends GraftSuite {
+
+  test("redactPii tags emails, phones, and SSN-shaped ids") {
+    val s = spark; import s.implicits._
+    val got = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "call +1 (415) 555-0199 or 020 7946 0958",
+      "ssn 123-45-6789 on file",
+      "no pii here, just 42 and v2.0")
+      .toDF("t").select(TextFns.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "call <PHONE> or <PHONE>")
+    assert(got(2) == "ssn <ID> on file")
+    assert(got(3) == "no pii here, just 42 and v2.0")
+  }
+
+  test("topRunFraction computes the max-bigram coverage exactly") {
+    val s = spark; import s.implicits._
+    // "a b a b a b" -> bigrams [a b, b a, a b, b a, a b]: top = 3/5
+    val df = Seq("a b a b a b", "x y z", "w w w w")
+      .toDF("t")
+      .select(split(col("t"), " ").as("__w"))
+      .select(TextFns.bigramArray(col("__w")).as("__g"))
+      .select(TextFns.topRunFraction(col("__g")).as("f"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(3.0 / 5.0, 1.0 / 2.0, 3.0 / 3.0))
+  }
+
+  test("withAuditColumns stamps run id and user on every row") {
+    val t = graft.io.Tables(spark, sfDir)
+    val runId = 20260812060000L * 100
+    val out = Audit.withAuditColumns(
+      t.nation.select("n_nationkey"), lit(runId), "svc_etl")
+    val rows = out.collect()
+    assert(rows.length == t.nation.count())
+    assert(rows.forall(_.getAs[Long]("RUN_ID") == runId))
+    assert(rows.forall(_.getAs[String]("INSERT_USER_ID") == "svc_etl"))
+    assert(out.columns.toSeq.containsSlice(Seq("RUN_ID", "ROW_INSERT_TSP",
+      "ROW_UPDT_TSP", "INSERT_USER_ID", "UPDT_USER_ID")))
+  }
+}
