@@ -23,7 +23,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop write, not count(): a count prunes every projection
+        // expression out of map-only queries and would time a bare
+        // scan (and never execute an expression that would throw)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors += name; false

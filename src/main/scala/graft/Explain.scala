@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/explain.txt")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // first arg is the output path unless it names a query
+    val (out, rest) =
+      if (args.headOption.exists(_.startsWith("q_")))
+        ("/tmp/explain.txt", args.toSeq)
+      else (args.headOption.getOrElse("/tmp/explain.txt"), args.drop(1).toSeq)
+    val names = if (rest.nonEmpty) rest
       else SparkEntry.queries.keys.toSeq.sorted
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -28,11 +32,18 @@ object Explain {
     val sb = new StringBuilder
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // warm (JIT/codegen) then measure
-      fn(spark, sfDir).count()
+      // warm (JIT/codegen) then measure; noop write so projection
+      // expressions actually execute (count() would prune them)
+      def run(): Long = {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        df.count()
+      }
+      run()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val n = fn(spark, sfDir).count()
       sb.append(f"==== $name%s rows=$n%d warm_sec=$sec%.3f ====%n")
       sb.append(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

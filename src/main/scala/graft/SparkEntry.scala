@@ -240,12 +240,15 @@ object SparkEntry {
 
     "q_text_stats" -> ((s, dir) => {
       val toks = TextFns.tokens(col("text"))
+      // stopword hits over LOWERCASED tokens, matching the oracle —
+      // raw-case counting would miss sentence-initial 'The'/'A'
+      val lowToks = TextFns.tokens(lower(col("text")))
       Tables(s, dir).documents.select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_txt"),
         size(toks).cast("long").as("n_tokens"),
         TextFns.punctCount(col("text")).cast("long").as("n_punct"),
-        (TextFns.stopwordHits(toks, TextFns.stopwordsEn).cast("double") /
+        (TextFns.stopwordHits(lowToks, TextFns.stopwordsEn).cast("double") /
           size(toks).cast("double")).as("stop_ratio"))
     }),
 
@@ -463,7 +466,8 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5""".stripMargin,
 
     "q_dedup_embedding" ->
-      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+        |           WHERE list_inner_product(embedding, embedding) > 0),
         |b AS ($embBandSql)
         |, cand AS (SELECT DISTINCT a.id id_a, b2.id id_b
         |           FROM b a JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
@@ -476,8 +480,10 @@ object SparkEntry {
 
     "q_ann_topk_cosine" ->
       """WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) eq
-        |           FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) ec FROM embeddings),
+        |           FROM embeddings WHERE vec_id < 8
+        |             AND list_inner_product(embedding, embedding) > 0),
+        |c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) ec FROM embeddings
+        |      WHERE list_inner_product(embedding, embedding) > 0),
         |s AS (SELECT q_id, n_id, list_cosine_similarity(eq, ec) score
         |      FROM q CROSS JOIN c WHERE n_id <> q_id)
         |SELECT q_id, CAST(rn AS BIGINT) AS rnk, n_id, score
@@ -582,9 +588,11 @@ object SparkEntry {
       s"(CASE WHEN list_inner_product(e, CAST($arr AS DOUBLE[])) >= 0 " +
         s"THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+    s"""WITH c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+       |      WHERE list_inner_product(embedding, embedding) > 0),
        |q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
-       |      WHERE vec_id < 8),
+       |      WHERE vec_id < 8
+       |        AND list_inner_product(embedding, embedding) > 0),
        |cb AS (SELECT n_id, e, $bucketExpr AS bucket FROM c),
        |qb AS (SELECT q_id, e, $bucketExpr AS bucket FROM q),
        |s AS (SELECT q_id, n_id, list_cosine_similarity(qb.e, cb.e) score

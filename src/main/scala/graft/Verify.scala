@@ -16,7 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // pre-delete: a query that throws before its write must not
+      // leave a stale previous-run dir for the gate to validate
+      deleteRec(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -26,6 +33,12 @@ object Verify {
       // pipeline stage); keep runs independent
       spark.sharedState.cacheManager.clearCache()
     }
+    // manifest of every declared query, so the gate can flag a
+    // rows-only query whose output is missing (no oracle ⇒ no other
+    // record of its existence)
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .mkString("[\"", "\", \"", "\"]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

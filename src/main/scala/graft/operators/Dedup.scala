@@ -108,11 +108,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         n: Int, numHashes: Int): DataFrame =
-    df.select(id.as("id"),
-      HashExpressions.minhashSig(
-        HashExpressions.hashedShingles(
-          split(Cleanser.normalized(text), " "), n),
-        numHashes).as("sig"))
+    // docs shorter than one shingle are excluded rather than given
+    // the sentinel hash — the sentinel would make ALL short docs
+    // identical-signature "near-dups" of each other
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("id"),
+        HashExpressions.minhashSig(
+          HashExpressions.hashedShingles(col("__w"), n),
+          numHashes).as("sig"))
 
   /** MinHash + LSH near-dup pairs (id_a < id_b) with estimated Jaccard
     * (fraction of agreeing signature positions) ≥ `threshold`.

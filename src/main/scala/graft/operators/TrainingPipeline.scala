@@ -42,9 +42,12 @@ object TrainingPipeline {
     // the canonical join, the LSH pairs job and the final anti-join —
     // without caching that is four corpus scans of the priciest
     // per-row text work
+    // stopwords counted over lowercased tokens (mixed-case corpora
+    // would otherwise undercount sentence-initial stopwords)
+    val lowToks = TextFns.tokens(lower(text))
     val staged = docs.select(id.as("id"), text.as("text"),
         size(toks).cast("long").as("n_tokens"),
-        (TextFns.stopwordHits(toks, TextFns.stopwordsEn).cast("double") /
+        (TextFns.stopwordHits(lowToks, TextFns.stopwordsEn).cast("double") /
           size(toks).cast("double")).as("stop_ratio"),
         TextFns.langId(text).as("lang_pred"))
       .where(col("n_tokens") >= cfg.minTokens &&

@@ -68,10 +68,18 @@ def main():
         else:
             print(f"OK       {name} ({len(got)} rows)")
             ok += 1
-    # queries with no oracle: rows-only
-    dirs = [d for d in os.listdir(out_dir)
-            if os.path.isdir(os.path.join(out_dir, d))]
+    # queries with no oracle: rows-only. Use the manifest when present
+    # so a rows-only query whose output dir is MISSING still fails the
+    # gate (directory listing alone cannot see it).
+    manifest = os.path.join(out_dir, "queries.json")
+    if os.path.exists(manifest):
+        dirs = json.load(open(manifest))
+    else:
+        dirs = [d for d in os.listdir(out_dir)
+                if os.path.isdir(os.path.join(out_dir, d))]
     for name in sorted(set(dirs) - set(oracles)):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"MISSING  {name}: no spark output"); fail += 1; continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         n = len(con.sql(f"SELECT * FROM read_parquet({files!r})").df()) if files else 0
         print(f"{'ROWSONLY' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
