@@ -427,12 +427,8 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
 
-    // Note: the Spark side also repairs bare newlines ("(?<!\r)\n");
-    // RE2 (DuckDB) lacks lookbehind, and the corpus carries no \r, so
-    // plain newline replacement is equivalent here.
     "q_cleanse_text" ->
-      """SELECT doc_id,
-        |       md5(lower(trim(replace(replace(replace(text, chr(10), ' '), '"', ''), ',', '')))) AS clean_hash
+      s"""SELECT doc_id, md5($normSql) AS clean_hash
         |FROM documents""".stripMargin,
 
     "q_topn_per_group" ->
@@ -537,15 +533,17 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens
         |FROM documents""".stripMargin,
 
+    // fp_roll: NULL text must stay NULL (list_prepend(0, NULL) would
+    // otherwise conjure the hash of an empty doc)
     "q_fingerprint" ->
       s"""SELECT doc_id,
         |       md5($normSql) AS fp_md5,
         |       md5(substring($normSql, 1, 32)) AS fp_head,
-        |       list_reduce(
+        |       CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
         |         list_prepend(CAST(0 AS BIGINT),
         |           list_transform(string_split($normSql, ' '),
         |                          t -> CAST(length(t) AS BIGINT))),
-        |         (h, x) -> (h * 31 + x) % 1000000007) AS fp_roll
+        |         (h, x) -> (h * 31 + x) % 1000000007) END AS fp_roll
         |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->
@@ -558,9 +556,9 @@ object SparkEntry {
         |FROM documents""".stripMargin
   )
 
-  /** DuckDB mirror of `Cleanser.normalized` (see q_cleanse_text note). */
+  /** DuckDB mirror of `Cleanser.normalized`. */
   private val normSql =
-    """lower(trim(replace(replace(replace(text, chr(10), ' '), '"', ''), ',', '')))"""
+    """lower(trim(replace(replace(replace(replace(text, chr(13), ' '), chr(10), ' '), '"', ''), ',', '')))"""
 
   /** The 8 two-bit axis-plane bands of q_dedup_embedding, as a UNION
     * ALL (bit i of the Spark bucket = sign of dimension i; band b

@@ -23,7 +23,12 @@ object Cleanser {
   def stripQuotesCommas(c: Column): Column =
     regexp_replace(c, "[\",]", "")
 
-  /** Full normalize used before fingerprinting: strip, trim, lower. */
+  /** Full normalize used before fingerprinting: flatten ALL line
+    * breaks (\r and \n — unlike `repairBareNewlines`, which preserves
+    * CRLF because record splitting still needs it; a fingerprint
+    * wants none), strip quotes/commas, trim, lower. Every step is
+    * portable to lookbehind-free regex engines, so the DuckDB oracle
+    * reproduces it exactly. */
   def normalized(c: Column): Column =
-    lower(trim(stripQuotesCommas(repairBareNewlines(c))))
+    lower(trim(stripQuotesCommas(regexp_replace(c, "[\r\n]", " "))))
 }

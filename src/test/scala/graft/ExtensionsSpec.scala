@@ -42,6 +42,22 @@ class ExtensionsSpec extends GraftSuite {
     assert(out == Seq(2L, 3L, 1L)) // NaN first, then 0.99, 0.9
   }
 
+  test("MinHashSig matches the declarative xxhash64 seed chain bitwise") {
+    import graft.plans.HashExpressions
+    val s = spark; import s.implicits._
+    val k = 8
+    val df = Seq(Seq(1L, 7L, -42L, Long.MaxValue), Seq(0L), Seq(5L, 5L))
+      .toDF("gh")
+    val declarative = (0 until k).map(seed =>
+      array_min(transform(col("gh"), h => xxhash64(lit(seed), h))))
+    val rows = df.select(
+        HashExpressions.minhashSig(col("gh"), k).as("fused"),
+        array(declarative: _*).as("ref"))
+      .collect()
+    assert(rows.forall(r =>
+      r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("hashed-shingle jaccard equals string-shingle jaccard") {
     // validates the 64-bit collision argument on the full corpus: the
     // hashed inverted index must reproduce the string-set jaccards
