@@ -14,9 +14,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/scheduler warmup so the alphabetically-first query's number
-    // is the query, not classloading + first-scan machinery
+    // is the query, not classloading + first-scan machinery. Round-2
+    // showed the shallow version (range + tiny-table count) left the
+    // first substantive query absorbing ~5 s of parquet-reader /
+    // broadcast / noop-write / AQE first-use cost (q_ann_ivf_probe
+    // 7.3 s bench vs 2.4 s isolated). Exercise each machinery path
+    // once, untimed: scan every input table, run one broadcast join +
+    // shuffle aggregate, and push a result through the noop writer.
     spark.range(1000).selectExpr("sum(id)").count()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val mx = li.agg(max(col("l_orderkey")).as("k"))
+      li.join(broadcast(mx), col("l_orderkey") === col("k"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")))
+        .write.format("noop").mode("overwrite").save()
+    }
     // a failed query must not masquerade as a fast one: it reports
     // timing -1 and lands in "errors", and the run exits non-zero
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -34,6 +51,11 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // drop persisted intermediates so queries are timed independently
       spark.sharedState.cacheManager.clearCache()
+      // collect the previous query's garbage outside the next query's
+      // timer: with a 32 GiB heap a full GC is multi-second, and
+      // letting it land mid-query charged random queries ~3-5 s in
+      // round 2 (q_lang_id 5.4 s bench vs 2.0 s cold isolated)
+      System.gc()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

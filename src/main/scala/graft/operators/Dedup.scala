@@ -213,24 +213,44 @@ object Dedup {
     * component and are not emitted).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Iterative-DataFrame trap (the round-2 18.9 s bench anomaly):
+    // `labels = next` carries the WHOLE logical plan of every prior
+    // round — each embedding the pair-generator's plan (the LSH
+    // pipeline's 32-seed expression trees) several times — and
+    // Catalyst re-analyzes and re-optimizes that exponentially
+    // growing tree on every action even though execution reads from
+    // cache. `localCheckpoint(eager)` truncates the lineage at each
+    // round boundary, so round plans stay O(1)-sized: two small
+    // joins over checkpointed inputs. (Trade-off, as with GraphX:
+    // a lost executor can't recompute truncated partitions — on a
+    // real cluster prefer `spark.sparkContext.setCheckpointDir` +
+    // reliable `checkpoint()` every few rounds for long jobs.)
+    // edges checkpoints BEFORE the symmetrize-union so the pair
+    // generator (an LSH candidate join) runs exactly once — a plain
+    // union would embed (and race-compute) its plan in both branches
     val edges = pairs
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
+      .localCheckpoint(true)
     val sym = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().persist(mem)
+      col("src").as("dst"))).distinct().localCheckpoint(true)
+    edges.unpersist(blocking = false)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist(mem)
+      .withColumn("comp", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      // materialized (checkpoint) because both the round's output and
+      // the pointer-jump lookup consume it — unmaterialized, the
+      // nbrMin shuffle would run twice per round
       val stepped = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("comp").as("__oldc"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("__c1"))
+        .localCheckpoint(true)
       // pointer jump: comp := label(comp) — halves chain depth
       val lookup = stepped.select(col("id").as("__lid"),
         col("__c1").as("__lcomp"))
@@ -243,8 +263,11 @@ object Dedup {
             .as("comp"),
           (least(col("__c1"), coalesce(col("__lcomp"), col("__c1"))) <
             col("__oldc")).as("__changed"))
-        .persist(mem)
-      converged = next.where(col("__changed")).isEmpty
+        .localCheckpoint(true)
+      // the probe is a count over the already-checkpointed blocks —
+      // only the 1-row count reaches the driver
+      converged = next.where(col("__changed")).count() == 0L
+      stepped.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
       i += 1
@@ -257,8 +280,8 @@ object Dedup {
           "a component's diameter exceeds maxIters; raise it (rounds are " +
           "cheap) or switch to a large-star/small-star variant")
     }
-    // returned frame stays cached (it was materialized by the probe);
-    // freed with the session / cacheManager
+    // returned frame stays checkpointed (materialized above); freed
+    // with the session / cacheManager
     labels.select("id", "comp")
   }
 
