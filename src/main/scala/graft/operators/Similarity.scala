@@ -149,16 +149,20 @@ object Similarity {
         groups = Seq(lit(1)), order = Seq(col("__h"), col("c_id")),
         k = numCentroids)
       .select(col("c_id"), col("cv")))
+      .localCheckpoint(true)
     // Lloyd refinement: assign → per-dimension mean per cluster.
     // Each iteration is one corpus pass + a (k × dim)-row aggregate;
     // empty clusters drop out. Means shuffle as (cluster, dim) pairs,
     // so no step is ever driver-side or cluster-count-bounded.
-    // Each iteration's centroids are persisted and eagerly
-    // materialized (k rows) so the next corpus pass reads them from
-    // cache instead of replaying the whole prior chain; the previous
-    // iteration's cache entry is released immediately. The final
-    // centroid frame stays cached for the two downstream assignments
-    // — k·dim doubles, freed with the session / cacheManager.
+    // Each iteration's centroids are localCheckpoint'ed (k rows):
+    // materialized so the next corpus pass reads blocks instead of
+    // replaying the prior chain, AND lineage-truncated so Catalyst
+    // doesn't re-analyze a plan that embeds every earlier iteration
+    // (the same iterative-plan-growth trap fixed in
+    // Dedup.connectedComponents). The previous iteration's blocks are
+    // released immediately; the final centroid frame stays
+    // materialized for the two downstream assignments — k·dim
+    // doubles, freed with the session.
     (0 until lloydIters).foreach { _ =>
       val prev = cents
       val asg = assignTo(prev)(corpus, idCol, vecCol, keep = 1)
@@ -171,8 +175,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv")))
-      cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cents.count() // eager: materialize before dropping prev's cache
+        .localCheckpoint(true)
       prev.unpersist(blocking = false)
     }
     val assign = assignTo(cents) _
