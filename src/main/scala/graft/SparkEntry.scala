@@ -238,6 +238,15 @@ object SparkEntry {
         Dedup.minhashLshPairs(Tables(s, dir).documents,
           col("doc_id"), col("text")))),
 
+    // oracle-checked CC: same clustering over the SQL-reproducible
+    // n-gram jaccard pairs (the minhash variant above is rows-only
+    // solely because xxhash64 isn't expressible in DuckDB) — the
+    // oracle propagates min labels with WITH RECURSIVE
+    "q_dedup_clusters_jaccard" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(Tables(s, dir).documents,
+          col("doc_id"), col("text"), n = 3, threshold = 0.5))),
+
     "q_text_stats" -> ((s, dir) => {
       val toks = TextFns.tokens(col("text"))
       // stopword hits over LOWERCASED tokens, matching the oracle —
@@ -460,6 +469,32 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
         |           JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5""".stripMargin,
+
+    // Connected components = min reachable id: enumerate reachability
+    // with a recursive CTE (UNION dedups, so it terminates), then
+    // MIN per node. Output matches Dedup.connectedComponents: only
+    // nodes appearing in a pair, labeled by component-minimum id.
+    "q_dedup_clusters_jaccard" ->
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) i)),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT id_a, id_b
+        |       FROM p JOIN cnt ca ON ca.doc_id = id_a
+        |              JOIN cnt cb ON cb.doc_id = id_b
+        |       WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+        |e AS (SELECT id_a src, id_b dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS comp
+        |FROM reach GROUP BY id""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e FROM embeddings
