@@ -21,11 +21,19 @@ object Bench {
     // 7.3 s bench vs 2.4 s isolated). Exercise each machinery path
     // once, untimed: scan every input table, run one broadcast join +
     // shuffle aggregate, and push a result through the noop writer.
-    spark.range(1000).selectExpr("sum(id)").count()
+    // warmup is best-effort: a missing table must degrade to a cold
+    // first query, not abort the bench before any JSON is written
+    // (the per-query harness below owns failure reporting)
+    def warm(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup step skipped: ${e.getMessage}")
+      }
+    warm(spark.range(1000).selectExpr("sum(id)").count())
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    tables.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    locally {
+    tables.foreach(t =>
+      warm(spark.read.parquet(s"$sfDir/$t.parquet").count()))
+    warm {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_quantity")

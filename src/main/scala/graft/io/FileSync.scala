@@ -33,13 +33,18 @@ object FileSource {
 
   /** Local-directory source (non-recursive, extension filter). */
   final class Local(root: Path, suffix: String = "") extends FileSource {
-    def list(): Seq[Entry] =
-      Files.list(root).iterator().asScala
+    def list(): Seq[Entry] = {
+      // Files.list holds an open DirectoryStream — close it, or every
+      // sync run leaks a file descriptor
+      val s = Files.list(root)
+      try s.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(suffix))
         .map(p => Entry(p.getFileName.toString,
           Files.getLastModifiedTime(p).toInstant))
         .toSeq.sortBy(_.name)
+      finally s.close()
+    }
     def fetch(name: String): Array[Byte] =
       Files.readAllBytes(root.resolve(name))
   }
@@ -73,15 +78,36 @@ object FileSync {
     * pulled once per new file via the connector. The result is a
     * normal DataFrame — hand `content` to `XlsxIngest.parseWorkbook`
     * rows or decode+`from_csv` (CsvIngest's cleanser ladder) to land
-    * it distributed. */
+    * it distributed.
+    *
+    * `maxFiles` bounds one pull: the *bootstrap* gate passes the
+    * whole folder (empty log ⇒ everything), and the payload bytes of
+    * a pull are held together before landing — an unbounded first run
+    * against a large folder would be a driver-memory incident. The
+    * oldest `maxFiles` by (last_modified, name) are taken, so the
+    * loop "pull → land → append log → repeat until empty" drains the
+    * folder in bounded, watermark-ordered chunks — equal timestamps
+    * land in the same chunk (the log gate is a strict `>`; splitting
+    * a timestamp across pulls would drop its remainder).
+    */
   def fetchNew(spark: SparkSession, source: FileSource,
-               processedLog: DataFrame): DataFrame = {
+               processedLog: DataFrame, maxFiles: Int = 1000): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val gated = newEntries(spark, source, processedLog).collect()
+    val gated = newEntries(spark, source, processedLog)
+      .orderBy(col("last_modified"), col("name")).collect()
+    val take =
+      if (gated.length <= maxFiles) gated.toSeq
+      else {
+        // extend the cut to the timestamp boundary so the strict->
+        // watermark never strands same-timestamp files
+        val cutTs = gated(maxFiles - 1).get(1)
+        gated.take(maxFiles).toSeq ++
+          gated.drop(maxFiles).takeWhile(_.get(1) == cutTs)
+      }
     // r.get(1) stays whatever external timestamp type the session's
     // java8API conf produced — round-trips through createDataFrame
-    val rows = gated.toSeq.map { r =>
+    val rows = take.map { r =>
       Row(r.getString(0), r.get(1), source.fetch(r.getString(0)))
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(

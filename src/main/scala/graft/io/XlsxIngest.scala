@@ -46,6 +46,7 @@ object XlsxIngest {
   private val rowSchema = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("sheet", StringType, nullable = false),
+    StructField("sheet_idx", IntegerType, nullable = false),
     StructField("row_idx", LongType, nullable = false),
     StructField("cells", ArrayType(StringType, containsNull = true),
       nullable = false)))
@@ -60,10 +61,11 @@ object XlsxIngest {
     acc - 1
   }
 
-  /** Parse one workbook's bytes → (sheet, rowIdx, cells) tuples.
-    * Pure function of the bytes — runs inside executor tasks. */
+  /** Parse one workbook's bytes → (sheet, sheetIdx, rowIdx, cells)
+    * tuples. Pure function of the bytes — runs inside executor
+    * tasks. */
   private[graft] def parseWorkbook(bytes: Array[Byte])
-      : Seq[(String, Long, Array[String])] = {
+      : Seq[(String, Int, Long, Array[String])] = {
     // one pass over the ZIP: collect the parts we need by name
     val parts = mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -159,8 +161,12 @@ object XlsxIngest {
     }
 
     // worksheet rows: <row r="N"> of <c r="A1" t="s|str|b|inlineStr">
-    // with value in <v> (or <is><t> for inline strings)
-    val out = mutable.ArrayBuffer.empty[(String, Long, Array[String])]
+    // with value in <v> (or <is><t> runs for inline strings). Text
+    // accumulates in `buf` and converts once at the element's END —
+    // StAX may split one text node into several CHARACTERS events at
+    // buffer boundaries, and converting per chunk would index the
+    // shared-string table with a *partial* number.
+    val out = mutable.ArrayBuffer.empty[(String, Int, Long, Array[String])]
     sheetRids.zipWithIndex.foreach { case ((sheetName, rid), order) =>
       sheetPart(rid, order).foreach { p =>
         val r = reader(p)
@@ -170,6 +176,11 @@ object XlsxIngest {
         var cellType = ""
         var inV = false
         var inIsT = false
+        val buf = new StringBuilder
+        def writeCell(v: String): Unit = {
+          while (cells.length <= cellCol) cells += null
+          cells(cellCol) = Option(cells(cellCol)).getOrElse("") + v
+        }
         while (r.hasNext) {
           r.next() match {
             case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
@@ -183,26 +194,31 @@ object XlsxIngest {
                     .map(colIndex).getOrElse(cells.length)
                   cellType = Option(r.getAttributeValue(null, "t"))
                     .getOrElse("")
-                case "v" => inV = true
-                case "t" if cellType == "inlineStr" => inIsT = true
+                case "v" => inV = true; buf.clear()
+                case "t" if cellType == "inlineStr" =>
+                  inIsT = true; buf.clear()
                 case _ =>
               }
             case javax.xml.stream.XMLStreamConstants.CHARACTERS
                 if inV || inIsT =>
-              val raw = r.getText
-              val v = cellType match {
-                case "s" => shared(raw.trim.toInt)
-                case "b" => if (raw.trim == "1") "true" else "false"
-                case _   => raw
-              }
-              while (cells.length <= cellCol) cells += null
-              cells(cellCol) = Option(cells(cellCol)).getOrElse("") + v
+              buf.append(r.getText)
             case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
-                case "v" => inV = false
-                case "t" => inIsT = false
+                case "v" =>
+                  val raw = buf.toString
+                  writeCell(cellType match {
+                    case "s" => shared(raw.trim.toInt)
+                    case "b" => if (raw.trim == "1") "true" else "false"
+                    case _   => raw
+                  })
+                  inV = false
+                case "t" if inIsT =>
+                  // rich inline strings hold several <t> runs —
+                  // appending each run preserves the full text
+                  writeCell(buf.toString)
+                  inIsT = false
                 case "row" if cells.nonEmpty =>
-                  out += ((sheetName, rowIdx, cells.toArray))
+                  out += ((sheetName, order, rowIdx, cells.toArray))
                 case _ =>
               }
             case _ =>
@@ -215,7 +231,9 @@ object XlsxIngest {
   }
 
   /** Raw distributed read: every row of every sheet of every workbook
-    * under `path` (glob ok) as (path, sheet, row_idx, cells). */
+    * under `path` (glob ok) as (path, sheet, sheet_idx, row_idx,
+    * cells) — `sheet_idx` is the workbook-order position, 0 = first
+    * sheet. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
@@ -223,7 +241,7 @@ object XlsxIngest {
     bin.flatMap { row =>
       val p = row.getString(0)
       parseWorkbook(row.getAs[Array[Byte]](1)).map {
-        case (sheet, idx, cells) => Row(p, sheet, idx, cells)
+        case (sheet, sheetIdx, idx, cells) => Row(p, sheet, sheetIdx, idx, cells)
       }
     }(enc)
   }
@@ -238,7 +256,9 @@ object XlsxIngest {
     */
   def readTable(spark: SparkSession, path: String,
                 schema: StructType): DataFrame = {
-    val raw = read(spark, path)
+    // only the FIRST sheet participates — secondary sheets ("Notes",
+    // scratch tabs) must not leak rows into the table
+    val raw = read(spark, path).where(col("sheet_idx") === 0)
     // header row per file: row_idx 1 of the first sheet. Headers must
     // agree across files (the reference re-reads one report layout).
     val header = raw.where(col("row_idx") === 1)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge
 
 import graft.functions.TextFns
 import graft.io.Cleanser
@@ -234,7 +235,11 @@ object Dedup {
       .localCheckpoint(true)
     val sym = edges.union(edges.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().localCheckpoint(true)
-    edges.unpersist(blocking = false)
+    // NOTE: Dataset.unpersist() is a silent no-op on checkpointed
+    // frames (CacheManager never registered them) — blocks must be
+    // freed through the plan's RDD (CheckpointBridge), or every
+    // round's node-sized frame lingers until a driver GC
+    CheckpointBridge.unpersist(edges)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var converged = false
@@ -267,21 +272,22 @@ object Dedup {
       // the probe is a count over the already-checkpointed blocks —
       // only the 1-row count reaches the driver
       converged = next.where(col("__changed")).count() == 0L
-      stepped.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
+      CheckpointBridge.unpersist(stepped)
+      CheckpointBridge.unpersist(labels)
       labels = next
       i += 1
     }
-    sym.unpersist(blocking = false)
+    CheckpointBridge.unpersist(sym)
     if (!converged) {
-      labels.unpersist(blocking = false)
+      CheckpointBridge.unpersist(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
           "a component's diameter exceeds maxIters; raise it (rounds are " +
           "cheap) or switch to a large-star/small-star variant")
     }
-    // returned frame stays checkpointed (materialized above); freed
-    // with the session / cacheManager
+    // returned frame stays checkpointed (materialized above); its
+    // blocks are the operator's output — callers release them with
+    // CheckpointBridge.unpersist / session shutdown, NOT clearCache
     labels.select("id", "comp")
   }
 

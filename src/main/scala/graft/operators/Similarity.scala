@@ -176,7 +176,9 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv")))
         .localCheckpoint(true)
-      prev.unpersist(blocking = false)
+      // checkpointed blocks are invisible to Dataset.unpersist /
+      // the CacheManager — free the prior iteration through the RDD
+      org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
     }
     val assign = assignTo(cents) _
     val corpusAsg = assign(corpus, idCol, vecCol, 1)

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Frees the blocks behind a `localCheckpoint(eager = true)`'d frame.
+  *
+  * `Dataset.unpersist()` routes through the CacheManager, which only
+  * knows about frames registered via `.persist()` — a checkpointed
+  * Dataset's blocks live on the RDD itself (its plan is a
+  * [[LogicalRDD]]), so `unpersist()` is a silent no-op and the blocks
+  * survive until the driver GCs the RDD and the ContextCleaner runs.
+  * Iterative operators (connected components, Lloyd refinement) must
+  * release each round's blocks deterministically or rounds × frame
+  * size of storage accumulates; this reaches through the plan to the
+  * checkpointed RDD. Same access-package pattern as [[ColumnBridge]].
+  */
+object CheckpointBridge {
+  def unpersist(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking)
+      case _ =>
+    }
+}

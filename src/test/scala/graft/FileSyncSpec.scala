@@ -82,7 +82,7 @@ class FileSyncSpec extends GraftSuite {
     val parsed = pulled.select("name", "content").as[(String, Array[Byte])]
       .flatMap { case (n, bytes) =>
         XlsxIngest.parseWorkbook(bytes).map {
-          case (sheet, idx, cells) => (n, sheet, idx, cells)
+          case (sheet, _, idx, cells) => (n, sheet, idx, cells)
         }
       }.toDF("name", "sheet", "row_idx", "cells")
     val row = parsed.head()

@@ -73,9 +73,10 @@ class XlsxIngestSpec extends GraftSuite {
     val rows = df.orderBy("row_idx").collect()
     assert(rows.length == 3)
     assert(rows(0).getString(1) == "Report")
-    assert(rows(0).getSeq[String](3) == Seq("id", "label", "flag"))
-    assert(rows(1).getSeq[String](3) == Seq("42", null, "true"))
-    assert(rows(2).getSeq[String](3) == Seq("3.5", "inline text", "false"))
+    assert(rows(0).getInt(2) == 0)
+    assert(rows(0).getSeq[String](4) == Seq("id", "label", "flag"))
+    assert(rows(1).getSeq[String](4) == Seq("42", null, "true"))
+    assert(rows(2).getSeq[String](4) == Seq("3.5", "inline text", "false"))
   }
 
   test("read emits every sheet; readTable reads sheet 1 under the header") {
@@ -84,8 +85,12 @@ class XlsxIngestSpec extends GraftSuite {
       """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
         |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>2</v></c></row>
         |<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>3</v></c></row>""".stripMargin
+    // the Notes sheet has body rows too — readTable must NOT leak
+    // them into the table (they'd positionally collide with sheet-1
+    // columns); only the raw read sees them
     val s2 =
-      """<row r="1"><c r="A1" t="s"><v>4</v></c></row>""".stripMargin
+      """<row r="1"><c r="A1" t="s"><v>4</v></c></row>
+        |<row r="2"><c r="A2"><v>999</v></c><c r="B2" t="s"><v>4</v></c></row>""".stripMargin
     writeXlsx(dir, "two.xlsx", Seq(("Main", s1), ("Notes", s2)),
       Seq("EmpId", "Name", "alice", "bob", "scratch"))
 
