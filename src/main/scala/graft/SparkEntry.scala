@@ -232,6 +232,24 @@ object SparkEntry {
       TrainingPipeline.prepare(Tables(s, dir).documents,
         col("doc_id"), col("text"))),
 
+    // oracle-checked end-to-end prep: same gates/dedup but the
+    // near-dup stage uses the SQL-reproducible jaccard pairs, so the
+    // WHOLE pipeline (gates → exact dedup → near-dup drop) verifies
+    // rows+schema+hash against one composed DuckDB query
+    "q_training_prep_jaccard" -> ((s, dir) =>
+      TrainingPipeline.prepareWith(Tables(s, dir).documents,
+        col("doc_id"), col("text"), TrainingPipeline.Config(),
+        (d, i, t) => Dedup.jaccardPairs(d, i, t, n = 3, threshold = 0.8))),
+
+    // deterministic data-mixture sampling: md5-gated per-source rates
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables(s, dir).documents
+          .select(col("doc_id"), col("source")),
+        key = col("doc_id"), stratum = col("source"),
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+          "src3" -> 0.1),
+        defaultRate = 0.05)),
+
     // rows-only: near-dup pair list → dedup clusters (canonical = min id)
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -469,6 +487,70 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
         |           JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5""".stripMargin,
+
+    // The full pipeline composed from the per-stage oracles: quality
+    // gates (token/stopword/lang) → exact dedup (min id per md5 of
+    // normalized text) → jaccard near-dup drop (higher id of each
+    // pair ≥ 0.8). All stage arithmetic is integer counts and one
+    // double division — bit-identical across engines.
+    "q_training_prep_jaccard" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, ' ') w,
+        |    string_split(lower(text), ' ') lw,
+        |    $normSql AS norm
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, norm,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(lw, x -> x IN ('the','of','and','a','to','is'))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        |    len(list_filter(lw, x -> x IN ('the','of','and','a','to','is'))) en,
+        |    len(list_filter(lw, x -> x IN ('el','la','de','los','y','es'))) es,
+        |    len(list_filter(lw, x -> x IN ('der','die','das','und','ein'))) de,
+        |    len(list_filter(lw, x -> x IN ('le','la','les','de','et'))) fr
+        |  FROM base),
+        |staged AS (
+        |  SELECT doc_id AS id, text, norm, n_tokens, stop_ratio,
+        |    CASE WHEN text IS NULL THEN 'und'
+        |         WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |         WHEN es >= de AND es >= fr THEN 'es'
+        |         WHEN de >= fr THEN 'de'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM scored),
+        |gated AS (SELECT * FROM staged
+        |          WHERE n_tokens >= 20 AND stop_ratio <= 0.9
+        |            AND lang_pred IN ('en','es','de','fr')),
+        |exact AS (SELECT g.* FROM gated g
+        |          JOIN (SELECT min(id) AS cid FROM gated
+        |                GROUP BY md5(norm)) c ON g.id = c.cid),
+        |sh AS (SELECT DISTINCT id, array_to_string(nw[i:i+2], ' ') s
+        |       FROM (SELECT id, string_split(norm, ' ') nw FROM exact),
+        |            LATERAL (SELECT unnest(generate_series(1, len(nw)-2)) i)),
+        |cnt AS (SELECT id, count(*) n FROM sh GROUP BY 1),
+        |p AS (SELECT a.id id_a, b.id id_b, count(*) n_common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |      GROUP BY 1, 2),
+        |dl AS (SELECT DISTINCT id_b
+        |       FROM p JOIN cnt ca ON ca.id = id_a
+        |              JOIN cnt cb ON cb.id = id_b
+        |       WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8)
+        |SELECT id, text, n_tokens, lang_pred FROM exact
+        |WHERE id NOT IN (SELECT id_b FROM dl)""".stripMargin,
+
+    // md5 hex is identical across engines; lexicographic compare of
+    // equal-width lowercase hex == numeric compare (thresholds from
+    // Sampling.hexThreshold: 1.0→'g', 0.5→80000000, 0.25→40000000,
+    // 0.1→1999999a, default 0.05→0ccccccd)
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN 'g'
+        |              WHEN 'src1' THEN '80000000'
+        |              WHEN 'src2' THEN '40000000'
+        |              WHEN 'src3' THEN '1999999a'
+        |              ELSE '0ccccccd' END""".stripMargin,
 
     // Connected components = min reachable id: enumerate reachability
     // with a recursive CTE (UNION dedups, so it terminates), then

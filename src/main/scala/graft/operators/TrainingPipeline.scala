@@ -36,7 +36,19 @@ object TrainingPipeline {
     * corpus policy.
     */
   def prepare(docs: DataFrame, id: Column, text: Column,
-              cfg: Config = Config()): DataFrame = {
+              cfg: Config = Config()): DataFrame =
+    prepareWith(docs, id, text, cfg,
+      (d, i, t) => Dedup.minhashLshPairs(d, i, t,
+        n = cfg.shingleN, threshold = cfg.nearDupThreshold))
+
+  /** As `prepare`, but with a pluggable near-dup pair generator —
+    * MinHash-LSH is the scale default; the exact n-gram jaccard
+    * generator makes the whole pipeline SQL-reproducible
+    * (q_training_prep_jaccard's oracle). */
+  def prepareWith(docs: DataFrame, id: Column, text: Column,
+                  cfg: Config,
+                  pairGen: (DataFrame, Column, Column) => DataFrame)
+      : DataFrame = {
     val toks = TextFns.tokens(text)
     // persisted: the gate projection feeds the fingerprint aggregate,
     // the canonical join, the LSH pairs job and the final anti-join —
@@ -59,8 +71,7 @@ object TrainingPipeline {
       .select(col("canonical_id").as("id"))
     val exactDeduped = staged.join(canonical, "id")
     // near-dup removal: drop the higher id of each detected pair
-    val dropList = Dedup.minhashLshPairs(exactDeduped, col("id"),
-        col("text"), n = cfg.shingleN, threshold = cfg.nearDupThreshold)
+    val dropList = pairGen(exactDeduped, col("id"), col("text"))
       .select(col("id_b").as("id")).distinct()
     exactDeduped.join(dropList, Seq("id"), "left_anti")
       .select("id", "text", "n_tokens", "lang_pred")
