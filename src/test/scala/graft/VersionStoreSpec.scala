@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.VersionStore
+
+class VersionStoreSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("write/asOf/latest give physical time travel") {
+    val root = Files.createTempDirectory("vs").toString
+    assert(VersionStore.versions(spark, root).isEmpty)
+    val v0 = VersionStore.write(Seq((1, "a")).toDF("id", "x"), root)
+    val v1 = VersionStore.write(Seq((1, "a"), (2, "b")).toDF("id", "x"), root)
+    assert((v0, v1) == (0L, 1L))
+    assert(VersionStore.versions(spark, root) == Seq(0L, 1L))
+    assert(VersionStore.asOf(spark, root, 0).count() == 1)
+    assert(VersionStore.latest(spark, root).count() == 2)
+    intercept[IllegalArgumentException] {
+      VersionStore.asOf(spark, root, 7)
+    }
+  }
+
+  test("history lists the manifest; vacuum keeps the newest N") {
+    val root = Files.createTempDirectory("vs").toString
+    (1 to 4).foreach(n =>
+      VersionStore.write(spark.range(n).toDF("id"), root))
+    val h = VersionStore.history(spark, root)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h.forall(r => r.getLong(1) >= 1 && r.getLong(2) > 0))
+
+    assert(VersionStore.vacuum(spark, root, keepLast = 2) == Seq(0L, 1L))
+    assert(VersionStore.versions(spark, root) == Seq(2L, 3L))
+    // latest still reads, numbering continues after vacuum
+    assert(VersionStore.latest(spark, root).count() == 4)
+    assert(VersionStore.write(spark.range(9).toDF("id"), root) == 4L)
+  }
+
+  test("optimize rewrites latest as a new compacted version") {
+    val root = Files.createTempDirectory("vs").toString
+    // many tiny files in v0
+    VersionStore.write(
+      spark.range(1000).toDF("id").repartition(16), root)
+    val before = VersionStore.history(spark, root)
+      .orderBy("version").collect().last
+    assert(before.getLong(1) >= 16)
+    val v = VersionStore.optimize(spark, root, targetFileMB = 512)
+    assert(v == 1L)
+    val after = VersionStore.history(spark, root)
+      .orderBy("version").collect().last
+    assert(after.getLong(0) == 1L && after.getLong(1) == 1L)
+    // same data, old version untouched
+    assert(VersionStore.latest(spark, root).as[Long].collect().sorted.toSeq
+      == (0L until 1000L))
+    assert(VersionStore.asOf(spark, root, 0).count() == 1000)
+  }
+}
