@@ -246,9 +246,7 @@ object SparkEntry {
       Sampling.stratified(Tables(s, dir).documents
           .select(col("doc_id"), col("source")),
         key = col("doc_id"), stratum = col("source"),
-        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
-          "src3" -> 0.1),
-        defaultRate = 0.05)),
+        rates = sampleRates, defaultRate = sampleDefaultRate)),
 
     // rows-only: near-dup pair list → dedup clusters (canonical = min id)
     "q_dedup_clusters" -> ((s, dir) =>
@@ -540,17 +538,11 @@ object SparkEntry {
         |WHERE id NOT IN (SELECT id_b FROM dl)""".stripMargin,
 
     // md5 hex is identical across engines; lexicographic compare of
-    // equal-width lowercase hex == numeric compare (thresholds from
-    // Sampling.hexThreshold: 1.0→'g', 0.5→80000000, 0.25→40000000,
-    // 0.1→1999999a, default 0.05→0ccccccd)
-    "q_sample_stratified" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-        |  CASE source WHEN 'src0' THEN 'g'
-        |              WHEN 'src1' THEN '80000000'
-        |              WHEN 'src2' THEN '40000000'
-        |              WHEN 'src3' THEN '1999999a'
-        |              ELSE '0ccccccd' END""".stripMargin,
+    // equal-width lowercase hex == numeric compare. The CASE is
+    // GENERATED from the same rates map + Sampling.hexThreshold the
+    // query uses (constant-interpolation oracle pattern) — one source
+    // of truth for the thresholds.
+    "q_sample_stratified" -> sampleOracleSql,
 
     // Connected components = min reachable id: enumerate reachability
     // with a recursive CTE (UNION dedups, so it terminates), then
@@ -674,6 +666,22 @@ object SparkEntry {
   )
 
   /** DuckDB mirror of `Cleanser.normalized`. */
+  /** q_sample_stratified's mixture — single source of truth for both
+    * the Spark entry and the generated oracle. */
+  private val sampleRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+  private val sampleDefaultRate = 0.05
+
+  private def sampleOracleSql: String = {
+    val cases = sampleRates.toSeq.sortBy(_._1).map { case (s, r) =>
+      s"WHEN '$s' THEN '${graft.operators.Sampling.hexThreshold(r)}'"
+    }.mkString("\n              ")
+    s"""SELECT doc_id, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  CASE source $cases
+      |              ELSE '${graft.operators.Sampling.hexThreshold(sampleDefaultRate)}' END""".stripMargin
+  }
+
   private val normSql =
     """lower(trim(replace(replace(replace(replace(text, chr(13), ' '), chr(10), ' '), '"', ''), ',', '')))"""
 

@@ -30,7 +30,10 @@ object VersionStore {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed versions, ascending (empty for a fresh root). */
+  /** Committed versions, ascending (empty for a fresh root). A
+    * version counts only once its `_SUCCESS` marker exists — a
+    * crashed or in-flight write's partial `v=N` directory is
+    * invisible to readers. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     val p = new Path(root)
@@ -38,18 +41,34 @@ object VersionStore {
     else f.listStatus(p).toSeq.collect {
       case s if s.isDirectory =>
         s.getPath.getName match {
-          case VersionDir(n) => Some(n.toLong)
-          case _             => None
+          case VersionDir(n)
+              if f.exists(new Path(s.getPath, "_SUCCESS")) =>
+            Some(n.toLong)
+          case _ => None
         }
     }.flatten.sorted
   }
 
   private def dir(root: String, v: Long) = s"$root/v=$v"
+  private def claim(root: String, v: Long) = new Path(root, s"_claim_v=$v")
 
-  /** Append `df` as the next version; returns its number. */
+  /** Append `df` as the next version; returns its number.
+    *
+    * Concurrency: the version number is claimed with an atomic
+    * exclusive-create of a sibling `_claim_v=N` marker before the
+    * write, so two concurrent writers get *different* numbers instead
+    * of silently committing into the same directory (the naive
+    * list-then-write allocation is a TOCTOU race — `errorifexists`
+    * checks at job start, before either has created the directory).
+    * A writer that crashes after claiming leaves an unused number;
+    * its partial directory stays invisible (no `_SUCCESS`) and
+    * `vacuum` sweeps it. */
   def write(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val next = versions(spark, root).lastOption.fold(0L)(_ + 1)
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    var next = versions(spark, root).lastOption.fold(0L)(_ + 1)
+    while (!f.createNewFile(claim(root, next))) next += 1
     df.write.mode("errorifexists").parquet(dir(root, next))
     next
   }
@@ -87,12 +106,32 @@ object VersionStore {
   }
 
   /** VACUUM analog: drop all but the newest `keepLast` versions;
-    * returns what was deleted. Never touches the latest. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    * returns the committed versions deleted. Never touches the
+    * latest. Also sweeps crashed writes — claimed numbers that never
+    * committed (no `_SUCCESS`) — but only when the claim marker is
+    * older than `claimTtlMs`, because a *slower concurrent writer*
+    * can legitimately hold a lower number than the newest committed
+    * version while its job is still running. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             claimTtlMs: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val f = fs(spark, root)
-    val drop = versions(spark, root).dropRight(keepLast)
-    drop.foreach(v => f.delete(new Path(dir(root, v)), true))
+    val committed = versions(spark, root)
+    val drop = committed.dropRight(keepLast)
+    drop.foreach { v =>
+      f.delete(new Path(dir(root, v)), true)
+      f.delete(claim(root, v), false)
+    }
+    val cutoff = System.currentTimeMillis() - claimTtlMs
+    committed.lastOption.foreach { newest =>
+      (0L until newest).filterNot(committed.contains).foreach { v =>
+        val c = claim(root, v)
+        if (f.exists(c) && f.getFileStatus(c).getModificationTime < cutoff) {
+          f.delete(new Path(dir(root, v)), true)
+          f.delete(c, false)
+        }
+      }
+    }
     drop
   }
 
@@ -102,18 +141,19 @@ object VersionStore {
     * the new version. */
   def optimize(spark: SparkSession, root: String,
                targetFileMB: Int = 512): Long = {
+    require(targetFileMB >= 1, "targetFileMB must be >= 1")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no versions under $root")
     val f = fs(spark, root)
     val bytes = f.listStatus(new Path(dir(root, vs.last)))
       .filter(_.isFile).map(_.getLen).sum
-    val files =
-      math.max(1L, bytes / (targetFileMB * 1024L * 1024L)).toInt
-    val next = vs.last + 1
+    // ceiling: 1023 MB at target 512 → 2 files of ~512, not one ~1 GB
+    val target = targetFileMB * 1024L * 1024L
+    val files = math.max(1L, (bytes + target - 1) / target).toInt
     // read fully before writing: the source is a different directory,
-    // so this is a plain distributed parquet->parquet rewrite
-    latest(spark, root).repartition(files)
-      .write.mode("errorifexists").parquet(dir(root, next))
-    next
+    // so this is a plain distributed parquet->parquet rewrite;
+    // write() claims the number, so optimize is concurrency-safe too
+    val src = latest(spark, root).repartition(files)
+    write(src, root)
   }
 }

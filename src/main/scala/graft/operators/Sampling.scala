@@ -35,10 +35,14 @@ object Sampling {
     else if (rate <= 0.0) "0"
     else f"${math.min(math.round(rate * 4294967296.0), 0xffffffffL)}%08x"
 
+  /** The hash gate both samplers compare against a threshold. */
+  private def gate(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
   /** Keep-predicate: first 8 md5 nibbles of `key` under the rate's
     * threshold. */
   def keep(key: Column, rate: Double): Column =
-    substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(rate))
+    gate(key) < lit(hexThreshold(rate))
 
   /** Uniform deterministic sample. */
   def uniform(df: DataFrame, key: Column, rate: Double): DataFrame =
@@ -54,6 +58,6 @@ object Sampling {
     val thr = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (s, r)) => when(stratum === s, hexThreshold(r)).otherwise(acc)
     }
-    df.where(substring(md5(key.cast("string")), 1, 8) < thr)
+    df.where(gate(key) < thr)
   }
 }
