@@ -248,6 +248,15 @@ object SparkEntry {
         key = col("doc_id"), stratum = col("source"),
         rates = sampleRates, defaultRate = sampleDefaultRate)),
 
+    // concat-and-chunk packing: docs → ~2048-token packs, two-phase
+    // partition-offset cumsum (no global-order funnel), integer-exact
+    "q_pack_sequences" -> ((s, dir) =>
+      Batching.packByWeight(
+        Tables(s, dir).documents.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+        order = col("doc_id"), weight = col("n_tokens"),
+        budget = 2048, partitions = 8)),
+
     // rows-only: near-dup pair list → dedup clusters (canonical = min id)
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -543,6 +552,20 @@ object SparkEntry {
     // query uses (constant-interpolation oracle pattern) — one source
     // of truth for the thresholds.
     "q_sample_stratified" -> sampleOracleSql,
+
+    // pack = integer bucket of the cumulative token count BEFORE the
+    // row (doc order) — pure integer window arithmetic, exact
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens
+        |           FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       CAST(coalesce(sum(coalesce(n_tokens, 0))
+        |                  OVER (ORDER BY doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                 AND 1 PRECEDING), 0)
+        |         // 2048 AS BIGINT) AS pack_id
+        |FROM t""".stripMargin,
 
     // Connected components = min reachable id: enumerate reachability
     // with a recursive CTE (UNION dedups, so it terminates), then

@@ -66,4 +66,46 @@ object Batching {
   def batchedByHash(df: DataFrame, keys: Seq[Column], numBatches: Int,
                     out: String = "batch_id"): DataFrame =
     df.withColumn(out, pmod(hash(keys: _*), lit(numBatches)).cast("long"))
+
+  /** Weighted contiguous packing at fact scale — the training-data
+    * "concat-and-chunk" step: docs in `order` order are chunked into
+    * packs of ≈ `budget` total `weight` (token count), pack = the
+    * budget-bucket of the cumulative weight *before* the row. A doc
+    * straddling a boundary belongs to the pack its first token falls
+    * in — contiguous, deterministic, and exact in integer arithmetic.
+    *
+    * Same partition-offset shape as `assignScalable`, with weighted
+    * sums instead of counts: range shuffle + local cumsum window per
+    * partition, a ≤`partitions`-row offset window, and a broadcast
+    * join back — no global-order funnel, no data-sized window.
+    */
+  def packByWeight(df: DataFrame, order: Column, weight: Column,
+                   budget: Long, partitions: Int,
+                   out: String = "pack_id"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val ranged = df.repartitionByRange(partitions, order)
+      .sortWithinPartitions(order)
+      .withColumn("__w", coalesce(weight.cast("long"), lit(0L)))
+      .withColumn("__pid",
+        shiftright(monotonically_increasing_id(), 33))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // within-partition cumulative weight INCLUDING the current row
+    val local = ranged.withColumn("__cum",
+      sum(col("__w")).over(
+        Window.partitionBy(col("__pid")).orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-partition totals → start offsets (≤ `partitions` rows)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__w")).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    local.join(broadcast(offsets), col("__pid") === col("__opid"))
+      // cumulative weight BEFORE this row, integral-divided (exact)
+      .withColumn(out,
+        expr(s"(__off + __cum - __w) div $budget"))
+      .drop("__w", "__pid", "__cum", "__opid", "__off")
+  }
 }
