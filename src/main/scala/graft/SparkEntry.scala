@@ -227,6 +227,19 @@ object SparkEntry {
         numCentroids = 16, nProbe = 4, k = 5)
     }),
 
+    // oracle-checked IVF query path: md5-seeded centroids, no Lloyd
+    // refinement (seeding + assignment + probe + rank are all
+    // SQL-reproducible; the refinement stays spec-covered on the
+    // rows-only entry above). Zero vectors pre-filtered — cosine
+    // against them is NaN on any engine.
+    "q_ann_ivf_seeded" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      Similarity.annIvfTopK(emb, emb.where(col("vec_id") < 8),
+        numCentroids = 16, nProbe = 4, k = 5, lloydIters = 0,
+        seedKey = c => md5(c.cast("string")))
+    }),
+
     // rows-only: end-to-end corpus prep composing the verified stages
     "q_training_prep" -> ((s, dir) =>
       TrainingPipeline.prepare(Tables(s, dir).documents,
@@ -605,6 +618,47 @@ object SparkEntry {
         |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
 
     "q_ann_lsh_bucketed" -> lshOracleSql,
+
+    // IVF with md5 seeding and lloydIters=0: centroids = 16 corpus
+    // vectors with smallest md5(id) (id tie-break); corpus assignment
+    // mirrors max_by(struct(score, c_id)) = score DESC, c_id DESC;
+    // query probes mirror TopK.perGroup = score DESC, c_id ASC; final
+    // ranking mirrors rankTopK = score DESC, n_id ASC. All scores are
+    // dot/(norm·norm) in doubles — bit-identical across engines.
+    "q_ann_ivf_seeded" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e,
+        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[]))) n
+        |  FROM embeddings
+        |  WHERE list_inner_product(embedding, embedding) > 0),
+        |seed AS (SELECT id AS c_id, e AS cv, n AS cn FROM v
+        |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |ca AS (SELECT id, c_id FROM (
+        |         SELECT v.id, s.c_id,
+        |                row_number() OVER (PARTITION BY v.id
+        |                  ORDER BY list_inner_product(v.e, s.cv)/(v.n*s.cn) DESC,
+        |                           s.c_id DESC) rn
+        |         FROM v CROSS JOIN seed s)
+        |       WHERE rn = 1),
+        |qp AS (SELECT id, c_id FROM (
+        |         SELECT v.id, s.c_id,
+        |                row_number() OVER (PARTITION BY v.id
+        |                  ORDER BY list_inner_product(v.e, s.cv)/(v.n*s.cn) DESC,
+        |                           s.c_id ASC) rn
+        |         FROM v CROSS JOIN seed s WHERE v.id < 8)
+        |       WHERE rn <= 4),
+        |sc AS (SELECT q.id q_id, c.id n_id,
+        |              list_inner_product(qv.e, cv2.e)/(qv.n*cv2.n) score
+        |       FROM qp q JOIN ca c ON q.c_id = c.c_id
+        |            JOIN v qv ON qv.id = q.id
+        |            JOIN v cv2 ON cv2.id = c.id
+        |       WHERE c.id <> q.id)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rnk, n_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                   ORDER BY score DESC, n_id) rn
+        |      FROM sc)
+        |WHERE rn <= 5""".stripMargin,
 
     "q_ann_topk_cosine" ->
       """WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) eq

@@ -115,11 +115,17 @@ object Similarity {
     * computed once and persisted/bucketed by centroid, making each
     * query's work |corpus|·nProbe/k.
     */
+  /** `seedKey` orders the deterministic centroid sample (smallest
+    * first, id tie-break): xxhash64 by default; pass an
+    * `md5(cast(string))` key to make seeding — and with
+    * `lloydIters = 0` the whole query — SQL-reproducible
+    * (q_ann_ivf_seeded's oracle). */
   def annIvfTopK(corpus: DataFrame, queries: DataFrame,
                  numCentroids: Int, nProbe: Int, k: Int,
                  lloydIters: Int = 2,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding",
+                 seedKey: Column => Column = xxhash64(_)): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids)
     def withNorm(c: DataFrame): DataFrame =
       c.withColumn("cn", VectorFns.l2Norm(col("cv")))
@@ -145,7 +151,7 @@ object Similarity {
     // (smallest xxhash64, id tie-break) — dimension-sized sort input.
     var cents = withNorm(TopK.perGroup(
         corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
-          .withColumn("__h", xxhash64(col("c_id"))),
+          .withColumn("__h", seedKey(col("c_id"))),
         groups = Seq(lit(1)), order = Seq(col("__h"), col("c_id")),
         k = numCentroids)
       .select(col("c_id"), col("cv")))
