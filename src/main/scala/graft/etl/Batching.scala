@@ -39,6 +39,19 @@ object Batching {
     *   4. global row number = offset(pid) + local index — pure map.
     * The only data-sized movement is the range shuffle itself.
     */
+  /** Per-partition start offsets from a per-partition total: a ≤
+    * `partitions`-row aggregate cumulative-summed by partition id —
+    * the shared scaffolding of `assignScalable` and `packByWeight`.
+    * The single-task window is over partition COUNTS, not data. */
+  private def partitionOffsets(ranged: DataFrame,
+                               total: Column): DataFrame =
+    ranged.groupBy(col("__pid")).agg(total.as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__off"))
+
   def assignScalable(df: DataFrame, order: Column, size: Int,
                      partitions: Int, out: String = "batch_id"): DataFrame = {
     val ranged = df.repartitionByRange(partitions, order)
@@ -47,14 +60,7 @@ object Batching {
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__idx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // numPartitions rows: the single-task window here is over ≤
-    // `partitions` rows, not the data.
-    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid").as("__opid"), col("__off"))
+    val offsets = partitionOffsets(ranged, count(lit(1)))
     ranged
       .join(broadcast(offsets), col("__pid") === col("__opid"))
       .withColumn(out, ((col("__off") + col("__idx")) / size).cast("long"))
@@ -74,10 +80,21 @@ object Batching {
     * straddling a boundary belongs to the pack its first token falls
     * in — contiguous, deterministic, and exact in integer arithmetic.
     *
+    * Preconditions (as `assignScalable`): `order` must be a unique
+    * key — duplicate keys make the within-partition tie order, and so
+    * the pack split, nondeterministic; weights must be non-negative —
+    * a negative weight makes the cumulative sum non-monotonic and
+    * breaks pack contiguity (NULL weight counts as 0).
+    *
     * Same partition-offset shape as `assignScalable`, with weighted
-    * sums instead of counts: range shuffle + local cumsum window per
-    * partition, a ≤`partitions`-row offset window, and a broadcast
-    * join back — no global-order funnel, no data-sized window.
+    * sums instead of counts. The within-partition running sum is a
+    * `mapPartitions` accumulator over the already-range-sorted rows —
+    * a window `partitionBy(__pid)` would re-shuffle the whole
+    * data set (Catalyst can't see rows are already clustered by
+    * physical partition), so this is the one place the imperative
+    * per-partition form is the right call. Only the range shuffle
+    * moves data; offsets are a ≤`partitions`-row aggregate broadcast
+    * back.
     */
   def packByWeight(df: DataFrame, order: Column, weight: Column,
                    budget: Long, partitions: Int,
@@ -89,19 +106,19 @@ object Batching {
       .withColumn("__pid",
         shiftright(monotonically_increasing_id(), 33))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // within-partition cumulative weight INCLUDING the current row
-    val local = ranged.withColumn("__cum",
-      sum(col("__w")).over(
-        Window.partitionBy(col("__pid")).orderBy(order)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // per-partition totals → start offsets (≤ `partitions` rows)
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col("__w")).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid").as("__opid"), col("__off"))
+    // running sum INCLUDING the current row, accumulated in partition
+    // order (rows are already sorted by `order` within partitions)
+    val schema = ranged.schema.add("__cum", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val wAt = ranged.schema.fieldIndex("__w")
+    val local = ranged.mapPartitions { it =>
+      var c = 0L
+      it.map { r =>
+        c += r.getLong(wAt)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val offsets = partitionOffsets(ranged, sum(col("__w")))
     local.join(broadcast(offsets), col("__pid") === col("__opid"))
       // cumulative weight BEFORE this row, integral-divided (exact)
       .withColumn(out,

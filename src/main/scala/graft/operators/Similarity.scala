@@ -115,11 +115,12 @@ object Similarity {
     * computed once and persisted/bucketed by centroid, making each
     * query's work |corpus|·nProbe/k.
     */
-  /** `seedKey` orders the deterministic centroid sample (smallest
-    * first, id tie-break): xxhash64 by default; pass an
-    * `md5(cast(string))` key to make seeding — and with
-    * `lloydIters = 0` the whole query — SQL-reproducible
-    * (q_ann_ivf_seeded's oracle). */
+  // (seedKey orders the deterministic centroid sample, smallest
+  // first with id tie-break: xxhash64 by default; an
+  // `md5(cast(string))` key makes seeding — and with lloydIters = 0
+  // the whole query — SQL-reproducible: q_ann_ivf_seeded's oracle.
+  // Kept as a line comment so the operator scaladoc above stays the
+  // attached doc.)
   def annIvfTopK(corpus: DataFrame, queries: DataFrame,
                  numCentroids: Int, nProbe: Int, k: Int,
                  lloydIters: Int = 2,
