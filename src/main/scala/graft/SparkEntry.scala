@@ -270,6 +270,18 @@ object SparkEntry {
         order = col("doc_id"), weight = col("n_tokens"),
         budget = 2048, partitions = 8)),
 
+    // sliding-window character chunks (context-window prep):
+    // 200-char chunks, 40-char overlap — pure integer + substring
+    // arithmetic, map-side explode
+    "q_chunk_text" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(TextFns.chunks(col("text"), size = 200, overlap = 40))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))),
+
     // rows-only: near-dup pair list → dedup clusters (canonical = min id)
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -565,6 +577,14 @@ object SparkEntry {
     // query uses (constant-interpolation oracle pattern) — one source
     // of truth for the thresholds.
     "q_sample_stratified" -> sampleOracleSql,
+
+    // stride = 200 - 40 = 160; chunk i = chars [i*160+1, i*160+200]
+    "q_chunk_text" ->
+      """SELECT doc_id, i AS chunk_idx, substr(text, CAST(i*160+1 AS INT), 200) AS chunk
+        |FROM documents,
+        |     LATERAL (SELECT unnest(generate_series(0,
+        |                CAST(floor((length(text)-1)/160) AS BIGINT))) i)
+        |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin,
 
     // pack = integer bucket of the cumulative token count BEFORE the
     // row (doc order) — pure integer window arithmetic, exact

@@ -121,4 +121,24 @@ object TextFns {
   def rollingHash(c: Column): Column =
     aggregate(tokens(Cleanser.normalized(c)), lit(0L),
       (h, t) => (h * 31L + length(t)) % 1000000007L)
+
+  /** Sliding-window character chunks for context-window prep: chunk i
+    * covers chars [i·stride + 1, i·stride + size] (1-based,
+    * stride = size − overlap), so consecutive chunks share `overlap`
+    * chars. Pure column math — `sequence` + `substring` explode on
+    * the caller's side keeps it a codegen projection; chunk count per
+    * doc is ⌈(len − overlap) / stride⌉ = ⌊(len − 1)/stride⌋ + 1.
+    * Empty/NULL text yields an empty/NULL array.
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > overlap >= 0")
+    val stride = size - overlap
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0L),
+          floor((length(text) - 1).cast("long") / lit(stride)).cast("long")),
+        i => text.substr((i * stride + 1).cast("int"), lit(size))))
+  }
 }

@@ -68,6 +68,17 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Sampling.hexThreshold is monotone and keep-sets nest by rate") {
+    check(forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) {
+      (r1, r2) =>
+        val (lo, hi) = if (r1 <= r2) (r1, r2) else (r2, r1)
+        // string compare == numeric compare at these widths, and a
+        // lower rate's threshold never admits a key a higher rejects
+        graft.operators.Sampling.hexThreshold(lo) <=
+          graft.operators.Sampling.hexThreshold(hi)
+    })
+  }
+
   test("Retry.withRetry attempt count is exact for any policy") {
     check(forAll(Gen.chooseNum(1, 6), Gen.chooseNum(0, 10)) {
       (maxAttempts, failures) =>

@@ -46,4 +46,37 @@ class TextQualitySpec extends GraftSuite {
     assert(out.columns.toSeq.containsSlice(Seq("RUN_ID", "ROW_INSERT_TSP",
       "ROW_UPDT_TSP", "INSERT_USER_ID", "UPDT_USER_ID")))
   }
+
+  test("chunks: sliding windows reconstruct the text; edges are exact") {
+    val s = spark; import s.implicits._
+    val size = 10; val overlap = 3; val stride = size - overlap
+    val texts: Seq[Option[String]] =
+      (1 to 40).map(n =>
+        Some(Seq.tabulate(n)(i => ('a' + i % 26).toChar).mkString)) ++
+        Seq(Some(""), None)
+    val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), col("text"),
+        TextFns.chunks(col("text"), size, overlap).as("ch"))
+      .collect()
+    out.foreach { r =>
+      Option(r.getAs[String]("text")) match {
+        case None => assert(r.isNullAt(2))
+        case Some("") => assert(r.getSeq[String](2).isEmpty)
+        case Some(t) =>
+          val ch = r.getSeq[String](2)
+          // count = floor((len-1)/stride) + 1
+          assert(ch.length == (t.length - 1) / stride + 1, s"len ${t.length}")
+          // chunk i starts at i*stride and is ≤ size chars
+          ch.zipWithIndex.foreach { case (c, i) =>
+            assert(c == t.substring(i * stride,
+              math.min(i * stride + size, t.length)))
+          }
+          // overlap-stripped concatenation reconstructs the text
+          val rebuilt = ch.head + ch.tail.map(c =>
+            c.drop(math.min(overlap, c.length))).mkString
+          assert(rebuilt == t, s"len ${t.length}")
+      }
+    }
+  }
 }
