@@ -578,12 +578,14 @@ object SparkEntry {
     // of truth for the thresholds.
     "q_sample_stratified" -> sampleOracleSql,
 
-    // stride = 200 - 40 = 160; chunk i = chars [i*160+1, i*160+200]
+    // stride = 200 - 40 = 160; chunk i = chars [i*160+1, i*160+200];
+    // last index = max(0, floor((len-41)/160.0)) — a chunk exists only
+    // if it adds characters past the previous chunk's overlap
     "q_chunk_text" ->
       """SELECT doc_id, i AS chunk_idx, substr(text, CAST(i*160+1 AS INT), 200) AS chunk
         |FROM documents,
         |     LATERAL (SELECT unnest(generate_series(0,
-        |                CAST(floor((length(text)-1)/160) AS BIGINT))) i)
+        |                greatest(0, CAST(floor((length(text)-41)/160.0) AS BIGINT)))) i)
         |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin,
 
     // pack = integer bucket of the cumulative token count BEFORE the

@@ -125,20 +125,30 @@ object TextFns {
   /** Sliding-window character chunks for context-window prep: chunk i
     * covers chars [i·stride + 1, i·stride + size] (1-based,
     * stride = size − overlap), so consecutive chunks share `overlap`
-    * chars. Pure column math — `sequence` + `substring` explode on
-    * the caller's side keeps it a codegen projection; chunk count per
-    * doc is ⌈(len − overlap) / stride⌉ = ⌊(len − 1)/stride⌋ + 1.
-    * Empty/NULL text yields an empty/NULL array.
+    * chars. Chunk count = max(1, ⌈(len − overlap)/stride⌉): a chunk
+    * exists only if it contributes at least one character past the
+    * previous chunk's overlap — the naive ⌊(len−1)/stride⌋+1 count
+    * emits a wholly-redundant tail chunk whenever
+    * (len−1) mod stride < overlap. Empty/NULL text yields an
+    * empty/NULL array.
+    *
+    * `text` is referenced once per chunk inside the `transform`
+    * lambda — pass a materialized attribute, not a derived expression
+    * (a normalization chain here would re-run per chunk; see the
+    * staged-column convention on `bigramArray`).
     */
   def chunks(text: Column, size: Int, overlap: Int): Column = {
     require(size > 0 && overlap >= 0 && overlap < size,
       "need size > overlap >= 0")
     val stride = size - overlap
+    // last index = max(0, ⌊(len − overlap − 1)/stride⌋) — the floor
+    // of a double division, clamped (it is negative for len ≤ overlap)
+    val lastIdx = greatest(lit(0L),
+      floor((length(text) - lit(overlap + 1)) / lit(stride.toDouble)))
     when(text.isNull, lit(null).cast("array<string>"))
       .when(length(text) === 0, array().cast("array<string>"))
       .otherwise(transform(
-        sequence(lit(0L),
-          floor((length(text) - 1).cast("long") / lit(stride)).cast("long")),
+        sequence(lit(0L), lastIdx),
         i => text.substr((i * stride + 1).cast("int"), lit(size))))
   }
 }

@@ -65,16 +65,21 @@ class TextQualitySpec extends GraftSuite {
         case Some("") => assert(r.getSeq[String](2).isEmpty)
         case Some(t) =>
           val ch = r.getSeq[String](2)
-          // count = floor((len-1)/stride) + 1
-          assert(ch.length == (t.length - 1) / stride + 1, s"len ${t.length}")
+          // count = max(1, ceil((len - overlap)/stride)): every chunk
+          // past the first must contribute new characters
+          val expected = math.max(1,
+            ((t.length - overlap) + stride - 1) / stride)
+          assert(ch.length == expected, s"len ${t.length}")
           // chunk i starts at i*stride and is ≤ size chars
           ch.zipWithIndex.foreach { case (c, i) =>
             assert(c == t.substring(i * stride,
               math.min(i * stride + size, t.length)))
           }
+          // no wholly-redundant tails: chunks after the first extend
+          // past the shared overlap
+          assert(ch.tail.forall(_.length > overlap), s"len ${t.length}")
           // overlap-stripped concatenation reconstructs the text
-          val rebuilt = ch.head + ch.tail.map(c =>
-            c.drop(math.min(overlap, c.length))).mkString
+          val rebuilt = ch.head + ch.tail.map(_.drop(overlap)).mkString
           assert(rebuilt == t, s"len ${t.length}")
       }
     }
