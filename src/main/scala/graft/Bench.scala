@@ -59,6 +59,13 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // drop persisted intermediates so queries are timed independently
       spark.sharedState.cacheManager.clearCache()
+      // clearCache misses localCheckpoint blocks (CacheManager never saw
+      // them — see CheckpointBridge); without this sweep the CC/IVF
+      // queries' node/edge/centroid blocks stay live for the rest of the
+      // run and the heap pressure bills later queries (r3: q37 8.1 s
+      // bench vs 3.5 s isolated)
+      val swept = org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
+      if (swept > 0) System.err.println(s"[bench] swept $swept checkpoint RDD(s) after $name")
       // collect the previous query's garbage outside the next query's
       // timer: with a 32 GiB heap a full GC is multi-second, and
       // letting it land mid-query charged random queries ~3-5 s in

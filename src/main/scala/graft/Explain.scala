@@ -48,6 +48,9 @@ object Explain {
       }
       val cold = timed()
       spark.sharedState.cacheManager.clearCache()
+      // also free checkpoint blocks so `warm` re-derives them like a
+      // fresh run would (clearCache can't see them — CheckpointBridge)
+      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
       val warm = timed()
       val n = fn(spark, sfDir).count()
       sb.append(
@@ -56,6 +59,7 @@ object Explain {
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("\n")
       spark.sharedState.cacheManager.clearCache()
+      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
       println(f"[explain] $name%s cold=$cold%.3f warm=$warm%.3f rows=$n%d")
     }
     Files.writeString(Paths.get(out), sb.toString)

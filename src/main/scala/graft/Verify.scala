@@ -30,8 +30,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist intermediates (census slice, IVF centroids,
-      // pipeline stage); keep runs independent
+      // pipeline stage); keep runs independent. clearCache misses
+      // localCheckpoint blocks — sweep those too (CheckpointBridge).
       spark.sharedState.cacheManager.clearCache()
+      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
     }
     // manifest of every declared query, so the gate can flag a
     // rows-only query whose output is missing (no oracle ⇒ no other

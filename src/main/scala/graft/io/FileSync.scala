@@ -22,7 +22,7 @@ import graft.etl.Snapshot
   * (Graph API, S3, ADLS) implements it; [[FileSource.Local]] is the
   * filesystem implementation the specs drive end-to-end.
   */
-trait FileSource {
+trait FileSource extends Serializable {
   def list(): Seq[FileSource.Entry]
   def fetch(name: String): Array[Byte]
 }
@@ -31,8 +31,12 @@ object FileSource {
   /** One remote item: connector-relative name + last-modified. */
   final case class Entry(name: String, lastModified: Instant)
 
-  /** Local-directory source (non-recursive, extension filter). */
-  final class Local(root: Path, suffix: String = "") extends FileSource {
+  /** Local-directory source (non-recursive, extension filter).
+    * Holds the root as a String: the source ships to executors for the
+    * distributed fetch (java.nio Path isn't serializable). */
+  final class Local(rootDir: String, suffix: String) extends FileSource {
+    def this(root: Path, suffix: String = "") = this(root.toString, suffix)
+    private def root: Path = java.nio.file.Paths.get(rootDir)
     def list(): Seq[Entry] = {
       // Files.list holds an open DirectoryStream — close it, or every
       // sync run leaks a file descriptor
@@ -53,10 +57,14 @@ object FileSource {
 /** The watermark-gated incremental pull, reference's loop re-expressed
   * with the library's own pieces: the *gate* is `Snapshot.newerThan`
   * (the same 1-row broadcast watermark every incremental query uses —
-  * including its bootstrap-on-empty behavior), the *fetch* stays on
-  * the driver (per-file connector IO, exactly the reference's unit of
-  * work — the incremental delta is bounded by the watermark, never
-  * the full listing), and *parsing/landing* is distributed
+  * including its bootstrap-on-empty behavior), the *listing* is a
+  * bounded driver collect (names + timestamps only — the watermark cut
+  * needs a total order), and the *payload fetch* runs on executors:
+  * the gated (name, ts) list is parallelized and each task calls
+  * `source.fetch` for its slice, so a 10k-file drop loads through the
+  * cluster, not one JVM (the reference loops `requests.get` on the
+  * driver, download_from_sharepoint.py:104-124 — per-file unit of work
+  * kept, driver funnel not). Parsing/landing is distributed as before
   * (`XlsxIngest` / `CsvIngest` over the fetched payloads).
   */
 object FileSync {
@@ -75,23 +83,30 @@ object FileSync {
   }
 
   /** Fetch the gated delta: (name, last_modified, content) rows, bytes
-    * pulled once per new file via the connector. The result is a
-    * normal DataFrame — hand `content` to `XlsxIngest.parseWorkbook`
+    * pulled once per new file via the connector — on executors. Only
+    * the (name, ts) *listing* is collected (the watermark cut needs a
+    * total order; it's two small columns, bounded by `maxFiles`); the
+    * cut list is then parallelized and each task fetches its slice's
+    * payloads, so bytes never funnel through the driver. The result is
+    * a normal DataFrame — hand `content` to `XlsxIngest.parseWorkbook`
     * rows or decode+`from_csv` (CsvIngest's cleanser ladder) to land
     * it distributed.
     *
     * `maxFiles` bounds one pull: the *bootstrap* gate passes the
-    * whole folder (empty log ⇒ everything), and the payload bytes of
-    * a pull are held together before landing — an unbounded first run
-    * against a large folder would be a driver-memory incident. The
-    * oldest `maxFiles` by (last_modified, name) are taken, so the
-    * loop "pull → land → append log → repeat until empty" drains the
-    * folder in bounded, watermark-ordered chunks — equal timestamps
-    * land in the same chunk (the log gate is a strict `>`; splitting
-    * a timestamp across pulls would drop its remainder).
+    * whole folder (empty log ⇒ everything). The oldest `maxFiles` by
+    * (last_modified, name) are taken, so the loop "pull → land →
+    * append log → repeat until empty" drains the folder in bounded,
+    * watermark-ordered chunks — equal timestamps land in the same
+    * chunk (the log gate is a strict `>`; splitting a timestamp
+    * across pulls would drop its remainder). That extension makes
+    * `maxFiles` a soft bound (bulk copies often share one mtime), so
+    * `hardMaxFiles` is the loud ceiling: a pull whose timestamp
+    * extension exceeds it throws instead of silently ballooning —
+    * raise it deliberately, don't discover it in an incident.
     */
   def fetchNew(spark: SparkSession, source: FileSource,
-               processedLog: DataFrame, maxFiles: Int = 1000): DataFrame = {
+               processedLog: DataFrame, maxFiles: Int = 1000,
+               hardMaxFiles: Int = 10000): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val gated = newEntries(spark, source, processedLog)
@@ -105,12 +120,31 @@ object FileSync {
         gated.take(maxFiles).toSeq ++
           gated.drop(maxFiles).takeWhile(_.get(1) == cutTs)
       }
-    // r.get(1) stays whatever external timestamp type the session's
-    // java8API conf produced — round-trips through createDataFrame
-    val rows = take.map { r =>
-      Row(r.getString(0), r.get(1), source.fetch(r.getString(0)))
+    require(take.size <= hardMaxFiles,
+      s"FileSync.fetchNew: pull of ${take.size} files exceeds hardMaxFiles=" +
+        s"$hardMaxFiles (maxFiles=$maxFiles extended to a same-timestamp " +
+        "boundary). Raise hardMaxFiles explicitly if this drop is expected.")
+    // normalize the external timestamp type (java8API conf may hand back
+    // Instant) to java.sql.Timestamp: the pairs ride an RDD to executors
+    // and back through createDataFrame's converters
+    val entries = take.map { r =>
+      val ts = r.get(1) match {
+        case t: java.sql.Timestamp => t
+        case i: Instant            => java.sql.Timestamp.from(i)
+        case o => throw new IllegalStateException(s"unexpected ts type: $o")
+      }
+      (r.getString(0), ts)
     }
-    spark.createDataFrame(rows.asJava, StructType(Seq(
+    // fetch on executors: `source` is the serializable connector seam;
+    // slices of the cut list fan out over the default parallelism so a
+    // large drop's IO and bytes are distributed, not driver-resident
+    val slices = math.max(1, math.min(entries.size,
+      spark.sparkContext.defaultParallelism))
+    val fetched = spark.sparkContext.parallelize(entries, slices)
+      .mapPartitions { it =>
+        it.map { case (name, ts) => Row(name, ts, source.fetch(name)) }
+      }
+    spark.createDataFrame(fetched, StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("last_modified", TimestampType, nullable = false),
       StructField("content", BinaryType, nullable = false))))

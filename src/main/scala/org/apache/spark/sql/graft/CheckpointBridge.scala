@@ -21,4 +21,23 @@ object CheckpointBridge {
       case l: LogicalRDD => l.rdd.unpersist(blocking)
       case _ =>
     }
+
+  /** Harness-side sweep: frees EVERY persisted RDD still registered with
+    * the SparkContext. `cacheManager.clearCache()` only drops frames that
+    * went through `.persist()`; a query that returns a
+    * `localCheckpoint`ed frame (connected components, IVF centroids)
+    * leaves its blocks live until driver GC — across a 42-query bench
+    * run those blocks accumulate in the heap and the resulting memory
+    * pressure lands on whichever query runs later. Call this after
+    * `clearCache()` between queries; at that point any surviving entry
+    * in `getPersistentRDDs` is an orphaned checkpoint block by
+    * construction. Returns how many RDDs were swept (observability for
+    * the harness log).
+    */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession,
+                   blocking: Boolean = false): Int = {
+    val rdds = spark.sparkContext.getPersistentRDDs
+    rdds.valuesIterator.foreach(_.unpersist(blocking))
+    rdds.size
+  }
 }

@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
 
 import graft.io.{FileSource, FileSync, XlsxIngest}
 
+/** Top-level (not an inner class: closures over a spec instance don't
+  * serialize) counting source for the executor-side-fetch proof: every
+  * fetch must run inside a Spark task and bumps the accumulator. */
+private class CountingSource(entries: Seq[FileSource.Entry],
+                             acc: org.apache.spark.util.LongAccumulator)
+    extends FileSource {
+  def list(): Seq[FileSource.Entry] = entries
+  def fetch(name: String): Array[Byte] = {
+    if (org.apache.spark.TaskContext.get() == null)
+      throw new IllegalStateException(s"fetch($name) ran on the driver")
+    acc.add(1)
+    s"payload:$name".getBytes("UTF-8")
+  }
+}
+
 /** Drives the reference's SharePoint watermark loop end-to-end against
   * a local FileSource: list → gate on last-modified vs the processed
   * log (Snapshot.newerThan underneath, bootstrap included) → fetch →
@@ -55,6 +70,37 @@ class FileSyncSpec extends GraftSuite {
     // reference's gate)
     val log2 = log1.union(FileSync.logEntries(pull2))
     assert(FileSync.fetchNew(spark, src, log2).isEmpty)
+  }
+
+  test("payload fetch runs on executors, never the driver") {
+    val acc = spark.sparkContext.longAccumulator("fetches")
+    val names = (1 to 7).map(i => f"f$i%02d.bin")
+    val src = new CountingSource(
+      names.zipWithIndex.map { case (n, i) => FileSource.Entry(n, at(i + 1)) },
+      acc)
+    val pulled = FileSync.fetchNew(spark, src, emptyLog)
+    // materialize; the driver holds no payload array at any point —
+    // CountingSource.fetch throws if invoked outside a task
+    val got = pulled.select("name", "content")
+      .as[(String, Array[Byte])].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == names)
+    assert(got.forall { case (n, b) => new String(b, "UTF-8") == s"payload:$n" })
+    assert(acc.value == names.size)
+  }
+
+  test("hardMaxFiles fails loudly when a same-timestamp drop balloons the cut") {
+    val dir = Files.createTempDirectory("sync")
+    (1 to 5).foreach(i => touch(dir, s"bulk$i.csv", at(1)))
+    val src = new FileSource.Local(dir, suffix = ".csv")
+    // maxFiles=2 extends to the whole same-timestamp drop (5 files):
+    // allowed under the default ceiling ...
+    assert(FileSync.fetchNew(spark, src, emptyLog, maxFiles = 2).count() == 5)
+    // ... but a hard ceiling below the extension throws instead of
+    // silently pulling everything
+    val e = intercept[IllegalArgumentException] {
+      FileSync.fetchNew(spark, src, emptyLog, maxFiles = 2, hardMaxFiles = 3)
+    }
+    assert(e.getMessage.contains("hardMaxFiles"))
   }
 
   test("fetched xlsx payloads parse through XlsxIngest on executors") {
