@@ -195,6 +195,16 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables(s, dir).documents, col("doc_id"),
         col("text"), n = 3, numHashes = 32, bands = 8, threshold = 0.5)),
 
+    // oracle-checked MinHash: md5-seeded signatures (portable hex-min)
+    // and md5 band keys run the SAME band/bucket/verify machinery as
+    // the xxhash64 entry above (Dedup.lshPairsFromSignatures), so the
+    // LSH code path gets a rows+schema+hash oracle; the xxhash64
+    // variant stays the scale path (fused codegen, 8-byte keys)
+    "q_dedup_minhash_seeded" -> ((s, dir) =>
+      Dedup.minhashLshPairsSeeded(Tables(s, dir).documents,
+        col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
+        threshold = 0.5)),
+
     // rows-only: simhash bit votes use xxhash64
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"),
@@ -519,6 +529,36 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
         |           JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5""".stripMargin,
+
+    // The seeded-MinHash LSH pipeline replayed in SQL: shingles →
+    // per-seed md5 min (lexicographic min of equal-width hex ==
+    // numeric min, portable) → band keys (md5 of '|'-joined slice,
+    // matching Spark's concat_ws) → bucket equi-join → agreement
+    // fraction ≥ threshold. est_jaccard is k/16 — exact in binary FP.
+    "q_dedup_minhash_seeded" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_transform(generate_series(0, len(w)-3),
+        |           i -> array_to_string(w[i+1:i+3], ' ')) shl
+        |       FROM t WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id,
+        |          list_transform(generate_series(0, 15), k ->
+        |            list_min(list_transform(shl,
+        |              s -> md5(CAST(k AS VARCHAR) || '|' || s)))) sig
+        |        FROM sh),
+        |banded AS (SELECT doc_id, sig, b,
+        |             md5(array_to_string(sig[b*4+1:b*4+4], '|')) bh
+        |           FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) b)),
+        |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b,
+        |                a.sig sa, b.sig sb
+        |         FROM banded a JOIN banded b
+        |           ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(len(list_filter(generate_series(1, 16),
+        |         i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
+        |FROM cand
+        |WHERE CAST(len(list_filter(generate_series(1, 16),
+        |  i -> sa[i] = sb[i])) AS DOUBLE) / 16 >= 0.5""".stripMargin,
 
     // The full pipeline composed from the per-stage oracles: quality
     // gates (token/stopword/lang) → exact dedup (min id per md5 of

@@ -171,18 +171,34 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       maxBucketSize: Option[Int] = None,
-                      salt: Int = 1): DataFrame = {
+                      salt: Int = 1): DataFrame =
+    lshPairsFromSignatures(
+      minhashSignatures(df, id, text, n, numHashes),
+      numHashes, bands, threshold, maxBucketSize, salt,
+      bandKey = (bi, sl) => xxhash64(bi, sl))
+
+  /** Banding + bucket self-join + signature-agreement verify over an
+    * (id, sig) signatures frame — the LSH machinery shared by the
+    * xxhash64 production path and the md5-seeded oracle path (the
+    * signature element type just needs `===`/min semantics: longs or
+    * hex strings both work). `bandKey(bandIdx, bandSlice)` produces
+    * the bucket key a band equi-joins on.
+    */
+  def lshPairsFromSignatures(signatures: DataFrame, numHashes: Int,
+                             bands: Int, threshold: Double,
+                             maxBucketSize: Option[Int], salt: Int,
+                             bandKey: (Column, Column) => Column): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // persisted: both sides of the band self-join consume the
-    // signatures; caching (id, sig) — numHashes longs per doc —
+    // signatures; caching (id, sig) — numHashes elements per doc —
     // keeps the corpus text pass single
-    val sig = minhashSignatures(df, id, text, n, numHashes)
+    val sig = signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(sig.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bi => struct(bi.as("band"),
-            xxhash64(bi, slice(col("sig"), bi * r + lit(1), lit(r))).as("bh"))))
+            bandKey(bi, slice(col("sig"), bi * r + lit(1), lit(r))).as("bh"))))
           .as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bh")),
       "bh", maxBucketSize)
@@ -194,6 +210,50 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
+
+  /** md5-seeded MinHash signatures: `sig[k] = min over shingles of
+    * md5(k || '|' || shingle)` — 32-char lowercase hex strings whose
+    * lexicographic min is engine-portable (equal-width hex compare ==
+    * numeric compare), so signatures, banding, and verification are
+    * all reproducible in ANSI SQL. The xxhash64 production path
+    * ([[minhashSignatures]], a fused codegen loop over 8-byte keys)
+    * stays the scale path; this one exists so the band/bucket/verify
+    * machinery gets a rows+schema+hash oracle, at the cost of string
+    * hashing per (seed, shingle).
+    *
+    * Duplicate shingles are NOT dropped before the min — the min over
+    * a multiset equals the min over its set, so `distinct` would buy
+    * nothing and cost a shuffle.
+    */
+  def minhashSignaturesSeeded(df: DataFrame, id: Column, text: Column,
+                              n: Int, numHashes: Int): DataFrame =
+    // stage the shingle-string array in its own column first: lambdas
+    // referencing a bound column are cheap, while inlining the
+    // split/normalize/shingle expression re-evaluates it per seed
+    // (the r2 nested-HOF trap)
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("id"),
+        transform(sequence(lit(0), size(col("__w")) - n),
+          i => array_join(slice(col("__w"), i + 1, lit(n)), " ")).as("__sh"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          k => array_min(transform(col("__sh"),
+            s => md5(concat(k.cast("string"), lit("|"), s))))).as("sig"))
+
+  /** Seeded LSH pairs: [[minhashSignaturesSeeded]] +
+    * [[lshPairsFromSignatures]] with an md5 band key
+    * (`md5(concat_ws('|', bandSlice))` — `array_to_string` in DuckDB).
+    */
+  def minhashLshPairsSeeded(df: DataFrame, id: Column, text: Column,
+                            n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                            threshold: Double = 0.5,
+                            maxBucketSize: Option[Int] = None,
+                            salt: Int = 1): DataFrame =
+    lshPairsFromSignatures(
+      minhashSignaturesSeeded(df, id, text, n, numHashes),
+      numHashes, bands, threshold, maxBucketSize, salt,
+      bandKey = (_, sl) => md5(concat_ws("|", sl)))
 
   /** Connected components over a near-dup pair list: every doc in a
     * component gets the component's minimum id as its label — the
