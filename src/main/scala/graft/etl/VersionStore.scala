@@ -54,20 +54,59 @@ object VersionStore {
 
   /** Append `df` as the next version; returns its number.
     *
-    * Concurrency: the version number is claimed with an atomic
-    * exclusive-create of a sibling `_claim_v=N` marker before the
-    * write, so two concurrent writers get *different* numbers instead
-    * of silently committing into the same directory (the naive
-    * list-then-write allocation is a TOCTOU race — `errorifexists`
-    * checks at job start, before either has created the directory).
-    * A writer that crashes after claiming leaves an unused number;
-    * its partial directory stays invisible (no `_SUCCESS`) and
-    * `vacuum` sweeps it. */
-  def write(df: DataFrame, root: String): Long = {
+    * Schema enforcement (the contract Delta gives the reference's
+    * typed DDLs — the ddl scripts pin schemas and every notebook `append`
+    * relies on drifting frames being rejected): the new frame's
+    * schema must match the latest committed version's — same column
+    * set, same types (nullability and column order don't affect
+    * parquet readability and are not enforced). `evolve = true`
+    * permits adding or dropping columns (each version directory is
+    * self-contained, so per-version reads stay exact and `history`
+    * records the change); a TYPE change for an existing column is
+    * rejected even under `evolve` — that's silent corruption for any
+    * reader unioning versions, never a widening.
+    *
+    * Concurrency: the version number is claimed with an exclusive
+    * create of a sibling `_claim_v=N` marker before the write, so two
+    * concurrent writers get *different* numbers instead of silently
+    * committing into the same directory (the naive list-then-write
+    * allocation is a TOCTOU race — `errorifexists` checks at job
+    * start, before either has created the directory). NOTE the
+    * exclusive create is atomic on HDFS and POSIX filesystems but NOT
+    * on object stores (S3A's create is check-then-put; Hadoop's
+    * RawLocalFileSystem is also check-then-create, though single-JVM
+    * racers there are threads and close the window in practice) — on
+    * an object store, front this with a coordination service or
+    * accept last-writer-wins on the claim. A writer that crashes
+    * after claiming leaves an unused number; its partial directory
+    * stays invisible (no `_SUCCESS`) and `vacuum` sweeps it. */
+  def write(df: DataFrame, root: String, evolve: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
-    var next = versions(spark, root).lastOption.fold(0L)(_ + 1)
+    val committed = versions(spark, root)
+    committed.lastOption.foreach { last =>
+      // schema read = parquet footers of one version, driver-side
+      val cur = spark.read.parquet(dir(root, last)).schema
+      val curT = cur.fields.map(fd => fd.name -> fd.dataType).toMap
+      val newT = df.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+      val clash = curT.keySet.intersect(newT.keySet)
+        .filter(k => curT(k) != newT(k))
+      require(clash.isEmpty,
+        s"VersionStore.write: column type change rejected (v$last -> new): " +
+          clash.toSeq.sorted.map(k => s"$k: ${curT(k)} -> ${newT(k)}")
+            .mkString(", "))
+      if (!evolve) {
+        val added = newT.keySet -- curT.keySet
+        val dropped = curT.keySet -- newT.keySet
+        require(added.isEmpty && dropped.isEmpty,
+          s"VersionStore.write: schema drift vs v$last rejected " +
+            s"(added=${added.toSeq.sorted.mkString("[", ",", "]")}, " +
+            s"dropped=${dropped.toSeq.sorted.mkString("[", ",", "]")}); " +
+            "pass evolve=true to change columns deliberately")
+      }
+    }
+    var next = committed.lastOption.fold(0L)(_ + 1)
     while (!f.createNewFile(claim(root, next))) next += 1
     df.write.mode("errorifexists").parquet(dir(root, next))
     next
@@ -85,7 +124,9 @@ object VersionStore {
     spark.read.parquet(dir(root, vs.last))
   }
 
-  /** DESCRIBE HISTORY analog: (version, n_files, bytes, modified). */
+  /** DESCRIBE HISTORY analog: (version, n_files, bytes, modified,
+    * schema_ddl) — the per-version schema makes an `evolve`d append
+    * auditable (which version changed columns, and to what). */
   def history(spark: SparkSession, root: String): DataFrame = {
     val f = fs(spark, root)
     val rows = versions(spark, root).map { v =>
@@ -93,7 +134,8 @@ object VersionStore {
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       Row(v, files.length.toLong, files.map(_.getLen).sum,
         java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
-          files.map(_.getModificationTime).maxOption.getOrElse(0L))))
+          files.map(_.getModificationTime).maxOption.getOrElse(0L))),
+        spark.read.parquet(dir(root, v)).schema.toDDL)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
@@ -102,7 +144,8 @@ object VersionStore {
         StructField("version", LongType, nullable = false),
         StructField("n_files", LongType, nullable = false),
         StructField("bytes", LongType, nullable = false),
-        StructField("modified", TimestampType, nullable = false))))
+        StructField("modified", TimestampType, nullable = false),
+        StructField("schema_ddl", StringType, nullable = false))))
   }
 
   /** VACUUM analog: drop all but the newest `keepLast` versions;

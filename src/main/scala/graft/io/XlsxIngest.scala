@@ -5,7 +5,7 @@ import java.util.zip.ZipInputStream
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -259,18 +259,55 @@ object XlsxIngest {
     // only the FIRST sheet participates — secondary sheets ("Notes",
     // scratch tabs) must not leak rows into the table
     val raw = read(spark, path).where(col("sheet_idx") === 0)
-    // header row per file: row_idx 1 of the first sheet. Headers must
-    // agree across files (the reference re-reads one report layout).
-    val header = raw.where(col("row_idx") === 1)
+    // header = the first populated row (min row_idx — a blank or
+    // skipped first row must not fail the read) of the
+    // lexicographically-first path: deterministic run-to-run, unlike
+    // a bare limit(1) over an unordered glob. Headers must agree
+    // across files (the reference re-reads one report layout).
+    val header = raw.orderBy(col("path"), col("row_idx"))
       .select(col("cells")).limit(1).collect()
     require(header.nonEmpty, s"no header row found in $path")
     val names = header(0).getSeq[String](0).map(h =>
       Option(h).map(_.trim.toLowerCase).getOrElse(""))
-    val body = raw.where(col("row_idx") > 1)
+    // each file drops its OWN header row (its min row_idx) — with
+    // multiple workbooks, "row_idx > 1" would leak every other file's
+    // header in as data whenever a file's header doesn't sit at row 1
+    val byFile = org.apache.spark.sql.expressions.Window.partitionBy("path")
+    val body = raw
+      .withColumn("__hdr_idx", min(col("row_idx")).over(byFile))
+      .where(col("row_idx") > col("__hdr_idx"))
     schema.fields.foldLeft(body) { (df, f) =>
       val at = names.indexOf(f.name.trim.toLowerCase)
       val raw = if (at >= 0) col("cells").getItem(at) else lit(null)
       df.withColumn(f.name, raw.cast(f.dataType))
     }.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Excel date-serial → timestamp, pure column arithmetic — the
+    * piece `readTable`'s dtype=str-style passthrough leaves to the
+    * caller (the reference parses `M/dd/yyyy` CSV text because pandas
+    * resolved serials+styles during `read_excel`; here the serial
+    * arrives as a number string and this resolves it).
+    *
+    * Excel's epoch: serial 1 = 1900-01-01, but the format inherits
+    * Lotus 1-2-3's leap bug — it believes 1900-02-29 existed (serial
+    * 60), so real serials ≥ 61 are one day ahead of the naive count.
+    * Serial 60 itself names a day that never happened and resolves to
+    * 1900-03-01 here (same as serial 61 — the choice POI documents as
+    * "invalid"; no real workbook date hits it). The fractional part
+    * is the time of day, rounded to the nearest second (Excel's
+    * binary fractions carry ~microsecond noise; sub-second times
+    * aren't representable in the UI anyway). NULL serials stay NULL;
+    * the session timezone decides the wall-clock reading, as with any
+    * Spark timestamp.
+    */
+  def excelSerialToTimestamp(serial: Column): Column = {
+    val days = floor(serial).cast("long")
+    // days since 1900-01-01: pre-bug serials shift by the epoch only,
+    // post-bug serials also drop the phantom 1900-02-29
+    val adj = when(days >= lit(61L), days - 2).otherwise(days - 1)
+    val date = date_add(to_date(lit("1900-01-01")), adj.cast("int"))
+    val secs = round((serial - floor(serial)) * 86400).cast("double")
+    date.cast("timestamp") + make_dt_interval(lit(0), lit(0), lit(0), secs)
   }
 }

@@ -273,7 +273,15 @@ object Dedup {
     * appearing in a pair (singletons are their own implicit
     * component and are not emitted).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** Test seam: [[connectedComponents]] plus the number of
+    * propagation rounds it ran (including the final no-change round
+    * that proves convergence) — what the O(log diameter) property
+    * test asserts against. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIters: Int = 15): (DataFrame, Int) = {
     // Iterative-DataFrame trap (the round-2 18.9 s bench anomaly):
     // `labels = next` carries the WHOLE logical plan of every prior
     // round — each embedding the pair-generator's plan (the LSH
@@ -348,7 +356,7 @@ object Dedup {
     // returned frame stays checkpointed (materialized above); its
     // blocks are the operator's output — callers release them with
     // CheckpointBridge.unpersist / session shutdown, NOT clearCache
-    labels.select("id", "comp")
+    (labels.select("id", "comp"), i)
   }
 
   /** (id, sh) 64-bit SimHash of the token multiset: per bit, majority

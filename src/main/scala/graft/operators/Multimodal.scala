@@ -9,19 +9,25 @@ import org.apache.spark.sql.functions._
   * batch shape a real decoder needs: per-partition init of the
   * native decoder, then a tight per-record loop).
   *
-  * The container has no image/audio codecs, so `decode` below is a
-  * clearly-marked DETERMINISTIC STUB — it derives fake dimensions
-  * from the payload bytes. Everything around it (schema, encoders,
-  * partition batching, null handling) is the real plumbing a codec
-  * would drop into.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK with
+  * PNG/GIF/BMP/JPEG/WBMP readers, and [[ImageHeaderDecoder]] reads
+  * width/height/channels from the header without decoding pixel data.
+  * Payloads no reader recognizes — and the audio/video kinds, for
+  * which the JDK has no codec — fall back to the clearly-marked
+  * DETERMINISTIC STUB that derives fake dimensions from payload
+  * bytes; the `decoder` output column says which path produced each
+  * row. Everything around the codec seam (schema, encoders, partition
+  * batching, null handling) is the same either way.
   */
 object Multimodal {
 
-  /** One decoded media record. `width`/`height` are decode outputs
-    * (frames for audio/video); `ok` is the decode status. */
+  /** One decoded media record. `width`/`height`/`channels` are decode
+    * outputs (channels 0 when the stub produced the row — it knows
+    * nothing of color models); `ok` is the decode status; `decoder`
+    * is "imageio" or "stub". */
   final case class MediaMeta(doc_id: Long, media_kind: String,
                              n_bytes: Int, width: Int, height: Int,
-                             ok: Boolean)
+                             channels: Int, ok: Boolean, decoder: String)
 
   /** Wrap a text-keyed table into (doc_id, media_kind, payload)
     * binary rows — the ingest shape for opaque media. */
@@ -32,11 +38,52 @@ object Multimodal {
         .otherwise("video").as("media_kind"),
       col("text").cast("binary").as("payload"))
 
+  /** Real image-header decode over pure-JDK `javax.imageio`: finds a
+    * registered reader for the payload (PNG/GIF/BMP/JPEG/WBMP in any
+    * stock JDK) and reads width, height, and the color model's
+    * channel count from the HEADER — `ImageReader.getWidth/getHeight/
+    * getImageTypes` never touch pixel data, so a 50 MB photo costs a
+    * few hundred header bytes of work. One instance per partition:
+    * the constructor disables ImageIO's global disk cache (executor
+    * tasks must not contend on temp files) — the per-partition-init
+    * seam a native codec (libjpeg-turbo, ffmpeg) would use.
+    */
+  private final class ImageHeaderDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    /** (width, height, channels), or None if no reader recognizes the
+      * payload. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (payload == null || payload.length < 4) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val types = r.getImageTypes(0)
+            val ch =
+              if (types.hasNext) types.next().getColorModel.getNumComponents
+              else 0
+            Some((w, h, ch))
+          } catch { case _: Exception => None } // truncated/corrupt header
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
   // ======================================================================
-  // STUB DECODER — deterministic fake. A real implementation binds an
-  // image/audio library here (one init per partition, reused across
-  // records). The fake derives "dimensions" from payload bytes so
-  // tests are reproducible without codecs.
+  // STUB DECODER — deterministic fake for the kinds the JDK has no
+  // codec for (audio/video) and for unrecognizable payloads. A real
+  // implementation binds a native library here (one init per
+  // partition, reused across records). The fake derives "dimensions"
+  // from payload bytes so tests are reproducible without codecs.
   // ======================================================================
   private final class StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Boolean) =
@@ -48,10 +95,13 @@ object Multimodal {
       }
   }
 
-  /** Decode payloads partition-wise. The decoder is constructed once
-    * per partition (models expensive codec init), the iterator is
-    * consumed lazily (no partition-sized buffering), and output is a
-    * typed Dataset so downstream stages stay columnar.
+  /** Decode payloads partition-wise. Image payloads go through the
+    * real [[ImageHeaderDecoder]] first; payloads it can't recognize
+    * (and the audio/video kinds) take the stub. Decoders are
+    * constructed once per partition (models expensive codec init),
+    * the iterator is consumed lazily (no partition-sized buffering),
+    * and output is a typed Dataset so downstream stages stay
+    * columnar.
     */
   def decode(payloads: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -59,11 +109,18 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("media_kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        val decoder = new StubDecoder // per-partition init
+        val img = new ImageHeaderDecoder // per-partition init
+        val stub = new StubDecoder
         it.map { case (id, kind, payload) =>
-          val (w, h, ok) = decoder.decode(payload)
           val n = if (payload == null) 0 else payload.length
-          MediaMeta(id, kind, n, w, h, ok)
+          val real = if (kind == "image") img.decode(payload) else None
+          real match {
+            case Some((w, h, ch)) =>
+              MediaMeta(id, kind, n, w, h, ch, ok = true, decoder = "imageio")
+            case None =>
+              val (w, h, ok) = stub.decode(payload)
+              MediaMeta(id, kind, n, w, h, 0, ok, decoder = "stub")
+          }
         }
       }
   }

@@ -217,6 +217,48 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.forall(_.getAs[Int]("frame_idx") % 2 == 0))
   }
 
+  test("imageio decodes real PNG/BMP/GIF headers; features feed ANN") {
+    implicit val s = spark
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int, fmt: String,
+                   tpe: Int = BufferedImage.TYPE_INT_RGB): Array[Byte] = {
+      val img = new BufferedImage(w, h, tpe)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 2654435761L + y * 40503L).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (0L, "image", imageBytes(5, 3, "png")),
+      (3L, "image", imageBytes(8, 6, "bmp")),
+      (6L, "image", imageBytes(4, 2, "png", BufferedImage.TYPE_INT_ARGB)),
+      (9L, "image", imageBytes(7, 7, "gif")),
+      (12L, "image", imageBytes(9, 4, "png", BufferedImage.TYPE_BYTE_GRAY)),
+      (15L, "image", "definitely not an image".getBytes("UTF-8")),
+      (1L, "audio", Array[Byte](1, 2, 3, 4, 5))
+    ).toDF("doc_id", "media_kind", "payload")
+    val m = Multimodal.decode(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    // real header reads: exact dimensions and channel counts
+    assert((m(0L).width, m(0L).height, m(0L).channels) == (5, 3, 3))
+    assert(m(0L).decoder == "imageio" && m(0L).ok)
+    assert((m(3L).width, m(3L).height, m(3L).channels) == (8, 6, 3))
+    assert((m(6L).width, m(6L).height, m(6L).channels) == (4, 2, 4)) // alpha
+    assert((m(9L).width, m(9L).height) == (7, 7))
+    assert((m(12L).width, m(12L).height, m(12L).channels) == (9, 4, 1)) // gray
+    // unrecognizable image payloads and non-image kinds take the stub
+    assert(m(15L).decoder == "stub" && m(15L).ok && m(15L).channels == 0)
+    assert(m(1L).decoder == "stub")
+    // the same real image bytes flow on into ANN via extractFeatures
+    val feats = Multimodal.extractFeatures(
+      payloads.where(col("media_kind") === "image"), dim = 16).toDF()
+    val out = Similarity.annTopKCosine(feats,
+      feats.where(col("doc_id") < 4), k = 3, idCol = "doc_id")
+    assert(out.count() == 6) // 2 queries × k=3
+  }
+
   test("multimodal decode plumbing preserves rows and is deterministic") {
     implicit val s = spark
     val decoded = Multimodal.decode(Multimodal.asPayload(t.documents))

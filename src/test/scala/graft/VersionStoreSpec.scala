@@ -39,6 +39,38 @@ class VersionStoreSpec extends GraftSuite {
     assert(VersionStore.write(spark.range(9).toDF("id"), root) == 4L)
   }
 
+  test("schema enforcement: drifting appends throw, evolve widens, history records") {
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(Seq((1, "a")).toDF("id", "x"), root)
+
+    // same column set, different order / nullability: accepted
+    assert(VersionStore.write(
+      Seq(("b", 2)).toDF("x", "id"), root) == 1L)
+
+    // added column without evolve: rejected, and nothing committed
+    val drift = intercept[IllegalArgumentException] {
+      VersionStore.write(Seq((3, "c", 1.5)).toDF("id", "x", "score"), root)
+    }
+    assert(drift.getMessage.contains("evolve=true"))
+    assert(VersionStore.versions(spark, root) == Seq(0L, 1L))
+
+    // evolve=true admits the new column; history shows which version
+    // changed the schema and to what
+    assert(VersionStore.write(
+      Seq((3, "c", 1.5)).toDF("id", "x", "score"), root, evolve = true) == 2L)
+    val ddl = VersionStore.history(spark, root).orderBy("version")
+      .select("schema_ddl").as[String].collect()
+    assert(!ddl(0).contains("score") && ddl(2).contains("score"))
+
+    // a TYPE change for an existing column is rejected even under
+    // evolve — that's corruption for any cross-version reader
+    val clash = intercept[IllegalArgumentException] {
+      VersionStore.write(
+        Seq(("4", "d", 1.5)).toDF("id", "x", "score"), root, evolve = true)
+    }
+    assert(clash.getMessage.contains("type change"))
+  }
+
   test("optimize rewrites latest as a new compacted version") {
     val root = Files.createTempDirectory("vs").toString
     // many tiny files in v0

@@ -106,6 +106,70 @@ class XlsxIngestSpec extends GraftSuite {
       .toSeq == Seq((1L, "alice", null), (2L, "bob", null)))
   }
 
+  test("excelSerialToTimestamp: epoch, 1900 leap bug, time fraction, null") {
+    import spark.implicits._
+    val got = Seq(Some(1.0), Some(59.0), Some(60.0), Some(61.0),
+        Some(25569.0), Some(45000.5), None)
+      .toDF("s")
+      .select(XlsxIngest.excelSerialToTimestamp(col("s"))
+        .cast("string").as("ts"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(
+      Some("1900-01-01 00:00:00"), // serial 1 = the Excel epoch
+      Some("1900-02-28 00:00:00"),
+      Some("1900-03-01 00:00:00"), // the phantom 1900-02-29
+      Some("1900-03-01 00:00:00"), // first post-bug serial
+      Some("1970-01-01 00:00:00"), // unix epoch = serial 25569
+      Some("2023-03-15 12:00:00"), // fraction .5 = noon
+      None))
+  }
+
+  test("readTable round-trips a date column stored as Excel serials") {
+    val dir = Files.createTempDirectory("xlsx")
+    val sheet =
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c><c r="B1" t="inlineStr"><is><t>hired</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>45000.5</v></c></row>
+        |<row r="3"><c r="A3"><v>2</v></c><c r="B3"><v>25569</v></c></row>""".stripMargin
+    writeXlsx(dir, "dates.xlsx", Seq(("S", sheet)), Nil)
+    val t = XlsxIngest.readTable(spark, dir.resolve("dates.xlsx").toString,
+        StructType(Seq(StructField("id", LongType),
+          StructField("hired", DoubleType))))
+      .select(col("id"),
+        XlsxIngest.excelSerialToTimestamp(col("hired"))
+          .cast("string").as("hired_ts"))
+    assert(t.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "2023-03-15 12:00:00"), (2L, "1970-01-01 00:00:00")))
+  }
+
+  test("header derives from each file's minimum row index, not hardcoded row 1") {
+    val dir = Files.createTempDirectory("xlsx")
+    // this workbook's sheet starts at row 3 (rows 1-2 absent) — the
+    // old row_idx == 1 rule both failed the header require and, in a
+    // multi-file read, leaked this file's header row in as data
+    val late =
+      """<row r="3"><c r="A3" t="inlineStr"><is><t>id</t></is></c><c r="B3" t="inlineStr"><is><t>dept</t></is></c></row>
+        |<row r="4"><c r="A4"><v>7</v></c><c r="B4" t="inlineStr"><is><t>sec</t></is></c></row>""".stripMargin
+    writeXlsx(dir, "late.xlsx", Seq(("S", late)), Nil)
+    val one = XlsxIngest.readTable(spark, dir.resolve("late.xlsx").toString,
+      StructType(Seq(StructField("id", LongType),
+        StructField("dept", StringType))))
+    assert(one.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "sec")))
+    // mixed with a header-at-row-1 workbook: each file sheds its OWN
+    // header row; no header text appears as data
+    val normal =
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c><c r="B1" t="inlineStr"><is><t>dept</t></is></c></row>
+        |<row r="2"><c r="A2"><v>8</v></c><c r="B2" t="inlineStr"><is><t>hr</t></is></c></row>""".stripMargin
+    writeXlsx(dir, "a_normal.xlsx", Seq(("S", normal)), Nil)
+    val both = XlsxIngest.readTable(spark, dir.toString + "/*.xlsx",
+      StructType(Seq(StructField("id", LongType),
+        StructField("dept", StringType))))
+    assert(both.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "sec"), (8L, "hr")))
+  }
+
   test("readTable unions multiple workbooks like the reference's per-file loop") {
     val dir = Files.createTempDirectory("xlsx")
     def sheet(rows: Seq[(Int, String)]) =
