@@ -1,10 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Benchmark harness. One JVM, `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  * back-to-back runs of the full suite, per-query MEDIAN / min / max —
+  * single-shot numbers at this scale bounce ±40% from JIT, GC timing,
+  * and sandbox contention (round 4's 56.7 → 82.3 s suite-wide wobble
+  * with zero query changes), so no per-query claim rests on one
+  * sample. `/proc/loadavg` is recorded before and after so external
+  * contention is visible in the artifact instead of being guessed at.
+  *
+  * The headline `value` is the median suite total of SCALE-PATH
+  * queries only: md5-seeded `*_seeded` entries exist to give a
+  * rows-only xxhash64 operator a rows+schema+hash oracle (the hashing
+  * is deliberately string-heavy and engine-portable — oracle plumbing,
+  * not engine capability) and are reported separately under
+  * `oracle_only_sec`, still measured every run and still verified by
+  * Verify. After the suite runs, the slowest iterative query
+  * (q_dedup_clusters_jaccard) is re-timed ISOLATED in the same
+  * session/JVM — the in-suite median vs same-session isolated delta
+  * is the attribution signal rounds 3-4 lacked.
+  */
 object Bench {
+
+  /** Oracle-only twins: verification plumbing for a rows-only scale
+    * path (SparkEntry documents each pairing). Excluded from the
+    * headline total, reported separately. */
+  val oracleOnly: Set[String] =
+    Set("q_dedup_minhash_seeded", "q_dedup_simhash_seeded", "q_ann_ivf_seeded")
+
+  private def loadavg: String =
+    try Files.readString(Paths.get("/proc/loadavg")).trim
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,17 +45,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/scheduler warmup so the alphabetically-first query's number
-    // is the query, not classloading + first-scan machinery. Round-2
-    // showed the shallow version (range + tiny-table count) left the
-    // first substantive query absorbing ~5 s of parquet-reader /
-    // broadcast / noop-write / AQE first-use cost (q_ann_ivf_probe
-    // 7.3 s bench vs 2.4 s isolated). Exercise each machinery path
-    // once, untimed: scan every input table, run one broadcast join +
-    // shuffle aggregate, and push a result through the noop writer.
-    // warmup is best-effort: a missing table must degrade to a cold
-    // first query, not abort the bench before any JSON is written
-    // (the per-query harness below owns failure reporting)
+    // JVM/scheduler warmup so the first query's number is the query,
+    // not classloading + first-scan machinery (parquet reader,
+    // broadcast, noop writer, AQE first-use — round-2 finding).
+    // Best-effort: a missing table degrades to a cold first query,
+    // never aborts the bench before JSON is written.
     def warm(body: => Unit): Unit =
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] warmup step skipped: ${e.getMessage}")
@@ -42,43 +68,82 @@ object Bench {
         .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")))
         .write.format("noop").mode("overwrite").save()
     }
-    // a failed query must not masquerade as a fast one: it reports
-    // timing -1 and lands in "errors", and the run exits non-zero
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        // noop write, not count(): a count prunes every projection
-        // expression out of map-only queries and would time a bare
-        // scan (and never execute an expression that would throw)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors += name; false
-        }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // drop persisted intermediates so queries are timed independently
+
+    // between-query hygiene (round-2/3 findings): drop persisted
+    // intermediates, sweep checkpoint blocks clearCache can't see
+    // (blocking — async removal would overlap the next timed query),
+    // and collect the previous query's garbage outside the next
+    // query's timer (a 32 GiB full GC is multi-second).
+    def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      // clearCache misses localCheckpoint blocks (CacheManager never saw
-      // them — see CheckpointBridge); without this sweep the CC/IVF
-      // queries' node/edge/centroid blocks stay live for the rest of the
-      // run and the heap pressure bills later queries (r3: q37 8.1 s
-      // bench vs 3.5 s isolated)
-      val swept = org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
-      if (swept > 0) System.err.println(s"[bench] swept $swept checkpoint RDD(s) after $name")
-      // collect the previous query's garbage outside the next query's
-      // timer: with a 32 GiB heap a full GC is multi-second, and
-      // letting it land mid-query charged random queries ~3-5 s in
-      // round 2 (q_lang_id 5.4 s bench vs 2.0 s cold isolated)
+      org.apache.spark.sql.graft.CheckpointBridge
+        .unpersistAll(spark, blocking = true)
       System.gc()
-      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // noop write, not count(): a count prunes every projection
+    // expression out of map-only queries and would time a bare scan
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        errors += name; -1.0
+      } finally sweep()
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val loadBefore = loadavg
+    val perRun: Seq[Map[String, Double]] = (1 to runs).map { r =>
+      val m = names.map(n => n -> timeOne(n)).toMap
+      System.err.println(s"[bench] run $r/$runs total=" +
+        f"${m.values.filter(_ >= 0).sum}%.1f s loadavg=$loadavg")
+      m
+    }
+    // same-session isolated re-time of the historically divergent
+    // query: its suite-median vs isolated-median gap (same JVM, same
+    // data, minutes apart) isolates in-suite interference from
+    // environment drift
+    val isoName = "q_dedup_clusters_jaccard"
+    val iso = if (SparkEntry.queries.contains(isoName))
+      (1 to runs).map(_ => timeOne(isoName)) else Seq.empty
+    val loadAfter = loadavg
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(perRun.map(_(n)))).toMap
+    val mins = names.map(n => n -> perRun.map(_(n)).filter(_ >= 0)
+      .minOption.getOrElse(-1.0)).toMap
+    val maxs = names.map(n => n -> perRun.map(_(n)).max).toMap
+    val headlineNames = names.filterNot(oracleOnly)
+    def runTotal(m: Map[String, Double], ns: Seq[String]) =
+      ns.map(m(_)).filter(_ >= 0).sum
+    val headlineMedian = median(perRun.map(runTotal(_, headlineNames)))
+    val allMedian = median(perRun.map(runTotal(_, names)))
+    val oracleMedian = median(perRun.map(runTotal(_, names.filter(oracleOnly))))
+
+    def jmap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"headline_median_total","value":$headlineMedian,"unit":"sec"""" +
+        s""","runs":$runs,"queries":${jmap(med)}""" +
+        s""","queries_min":${jmap(mins)},"queries_max":${jmap(maxs)}""" +
+        s""","per_run_total":${perRun.map(runTotal(_, names)).mkString("[", ",", "]")}""" +
+        s""","total_all_median":$allMedian""" +
+        s""","oracle_only":${oracleOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","oracle_only_sec":$oracleMedian""" +
+        s""","isolated":{"$isoName":${median(iso)}}""" +
+        s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
+        s""","errors":$errs,"sf":"$sfDir"}"""
     // stdout is full of sbt/log4j noise; also write the line to a file
     // so the driver's parse can't fail silently.
     println(json)

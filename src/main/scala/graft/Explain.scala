@@ -50,7 +50,7 @@ object Explain {
       spark.sharedState.cacheManager.clearCache()
       // also free checkpoint blocks so `warm` re-derives them like a
       // fresh run would (clearCache can't see them — CheckpointBridge)
-      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
+      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark, blocking = true)
       val warm = timed()
       val n = fn(spark, sfDir).count()
       sb.append(
@@ -59,7 +59,7 @@ object Explain {
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("\n")
       spark.sharedState.cacheManager.clearCache()
-      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
+      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark, blocking = true)
       println(f"[explain] $name%s cold=$cold%.3f warm=$warm%.3f rows=$n%d")
     }
     Files.writeString(Paths.get(out), sb.toString)

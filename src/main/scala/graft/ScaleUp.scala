@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-data scaler: replicates a driver-generated sf directory K×
+  * into a repo-local directory, producing the next scale factor for
+  * the scale-trend bench (sf0.1 × 10 ≈ sf1). Derivation only — the
+  * driver's testdata stays the single source of truth for
+  * correctness; this output feeds Bench, never Verify.
+  *
+  * The replication model keeps per-operator cost growth HONEST:
+  *  - every key domain shifts by `replica × stride` (stride = max key
+  *    + 1, foreign keys shifted by their referenced domain's stride),
+  *    so join fan-outs stay constant per row and output cardinalities
+  *    scale linearly — no artificial key collisions;
+  *  - document text for replica r > 0 gets a replica-unique tag token
+  *    inserted after every 2nd token: within a replica the near-dup
+  *    structure is preserved (identical docs stay identical), while
+  *    across replicas NO 3-gram shingle is shared (any 3 consecutive
+  *    tokens straddle a tag), so dedup pair counts scale linearly —
+  *    the constant-duplication-rate model of a real growing corpus,
+  *    not the quadratic blow-up naive copying would fake;
+  *  - embeddings for replica r > 0 get a deterministic per-(replica,
+  *    dim) sign flip: within-replica cosines are EXACTLY preserved
+  *    (signs cancel in the dot product), cross-replica cosines decay
+  *    toward noise — fixed query set, 10× corpus, linear ANN cost;
+  *  - events.ts round-trips as raw int64 nanos (the source files are
+  *    TIMESTAMP(NANOS), which Spark reads as long under
+  *    `nanosAsLong` and cannot write back — plain INT64 reads
+  *    identically through graft.io.Tables).
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [replicas=10]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    require(replicas >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def stride(t: String, key: String): Long =
+      read(t).agg(max(col(key))).head().getLong(0) + 1
+    // one stride per key DOMAIN; foreign keys use the referenced one
+    val kCust = stride("customer", "c_custkey")
+    val kSupp = stride("supplier", "s_suppkey")
+    val kPart = stride("part", "p_partkey")
+    val kOrd = stride("orders", "o_orderkey")
+    val kEvt = stride("events", "event_id")
+    val kUser = stride("events", "user_id")
+    val kDoc = stride("documents", "doc_id")
+    val kVec = stride("embeddings", "vec_id")
+
+    val r = col("__r")
+    def replicate(df: DataFrame)(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+        .select(cols: _*)
+    def shift(c: String, k: Long) = (col(c) + r * k).as(c)
+    def keep(c: String) = col(c)
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+
+    // broadcast dims: copied, not replicated (nationkey FKs stay valid)
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(replicate(read("customer"))(shift("c_custkey", kCust),
+      keep("c_name"), keep("c_nationkey"), keep("c_acctbal"),
+      keep("c_mktsegment")), "customer")
+    write(replicate(read("supplier"))(shift("s_suppkey", kSupp),
+      keep("s_name"), keep("s_nationkey"), keep("s_acctbal")), "supplier")
+    write(replicate(read("part"))(shift("p_partkey", kPart),
+      keep("p_name"), keep("p_brand"), keep("p_type"), keep("p_size"),
+      keep("p_retailprice")), "part")
+    write(replicate(read("orders"))(shift("o_orderkey", kOrd),
+      shift("o_custkey", kCust), keep("o_orderstatus"),
+      keep("o_totalprice"), keep("o_orderdate"), keep("o_orderpriority")),
+      "orders")
+    write(replicate(read("lineitem"))(shift("l_orderkey", kOrd),
+      shift("l_partkey", kPart), shift("l_suppkey", kSupp),
+      keep("l_linenumber"), keep("l_quantity"), keep("l_extendedprice"),
+      keep("l_discount"), keep("l_tax"), keep("l_returnflag"),
+      keep("l_linestatus"), keep("l_shipdate")), "lineitem")
+    // ts is already a raw long here (nanosAsLong) and is written back
+    // as plain INT64 — Tables.events reads both identically
+    write(replicate(read("events"))(shift("event_id", kEvt),
+      keep("ts"), shift("user_id", kUser), keep("event_type"),
+      keep("value"), keep("props")), "events")
+
+    // replica-unique tag after every 2nd token: every 3-gram window of
+    // a tagged doc contains a tag, so shingle sets are disjoint across
+    // replicas; r=0 keeps the original text byte-identical
+    val toks = split(col("text"), " ")
+    val tagged = array_join(flatten(transform(toks, (t, i) =>
+      when(i % 2 === 1, array(t, concat(lit("zrep"), r)))
+        .otherwise(array(t)))), " ")
+    val text2 = when(r === 0, col("text")).otherwise(tagged)
+    write(replicate(read("documents"))(shift("doc_id", kDoc),
+      text2.as("text"), keep("lang"), keep("source"),
+      coalesce(length(text2).cast("long"), lit(0L)).as("n_chars")),
+      "documents")
+
+    // per-(replica, dim) sign flip: norms and within-replica cosines
+    // exactly preserved, cross-replica similarity decays to noise
+    val flipped = transform(col("embedding"), (x, i) =>
+      when(pmod(xxhash64(r, i), lit(2)) === 0, x).otherwise(-x).cast("float"))
+    write(replicate(read("embeddings"))(shift("vec_id", kVec),
+      when(r === 0, col("embedding")).otherwise(flipped).as("embedding"),
+      keep("label")), "embeddings")
+
+    println(s"[scaleup] wrote $dst (x$replicas of $src)")
+    spark.stop()
+  }
+}

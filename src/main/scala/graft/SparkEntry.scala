@@ -210,6 +210,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"),
         col("text"), maxHamming = 3, bands = 4)),
 
+    // oracle-checked SimHash: md5-nibble bit votes (portable hex
+    // set-membership, no engine-specific hex→int) drive the SAME
+    // pigeonhole banding + hamming-verify shape as the xxhash64 entry
+    // above, so the last no-oracle operator family gets a
+    // rows+schema+hash row; xxhash64 stays the scale path
+    "q_dedup_simhash_seeded" -> ((s, dir) =>
+      Dedup.simhashPairsSeeded(Tables(s, dir).documents, col("doc_id"),
+        col("text"), maxHamming = 3, bands = 4)),
+
     // Axis-plane LSH candidates (sign of the first 16 dims, 8 bands of
     // 2 bits) + exact-cosine verify — the oracle reproduces the exact
     // same bucketing, so the result is deterministic.
@@ -560,6 +569,14 @@ object SparkEntry {
         |WHERE CAST(len(list_filter(generate_series(1, 16),
         |  i -> sa[i] = sb[i])) AS DOUBLE) / 16 >= 0.5""".stripMargin,
 
+    // The seeded-SimHash pipeline replayed in SQL: per-token md5
+    // prefixes → 32 majority-vote bits (nibble membership tests
+    // GENERATED from the same Dedup.hexCharsWithBit constants the
+    // Spark expression uses) → 4 band slices → bucket equi-join →
+    // hamming ≤ 3 verify. Integer votes and char compares only —
+    // nothing engine-specific.
+    "q_dedup_simhash_seeded" -> simhashSeededOracleSql,
+
     // The full pipeline composed from the per-stage oracles: quality
     // gates (token/stopword/lang) → exact dedup (min id per md5 of
     // normalized text) → jaccard near-dup drop (higher id of each
@@ -819,6 +836,36 @@ object SparkEntry {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
       |  CASE source $cases
       |              ELSE '${graft.operators.Sampling.hexThreshold(sampleDefaultRate)}' END""".stripMargin
+  }
+
+  /** q_dedup_simhash_seeded oracle: the 32 bit-vote CASEs are generated
+    * from Dedup.hexCharsWithBit so Spark and DuckDB share one source of
+    * truth for the bit layout (hex char j/4, nibble bit 3-j%4). */
+  private def simhashSeededOracleSql: String = {
+    val bitExprs = (0 until 32).map { j =>
+      val p = j / 4 + 1
+      val chars = graft.operators.Dedup.hexCharsWithBit(3 - j % 4)
+        .map("'" + _ + "'").mkString(", ")
+      s"(CASE WHEN 2 * len(list_filter(hs, x -> substr(x, $p, 1) IN ($chars))) >= len(hs) THEN '1' ELSE '0' END)"
+    }.grouped(4).map(_.mkString(" || ")).mkString(" ||\n        |      ")
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+      |h AS (SELECT doc_id, list_transform(w, tk -> substr(md5(tk), 1, 8)) hs
+      |      FROM t WHERE len(w) >= 1),
+      |bits AS (SELECT doc_id,
+      |      $bitExprs AS bits
+      |      FROM h),
+      |banded AS (SELECT doc_id, bits, b, substr(bits, b*8+1, 8) bs
+      |           FROM bits, LATERAL (SELECT unnest(generate_series(0, 3)) b)),
+      |cand AS (SELECT DISTINCT a.doc_id id_a, b2.doc_id id_b,
+      |                a.bits ba, b2.bits bb
+      |         FROM banded a JOIN banded b2
+      |           ON a.b = b2.b AND a.bs = b2.bs AND a.doc_id < b2.doc_id)
+      |SELECT id_a, id_b,
+      |       CAST(len(list_filter(generate_series(1, 32),
+      |         i -> substr(ba, i, 1) <> substr(bb, i, 1))) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE len(list_filter(generate_series(1, 32),
+      |  i -> substr(ba, i, 1) <> substr(bb, i, 1))) <= 3""".stripMargin
   }
 
   private val normSql =

@@ -33,7 +33,7 @@ object Verify {
       // pipeline stage); keep runs independent. clearCache misses
       // localCheckpoint blocks — sweep those too (CheckpointBridge).
       spark.sharedState.cacheManager.clearCache()
-      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark)
+      org.apache.spark.sql.graft.CheckpointBridge.unpersistAll(spark, blocking = true)
     }
     // manifest of every declared query, so the gate can flag a
     // rows-only query whose output is missing (no oracle ⇒ no other

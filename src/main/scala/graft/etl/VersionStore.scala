@@ -52,6 +52,16 @@ object VersionStore {
   private def dir(root: String, v: Long) = s"$root/v=$v"
   private def claim(root: String, v: Long) = new Path(root, s"_claim_v=$v")
 
+  /** Whether version `v` holds any data file. An empty-DataFrame
+    * append commits only `_SUCCESS` — no parquet footers — so schema
+    * inference on that directory throws; schema-sensitive paths must
+    * skip such versions. */
+  private def hasData(f: org.apache.hadoop.fs.FileSystem, root: String,
+                      v: Long): Boolean =
+    f.listStatus(new Path(dir(root, v)))
+      .exists(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        s.getLen > 0)
+
   /** Append `df` as the next version; returns its number.
     *
     * Schema enforcement (the contract Delta gives the reference's
@@ -85,7 +95,14 @@ object VersionStore {
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
     val committed = versions(spark, root)
-    committed.lastOption.foreach { last =>
+    // enforce against the newest version that actually has parquet
+    // footers: an empty-DataFrame append writes only _SUCCESS, and
+    // inferring schema on it would throw — permanently bricking every
+    // subsequent write. (Check-before-claim caveat: validation runs
+    // before the claim marker, so two concurrent writers — one with
+    // evolve=true — can both pass and commit conflicting schemas;
+    // same single-writer assumption as the claim note below.)
+    committed.reverse.find(hasData(f, root, _)).foreach { last =>
       // schema read = parquet footers of one version, driver-side
       val cur = spark.read.parquet(dir(root, last)).schema
       val curT = cur.fields.map(fd => fd.name -> fd.dataType).toMap
@@ -135,7 +152,11 @@ object VersionStore {
       Row(v, files.length.toLong, files.map(_.getLen).sum,
         java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
           files.map(_.getModificationTime).maxOption.getOrElse(0L))),
-        spark.read.parquet(dir(root, v)).schema.toDDL)
+        // empty version (no footers) ⇒ no inferable schema; "" keeps
+        // history listable instead of throwing on the whole table
+        if (hasData(f, root, v))
+          spark.read.parquet(dir(root, v)).schema.toDDL
+        else "")
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters

@@ -144,10 +144,22 @@ object FileSync {
       .mapPartitions { it =>
         it.map { case (name, ts) => Row(name, ts, source.fetch(name)) }
       }
-    spark.createDataFrame(fetched, StructType(Seq(
+    val df = spark.createDataFrame(fetched, StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("last_modified", TimestampType, nullable = false),
       StructField("content", BinaryType, nullable = false))))
+    // persist + materialize NOW: the loop "pull → land → append log"
+    // runs at least two actions over this frame, and an unpersisted
+    // RDD-backed frame would re-run source.fetch for every file on
+    // each of them — doubling remote IO per cycle and, worse, letting
+    // a file deleted/modified remotely between the actions make the
+    // log append throw or record different bytes than what landed.
+    // Executor-local blocks pin the bytes from exactly one fetch pass
+    // (caller releases them with `pulled.unpersist()` after the log
+    // append; disk-backed so a large drop spills rather than OOMs).
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
   }
 
   /** The log rows a completed pull appends — next run's watermark. */

@@ -260,14 +260,24 @@ object Dedup {
     * clustering step that turns pairwise LSH hits into dedup groups
     * (keep the canonical, drop the rest).
     *
-    * Algorithm: hash-min label propagation with pointer jumping —
-    * each round every node takes the min of its own label, its
-    * neighbors' labels (equi-join + groupBy), and *its label's
-    * label* (path halving), so chains converge in O(log diameter)
-    * rounds instead of O(diameter); each round is two equi-joins and
-    * one aggregate. Labels persist per round and the previous round's
-    * cache is released; the driver sees only a 1-row convergence
-    * probe per round — no component data.
+    * Algorithm: **hash-to-min** (Rastogi et al. 2013, "Finding
+    * Connected Components in Map-Reduce in Logarithmic Rounds").
+    * State is a cluster-membership relation C as (v, u) rows; each
+    * round every node sends min(C(v)) to all of C(v) and sends C(v)
+    * to min(C(v)) — one aggregate, one co-partitioned join, two
+    * projections, one distinct. Cluster reach DOUBLES per round, so
+    * rounds are O(log diameter) on paths/trees (proven in the paper;
+    * CcPropertySpec checks rounds ≤ 2⌈log₂ diameter⌉+2 against
+    * adversarial id placements). Rounds 1-4 of this project ran
+    * hash-min + a single pointer-jump instead — measured O(diameter)
+    * on adversarial permutations (the label forest compresses, but
+    * the min still crosses the GRAPH one hop per round; the round-5
+    * property run caught exactly this). Hash-to-min trades that for
+    * state: Σ|C(v)| intermediate rows — O(n log n) on paths, and the
+    * min node's row set IS the component (the operator's output
+    * anyway). For LSH dedup clusters (small, dense components) state
+    * ≈ the pair list itself; the upstream bucket caps / salting
+    * valves bound pathological cluster sizes before they reach here.
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id
     * appearing in a pair (singletons are their own implicit
@@ -276,87 +286,139 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame =
     connectedComponentsWithRounds(pairs, maxIters)._1
 
-  /** Test seam: [[connectedComponents]] plus the number of
-    * propagation rounds it ran (including the final no-change round
-    * that proves convergence) — what the O(log diameter) property
-    * test asserts against. */
+  /** Test seam: [[connectedComponents]] plus the number of rounds it
+    * ran (including the final no-change round that proves
+    * convergence) — what the 2⌈log₂ diameter⌉+2 property asserts
+    * against. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, maxIters: Int = 15): (DataFrame, Int) = {
     // Iterative-DataFrame trap (the round-2 18.9 s bench anomaly):
-    // `labels = next` carries the WHOLE logical plan of every prior
-    // round — each embedding the pair-generator's plan (the LSH
-    // pipeline's 32-seed expression trees) several times — and
-    // Catalyst re-analyzes and re-optimizes that exponentially
-    // growing tree on every action even though execution reads from
-    // cache. `localCheckpoint(eager)` truncates the lineage at each
-    // round boundary, so round plans stay O(1)-sized: two small
-    // joins over checkpointed inputs. (Trade-off, as with GraphX:
-    // a lost executor can't recompute truncated partitions — on a
-    // real cluster prefer `spark.sparkContext.setCheckpointDir` +
-    // reliable `checkpoint()` every few rounds for long jobs.)
+    // `state = next` would carry the WHOLE logical plan of every
+    // prior round — each embedding the pair-generator's plan (the
+    // LSH candidate join) several times — and Catalyst re-analyzes
+    // that exponentially growing tree on every action even though
+    // execution reads from cache. `localCheckpoint(eager)` truncates
+    // lineage at each round boundary so round plans stay O(1)-sized.
+    // (Trade-off, as with GraphX: a lost executor can't recompute
+    // truncated partitions — on a real cluster prefer
+    // `setCheckpointDir` + reliable `checkpoint()` for long jobs.)
     // edges checkpoints BEFORE the symmetrize-union so the pair
-    // generator (an LSH candidate join) runs exactly once — a plain
-    // union would embed (and race-compute) its plan in both branches
+    // generator runs exactly once — a plain union would embed (and
+    // race-compute) its plan in both branches
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
+      .select(col("id_a").cast("long").as("v"),
+        col("id_b").cast("long").as("u"))
       .localCheckpoint(true)
-    val sym = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().localCheckpoint(true)
+    val sym = edges.union(edges.select(col("u").as("v"), col("v").as("u")))
+    // C₀(v) = {v} ∪ neighbors(v)
+    var state = sym.union(sym.select(col("v"), col("v").as("u")))
+      .distinct().localCheckpoint(true)
     // NOTE: Dataset.unpersist() is a silent no-op on checkpointed
     // frames (CacheManager never registered them) — blocks must be
     // freed through the plan's RDD (CheckpointBridge), or every
-    // round's node-sized frame lingers until a driver GC
+    // round's state lingers until a driver GC
     CheckpointBridge.unpersist(edges)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    var stateCnt = state.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      // materialized (checkpoint) because both the round's output and
-      // the pointer-jump lookup consume it — unmaterialized, the
-      // nbrMin shuffle would run twice per round
-      val stepped = labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), col("comp").as("__oldc"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .as("__c1"))
+      val mins = state.groupBy(col("v")).agg(min(col("u")).as("m"))
+      // materialized (checkpoint) because both sends consume it —
+      // unmaterialized, the min-aggregate shuffle would run twice
+      val withMin = state.join(mins, "v").localCheckpoint(true)
+      val next = withMin.select(col("u").as("v"), col("m").as("u"))
+        .union(withMin.select(col("m").as("v"), col("u")))
+        .distinct()
         .localCheckpoint(true)
-      // pointer jump: comp := label(comp) — halves chain depth
-      val lookup = stepped.select(col("id").as("__lid"),
-        col("__c1").as("__lcomp"))
-      // the change flag rides in the same projection that builds the
-      // round's labels — no separate old-vs-new join for the probe
-      val next = stepped
-        .join(lookup, stepped("__c1") === col("__lid"), "left")
-        .select(col("id"),
-          least(col("__c1"), coalesce(col("__lcomp"), col("__c1")))
-            .as("comp"),
-          (least(col("__c1"), coalesce(col("__lcomp"), col("__c1"))) <
-            col("__oldc")).as("__changed"))
-        .localCheckpoint(true)
-      // the probe is a count over the already-checkpointed blocks —
-      // only the 1-row count reaches the driver
-      converged = next.where(col("__changed")).count() == 0L
-      CheckpointBridge.unpersist(stepped)
-      CheckpointBridge.unpersist(labels)
-      labels = next
+      // exact fixpoint probe: equal row counts + empty one-sided
+      // difference ⟺ set equality (both sides are distinct sets);
+      // only 1-row counts reach the driver
+      val nextCnt = next.count()
+      converged = nextCnt == stateCnt &&
+        next.except(state).limit(1).count() == 0L
+      CheckpointBridge.unpersist(withMin)
+      CheckpointBridge.unpersist(state)
+      state = next
+      stateCnt = nextCnt
       i += 1
     }
-    CheckpointBridge.unpersist(sym)
     if (!converged) {
-      CheckpointBridge.unpersist(labels)
+      CheckpointBridge.unpersist(state)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
-          "a component's diameter exceeds maxIters; raise it (rounds are " +
-          "cheap) or switch to a large-star/small-star variant")
+          "a component's diameter exceeds ~2^(maxIters/2); raise " +
+          "maxIters (rounds are cheap and logarithmic in diameter)")
     }
+    // at the fixpoint min(C(v)) is v's component label for every v
+    val labels = state.groupBy(col("v")).agg(min(col("u")).as("comp"))
+      .select(col("v").as("id"), col("comp"))
+      .localCheckpoint(true)
+    CheckpointBridge.unpersist(state)
     // returned frame stays checkpointed (materialized above); its
     // blocks are the operator's output — callers release them with
     // CheckpointBridge.unpersist / session shutdown, NOT clearCache
-    (labels.select("id", "comp"), i)
+    (labels, i)
+  }
+
+  /** Hex chars whose nibble value has bit `b` set (b: 0=low … 3=high).
+    * Shared by the seeded-SimHash Spark expression and its generated
+    * DuckDB oracle — bit votes become portable set-membership tests on
+    * md5's lowercase hex, no engine-specific hex→int conversion. */
+  private[graft] def hexCharsWithBit(b: Int): Seq[String] =
+    (0 until 16).filter(v => ((v >> b) & 1) == 1)
+      .map(Integer.toHexString)
+
+  /** md5-seeded 32-bit SimHash as a '0'/'1' bit STRING: token hash =
+    * first 8 hex chars of md5(token); bit j votes via nibble
+    * membership (hex char j/4, bit 3-j%4 — MSB first), set when
+    * ones ≥ zeros. A string-typed twin of [[simhashes]] that is
+    * reproducible in ANSI SQL (same pattern as
+    * [[minhashSignaturesSeeded]]): the xxhash64+codegen path stays the
+    * scale path; this exists so banding + hamming verification get a
+    * rows+schema+hash oracle.
+    */
+  def simhashBitsSeeded(df: DataFrame, id: Column, text: Column): DataFrame =
+    // stage the per-token md5 prefixes once — the 32 bit votes all
+    // reference the bound __h column (inlining the md5 would re-hash
+    // every token per bit: the r2 nested-HOF trap, 32× the work)
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= 1)
+      .select(col("id"),
+        transform(col("__w"), t => substring(md5(t), 1, 8)).as("__h"))
+      .select(col("id"), concat((0 until 32).map { j =>
+        val p = j / 4 + 1
+        val chars = hexCharsWithBit(3 - j % 4)
+        val ones = aggregate(col("__h"), lit(0), (acc, h) =>
+          acc + when(substring(h, p, 1).isin(chars: _*), 1).otherwise(0))
+        when(ones * 2 >= size(col("__h")), "1").otherwise("0")
+      }: _*).as("bits"))
+
+  /** Seeded SimHash near-dup pairs: [[simhashBitsSeeded]] + the same
+    * pigeonhole banding and hamming verify as [[simhashPairs]], over
+    * bit-string slices (exact recall for hamming ≤ bands-1, as there).
+    */
+  def simhashPairsSeeded(df: DataFrame, id: Column, text: Column,
+                         maxHamming: Int = 3, bands: Int = 4,
+                         maxBucketSize: Option[Int] = None,
+                         salt: Int = 1): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    require(bands >= 2 && 32 % bands == 0, "bands must divide 32")
+    val width = 32 / bands
+    val sh = simhashBitsSeeded(df, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(sh.select(col("id"), col("bits"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => struct(bi.as("band"),
+            col("bits").substr(bi * width + lit(1), lit(width)).as("bs"))))
+          .as("b"))
+      .select(col("id"), col("bits"), col("b.band"), col("b.bs")),
+      "bs", maxBucketSize)
+    val differing = filter(sequence(lit(1), lit(32)), i =>
+      col("bits_a").substr(i, lit(1)) =!= col("bits_b").substr(i, lit(1)))
+    bucketPairs(banded, "bs", carry = Seq("bits"), salt)
+      .withColumn("hamming", size(differing).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** (id, sh) 64-bit SimHash of the token multiset: per bit, majority

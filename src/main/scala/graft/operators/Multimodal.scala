@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK with
   * PNG/GIF/BMP/JPEG/WBMP readers, and [[ImageHeaderDecoder]] reads
   * width/height/channels from the header without decoding pixel data.
-  * Payloads no reader recognizes — and the audio/video kinds, for
-  * which the JDK has no codec — fall back to the clearly-marked
+  * AUDIO decode is REAL: `javax.sound.sampled` parses WAV/AIFF/AU
+  * headers ([[AudioHeaderDecoder]] → [[decodeAudio]]) for sample
+  * rate / channels / duration without touching sample data. VIDEO is
+  * the one remaining kind with no pure-JDK parser: it — and payloads
+  * no reader recognizes — falls back to the clearly-marked
   * DETERMINISTIC STUB that derives fake dimensions from payload
   * bytes; the `decoder` output column says which path produced each
   * row. Everything around the codec seam (schema, encoders, partition
@@ -78,9 +81,70 @@ object Multimodal {
     }
   }
 
+  /** One decoded audio record: container-header fields only
+    * (`javax.sound.sampled` reads WAV/AIFF/AU headers without decoding
+    * samples). `duration_sec` is frames/frameRate, -1.0 when the
+    * header doesn't carry a frame count (e.g. streamed WAV with
+    * unknown length). */
+  final case class AudioMeta(doc_id: Long, n_bytes: Int,
+                             sample_rate: Float, channels: Int,
+                             duration_sec: Double, ok: Boolean,
+                             decoder: String)
+
+  /** Real audio-header decode over pure-JDK `javax.sound.sampled`:
+    * `AudioSystem.getAudioFileFormat` parses the container header
+    * (WAV/AIFF/AU in any stock JDK) for sample rate, channel count,
+    * and frame length — it never decodes sample data, same
+    * header-only argument as [[ImageHeaderDecoder]]. One instance per
+    * partition (the init seam a native codec — ffmpeg, libsndfile —
+    * would use). */
+  private final class AudioHeaderDecoder {
+    /** (sampleRate, channels, durationSec), or None if no provider
+      * recognizes the payload. */
+    def decode(payload: Array[Byte]): Option[(Float, Int, Double)] = {
+      if (payload == null || payload.length < 12) return None
+      try {
+        val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val af = fmt.getFormat
+        val dur =
+          if (fmt.getFrameLength >= 0 && af.getFrameRate > 0)
+            fmt.getFrameLength / af.getFrameRate.toDouble
+          else -1.0
+        Some((af.getSampleRate, af.getChannels, dur))
+      } catch {
+        // UnsupportedAudioFileException / truncated header
+        case _: Exception => None
+      }
+    }
+  }
+
+  /** Decode audio payloads partition-wise through the real
+    * [[AudioHeaderDecoder]]; unrecognized payloads report ok = false
+    * with zeroed fields (decoder "none") rather than faking numbers —
+    * audio is a typed path, not a stub. */
+  def decodeAudio(payloads: DataFrame)
+                 (implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new AudioHeaderDecoder // per-partition init
+        it.map { case (id, payload) =>
+          val n = if (payload == null) 0 else payload.length
+          dec.decode(payload) match {
+            case Some((sr, ch, dur)) =>
+              AudioMeta(id, n, sr, ch, dur, ok = true, decoder = "sound")
+            case None =>
+              AudioMeta(id, n, 0f, 0, -1.0, ok = false, decoder = "none")
+          }
+        }
+      }
+  }
+
   // ======================================================================
-  // STUB DECODER — deterministic fake for the kinds the JDK has no
-  // codec for (audio/video) and for unrecognizable payloads. A real
+  // STUB DECODER — deterministic fake for VIDEO (the one kind the JDK
+  // has no header parser for) and for unrecognizable payloads. A real
   // implementation binds a native library here (one init per
   // partition, reused across records). The fake derives "dimensions"
   // from payload bytes so tests are reproducible without codecs.

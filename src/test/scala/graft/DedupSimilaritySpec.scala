@@ -259,6 +259,37 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(out.count() == 6) // 2 queries × k=3
   }
 
+  test("javax.sound decodes real WAV/AIFF headers into audio features") {
+    implicit val s = spark
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def audioBytes(tpe: AudioFileFormat.Type, rate: Float, channels: Int,
+                   frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(
+          new Array[Byte](frames * fmt.getFrameSize)), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, audioBytes(AudioFileFormat.Type.WAVE, 8000f, 1, 16000)),
+      (4L, audioBytes(AudioFileFormat.Type.AIFF, 44100f, 2, 44100)),
+      (7L, "definitely not audio definitely".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudio(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    // real header reads: exact rate/channels, duration = frames/rate
+    assert(m(1L).ok && m(1L).decoder == "sound")
+    assert(m(1L).sample_rate == 8000f && m(1L).channels == 1)
+    assert(math.abs(m(1L).duration_sec - 2.0) < 1e-9)
+    assert(m(4L).ok && m(4L).sample_rate == 44100f && m(4L).channels == 2)
+    assert(math.abs(m(4L).duration_sec - 1.0) < 1e-9)
+    // unrecognized payloads fail loudly-typed, not with fake numbers
+    assert(!m(7L).ok && m(7L).decoder == "none" && m(7L).channels == 0)
+  }
+
   test("multimodal decode plumbing preserves rows and is deterministic") {
     implicit val s = spark
     val decoded = Multimodal.decode(Multimodal.asPayload(t.documents))

@@ -88,6 +88,51 @@ class FileSyncSpec extends GraftSuite {
     assert(acc.value == names.size)
   }
 
+  test("fetchNew pulls each payload exactly once across multiple actions") {
+    val acc = spark.sparkContext.longAccumulator("fetches")
+    val names = (1 to 5).map(i => f"g$i%02d.bin")
+    val src = new CountingSource(
+      names.zipWithIndex.map { case (n, i) => FileSource.Entry(n, at(i + 1)) },
+      acc)
+    val pulled = FileSync.fetchNew(spark, src, emptyLog)
+    // the loop's shape: land (action 1) then derive + append the log
+    // (action 2). An unpersisted RDD-backed frame would re-run
+    // source.fetch on the second action — doubling connector IO and
+    // racing remote deletes; fetchNew materializes once at call time.
+    assert(pulled.count() == names.size)                        // "land"
+    assert(FileSync.logEntries(pulled).count() == names.size)   // "append log"
+    assert(pulled.select("content").as[Array[Byte]].collect().length == 5)
+    assert(acc.value == names.size,
+      s"expected ${names.size} fetches total, saw ${acc.value}")
+    pulled.unpersist()
+  }
+
+  test("same-mtime drop between maxFiles and hardMaxFiles drains in one pull") {
+    val dir = Files.createTempDirectory("sync")
+    // 5 files sharing one mtime (a bulk copy), plus 2 later singles
+    (1 to 5).foreach(i => touch(dir, s"bulk$i.csv", at(1)))
+    touch(dir, "late1.csv", at(2))
+    touch(dir, "late2.csv", at(3))
+    val src = new FileSource.Local(dir, suffix = ".csv")
+
+    // pull 1: maxFiles=2 lands inside the shared mtime → the cut
+    // extends to the whole 5-file timestamp (splitting it would strand
+    // the remainder behind the strict > watermark), under hardMax
+    val pull1 = FileSync.fetchNew(spark, src, emptyLog,
+      maxFiles = 2, hardMaxFiles = 6)
+    assert(pull1.select("name").as[String].collect().sorted.toSeq ==
+      (1 to 5).map(i => s"bulk$i.csv"))
+    // pull 2 picks up the stragglers; pull 3 is the empty fixpoint
+    val log1 = FileSync.logEntries(pull1)
+    val pull2 = FileSync.fetchNew(spark, src, log1,
+      maxFiles = 2, hardMaxFiles = 6)
+    assert(pull2.select("name").as[String].collect().sorted.toSeq ==
+      Seq("late1.csv", "late2.csv"))
+    val log2 = log1.union(FileSync.logEntries(pull2))
+    assert(FileSync.fetchNew(spark, src, log2,
+      maxFiles = 2, hardMaxFiles = 6).isEmpty)
+  }
+
   test("hardMaxFiles fails loudly when a same-timestamp drop balloons the cut") {
     val dir = Files.createTempDirectory("sync")
     (1 to 5).foreach(i => touch(dir, s"bulk$i.csv", at(1)))

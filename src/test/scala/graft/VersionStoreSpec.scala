@@ -71,6 +71,73 @@ class VersionStoreSpec extends GraftSuite {
     assert(clash.getMessage.contains("type change"))
   }
 
+  test("footerless version does not brick the store") {
+    // Spark itself writes a footer-only part file even for limit(0)
+    // frames (schema preserved), so the dangerous shape — a committed
+    // version with NO parquet data files — comes from an external
+    // writer or partial cleanup. Construct it directly: _SUCCESS only.
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(Seq((1, "a")).toDF("id", "x"), root)
+    val vdir = java.nio.file.Paths.get(root, "v=1")
+    Files.createDirectories(vdir)
+    Files.writeString(vdir.resolve("_SUCCESS"), "")
+    assert(VersionStore.versions(spark, root) == Seq(0L, 1L))
+    // subsequent writes must skip back to the newest FOOTERED version
+    // for the schema gate instead of throwing on v1 forever…
+    assert(VersionStore.write(Seq((2, "b")).toDF("id", "x"), root) == 2L)
+    // …and still enforce against it: a type clash is caught even when
+    // the newest committed version is schemaless
+    val vdir3 = java.nio.file.Paths.get(root, "v=3")
+    Files.createDirectories(vdir3)
+    Files.writeString(vdir3.resolve("_SUCCESS"), "")
+    val clash = intercept[IllegalArgumentException] {
+      VersionStore.write(Seq(("4", "d")).toDF("id", "x"), root)
+    }
+    assert(clash.getMessage.contains("type change"))
+    // history stays listable; the schemaless versions read as ""
+    val h = VersionStore.history(spark, root).orderBy("version")
+      .select("version", "schema_ddl").as[(Long, String)].collect()
+    assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h(1)._2 == "" && h(3)._2 == "" && h(0)._2.nonEmpty && h(2)._2.nonEmpty)
+  }
+
+  test("evolution edges: narrowing rejected, rename=drop+add, asOf spans the boundary") {
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(Seq((1L, "a")).toDF("id", "x"), root)
+
+    // type NARROWING (long -> int) is still a type change — rejected
+    // even under evolve=true; a cross-version reader would silently
+    // truncate
+    val narrow = intercept[IllegalArgumentException] {
+      VersionStore.write(Seq((2, "b")).toDF("id", "x"), root, evolve = true)
+    }
+    assert(narrow.getMessage.contains("type change"))
+    assert(VersionStore.versions(spark, root) == Seq(0L))
+
+    // a rename is drop+add: rejected without evolve, admitted with it,
+    // and history records both sides of the boundary
+    intercept[IllegalArgumentException] {
+      VersionStore.write(Seq((2L, "b")).toDF("id", "label"), root)
+    }
+    assert(VersionStore.write(
+      Seq((2L, "b")).toDF("id", "label"), root, evolve = true) == 1L)
+    val ddl = VersionStore.history(spark, root).orderBy("version")
+      .select("schema_ddl").as[String].collect()
+    assert(ddl(0).contains("x") && !ddl(0).contains("label"))
+    assert(ddl(1).contains("label") && !ddl(1).contains(" x "))
+
+    // both sides of the evolution boundary stay readable end-to-end
+    // with their OWN schema (per-version directories are
+    // self-contained — no cross-version union surprise)
+    val before = VersionStore.asOf(spark, root, 0)
+    val after = VersionStore.asOf(spark, root, 1)
+    assert(before.columns.toSeq == Seq("id", "x") &&
+      before.select("x").as[String].collect().toSeq == Seq("a"))
+    assert(after.columns.toSeq == Seq("id", "label") &&
+      after.select("label").as[String].collect().toSeq == Seq("b"))
+    assert(VersionStore.latest(spark, root).columns.toSeq == Seq("id", "label"))
+  }
+
   test("optimize rewrites latest as a new compacted version") {
     val root = Files.createTempDirectory("vs").toString
     // many tiny files in v0
