@@ -14,14 +14,22 @@ import org.apache.spark.sql.functions._
   *    + 1, foreign keys shifted by their referenced domain's stride),
   *    so join fan-outs stay constant per row and output cardinalities
   *    scale linearly — no artificial key collisions;
-  *  - document text for replica r > 0 gets a replica-unique tag token
-  *    inserted after every 2nd token: within a replica the near-dup
-  *    structure is preserved (identical docs stay identical), while
-  *    across replicas NO 3-gram shingle is shared (any 3 consecutive
-  *    tokens straddle a tag), so dedup pair counts scale linearly —
-  *    the constant-duplication-rate model of a real growing corpus,
-  *    not the quadratic blow-up naive copying would fake;
-  *  - embeddings for replica r > 0 get a deterministic per-(replica,
+  *  - document text in EVERY replica (r = 0 included) gets a
+  *    replica-unique tag token prepended and inserted after every 2nd
+  *    token: within a replica the near-dup structure is preserved
+  *    (identical docs stay identical), across replicas NO 3-gram
+  *    shingle is shared (any 3 consecutive tokens straddle a tag) and
+  *    no doc is byte-identical (the prepended tag covers 0/1-token
+  *    docs), so dedup pair counts scale linearly — the
+  *    constant-duplication-rate model of a real growing corpus, not
+  *    the quadratic blow-up naive copying would fake. Tagging replica
+  *    0 too keeps all replicas ISOMORPHIC: quality gates
+  *    (token-count/stop-ratio/lang thresholds) admit the same docs in
+  *    every replica, so per-stage cardinalities are exactly 10× — the
+  *    trade-off is that sf1 text is ~1.5× longer per doc than sf0.1
+  *    text (compare per-doc text-op throughput across scale factors
+  *    with that factor in mind; cardinality-driven costs are clean);
+  *  - embeddings in every replica get a deterministic per-(replica,
   *    dim) sign flip: within-replica cosines are EXACTLY preserved
   *    (signs cancel in the dot product), cross-replica cosines decay
   *    toward noise — fixed query set, 10× corpus, linear ANN cost;
@@ -99,26 +107,29 @@ object ScaleUp {
       keep("ts"), shift("user_id", kUser), keep("event_type"),
       keep("value"), keep("props")), "events")
 
-    // replica-unique tag after every 2nd token: every 3-gram window of
-    // a tagged doc contains a tag, so shingle sets are disjoint across
-    // replicas; r=0 keeps the original text byte-identical
+    // replica-unique tag prepended + inserted after every 2nd token:
+    // every 3-gram window of a tagged doc contains a tag (shingle sets
+    // disjoint across replicas) and no doc is byte-identical across
+    // replicas (the prepend covers 0/1-token docs). Applied to ALL
+    // replicas so gate outcomes and near-dup structure are isomorphic
+    // — see the header contract. NULL text stays NULL.
+    val tag = concat(lit("zrep"), r)
     val toks = split(col("text"), " ")
-    val tagged = array_join(flatten(transform(toks, (t, i) =>
-      when(i % 2 === 1, array(t, concat(lit("zrep"), r)))
-        .otherwise(array(t)))), " ")
-    val text2 = when(r === 0, col("text")).otherwise(tagged)
+    val text2 = concat(tag, lit(" "),
+      array_join(flatten(transform(toks, (t, i) =>
+        when(i % 2 === 1, array(t, tag)).otherwise(array(t)))), " "))
     write(replicate(read("documents"))(shift("doc_id", kDoc),
       text2.as("text"), keep("lang"), keep("source"),
       coalesce(length(text2).cast("long"), lit(0L)).as("n_chars")),
       "documents")
 
-    // per-(replica, dim) sign flip: norms and within-replica cosines
-    // exactly preserved, cross-replica similarity decays to noise
+    // per-(replica, dim) sign flip in every replica: norms and
+    // within-replica cosines exactly preserved (signs cancel in the
+    // dot product), cross-replica similarity decays to noise
     val flipped = transform(col("embedding"), (x, i) =>
       when(pmod(xxhash64(r, i), lit(2)) === 0, x).otherwise(-x).cast("float"))
     write(replicate(read("embeddings"))(shift("vec_id", kVec),
-      when(r === 0, col("embedding")).otherwise(flipped).as("embedding"),
-      keep("label")), "embeddings")
+      flipped.as("embedding"), keep("label")), "embeddings")
 
     println(s"[scaleup] wrote $dst (x$replicas of $src)")
     spark.stop()

@@ -838,18 +838,17 @@ object SparkEntry {
       |              ELSE '${graft.operators.Sampling.hexThreshold(sampleDefaultRate)}' END""".stripMargin
   }
 
-  /** q_dedup_simhash_seeded oracle: the 32 bit-vote CASEs are generated
-    * from Dedup.hexCharsWithBit so Spark and DuckDB share one source of
-    * truth for the bit layout (hex char j/4, nibble bit 3-j%4). */
+  /** q_dedup_simhash_seeded oracle: token hash = first 8 md5 hex chars
+    * as a 32-bit value (DuckDB `CAST('0x'||hex AS BIGINT)` == Spark
+    * `conv(hex, 16, 10)` — verified identical), bit j = (v >> j) & 1,
+    * LSB first, matching Dedup.simhashBitsSeeded's layout. */
   private def simhashSeededOracleSql: String = {
     val bitExprs = (0 until 32).map { j =>
-      val p = j / 4 + 1
-      val chars = graft.operators.Dedup.hexCharsWithBit(3 - j % 4)
-        .map("'" + _ + "'").mkString(", ")
-      s"(CASE WHEN 2 * len(list_filter(hs, x -> substr(x, $p, 1) IN ($chars))) >= len(hs) THEN '1' ELSE '0' END)"
+      s"(CASE WHEN 2 * len(list_filter(hv, v -> (v >> $j) & 1 = 1)) >= len(hv) THEN '1' ELSE '0' END)"
     }.grouped(4).map(_.mkString(" || ")).mkString(" ||\n        |      ")
     s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
-      |h AS (SELECT doc_id, list_transform(w, tk -> substr(md5(tk), 1, 8)) hs
+      |h AS (SELECT doc_id, list_transform(w,
+      |        tk -> CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT)) hv
       |      FROM t WHERE len(w) >= 1),
       |bits AS (SELECT doc_id,
       |      $bitExprs AS bits

@@ -129,16 +129,40 @@ object VersionStore {
     next
   }
 
+  /** Read one committed version. A FOOTERLESS version (only _SUCCESS —
+    * an external writer's empty commit; Spark's own empty writes keep
+    * a footer) has no inferable schema, so it reads as an EMPTY frame
+    * borrowing the nearest preceding footered version's schema — the
+    * version says "no data", and bricking every reader with an
+    * AnalysisException would be strictly worse than the borrowed-
+    * schema guess (which evolve-history makes visible). Throws only
+    * when no version at or before `version` carries a footer. */
+  private def readVersion(spark: SparkSession, root: String,
+                          version: Long): DataFrame = {
+    val f = fs(spark, root)
+    if (hasData(f, root, version)) spark.read.parquet(dir(root, version))
+    else {
+      val donor = versions(spark, root).filter(_ <= version).reverse
+        .find(hasData(f, root, _))
+        .getOrElse(throw new IllegalStateException(
+          s"version $version of $root has no parquet footers and no " +
+            "earlier version does either — schema unknowable"))
+      val schema = spark.read.parquet(dir(root, donor)).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+
   def asOf(spark: SparkSession, root: String, version: Long): DataFrame = {
     require(versions(spark, root).contains(version),
       s"version $version not present under $root")
-    spark.read.parquet(dir(root, version))
+    readVersion(spark, root, version)
   }
 
   def latest(spark: SparkSession, root: String): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no versions under $root")
-    spark.read.parquet(dir(root, vs.last))
+    readVersion(spark, root, vs.last)
   }
 
   /** DESCRIBE HISTORY analog: (version, n_files, bytes, modified,

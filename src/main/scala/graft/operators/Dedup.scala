@@ -177,6 +177,28 @@ object Dedup {
       numHashes, bands, threshold, maxBucketSize, salt,
       bandKey = (bi, sl) => xxhash64(bi, sl))
 
+  /** Shared banding skeleton for every near-dup family: persist the
+    * (id, carry) signature frame (both join sides consume it), explode
+    * `bands` (band, key) bucket rows via `bandKeyOf(bandIdx)`, apply
+    * the cap/salt skew valves, and emit candidate id pairs carrying
+    * the signature column from both sides for the caller's verify
+    * step. One implementation under minhash (array sigs), simhash
+    * (packed long), and seeded simhash (bit string) — a banding/skew
+    * change lands once, not per family. */
+  private def bandedCandidates(sig0: DataFrame, carry: String,
+                               bands: Int, bandKeyOf: Int => Column,
+                               maxBucketSize: Option[Int],
+                               salt: Int): DataFrame = {
+    val sig = sig0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(sig.select(col("id"), col(carry),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("band"), bandKeyOf(bi).as("bk"))): _*)).as("b"))
+      .select(col("id"), col(carry), col("b.band"), col("b.bk")),
+      "bk", maxBucketSize)
+    bucketPairs(banded, "bk", carry = Seq(carry), salt)
+  }
+
   /** Banding + bucket self-join + signature-agreement verify over an
     * (id, sig) signatures frame — the LSH machinery shared by the
     * xxhash64 production path and the md5-seeded oracle path (the
@@ -190,19 +212,9 @@ object Dedup {
                              bandKey: (Column, Column) => Column): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // persisted: both sides of the band self-join consume the
-    // signatures; caching (id, sig) — numHashes elements per doc —
-    // keeps the corpus text pass single
-    val sig = signatures
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = capBuckets(sig.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          bi => struct(bi.as("band"),
-            bandKey(bi, slice(col("sig"), bi * r + lit(1), lit(r))).as("bh"))))
-          .as("b"))
-      .select(col("id"), col("sig"), col("b.band"), col("b.bh")),
-      "bh", maxBucketSize)
-    bucketPairs(banded, "bh", carry = Seq("sig"), salt)
+    bandedCandidates(signatures, "sig", bands,
+      bi => bandKey(lit(bi), slice(col("sig"), bi * r + 1, r)),
+      maxBucketSize, salt)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1))
@@ -360,37 +372,33 @@ object Dedup {
     (labels, i)
   }
 
-  /** Hex chars whose nibble value has bit `b` set (b: 0=low … 3=high).
-    * Shared by the seeded-SimHash Spark expression and its generated
-    * DuckDB oracle — bit votes become portable set-membership tests on
-    * md5's lowercase hex, no engine-specific hex→int conversion. */
-  private[graft] def hexCharsWithBit(b: Int): Seq[String] =
-    (0 until 16).filter(v => ((v >> b) & 1) == 1)
-      .map(Integer.toHexString)
-
   /** md5-seeded 32-bit SimHash as a '0'/'1' bit STRING: token hash =
-    * first 8 hex chars of md5(token); bit j votes via nibble
-    * membership (hex char j/4, bit 3-j%4 — MSB first), set when
-    * ones ≥ zeros. A string-typed twin of [[simhashes]] that is
-    * reproducible in ANSI SQL (same pattern as
+    * first 8 hex chars of md5(token) parsed as a 32-bit integer
+    * (Spark `conv(hex, 16, 10)`; DuckDB `CAST('0x'||hex AS BIGINT)` —
+    * verified value-identical), bit j = `(v >> j) & 1` (LSB first),
+    * set when ones ≥ zeros. A string-banded twin of [[simhashes]]
+    * that is reproducible in ANSI SQL (same pattern as
     * [[minhashSignaturesSeeded]]): the xxhash64+codegen path stays the
     * scale path; this exists so banding + hamming verification get a
-    * rows+schema+hash oracle.
+    * rows+schema+hash oracle. Votes run shift/and on a staged long
+    * array — the first cut staged hex strings and did per-bit
+    * substring+membership lambdas, 16M interpreted string ops at
+    * sf0.1 (38 s); numeric votes are ~10× cheaper.
     */
   def simhashBitsSeeded(df: DataFrame, id: Column, text: Column): DataFrame =
-    // stage the per-token md5 prefixes once — the 32 bit votes all
-    // reference the bound __h column (inlining the md5 would re-hash
+    // stage the per-token hash VALUES once — the 32 bit votes all
+    // reference the bound __hv column (inlining the md5 would re-hash
     // every token per bit: the r2 nested-HOF trap, 32× the work)
     df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
       .where(size(col("__w")) >= 1)
       .select(col("id"),
-        transform(col("__w"), t => substring(md5(t), 1, 8)).as("__h"))
+        transform(col("__w"), t =>
+          conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("__hv"))
+      .select(col("id"), size(col("__hv")).as("__n"), col("__hv"))
       .select(col("id"), concat((0 until 32).map { j =>
-        val p = j / 4 + 1
-        val chars = hexCharsWithBit(3 - j % 4)
-        val ones = aggregate(col("__h"), lit(0), (acc, h) =>
-          acc + when(substring(h, p, 1).isin(chars: _*), 1).otherwise(0))
-        when(ones * 2 >= size(col("__h")), "1").otherwise("0")
+        val ones = aggregate(col("__hv"), lit(0L), (acc, v) =>
+          acc + shiftrightunsigned(v, j).bitwiseAND(lit(1L)))
+        when(ones * 2 >= col("__n"), "1").otherwise("0")
       }: _*).as("bits"))
 
   /** Seeded SimHash near-dup pairs: [[simhashBitsSeeded]] + the same
@@ -404,18 +412,11 @@ object Dedup {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     require(bands >= 2 && 32 % bands == 0, "bands must divide 32")
     val width = 32 / bands
-    val sh = simhashBitsSeeded(df, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = capBuckets(sh.select(col("id"), col("bits"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          bi => struct(bi.as("band"),
-            col("bits").substr(bi * width + lit(1), lit(width)).as("bs"))))
-          .as("b"))
-      .select(col("id"), col("bits"), col("b.band"), col("b.bs")),
-      "bs", maxBucketSize)
     val differing = filter(sequence(lit(1), lit(32)), i =>
       col("bits_a").substr(i, lit(1)) =!= col("bits_b").substr(i, lit(1)))
-    bucketPairs(banded, "bs", carry = Seq("bits"), salt)
+    bandedCandidates(simhashBitsSeeded(df, id, text), "bits", bands,
+      bi => col("bits").substr(bi * width + 1, width),
+      maxBucketSize, salt)
       .withColumn("hamming", size(differing).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -453,18 +454,10 @@ object Dedup {
     require(bands >= 2 && 64 % bands == 0,
       "bands must divide 64 (and 1 band would put every doc in one bucket)")
     val width = 64 / bands
-    // persisted: one 8-byte hash per doc, consumed by both join sides
-    val sh = simhashes(df, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = capBuckets(sh.select(col("id"), col("sh"),
-        explode(array((0 until bands).map { bi =>
-          struct(lit(bi).as("band"),
-            shiftrightunsigned(col("sh"), bi * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("bits"))
-        }: _*)).as("b"))
-      .select(col("id"), col("sh"), col("b.band"), col("b.bits")),
-      "bits", maxBucketSize)
-    bucketPairs(banded, "bits", carry = Seq("sh"), salt)
+    bandedCandidates(simhashes(df, id, text), "sh", bands,
+      bi => shiftrightunsigned(col("sh"), bi * width)
+        .bitwiseAND(lit((1L << width) - 1)),
+      maxBucketSize, salt)
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)

@@ -99,6 +99,14 @@ class VersionStoreSpec extends GraftSuite {
       .select("version", "schema_ddl").as[(Long, String)].collect()
     assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(h(1)._2 == "" && h(3)._2 == "" && h(0)._2.nonEmpty && h(2)._2.nonEmpty)
+    // read paths survive too: a footerless version reads as an EMPTY
+    // frame with the nearest preceding footered version's schema —
+    // latest() (v3 here) and asOf() must not throw AnalysisException
+    val lt = VersionStore.latest(spark, root)
+    assert(lt.columns.toSeq == Seq("id", "x") && lt.count() == 0)
+    val v1 = VersionStore.asOf(spark, root, 1)
+    assert(v1.columns.toSeq == Seq("id", "x") && v1.count() == 0)
+    assert(VersionStore.asOf(spark, root, 2).count() == 1)
   }
 
   test("evolution edges: narrowing rejected, rename=drop+add, asOf spans the boundary") {
