@@ -380,12 +380,25 @@ object Dedup {
     * that is reproducible in ANSI SQL (same pattern as
     * [[minhashSignaturesSeeded]]): the xxhash64+codegen path stays the
     * scale path; this exists so banding + hamming verification get a
-    * rows+schema+hash oracle. Votes run shift/and on a staged long
-    * array — the first cut staged hex strings and did per-bit
-    * substring+membership lambdas, 16M interpreted string ops at
-    * sf0.1 (38 s); numeric votes are ~10× cheaper.
+    * rows+schema+hash oracle. The md5→parse→32-vote chain runs as ONE
+    * fused per-row loop (graft.plans.SimHashBitsSeeded): the
+    * declarative forms pay an interpreted lambda call per (bit,
+    * token) — 13.8M invocations / 37 s at sf0.1 — for identical
+    * values ([[simhashBitsSeededDeclarative]] stays as the spec's
+    * cross-check).
     */
   def simhashBitsSeeded(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= 1)
+      .select(col("id"),
+        HashExpressions.simhashBitsSeeded(col("__w")).as("bits"))
+
+  /** The declarative twin of [[simhashBitsSeeded]] — same values,
+    * interpreted-HOF cost. Kept (test scope) so a spec can prove the
+    * fused expression bit-identical to the formula the DuckDB oracle
+    * replays. */
+  private[graft] def simhashBitsSeededDeclarative(
+      df: DataFrame, id: Column, text: Column): DataFrame =
     // stage the per-token hash VALUES once — the 32 bit votes all
     // reference the bound __hv column (inlining the md5 would re-hash
     // every token per bit: the r2 nested-HOF trap, 32× the work)

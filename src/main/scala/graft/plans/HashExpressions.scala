@@ -44,6 +44,11 @@ object HashExpressions {
   /** array<long> token hashes → 64-bit SimHash (per-bit majority). */
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  /** array<string> tokens → 32-char '0'/'1' seeded-SimHash bit string
+    * (md5-based, oracle-reproducible — see [[SimHashBitsSeeded]]). */
+  def simhashBitsSeeded(tokens: Column): Column =
+    ColumnBridge.column(SimHashBitsSeeded(ColumnBridge.expression(tokens)))
 }
 
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -168,6 +173,64 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** The md5-seeded 32-bit SimHash vote loop, fused: token value =
+  * first 4 md5 bytes big-endian unsigned (bit-identical to SQL
+  * `conv(substring(md5(t), 1, 8), 16, 10)` / DuckDB
+  * `CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)`), bit j of the
+  * output string (LSB-first) set when ones ≥ zeros. The declarative
+  * form (staged array + 32 `aggregate` lambdas) pays an interpreted
+  * lambda call per (bit, token) — 13.8M invocations / 37 s at sf0.1;
+  * one fused loop per row is the same r2 lesson the xxhash64 family
+  * learned (HashedShingles/MinHashSig/SimHash64). Only the
+  * IMPLEMENTATION is fused — the VALUES stay SQL-reproducible, which
+  * is the entire point of the seeded path.
+  */
+case class SimHashBitsSeeded(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "simhash_bits_seeded"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashBitsSeeded.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.plans.SimHashBitsSeeded$$.MODULE$$.compute($a);""")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBitsSeeded =
+    copy(child = newChild)
+}
+
+object SimHashBitsSeeded {
+  /** One MD5 instance per JVM thread (MessageDigest is stateful). */
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(a: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = a.numElements()
+    val counts = new Array[Int](32)
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val h = digest.digest(a.getUTF8String(i).getBytes)
+      // first 4 md5 bytes, big-endian unsigned == conv(first 8 hex, 16, 10)
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      var j = 0
+      while (j < 32) { counts(j) += ((v >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 32) {
+      out(j) = if (counts(j) * 2 >= n) '1' else '0'
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(out))
+  }
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

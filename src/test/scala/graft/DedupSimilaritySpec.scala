@@ -259,6 +259,20 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(out.count() == 6) // 2 queries × k=3
   }
 
+  test("fused seeded-simhash bits == declarative md5 formula, bit for bit") {
+    // the fused expression must reproduce EXACTLY the conv(md5) vote
+    // formula the DuckDB oracle replays — any divergence would silently
+    // break q_dedup_simhash_seeded's hash parity
+    val fused = Dedup.simhashBitsSeeded(t.documents, col("doc_id"), col("text"))
+      .withColumnRenamed("bits", "f")
+    val decl = Dedup.simhashBitsSeededDeclarative(
+        t.documents, col("doc_id"), col("text"))
+      .withColumnRenamed("bits", "d")
+    val joined = fused.join(decl, "id").collect()
+    assert(joined.length == fused.count())
+    assert(joined.forall(r => r.getAs[String]("f") == r.getAs[String]("d")))
+  }
+
   test("javax.sound decodes real WAV/AIFF headers into audio features") {
     implicit val s = spark
     import spark.implicits._
