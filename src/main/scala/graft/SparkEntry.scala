@@ -838,32 +838,36 @@ object SparkEntry {
       |              ELSE '${graft.operators.Sampling.hexThreshold(sampleDefaultRate)}' END""".stripMargin
   }
 
-  /** q_dedup_simhash_seeded oracle: token hash = first 8 md5 hex chars
-    * as a 32-bit value (DuckDB `CAST('0x'||hex AS BIGINT)` == Spark
-    * `conv(hex, 16, 10)` — verified identical), bit j = (v >> j) & 1,
-    * LSB first, matching Dedup.simhashBitsSeeded's layout. */
+  /** q_dedup_simhash_seeded oracle: token hash = first 15 md5 hex
+    * chars as a 60-bit value (DuckDB `CAST('0x'||hex AS BIGINT)` ==
+    * Spark `conv(hex, 16, 10)` — verified identical; 60 bits fits
+    * signed 64-bit in both engines), bit j = (v >> j) & 1, LSB first,
+    * matching graft.plans.SimHashBitsSeeded's layout (the Bits/band
+    * constants come from that one source of truth). */
   private def simhashSeededOracleSql: String = {
-    val bitExprs = (0 until 32).map { j =>
+    val nBits = graft.plans.SimHashBitsSeeded.Bits
+    val width = nBits / 4
+    val bitExprs = (0 until nBits).map { j =>
       s"(CASE WHEN 2 * len(list_filter(hv, v -> (v >> $j) & 1 = 1)) >= len(hv) THEN '1' ELSE '0' END)"
     }.grouped(4).map(_.mkString(" || ")).mkString(" ||\n        |      ")
     s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
       |h AS (SELECT doc_id, list_transform(w,
-      |        tk -> CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT)) hv
+      |        tk -> CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT)) hv
       |      FROM t WHERE len(w) >= 1),
       |bits AS (SELECT doc_id,
       |      $bitExprs AS bits
       |      FROM h),
-      |banded AS (SELECT doc_id, bits, b, substr(bits, b*8+1, 8) bs
+      |banded AS (SELECT doc_id, bits, b, substr(bits, b*$width+1, $width) bs
       |           FROM bits, LATERAL (SELECT unnest(generate_series(0, 3)) b)),
       |cand AS (SELECT DISTINCT a.doc_id id_a, b2.doc_id id_b,
       |                a.bits ba, b2.bits bb
       |         FROM banded a JOIN banded b2
       |           ON a.b = b2.b AND a.bs = b2.bs AND a.doc_id < b2.doc_id)
       |SELECT id_a, id_b,
-      |       CAST(len(list_filter(generate_series(1, 32),
+      |       CAST(len(list_filter(generate_series(1, $nBits),
       |         i -> substr(ba, i, 1) <> substr(bb, i, 1))) AS BIGINT) AS hamming
       |FROM cand
-      |WHERE len(list_filter(generate_series(1, 32),
+      |WHERE len(list_filter(generate_series(1, $nBits),
       |  i -> substr(ba, i, 1) <> substr(bb, i, 1))) <= 3""".stripMargin
   }
 

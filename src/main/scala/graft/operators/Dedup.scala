@@ -372,19 +372,20 @@ object Dedup {
     (labels, i)
   }
 
-  /** md5-seeded 32-bit SimHash as a '0'/'1' bit STRING: token hash =
-    * first 8 hex chars of md5(token) parsed as a 32-bit integer
+  /** md5-seeded 60-bit SimHash as a '0'/'1' bit STRING: token hash =
+    * first 15 hex chars of md5(token) parsed as a 60-bit integer
     * (Spark `conv(hex, 16, 10)`; DuckDB `CAST('0x'||hex AS BIGINT)` —
-    * verified value-identical), bit j = `(v >> j) & 1` (LSB first),
-    * set when ones ≥ zeros. A string-banded twin of [[simhashes]]
-    * that is reproducible in ANSI SQL (same pattern as
-    * [[minhashSignaturesSeeded]]): the xxhash64+codegen path stays the
-    * scale path; this exists so banding + hamming verification get a
-    * rows+schema+hash oracle. The md5→parse→32-vote chain runs as ONE
-    * fused per-row loop (graft.plans.SimHashBitsSeeded): the
-    * declarative forms pay an interpreted lambda call per (bit,
-    * token) — 13.8M invocations / 37 s at sf0.1 — for identical
-    * values ([[simhashBitsSeededDeclarative]] stays as the spec's
+    * verified value-identical; 60 bits fits SIGNED 64-bit in both),
+    * bit j = `(v >> j) & 1` (LSB first), set when ones ≥ zeros. A
+    * string-banded twin of [[simhashes]] that is reproducible in ANSI
+    * SQL (same pattern as [[minhashSignaturesSeeded]]): the
+    * xxhash64+codegen path stays the scale path; this exists so
+    * banding + hamming verification get a rows+schema+hash oracle.
+    * The md5→parse→vote chain runs as ONE fused per-row loop
+    * (graft.plans.SimHashBitsSeeded): the declarative forms pay an
+    * interpreted lambda call per (bit, token) — tens of millions of
+    * invocations / 37 s at sf0.1 — for identical values
+    * ([[simhashBitsSeededDeclarative]] stays as the spec's
     * cross-check).
     */
   def simhashBitsSeeded(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -406,13 +407,14 @@ object Dedup {
       .where(size(col("__w")) >= 1)
       .select(col("id"),
         transform(col("__w"), t =>
-          conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("__hv"))
+          conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__hv"))
       .select(col("id"), size(col("__hv")).as("__n"), col("__hv"))
-      .select(col("id"), concat((0 until 32).map { j =>
-        val ones = aggregate(col("__hv"), lit(0L), (acc, v) =>
-          acc + shiftrightunsigned(v, j).bitwiseAND(lit(1L)))
-        when(ones * 2 >= col("__n"), "1").otherwise("0")
-      }: _*).as("bits"))
+      .select(col("id"),
+        concat((0 until graft.plans.SimHashBitsSeeded.Bits).map { j =>
+          val ones = aggregate(col("__hv"), lit(0L), (acc, v) =>
+            acc + shiftrightunsigned(v, j).bitwiseAND(lit(1L)))
+          when(ones * 2 >= col("__n"), "1").otherwise("0")
+        }: _*).as("bits"))
 
   /** Seeded SimHash near-dup pairs: [[simhashBitsSeeded]] + the same
     * pigeonhole banding and hamming verify as [[simhashPairs]], over
@@ -422,15 +424,23 @@ object Dedup {
                          maxHamming: Int = 3, bands: Int = 4,
                          maxBucketSize: Option[Int] = None,
                          salt: Int = 1): DataFrame = {
+    val nBits = graft.plans.SimHashBitsSeeded.Bits
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
-    require(bands >= 2 && 32 % bands == 0, "bands must divide 32")
-    val width = 32 / bands
-    val differing = filter(sequence(lit(1), lit(32)), i =>
-      col("bits_a").substr(i, lit(1)) =!= col("bits_b").substr(i, lit(1)))
+    require(bands >= 2 && nBits % bands == 0, s"bands must divide $nBits")
+    val width = nBits / bands
+    // hamming = bit_count(xor) over the re-packed bit strings — all
+    // codegen'd; a per-position substr-compare lambda costs nBits
+    // interpreted calls per CANDIDATE (the verify input is the
+    // candidate set, not the corpus). Counting differing '0'/'1'
+    // chars == counting differing bits, so the value matches the
+    // oracle's char-compare count exactly.
+    def packed(c: Column) = conv(c, 2, 10).cast("long")
     bandedCandidates(simhashBitsSeeded(df, id, text), "bits", bands,
       bi => col("bits").substr(bi * width + 1, width),
       maxBucketSize, salt)
-      .withColumn("hamming", size(differing).cast("long"))
+      .withColumn("hamming",
+        bit_count(packed(col("bits_a")).bitwiseXOR(packed(col("bits_b"))))
+          .cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -175,14 +175,18 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** The md5-seeded 32-bit SimHash vote loop, fused: token value =
-  * first 4 md5 bytes big-endian unsigned (bit-identical to SQL
-  * `conv(substring(md5(t), 1, 8), 16, 10)` / DuckDB
-  * `CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)`), bit j of the
-  * output string (LSB-first) set when ones ≥ zeros. The declarative
-  * form (staged array + 32 `aggregate` lambdas) pays an interpreted
-  * lambda call per (bit, token) — 13.8M invocations / 37 s at sf0.1;
-  * one fused loop per row is the same r2 lesson the xxhash64 family
+/** The md5-seeded 60-bit SimHash vote loop, fused: token value =
+  * first 15 md5 hex chars big-endian (bit-identical to SQL
+  * `conv(substring(md5(t), 1, 15), 16, 10)` / DuckDB
+  * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)` — 60 bits, chosen
+  * to fit SIGNED 64-bit in both engines), bit j of the output string
+  * (LSB-first) set when ones ≥ zeros. 60 bits rather than 32: with 4
+  * bands the band key is 15 bits, so bucket sizes stay selective —
+  * 8-bit bands (256 buckets) made the candidate self-join the
+  * dominant cost. The declarative form (staged array + per-bit
+  * `aggregate` lambdas) pays an interpreted lambda call per (bit,
+  * token) — tens of millions of invocations / 37 s at sf0.1; one
+  * fused loop per row is the same r2 lesson the xxhash64 family
   * learned (HashedShingles/MinHashSig/SimHash64). Only the
   * IMPLEMENTATION is fused — the VALUES stay SQL-reproducible, which
   * is the entire point of the seeded path.
@@ -204,28 +208,33 @@ case class SimHashBitsSeeded(child: Expression) extends UnaryExpression {
 }
 
 object SimHashBitsSeeded {
+  final val Bits = 60
+
   /** One MD5 instance per JVM thread (MessageDigest is stateful). */
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
   def compute(a: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
     val n = a.numElements()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](Bits)
     val digest = md.get()
     var i = 0
     while (i < n) {
       digest.reset()
       val h = digest.digest(a.getUTF8String(i).getBytes)
-      // first 4 md5 bytes, big-endian unsigned == conv(first 8 hex, 16, 10)
-      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      // first 15 hex chars = first 8 bytes big-endian >>> 4
+      // == conv(substring(hex, 1, 15), 16, 10)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      v >>>= 4
       var j = 0
-      while (j < 32) { counts(j) += ((v >>> j) & 1L).toInt; j += 1 }
+      while (j < Bits) { counts(j) += ((v >>> j) & 1L).toInt; j += 1 }
       i += 1
     }
-    val out = new Array[Char](32)
+    val out = new Array[Char](Bits)
     var j = 0
-    while (j < 32) {
+    while (j < Bits) {
       out(j) = if (counts(j) * 2 >= n) '1' else '0'
       j += 1
     }
