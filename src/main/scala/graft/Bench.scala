@@ -41,9 +41,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // initial shuffle parallelism: defaults to cores (the driver's
+    // contract for sf0.1) but overridable for scale runs — partitions
+    // sized for sf0.1 spill at sf1+, and AQE only coalesces DOWN from
+    // the initial number, it never splits an oversized non-skewed
+    // partition, so the initial count must scale with the data
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -158,7 +164,7 @@ object Bench {
         s""","oracle_only_sec":$oracleSec""" +
         s""","isolated":{"$isoName":${median(iso)}}""" +
         s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
-        s""","errors":$errs,"sf":"$sfDir"}"""
+        s""","errors":$errs,"cpus":"$cpus","shuffle":"$shuffle","sf":"$sfDir"}"""
     // stdout is full of sbt/log4j noise; also write the line to a file
     // so the driver's parse can't fail silently.
     println(json)

@@ -400,9 +400,9 @@ object Dedup {
     * replays. */
   private[graft] def simhashBitsSeededDeclarative(
       df: DataFrame, id: Column, text: Column): DataFrame =
-    // stage the per-token hash VALUES once — the 32 bit votes all
+    // stage the per-token hash VALUES once — all Bits bit votes
     // reference the bound __hv column (inlining the md5 would re-hash
-    // every token per bit: the r2 nested-HOF trap, 32× the work)
+    // every token per bit: the r2 nested-HOF trap, Bits× the work)
     df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
       .where(size(col("__w")) >= 1)
       .select(col("id"),

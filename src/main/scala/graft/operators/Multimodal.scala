@@ -14,20 +14,23 @@ import org.apache.spark.sql.functions._
   * width/height/channels from the header without decoding pixel data.
   * AUDIO decode is REAL: `javax.sound.sampled` parses WAV/AIFF/AU
   * headers ([[AudioHeaderDecoder]] → [[decodeAudio]]) for sample
-  * rate / channels / duration without touching sample data. VIDEO is
-  * the one remaining kind with no pure-JDK parser: it — and payloads
-  * no reader recognizes — falls back to the clearly-marked
-  * DETERMINISTIC STUB that derives fake dimensions from payload
-  * bytes; the `decoder` output column says which path produced each
-  * row. Everything around the codec seam (schema, encoders, partition
-  * batching, null handling) is the same either way.
+  * rate / channels / duration without touching sample data. VIDEO
+  * decode is REAL: [[VideoHeaderDecoder]] → [[decodeVideo]] walks
+  * ISO-BMFF (MP4/MOV/M4V) box structure for dimensions and duration,
+  * header-only. Payloads no parser recognizes fall back to the
+  * clearly-marked DETERMINISTIC STUB that derives fake dimensions
+  * from payload bytes; the `decoder` output column says which path
+  * produced each row. Everything around the codec seam (schema,
+  * encoders, partition batching, null handling) is the same either
+  * way.
   */
 object Multimodal {
 
   /** One decoded media record. `width`/`height`/`channels` are decode
     * outputs (channels 0 when the stub produced the row — it knows
     * nothing of color models); `ok` is the decode status; `decoder`
-    * is "imageio" or "stub". */
+    * is "imageio" (real image parse), "isobmff" (real video
+    * mvhd/tkhd header parse), or "stub". */
   final case class MediaMeta(doc_id: Long, media_kind: String,
                              n_bytes: Int, width: Int, height: Int,
                              channels: Int, ok: Boolean, decoder: String)
@@ -142,12 +145,152 @@ object Multimodal {
       }
   }
 
+  /** One decoded video record: ISO-BMFF container-header fields only.
+    * `width`/`height` come from the first track header with non-zero
+    * visual dimensions (audio-only containers report 0×0 but still
+    * parse, like an .m4a); `duration_sec` is mvhd duration/timescale,
+    * -1.0 when the header carries none. */
+  final case class VideoMeta(doc_id: Long, n_bytes: Int,
+                             width: Int, height: Int,
+                             duration_sec: Double, ok: Boolean,
+                             decoder: String)
+
+  /** Real video-header parse for ISO-BMFF containers (MP4/MOV/M4V —
+    * ISO/IEC 14496-12, a published spec): a box is [u32 size][4cc
+    * type][payload], size 1 → u64 largesize follows, size 0 → to end
+    * of file. Walks top-level boxes to `moov`, reads `mvhd` (v0:
+    * u32 timescale@12, u32 duration@16; v1: u32 timescale@20, u64
+    * duration@24) and each `trak`/`tkhd` (16.16 fixed-point width/
+    * height at payload offset 76/80 for v0, 88/92 for v1). Header-only,
+    * no sample data touched — same argument as [[ImageHeaderDecoder]].
+    * Recognition gate: the FIRST box's 4cc must be a well-known
+    * top-level type, so arbitrary bytes fall through to None instead
+    * of being misparsed. */
+  private final class VideoHeaderDecoder {
+    private val topLevel = Set("ftyp", "styp", "moov", "moof", "mdat",
+      "free", "skip", "wide", "pdin", "sidx", "meta", "uuid")
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (boxType, payloadStart, boxEnd) for the box at `o`, or None on
+      * a malformed/truncated header. */
+    private def box(b: Array[Byte], o: Int, limit: Int)
+        : Option[(String, Int, Int)] = {
+      if (o + 8 > limit) return None
+      val size = u32(b, o)
+      val tpe = fourcc(b, o + 4)
+      val (end, payload) =
+        if (size == 0) (limit.toLong, o + 8)
+        else if (size == 1) {
+          if (o + 16 > limit) return None
+          (o + u64(b, o + 8), o + 16)
+        } else (o + size, o + 8)
+      if (end < payload || end > limit) None
+      else Some((tpe, payload, end.toInt))
+    }
+
+    /** (width, height, durationSec), or None if the payload is not a
+      * parseable ISO-BMFF container. Catch-all like the image/audio
+      * decoders: one malformed record must report ok=false, not fail
+      * the task. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double)] =
+      try decodeUnsafe(payload) catch { case _: Exception => None }
+
+    private def decodeUnsafe(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+      if (payload == null || payload.length < 16) return None
+      val n = payload.length
+      box(payload, 0, n) match {
+        case Some((t, _, _)) if topLevel(t) => ()
+        case _ => return None
+      }
+      var dur = -1.0
+      var w = 0
+      var h = 0
+      var sawMvhd = false
+      var o = 0
+      while (o < n) {
+        box(payload, o, n) match {
+          case Some(("moov", p0, moovEnd)) =>
+            var p = p0
+            while (p < moovEnd) {
+              box(payload, p, moovEnd) match {
+                case Some(("mvhd", mp, mEnd)) =>
+                  val v = payload(mp) & 0xff
+                  val (tsOff, durLen) = if (v == 1) (20, 8) else (12, 4)
+                  if (mp + tsOff + 4 + durLen <= mEnd) {
+                    val ts = u32(payload, mp + tsOff)
+                    val d = if (v == 1) u64(payload, mp + tsOff + 4)
+                            else u32(payload, mp + tsOff + 4)
+                    if (ts > 0) { dur = d.toDouble / ts; sawMvhd = true }
+                  }
+                  p = mEnd
+                case Some(("trak", tp0, trakEnd)) =>
+                  var tp = tp0
+                  while (tp < trakEnd) {
+                    box(payload, tp, trakEnd) match {
+                      case Some(("tkhd", kp, kEnd)) =>
+                        val v = payload(kp) & 0xff
+                        val whOff = if (v == 1) 88 else 76
+                        if (kp + whOff + 8 <= kEnd && w == 0 && h == 0) {
+                          // 16.16 fixed point: integer part only
+                          val tw = (u32(payload, kp + whOff) >> 16).toInt
+                          val th = (u32(payload, kp + whOff + 4) >> 16).toInt
+                          if (tw > 0 && th > 0) { w = tw; h = th }
+                        }
+                        tp = kEnd
+                      case Some((_, _, end)) => tp = end
+                      case None => tp = trakEnd
+                    }
+                  }
+                  p = trakEnd
+                case Some((_, _, end)) => p = end
+                case None => p = moovEnd
+              }
+            }
+            o = moovEnd
+          case Some((_, _, end)) => o = end
+          case None => o = n
+        }
+      }
+      if (sawMvhd) Some((w, h, dur)) else None
+    }
+  }
+
+  /** Decode video payloads partition-wise through the real
+    * [[VideoHeaderDecoder]]; unrecognized payloads report ok = false
+    * with zeroed fields (decoder "none") rather than faking numbers —
+    * video, like audio, is a typed path, not a stub. */
+  def decodeVideo(payloads: DataFrame)
+                 (implicit spark: SparkSession): Dataset[VideoMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new VideoHeaderDecoder // per-partition init
+        it.map { case (id, payload) =>
+          val n = if (payload == null) 0 else payload.length
+          dec.decode(payload) match {
+            case Some((w, h, dur)) =>
+              VideoMeta(id, n, w, h, dur, ok = true, decoder = "isobmff")
+            case None =>
+              VideoMeta(id, n, 0, 0, -1.0, ok = false, decoder = "none")
+          }
+        }
+      }
+  }
+
   // ======================================================================
-  // STUB DECODER — deterministic fake for VIDEO (the one kind the JDK
-  // has no header parser for) and for unrecognizable payloads. A real
-  // implementation binds a native library here (one init per
-  // partition, reused across records). The fake derives "dimensions"
-  // from payload bytes so tests are reproducible without codecs.
+  // STUB DECODER — deterministic fake for payloads no real header
+  // parser recognizes (all three kinds now have real parsers: imageio,
+  // javax.sound, ISO-BMFF). A real pixel/sample pipeline binds a
+  // native library here (one init per partition, reused across
+  // records). The fake derives "dimensions" from payload bytes so
+  // tests are reproducible without codecs.
   // ======================================================================
   private final class StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Boolean) =
@@ -160,12 +303,13 @@ object Multimodal {
   }
 
   /** Decode payloads partition-wise. Image payloads go through the
-    * real [[ImageHeaderDecoder]] first; payloads it can't recognize
-    * (and the audio/video kinds) take the stub. Decoders are
-    * constructed once per partition (models expensive codec init),
-    * the iterator is consumed lazily (no partition-sized buffering),
-    * and output is a typed Dataset so downstream stages stay
-    * columnar.
+    * real [[ImageHeaderDecoder]] and video payloads through the real
+    * [[VideoHeaderDecoder]]; payloads the real parsers can't recognize
+    * (and the audio kind, which has its own typed [[decodeAudio]]
+    * path) take the stub. Decoders are constructed once per partition
+    * (models expensive codec init), the iterator is consumed lazily
+    * (no partition-sized buffering), and output is a typed Dataset so
+    * downstream stages stay columnar.
     */
   def decode(payloads: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -174,13 +318,20 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         val img = new ImageHeaderDecoder // per-partition init
+        val vid = new VideoHeaderDecoder
         val stub = new StubDecoder
         it.map { case (id, kind, payload) =>
           val n = if (payload == null) 0 else payload.length
-          val real = if (kind == "image") img.decode(payload) else None
+          val real: Option[(Int, Int, Int, String)] = kind match {
+            case "image" =>
+              img.decode(payload).map { case (w, h, ch) => (w, h, ch, "imageio") }
+            case "video" =>
+              vid.decode(payload).map { case (w, h, _) => (w, h, 0, "isobmff") }
+            case _ => None
+          }
           real match {
-            case Some((w, h, ch)) =>
-              MediaMeta(id, kind, n, w, h, ch, ok = true, decoder = "imageio")
+            case Some((w, h, ch, dec)) =>
+              MediaMeta(id, kind, n, w, h, ch, ok = true, decoder = dec)
             case None =>
               val (w, h, ok) = stub.decode(payload)
               MediaMeta(id, kind, n, w, h, 0, ok, decoder = "stub")

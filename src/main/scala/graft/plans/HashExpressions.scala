@@ -45,7 +45,8 @@ object HashExpressions {
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
 
-  /** array<string> tokens → 32-char '0'/'1' seeded-SimHash bit string
+  /** array<string> tokens → [[SimHashBitsSeeded.Bits]]-char '0'/'1'
+    * seeded-SimHash bit string
     * (md5-based, oracle-reproducible — see [[SimHashBitsSeeded]]). */
   def simhashBitsSeeded(tokens: Column): Column =
     ColumnBridge.column(SimHashBitsSeeded(ColumnBridge.expression(tokens)))

@@ -304,6 +304,66 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!m(7L).ok && m(7L).decoder == "none" && m(7L).channels == 0)
   }
 
+  test("ISO-BMFF box walk decodes real MP4 headers into video features") {
+    implicit val s = spark
+    import spark.implicits._
+    // build a container byte-for-byte per ISO/IEC 14496-12 §4.2
+    def u32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++
+        u32(duration) ++ new Array[Byte](80)) // rate..next_track_ID
+    def tkhdV0(w: Int, h: Int): Array[Byte] =
+      box("tkhd", new Array[Byte](76) ++ u32(w.toLong << 16) ++
+        u32(h.toLong << 16))
+    def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+        u32(timescale) ++ u32(duration >> 32) ++ u32(duration & 0xffffffffL) ++
+        new Array[Byte](80))
+    def tkhdV1(w: Int, h: Int): Array[Byte] =
+      box("tkhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](84) ++
+        u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    // audio track (0×0 dims) FIRST: the walk must skip it and take the
+    // visual track's dimensions
+    val mp4v0 = ftyp ++ box("moov", mvhdV0(600, 1800) ++
+      box("trak", tkhdV0(0, 0)) ++ box("trak", tkhdV0(640, 360))) ++
+      box("mdat", new Array[Byte](32))
+    val mp4v1 = ftyp ++ box("moov", mvhdV1(90000, 45000) ++
+      box("trak", tkhdV1(1920, 1080)))
+    val audioOnly = ftyp ++ box("moov", mvhdV0(8000, 4000) ++
+      box("trak", tkhdV0(0, 0)))
+    val payloads = Seq(
+      (1L, mp4v0), (4L, mp4v1), (7L, audioOnly),
+      (10L, "definitely not an mp4 container here".getBytes("UTF-8")),
+      (13L, mp4v0.take(20)) // truncated mid-moov
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeVideo(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(m(1L).ok && m(1L).decoder == "isobmff")
+    assert((m(1L).width, m(1L).height) == (640, 360))
+    assert(math.abs(m(1L).duration_sec - 3.0) < 1e-9) // 1800/600
+    assert(m(4L).ok && (m(4L).width, m(4L).height) == (1920, 1080))
+    assert(math.abs(m(4L).duration_sec - 0.5) < 1e-9) // 45000/90000
+    // audio-only container parses (like .m4a) with no visual dims
+    assert(m(7L).ok && (m(7L).width, m(7L).height) == (0, 0))
+    assert(math.abs(m(7L).duration_sec - 0.5) < 1e-9)
+    // unrecognized / truncated payloads fail loudly-typed
+    assert(!m(10L).ok && m(10L).decoder == "none")
+    assert(!m(13L).ok)
+    // the generic router sends video payloads through the same parser
+    val routed = Multimodal.decode(
+      Seq((1L, "video", mp4v0), (2L, "video", Array[Byte](9, 9, 9, 9, 9)))
+        .toDF("doc_id", "media_kind", "payload")).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(routed(1L).decoder == "isobmff" &&
+      (routed(1L).width, routed(1L).height) == (640, 360))
+    assert(routed(2L).decoder == "stub")
+  }
+
   test("multimodal decode plumbing preserves rows and is deterministic") {
     implicit val s = spark
     val decoded = Multimodal.decode(Multimodal.asPayload(t.documents))
