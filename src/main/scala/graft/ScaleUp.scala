@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   *    + 1, foreign keys shifted by their referenced domain's stride),
   *    so join fan-outs stay constant per row and output cardinalities
   *    scale linearly — no artificial key collisions;
-  *  - document text in EVERY replica (r = 0 included) gets a
-  *    replica-unique tag token prepended and inserted after every 2nd
-  *    token: within a replica the near-dup structure is preserved
-  *    (identical docs stay identical), across replicas NO 3-gram
-  *    shingle is shared (any 3 consecutive tokens straddle a tag) and
-  *    no doc is byte-identical (the prepended tag covers 0/1-token
-  *    docs), so dedup pair counts scale linearly — the
+  *  - document text in EVERY replica (r = 0 included) gets
+  *    replica-unique tag tokens prepended and inserted after every
+  *    2nd token; each inserted tag derives from its neighboring
+  *    content token (md5, replica-prefixed), so the tag distribution
+  *    mirrors the content distribution instead of adding one hot
+  *    token per replica (which would distort vote-based fingerprints
+  *    like SimHash — see the tagging comment below). Within a
+  *    replica the near-dup structure is preserved (identical docs
+  *    stay identical, shared token runs produce shared tags at any
+  *    offset), across replicas NO 3-gram shingle is shared (any 3
+  *    consecutive tokens straddle a replica-numbered tag) and no doc
+  *    is byte-identical (the prepended tag covers 0/1-token docs),
+  *    so dedup pair counts scale linearly — the
   *    constant-duplication-rate model of a real growing corpus, not
   *    the quadratic blow-up naive copying would fake. Tagging replica
   *    0 too keeps all replicas ISOMORPHIC: quality gates
@@ -107,17 +113,34 @@ object ScaleUp {
       keep("ts"), shift("user_id", kUser), keep("event_type"),
       keep("value"), keep("props")), "events")
 
-    // replica-unique tag prepended + inserted after every 2nd token:
+    // replica-unique tags prepended + inserted after every 2nd token:
     // every 3-gram window of a tagged doc contains a tag (shingle sets
-    // disjoint across replicas) and no doc is byte-identical across
-    // replicas (the prepend covers 0/1-token docs). Applied to ALL
-    // replicas so gate outcomes and near-dup structure are isomorphic
-    // — see the header contract. NULL text stays NULL.
+    // disjoint across replicas, since every tag embeds the replica
+    // number) and no doc is byte-identical across replicas (the
+    // prepend covers 0/1-token docs). Applied to ALL replicas so gate
+    // outcomes and near-dup structure are isomorphic — see the header
+    // contract. NULL text stays NULL.
+    //
+    // Each inserted tag derives from the token BEFORE it (md5 of the
+    // neighbor, replica-prefixed), not from one per-replica constant:
+    // a constant token at ~1/3 of every bag dominated bag-of-tokens
+    // SimHash majority votes and collapsed 50 k docs into FEWER band
+    // buckets than 5 k docs had (276 k → 383 M candidate pairs, a
+    // 1386× blow-up at 10× data) — a data-construction artifact, not
+    // an operator cost. Content-derived tags mirror the content token
+    // distribution (no manufactured hot token), keep identical docs
+    // identical, and are shift-invariant (docs sharing a token run
+    // get the same tags at any offset), so within-replica near-dup
+    // structure is preserved strictly better than with positional
+    // constants. The single prepended constant stays — one token per
+    // doc, negligible vote weight.
     val tag = concat(lit("zrep"), r)
+    def tagOf(t: org.apache.spark.sql.Column) =
+      concat(lit("zr"), r, lit("x"), substring(md5(t.cast("binary")), 1, 6))
     val toks = split(col("text"), " ")
     val text2 = concat(tag, lit(" "),
       array_join(flatten(transform(toks, (t, i) =>
-        when(i % 2 === 1, array(t, tag)).otherwise(array(t)))), " "))
+        when(i % 2 === 1, array(t, tagOf(t))).otherwise(array(t)))), " "))
     write(replicate(read("documents"))(shift("doc_id", kDoc),
       text2.as("text"), keep("lang"), keep("source"),
       coalesce(length(text2).cast("long"), lit(0L)).as("n_chars")),

@@ -850,7 +850,8 @@ object SparkEntry {
     val bitExprs = (0 until nBits).map { j =>
       s"(CASE WHEN 2 * len(list_filter(hv, v -> (v >> $j) & 1 = 1)) >= len(hv) THEN '1' ELSE '0' END)"
     }.grouped(4).map(_.mkString(" || ")).mkString(" ||\n        |      ")
-    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) w
+      |           FROM documents),
       |h AS (SELECT doc_id, list_transform(w,
       |        tk -> CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT)) hv
       |      FROM t WHERE len(w) >= 1),
