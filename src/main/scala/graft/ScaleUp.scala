@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *    token per replica (which would distort vote-based fingerprints
   *    like SimHash — see the tagging comment below). Within a
   *    replica the near-dup structure is preserved (identical docs
-  *    stay identical, shared token runs produce shared tags at any
-  *    offset), across replicas NO 3-gram shingle is shared (any 3
+  *    stay identical; token runs shared at even-offset shifts tag
+  *    identically), across replicas NO 3-gram shingle is shared (any 3
   *    consecutive tokens straddle a replica-numbered tag) and no doc
   *    is byte-identical (the prepended tag covers 0/1-token docs),
   *    so dedup pair counts scale linearly — the
@@ -128,12 +128,13 @@ object ScaleUp {
     // buckets than 5 k docs had (276 k → 383 M candidate pairs, a
     // 1386× blow-up at 10× data) — a data-construction artifact, not
     // an operator cost. Content-derived tags mirror the content token
-    // distribution (no manufactured hot token), keep identical docs
-    // identical, and are shift-invariant (docs sharing a token run
-    // get the same tags at any offset), so within-replica near-dup
-    // structure is preserved strictly better than with positional
-    // constants. The single prepended constant stays — one token per
-    // doc, negligible vote weight.
+    // distribution (no manufactured hot token) and keep identical
+    // docs identical. Shift behavior: tags insert at odd indices, so
+    // a token run shared at EVEN-offset shifts tags identically;
+    // odd-parity shifts tag the run's other alternate tokens — the
+    // same alignment sensitivity the positional-constant scheme had.
+    // The single prepended constant stays — one token per doc,
+    // negligible vote weight.
     val tag = concat(lit("zrep"), r)
     def tagOf(t: org.apache.spark.sql.Column) =
       concat(lit("zr"), r, lit("x"), substring(md5(t.cast("binary")), 1, 6))

@@ -210,11 +210,13 @@ object SparkEntry {
       Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"),
         col("text"), maxHamming = 3, bands = 4)),
 
-    // oracle-checked SimHash: md5-nibble bit votes (portable hex
-    // set-membership, no engine-specific hex→int) drive the SAME
-    // pigeonhole banding + hamming-verify shape as the xxhash64 entry
-    // above, so the last no-oracle operator family gets a
-    // rows+schema+hash row; xxhash64 stays the scale path
+    // oracle-checked SimHash: 60-bit md5 token hashes (Spark
+    // conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT), verified
+    // value-identical — an engine PAIR equivalence, re-verify when
+    // porting the oracle) drive the SAME pigeonhole banding +
+    // hamming-verify shape as the xxhash64 entry above, so the last
+    // no-oracle operator family gets a rows+schema+hash row;
+    // xxhash64 stays the scale path
     "q_dedup_simhash_seeded" -> ((s, dir) =>
       Dedup.simhashPairsSeeded(Tables(s, dir).documents, col("doc_id"),
         col("text"), maxHamming = 3, bands = 4)),
@@ -569,12 +571,13 @@ object SparkEntry {
         |WHERE CAST(len(list_filter(generate_series(1, 16),
         |  i -> sa[i] = sb[i])) AS DOUBLE) / 16 >= 0.5""".stripMargin,
 
-    // The seeded-SimHash pipeline replayed in SQL: per-token md5
-    // prefixes → 32 majority-vote bits (nibble membership tests
-    // GENERATED from the same Dedup.hexCharsWithBit constants the
-    // Spark expression uses) → 4 band slices → bucket equi-join →
-    // hamming ≤ 3 verify. Integer votes and char compares only —
-    // nothing engine-specific.
+    // The seeded-SimHash pipeline replayed in SQL: distinct tokens
+    // (list_distinct == Spark array_distinct for this input) → 60-bit
+    // md5-prefix hash per token → 60 majority-vote bits ((v >> j) & 1
+    // integer votes, GENERATED for j = 0..59) → 4 band slices →
+    // bucket equi-join → hamming ≤ 3 verify (char compares). The one
+    // engine-specific link is hex→int (conv vs CAST '0x'), verified
+    // value-identical for 15-char lowercase hex.
     "q_dedup_simhash_seeded" -> simhashSeededOracleSql,
 
     // The full pipeline composed from the per-stage oracles: quality

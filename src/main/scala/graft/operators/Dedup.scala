@@ -470,10 +470,13 @@ object Dedup {
     * per-bit filtered-array allocation.
     */
   def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
+    // distinct on the TOKENS, not the hashes: matches the seeded
+    // twin's semantics exactly (a hash collision between two distinct
+    // tokens must still vote twice) and skips hashing repeats
     df.select(id.as("id"),
-      HashExpressions.simhash64(array_distinct(
-        HashExpressions.hashedShingles(
-          split(Cleanser.normalized(text), " "), 1))).as("sh"))
+      HashExpressions.simhash64(
+        HashExpressions.hashedShingles(array_distinct(
+          split(Cleanser.normalized(text), " ")), 1)).as("sh"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     *
