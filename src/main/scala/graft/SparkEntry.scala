@@ -366,7 +366,46 @@ object SparkEntry {
         upper(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_kind")))
+          .otherwise("video").as("media_kind"))),
+
+    // Benchmark decontamination: held-out set = doc_id % 20 == 0
+    // (stands in for an eval benchmark), 5-gram shingle overlap of
+    // every remaining training doc against it, flag at >= 0.5
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontaminate.overlapStats(
+          train = docs.where(col("doc_id") % 20 =!= 0),
+          bench = docs.where(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), n = 5, threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // CCNet-style boilerplate pruning: tokens in >= 75% of documents
+    // are stripped from every document, order preserved, via a 1-row
+    // broadcast hot-token array (no doc-keyed reassembly shuffle)
+    "q_boilerplate_prune" -> ((s, dir) =>
+      CorpusStats.removeBoilerplate(Tables(s, dir).documents,
+          col("doc_id"), col("text"), frac = 0.75)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Document-frequency rarity score: integer-exact proxy for
+    // unigram-LM surprisal quality scoring
+    "q_quality_rarity" -> ((s, dir) =>
+      CorpusStats.rarityStats(Tables(s, dir).documents,
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // Data mixing: keep docs per language while the running token
+    // count stays within a 2000-token budget (doc_id order)
+    "q_token_budget_sample" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(
+        col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      Batching.takeByBudgetPerKey(docs, key = col("lang"),
+          order = col("doc_id"), weight = col("n_tokens"),
+          budget = 2000L, partitions = 8, cumOut = "cum_tokens")
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -821,7 +860,59 @@ object SparkEntry {
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_kind
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) i)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+        |SELECT sh.doc_id,
+        |       count(*) AS n_shingles,
+        |       count(bench.s) AS n_matched,
+        |       CAST(count(bench.s) AS DOUBLE) / count(*) AS overlap_frac,
+        |       CAST(CASE WHEN CAST(count(bench.s) AS DOUBLE) / count(*) >= 0.5
+        |                 THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM sh LEFT JOIN bench ON sh.s = bench.s
+        |WHERE sh.doc_id % 20 <> 0
+        |GROUP BY sh.doc_id""".stripMargin,
+
+    "q_boilerplate_prune" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |n AS (SELECT count(*) c FROM t),
+        |dfreq AS (SELECT tok, count(*) df FROM
+        |            (SELECT DISTINCT doc_id, unnest(w) tok FROM t) GROUP BY 1),
+        |hot AS (SELECT coalesce(list(tok ORDER BY tok), []) arr
+        |        FROM dfreq, n WHERE df >= ceil(0.75 * c))
+        |SELECT doc_id,
+        |       coalesce(array_to_string(kept, ' '), '') AS text_clean,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+        |FROM (SELECT doc_id, w,
+        |        list_filter(w, x -> NOT list_contains(hot.arr, x)) kept
+        |      FROM t, hot)""".stripMargin,
+
+    "q_quality_rarity" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |occ AS (SELECT doc_id, unnest(w) tok FROM t),
+        |dfreq AS (SELECT tok, count(*) df FROM
+        |            (SELECT DISTINCT doc_id, tok FROM occ) GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(df) AS BIGINT) AS df_sum,
+        |       CAST(sum(df) AS DOUBLE) / count(*) AS df_mean,
+        |       CAST(min(df) AS BIGINT) AS df_min
+        |FROM occ JOIN dfreq USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_token_budget_sample" ->
+      """SELECT lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM (SELECT lang, doc_id, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |      FROM (SELECT lang, doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens
+        |            FROM documents))
+        |WHERE cum <= 2000""".stripMargin
   )
 
   /** DuckDB mirror of `Cleanser.normalized`. */

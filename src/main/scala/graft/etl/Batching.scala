@@ -96,6 +96,68 @@ object Batching {
     * moves data; offsets are a ≤`partitions`-row aggregate broadcast
     * back.
     */
+  /** Keep rows while a PER-KEY running weight stays within `budget` —
+    * the training-data "token budget per language/domain" mixing step:
+    * rows ordered by `order` within each `key` are kept as long as the
+    * cumulative `weight` (including the current row) is ≤ `budget`.
+    * Output rows carry the running total in `cumOut`.
+    *
+    * Same partition-offset scaffolding as `packByWeight`, per key:
+    * range-partition on (key, order) so each partition holds sorted
+    * contiguous (key, order) runs; the per-partition pass resets its
+    * accumulator at key boundaries; cross-partition carry-in comes
+    * from a per-(partition, key) weight aggregate cumulative-summed
+    * per key across partition ids — a frame of O(partitions + keys)
+    * rows (range partitioning keeps each key in one partition unless
+    * the key's data spans several), broadcast back. Only the range
+    * shuffle moves data.
+    *
+    * Preconditions (as `packByWeight`): `order` unique within `key`;
+    * weights non-negative (NULL counts 0). A null key is a key.
+    */
+  def takeByBudgetPerKey(df: DataFrame, key: Column, order: Column,
+                         weight: Column, budget: Long, partitions: Int,
+                         cumOut: String = "cum_weight"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val ranged = df.withColumn("__k", key)
+      .repartitionByRange(partitions, col("__k"), order)
+      .sortWithinPartitions(col("__k"), order)
+      .withColumn("__w", coalesce(weight.cast("long"), lit(0L)))
+      .withColumn("__pid",
+        shiftright(monotonically_increasing_id(), 33))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val schema = ranged.schema.add("__cum",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val wAt = ranged.schema.fieldIndex("__w")
+    val kAt = ranged.schema.fieldIndex("__k")
+    // running sum INCLUDING the current row, reset at key boundaries
+    // (rows are sorted by (key, order) within each partition)
+    val local = ranged.mapPartitions { it =>
+      var c = 0L
+      var started = false
+      var prev: Any = null
+      it.map { r =>
+        val k = r.get(kAt)
+        if (!started || k != prev) { c = 0L; started = true; prev = k }
+        c += r.getLong(wAt)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    // per-key carry-in: this key's total weight in EARLIER partitions
+    val offsets = ranged.groupBy(col("__pid"), col("__k").as("__ok"))
+      .agg(sum(col("__w")).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(col("__ok")).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__ok"), col("__off"))
+    local.join(broadcast(offsets),
+        col("__pid") === col("__opid") && col("__k") <=> col("__ok"))
+      .withColumn(cumOut, col("__off") + col("__cum"))
+      .where(col(cumOut) <= budget)
+      .drop("__k", "__w", "__pid", "__cum", "__opid", "__ok", "__off")
+  }
+
   def packByWeight(df: DataFrame, order: Column, weight: Column,
                    budget: Long, partitions: Int,
                    out: String = "pack_id"): DataFrame = {

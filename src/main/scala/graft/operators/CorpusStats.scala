@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.io.Cleanser
+
+/** Corpus-level token statistics and the filters built on them:
+  * document frequencies, boilerplate-token pruning (CCNet-style
+  * "remove what almost every document repeats"), and
+  * document-frequency rarity scoring as a cheap quality signal.
+  *
+  * Not reference operators: part of the LLM-training-data surface
+  * this engine adds beyond the reference's ETL scope.
+  *
+  * Scale shape:
+  *  - `docFrequencies` is scan → per-row `array_distinct` (map-side
+  *    dedup before the explode) → one vocabulary-keyed count. The
+  *    shuffle carries one row per (doc, distinct token); the result
+  *    is VOCABULARY-sized — tiny relative to any corpus.
+  *  - `removeBoilerplate` folds the hot-token set into a ONE-ROW
+  *    broadcast array (the watermark-scalar pattern used across this
+  *    repo) and rewrites every document map-side with a codegen'd
+  *    `filter(tokens, !array_contains(hot, _))` — no doc-keyed
+  *    shuffle, no explode/reassemble round trip of the corpus. Hot
+  *    sets are boilerplate by definition (df above a large fraction
+  *    of N), so the array is small and bounded by the vocabulary.
+  *  - `rarityStats` joins token occurrences to the vocabulary table
+  *    (broadcast when small, else a token-keyed shuffle of (id,
+  *    token) longs) and rolls up integer sums per doc — exact, no
+  *    float accumulation across rows (cross-row float sums are
+  *    order-dependent and would break oracle hash parity).
+  */
+object CorpusStats {
+
+  /** Normalized whitespace tokens, matching `Dedup.shingles`. */
+  private def toks(text: Column): Column =
+    split(Cleanser.normalized(text), " ")
+
+  /** Vocabulary document frequencies: `(token, df)` where df counts
+    * documents containing the token at least once. */
+  def docFrequencies(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), explode(array_distinct(toks(text))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  /** Tokens appearing in at least `ceil(frac * N)` of the `N`
+    * documents — the boilerplate set. */
+  def boilerplateTokens(df: DataFrame, id: Column, text: Column,
+                        frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val n = df.agg(count(lit(1)).as("__n"))
+    docFrequencies(df, id, text)
+      .crossJoin(broadcast(n))
+      .where(col("df") >= ceil(lit(frac) * col("__n")))
+      .select(col("token"))
+  }
+
+  /** Strip boilerplate tokens from every document:
+    * `(id, text_clean, n_kept, n_removed)`. Token order is preserved
+    * (a positional explode/reassemble is NOT needed — the per-row
+    * lambda filters the token array in place). */
+  def removeBoilerplate(df: DataFrame, id: Column, text: Column,
+                        frac: Double): DataFrame = {
+    val hotArr = boilerplateTokens(df, id, text, frac)
+      .agg(sort_array(collect_list(col("token"))).as("__hot"))
+    df.select(id.as("id"), toks(text).as("__toks"))
+      .crossJoin(broadcast(hotArr))
+      .select(col("id"), col("__toks"),
+        filter(col("__toks"),
+          t => !array_contains(col("__hot"), t)).as("__kept"))
+      .select(col("id"),
+        concat_ws(" ", col("__kept")).as("text_clean"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept")))
+          .cast("long").as("n_removed"))
+  }
+
+  /** Document-frequency rarity score per document:
+    * `(id, n_tokens, df_sum, df_mean, df_min)` over token
+    * OCCURRENCES (a token counts once per appearance). Low `df_mean`
+    * / `df_min` marks documents built from rare vocabulary — the
+    * integer-exact stand-in for unigram-LM surprisal (ln-based
+    * surprisal differs across engines in the last ulp; df sums are
+    * exact in any engine). `df_mean` is a single per-row division of
+    * two exactly-represented integers. */
+  def rarityStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), explode(toks(text)).as("token"))
+      .join(docFrequencies(df, id, text), "token")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("df_sum"),
+        min(col("df")).as("df_min"))
+      .select(col("id"), col("n_tokens"), col("df_sum"),
+        (col("df_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("df_mean"),
+        col("df_min"))
+}

@@ -35,12 +35,19 @@ object Dedup {
     * *down* for negative spans).
     */
   def shingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val w = split(Cleanser.normalized(text), " ")
+    // stage the token array into its own projection FIRST: a lambda
+    // referencing an inline expression re-evaluates it per element, so
+    // an un-staged `w` would re-run the whole normalize+split chain
+    // once per shingle index — O(len) regex passes per document (the
+    // round-2 254-second lesson on the hash path, same fix here)
+    val staged = df.select(id.as("id"),
+      split(Cleanser.normalized(text), " ").as("__w"))
+    val w = col("__w")
     val grams = when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => array_join(slice(w, i + 1, lit(n)), " "))
     ).otherwise(array())
-    df.select(id.as("id"), explode(grams).as("shingle")).distinct()
+    staged.select(col("id"), explode(grams).as("shingle")).distinct()
   }
 
   /** Near-duplicate pairs by n-gram Jaccard ≥ `threshold`, id_a < id_b.

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Batching
+import graft.operators.{CorpusStats, Decontaminate}
+
+/** Decontamination, boilerplate pruning, rarity scoring, and the
+  * per-key budget take. */
+class CorpusOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  // ---- Decontaminate ----
+
+  test("overlapStats: exact copy is fully contaminated, fresh doc is clean") {
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f g h"),   // exact copy: overlap 1.0
+      (2L, "p q r s t u v w"),   // disjoint: overlap 0.0
+      (3L, "x y a b c d e z")    // shares shingles "a b c" "b c d" "c d e"
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapStats(train, bench,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got(1L) == ((6L, 6L, 1.0, 1)))
+    assert(got(2L) == ((6L, 0L, 0.0, 0)))
+    assert(got(3L) == ((6L, 3L, 0.5, 1)))
+  }
+
+  test("overlapStats: docs shorter than n tokens are absent") {
+    val bench = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val ids = Decontaminate.overlapStats(train, bench,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  // ---- CorpusStats ----
+
+  test("docFrequencies counts documents, not occurrences") {
+    val docs = Seq(
+      (1L, "the the cat"), (2L, "the dog"), (3L, "bird")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.docFrequencies(docs, col("doc_id"), col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("the" -> 2L, "cat" -> 1L, "dog" -> 1L, "bird" -> 1L))
+  }
+
+  test("removeBoilerplate strips hot tokens, preserves order, keeps empties") {
+    // "the" in 4/4 docs; "cat" in 2/4; frac 0.75 → threshold ceil(3)=3
+    val docs = Seq(
+      (1L, "the cat sat the mat"),
+      (2L, "the cat"),
+      (3L, "the"),               // fully boilerplate → empty clean text
+      (4L, "the dog")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.removeBoilerplate(docs, col("doc_id"),
+        col("text"), frac = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("cat sat mat", 3L, 2L)))
+    assert(got(2L) == (("cat", 1L, 1L)))
+    assert(got(3L) == (("", 0L, 1L)))
+    assert(got(4L) == (("dog", 1L, 1L)))
+  }
+
+  test("removeBoilerplate with an empty hot set is the identity") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = CorpusStats.removeBoilerplate(docs, col("doc_id"),
+        col("text"), frac = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b", 2L, 0L)))
+    assert(got(2L) == (("c d", 2L, 0L)))
+  }
+
+  test("rarityStats: integer-exact df sums over occurrences") {
+    // dfs: the→2, cat→2, rare→1
+    val docs = Seq(
+      (1L, "the cat the"),       // dfs 2,2,2 → sum 6, mean 2.0, min 2
+      (2L, "the cat rare")       // dfs 2,2,1 → sum 5, mean 5/3, min 1
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.rarityStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, 6L, 2.0, 2L)))
+    assert(got(2L) == ((3L, 5L, 5.0 / 3.0, 1L)))
+  }
+
+  // ---- Batching.takeByBudgetPerKey ----
+
+  /** Naive single-window reference: per-key running sum, keep ≤ budget. */
+  private def naiveTake(df: org.apache.spark.sql.DataFrame,
+                        budget: Long): org.apache.spark.sql.DataFrame =
+    df.withColumn("cum_weight",
+        sum(col("w")).over(Window.partitionBy(col("k")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("cum_weight") <= budget)
+
+  test("takeByBudgetPerKey matches the per-key window reference") {
+    // 300 rows, 3 keys, deterministic weights; 8 range partitions so
+    // keys straddle partition boundaries and exercise the carry-in
+    val df = spark.range(300)
+      .select(col("id"),
+        concat(lit("k"), (col("id") % 3).cast("string")).as("k"),
+        ((col("id") * 37 % 11) + 1).as("w"))
+      .persist()
+    val got = Batching.takeByBudgetPerKey(df, key = col("k"),
+        order = col("id"), weight = col("w"), budget = 200L,
+        partitions = 8)
+      .select("id", "k", "w", "cum_weight")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val want = naiveTake(df, 200L)
+      .select("id", "k", "w", "cum_weight")
+      .as[(Long, String, Long, Long)].collect().toSet
+    df.unpersist()
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("takeByBudgetPerKey: exact-budget row kept, next row dropped") {
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 1L),  // cum 5,10,11
+      ("b", 1L, 10L), ("b", 2L, 1L)                 // cum 10,11
+    ).toDF("k", "id", "w")
+    val got = Batching.takeByBudgetPerKey(df, key = col("k"),
+        order = col("id"), weight = col("w"), budget = 10L,
+        partitions = 4)
+      .select("k", "id", "cum_weight")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 5L), ("a", 2L, 10L), ("b", 1L, 10L)))
+  }
+
+  test("takeByBudgetPerKey: null weights count zero, null key is a key") {
+    val df = Seq(
+      (Option("a"), 1L, Option(4L)), (Option("a"), 2L, None),
+      (Option.empty[String], 1L, Option(3L)),
+      (Option.empty[String], 2L, Option(2L))
+    ).toDF("k", "id", "w")
+    val got = Batching.takeByBudgetPerKey(df, key = col("k"),
+        order = col("id"), weight = col("w"), budget = 5L,
+        partitions = 2)
+      .select("k", "id", "cum_weight")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(got == Set((Some("a"), 1L, 4L), (Some("a"), 2L, 4L),
+      (None, 1L, 3L), (None, 2L, 5L)))
+  }
+}
