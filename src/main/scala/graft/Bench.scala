@@ -37,6 +37,34 @@ object Bench {
     try Files.readString(Paths.get("/proc/loadavg")).trim
     catch { case _: Throwable => "" }
 
+  /** Host-stall probe: a daemon thread sleeps 100 ms in a loop and,
+    * whenever the sleep actually took over 250 ms, accumulates the
+    * oversleep — time the guest simply did not run. On this class of VM (Firecracker) host CPU
+    * oversubscription is INVISIBLE to every guest metric (steal stays
+    * 0 — the steal-time MSR isn't exposed — loadavg/PSI only see
+    * guest-side queuing), yet it freely multiplies wall-clock
+    * timings; a sleeper that oversleeps is the one guest-visible
+    * witness. Per-run deltas land in the bench JSON as `stall_sec`
+    * so a noise-poisoned run is identifiable from the artifact alone
+    * instead of by cross-round forensics (the round-4/5 lesson).
+    */
+  private object StallProbe {
+    @volatile private var stallNanos = 0L
+    def start(): Unit = {
+      val t = new Thread(() => {
+        while (true) {
+          val t0 = System.nanoTime()
+          try Thread.sleep(100) catch { case _: InterruptedException => }
+          val over = System.nanoTime() - t0 - 100000000L
+          if (over > 150000000L) stallNanos += over
+        }
+      }, "graft-stall-probe")
+      t.setDaemon(true)
+      t.start()
+    }
+    def totalSec: Double = stallNanos / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -109,12 +137,17 @@ object Bench {
     val headlineNames = names.filterNot(oracleOnly)
     val oracleNames = names.filter(oracleOnly)
     val loadBefore = loadavg
+    StallProbe.start()
+    val stallMarks = scala.collection.mutable.ArrayBuffer(StallProbe.totalSec)
     val perRun: Seq[Map[String, Double]] = (1 to runs).map { r =>
       val m = headlineNames.map(n => n -> timeOne(n)).toMap
+      stallMarks += StallProbe.totalSec
       System.err.println(s"[bench] run $r/$runs total=" +
-        f"${m.values.filter(_ >= 0).sum}%.1f s loadavg=$loadavg")
+        f"${m.values.filter(_ >= 0).sum}%.1f s loadavg=$loadavg " +
+        f"stall=${stallMarks.last - stallMarks(r - 1)}%.1f s")
       m
     }
+    val stallPerRun = stallMarks.sliding(2).map(w => w(1) - w(0)).toSeq
     // oracle-only twins: one timed sample after the repeat runs
     val oracleTimes = oracleNames.map(n => n -> timeOne(n)).toMap
     // same-session isolated re-time of the historically divergent
@@ -159,6 +192,7 @@ object Bench {
         s""","runs":$runs,"queries":${jmap(med)}""" +
         s""","queries_min":${jmap(mins)},"queries_max":${jmap(maxs)}""" +
         s""","per_run_total":${perRun.map(runTotal).mkString("[", ",", "]")}""" +
+        s""","stall_sec":${stallPerRun.map(s => f"$s%.2f").mkString("[", ",", "]")}""" +
         s""","dropped_from_totals":${jarr(dropped)}""" +
         s""","oracle_only":${jarr(oracleOnly.toSeq.sorted)}""" +
         s""","oracle_only_sec":$oracleSec""" +

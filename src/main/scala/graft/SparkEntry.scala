@@ -904,10 +904,15 @@ object SparkEntry {
         |FROM occ JOIN dfreq USING (tok)
         |GROUP BY doc_id""".stripMargin,
 
+    // coalesce inside the window sum: the operator counts a NULL
+    // weight as 0 (doc kept, budget untouched), while a bare window
+    // sum would skip NULLs — and yield NULL (dropping the row) when a
+    // key's FIRST doc has NULL text
     "q_token_budget_sample" ->
       """SELECT lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
         |FROM (SELECT lang, doc_id, n_tokens,
-        |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |             sum(coalesce(n_tokens, 0)) OVER (
+        |               PARTITION BY lang ORDER BY doc_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
         |      FROM (SELECT lang, doc_id,
         |              CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens
