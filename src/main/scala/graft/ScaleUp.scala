@@ -82,7 +82,14 @@ object ScaleUp {
     def shift(c: String, k: Long) = (col(c) + r * k).as(c)
     def keep(c: String) = col(c)
     def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // spread each table over the local core count: the source
+      // tables are single parquet files, and replicate() preserves
+      // that, so an unrepartitioned write yields ONE part file — at
+      // bench time every scan stage of that table then runs as a
+      // single task (one sf1 scan task was observed interpreting for
+      // minutes while 31 cores idled). Real 100 TB tables arrive as
+      // thousands of files; 32 parts is the local stand-in.
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
 

@@ -58,7 +58,11 @@ object CorpusStats {
   /** Strip boilerplate tokens from every document:
     * `(id, text_clean, n_kept, n_removed)`. Token order is preserved
     * (a positional explode/reassemble is NOT needed — the per-row
-    * lambda filters the token array in place). */
+    * rewrite filters the token array in place). The rewrite is
+    * `plans.ArrayRemoveAll`, a codegen'd loop: the declarative
+    * `filter(toks, !array_contains(hot, _))` is a CodegenFallback
+    * whose interpreted per-element lambda dominated the corpus scan
+    * (single sf1 task: minutes in `ArrayFilter.nullSafeEval`). */
   def removeBoilerplate(df: DataFrame, id: Column, text: Column,
                         frac: Double): DataFrame = {
     val hotArr = boilerplateTokens(df, id, text, frac)
@@ -66,8 +70,8 @@ object CorpusStats {
     df.select(id.as("id"), toks(text).as("__toks"))
       .crossJoin(broadcast(hotArr))
       .select(col("id"), col("__toks"),
-        filter(col("__toks"),
-          t => !array_contains(col("__hot"), t)).as("__kept"))
+        graft.plans.ArrayExpressions.removeAll(
+          col("__toks"), col("__hot")).as("__kept"))
       .select(col("id"),
         concat_ws(" ", col("__kept")).as("text_clean"),
         size(col("__kept")).cast("long").as("n_kept"),

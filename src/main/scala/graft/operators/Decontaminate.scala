@@ -23,14 +23,28 @@ import org.apache.spark.sql.functions._
   *    train shingle with map-side partial counts — the only shuffle
   *    in the plan, keyed by doc id.
   *
-  * Shingles join on their *strings* so the result is engine-portable
-  * (the DuckDB oracle replays it exactly). At scale, swap the join
-  * key for `xxhash64(shingle)`: 8-byte keys shrink the broadcast and
-  * the shuffle, and a collision only *adds* a false match — for
-  * decontamination that errs toward dropping more, the safe
-  * direction.
+  * Shingles travel as 64-bit hashes (`plans.HashedShingles`, the
+  * same fused codegen loop and the same argument as
+  * `Dedup.jaccardPairs`): 8-byte join/distinct keys instead of
+  * n-token strings (~14× less shuffle on tag-heavy corpora), and a
+  * cross-corpus collision (~|train|·|bench|/2⁶⁴ — vanishing,
+  * deterministic per corpus, so the oracle gate stays exact) only
+  * *adds* a false match — for decontamination that errs toward
+  * dropping more, the safe direction.
   */
 object Decontaminate {
+
+  /** Distinct hashed-shingle frame `(id, shingle: long)` — the
+    * jaccardPairs index shape. */
+  private def hashedShingleSet(df: DataFrame, id: Column, text: Column,
+                               n: Int): DataFrame =
+    df.select(id.as("id"),
+        split(graft.io.Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("id"),
+        explode(graft.plans.HashExpressions.hashedShingles(col("__w"), n))
+          .as("shingle"))
+      .distinct()
 
   /** Per-train-doc overlap stats: `(id, n_shingles, n_matched,
     * overlap_frac, contaminated)`. Docs with fewer than `n` tokens
@@ -43,12 +57,12 @@ object Decontaminate {
                    id: Column, text: Column, n: Int,
                    threshold: Double): DataFrame = {
     require(n >= 1, "shingle size must be >= 1")
-    val benchSet = Dedup.shingles(bench, id, text, n)
+    val benchSet = hashedShingleSet(bench, id, text, n)
       .select(col("shingle")).distinct()
       .withColumn("__hit", lit(1))
     val frac = col("n_matched").cast("double") /
       col("n_shingles").cast("double")
-    Dedup.shingles(train, id, text, n)
+    hashedShingleSet(train, id, text, n)
       .join(broadcast(benchSet), Seq("shingle"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),

@@ -51,7 +51,11 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(token_hashes) - 64-bit majority-vote SimHash"),
       arity("simhash64", "simhash64(token_hashes)", 1)(args =>
-        SimHash64(args(0)))))
+        SimHash64(args(0)))),
+    (FunctionIdentifier("array_remove_all"),
+      info("array_remove_all", "array_remove_all(tokens, remove) - drop every occurrence of any `remove` element, order/duplicates preserved"),
+      arity("array_remove_all", "array_remove_all(tokens, remove)", 2)(args =>
+        ArrayRemoveAll(args(0), args(1)))))
 
   private def intArg(e: Expression, fn: String, name: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -77,6 +77,31 @@ class CorpusOpsSpec extends GraftSuite {
     assert(got(2L) == (("c d", 2L, 0L)))
   }
 
+  test("ArrayRemoveAll == declarative filter(!array_contains), incl. edge rows") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c", "a"), Seq("a")),
+      (2L, Seq("x", "y"), Seq[String]()),        // empty remove set
+      (3L, Seq[String](), Seq("x")),             // empty tokens
+      (4L, Seq("", "a", ""), Seq("")),           // empty-string tokens
+      (5L, Seq("q", "q"), Seq("q", "z"))         // all removed
+    ).toDF("id", "toks", "rem")
+    val got = df.select(col("id"),
+        graft.plans.ArrayExpressions.removeAll(col("toks"), col("rem")).as("r"))
+      .as[(Long, Seq[String])].collect().toMap
+    val want = df.select(col("id"),
+        filter(col("toks"), t => !array_contains(col("rem"), t)).as("r"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == want)
+    assert(got(1L) == Seq("b", "c") && got(4L) == Seq("a") &&
+      got(5L) == Seq.empty)
+    // null tokens array propagates null (null-text document)
+    val n = Seq((6L, Option.empty[Seq[String]], Option(Seq("a"))))
+      .toDF("id", "toks", "rem")
+      .select(graft.plans.ArrayExpressions.removeAll(col("toks"), col("rem")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("rarityStats: integer-exact df sums over occurrences") {
     // dfs: the→2, cat→2, rare→1
     val docs = Seq(
