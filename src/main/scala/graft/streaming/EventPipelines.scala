@@ -132,6 +132,60 @@ object EventPipelines {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  // ---------------------------------------------------------------
+  // Streaming token-budget admission (twin of takeByBudgetPerKey)
+  // ---------------------------------------------------------------
+
+  final case class BudgetDoc(key: String, order: Long, weight: Long)
+  final case class BudgetSpent(spent: Long)
+  final case class AdmittedDoc(key: String, order: Long, weight: Long,
+                               cum_weight: Long)
+
+  /** Streaming twin of `graft.etl.Batching.takeByBudgetPerKey`: admit
+    * documents per key while the running weight (including the
+    * current doc) stays ≤ `budget`.
+    *
+    * Semantics mirror the batch prefix-take: every arriving doc's
+    * weight is added to the key's running total whether or not it is
+    * admitted, so once a key's total passes the budget the key is
+    * closed for good (weights are non-negative → the total is
+    * monotone; state never retracts an admission). Docs inside one
+    * trigger batch are processed in `order` order, matching the
+    * batch operator's range sort; across batches admission is
+    * necessarily arrival-ordered — a budget over an unbounded corpus
+    * is an admission GATE, not a retroactive top-prefix.
+    *
+    * `NoTimeout` is deliberate: state is one long per key and must
+    * outlive any watermark horizon (a budget does not expire); at
+    * 100 TB the key domain (languages, domains) is dimension-sized,
+    * so per-key state stays trivially bounded.
+    */
+  def streamTokenBudget(docs: Dataset[BudgetDoc],
+                        budget: Long): Dataset[AdmittedDoc] = {
+    require(budget >= 1, "budget must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def fn(key: String, evts: Iterator[BudgetDoc],
+           state: GroupState[BudgetSpent]): Iterator[AdmittedDoc] = {
+      var spent = state.getOption.fold(0L)(_.spent)
+      val out = Vector.newBuilder[AdmittedDoc]
+      // precondition as the batch twin: weights non-negative (a
+      // negative weight would make the total non-monotone and could
+      // re-open a closed key)
+      evts.toArray.sortBy(_.order).foreach { d =>
+        spent += d.weight
+        if (spent <= budget) out += AdmittedDoc(key, d.order, d.weight, spent)
+      }
+      state.update(BudgetSpent(spent))
+      out.result().iterator
+    }
+
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Watermark-correct built-in sessionization (`session_window`):
     * late in-watermark events merge/extend sessions properly and
     * results emit only once final. Note the built-in's `end` is

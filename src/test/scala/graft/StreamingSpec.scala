@@ -126,6 +126,56 @@ class StreamingSpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
   }
 
+  test("streamTokenBudget equals takeByBudgetPerKey on a replayed slice") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    // weights chosen so every key hits its budget mid-sequence,
+    // including an exact-budget admit ("es") and a giant doc that
+    // closes the key while later small docs still arrive ("de")
+    val docs = Seq(
+      EventPipelines.BudgetDoc("en", 1L, 4L), EventPipelines.BudgetDoc("en", 2L, 5L),
+      EventPipelines.BudgetDoc("en", 3L, 2L), EventPipelines.BudgetDoc("es", 1L, 10L),
+      EventPipelines.BudgetDoc("es", 2L, 1L), EventPipelines.BudgetDoc("de", 1L, 2L),
+      EventPipelines.BudgetDoc("de", 2L, 50L), EventPipelines.BudgetDoc("de", 3L, 1L))
+    val mem = MemoryStream[EventPipelines.BudgetDoc]
+    mem.addData(docs: _*)
+    val q = EventPipelines.streamTokenBudget(mem.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("stb")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("stb")
+      .as[EventPipelines.AdmittedDoc].collect()
+      .map(a => (a.key, a.order, a.weight, a.cum_weight)).toSet
+    val want = graft.etl.Batching.takeByBudgetPerKey(
+        docs.toDF("key", "order", "weight"), key = col("key"),
+        order = col("order"), weight = col("weight"), budget = 10L,
+        partitions = 4)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, o, w, c) => (k, o, w, c) }.toSet
+    assert(want.nonEmpty && got == want)
+    // the en doc after the overflow stays dropped (prefix semantics)
+    assert(!got.exists(r => r._1 == "en" && r._2 == 3L))
+  }
+
+  test("streamTokenBudget: a closed key admits nothing in later batches") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[EventPipelines.BudgetDoc]
+    val q = EventPipelines.streamTokenBudget(mem.toDS(), budget = 5L)
+      .writeStream.format("memory").queryName("stb2")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventPipelines.BudgetDoc("en", 1L, 6L)) // overflows at once
+      q.processAllAvailable()
+      mem.addData(EventPipelines.BudgetDoc("en", 2L, 1L)) // would fit a fresh key
+      mem.addData(EventPipelines.BudgetDoc("fr", 1L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("stb2").as[EventPipelines.AdmittedDoc].collect()
+      .map(a => (a.key, a.order, a.cum_weight)).toSet
+    assert(got == Set(("fr", 1L, 1L)))
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
