@@ -395,6 +395,20 @@ object SparkEntry {
           col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // Full pipeline with the decontamination gate: gates → exact
+    // dedup → jaccard near-dup removal → drop docs overlapping the
+    // held-out benchmark slice (doc_id % 20 == 0, as q_decontaminate)
+    "q_training_prep_decontam" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      TrainingPipeline.prepareDecontaminatedWith(
+        docs.where(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        TrainingPipeline.Config(),
+        bench = docs.where(col("doc_id") % 20 === 0),
+        benchId = col("doc_id"), benchText = col("text"),
+        benchN = 5, maxOverlap = 0.5,
+        (d, i, t) => Dedup.jaccardPairs(d, i, t, n = 3, threshold = 0.8))
+    }),
+
     // Data mixing: keep docs per language while the running token
     // count stays within a 2000-token budget (doc_id order)
     "q_token_budget_sample" -> ((s, dir) => {
@@ -903,6 +917,68 @@ object SparkEntry {
         |       CAST(min(df) AS BIGINT) AS df_min
         |FROM occ JOIN dfreq USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // q38's oracle with a train-slice filter in `base` plus the
+    // decontamination tail: survivors' 5-gram overlap vs the
+    // benchmark slice, drop at >= 0.5 (docs too short to shingle
+    // have no overlap row and survive — LEFT JOIN + HAVING)
+    "q_training_prep_decontam" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, ' ') w,
+        |    string_split(lower(text), ' ') lw,
+        |    $normSql AS norm
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |scored AS (
+        |  SELECT doc_id, text, norm,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(lw, x -> x IN ('the','of','and','a','to','is'))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        |    len(list_filter(lw, x -> x IN ('the','of','and','a','to','is'))) en,
+        |    len(list_filter(lw, x -> x IN ('el','la','de','los','y','es'))) es,
+        |    len(list_filter(lw, x -> x IN ('der','die','das','und','ein'))) de,
+        |    len(list_filter(lw, x -> x IN ('le','la','les','de','et'))) fr
+        |  FROM base),
+        |staged AS (
+        |  SELECT doc_id AS id, text, norm, n_tokens, stop_ratio,
+        |    CASE WHEN text IS NULL THEN 'und'
+        |         WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |         WHEN es >= de AND es >= fr THEN 'es'
+        |         WHEN de >= fr THEN 'de'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM scored),
+        |gated AS (SELECT * FROM staged
+        |          WHERE n_tokens >= 20 AND stop_ratio <= 0.9
+        |            AND lang_pred IN ('en','es','de','fr')),
+        |exact AS (SELECT g.* FROM gated g
+        |          JOIN (SELECT min(id) AS cid FROM gated
+        |                GROUP BY md5(norm)) c ON g.id = c.cid),
+        |sh AS (SELECT DISTINCT id, array_to_string(nw[i:i+2], ' ') s
+        |       FROM (SELECT id, string_split(norm, ' ') nw FROM exact),
+        |            LATERAL (SELECT unnest(generate_series(1, len(nw)-2)) i)),
+        |cnt AS (SELECT id, count(*) n FROM sh GROUP BY 1),
+        |p AS (SELECT a.id id_a, b.id id_b, count(*) n_common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |      GROUP BY 1, 2),
+        |dl AS (SELECT DISTINCT id_b
+        |       FROM p JOIN cnt ca ON ca.id = id_a
+        |              JOIN cnt cb ON cb.id = id_b
+        |       WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8),
+        |surv AS (SELECT id, text, norm, n_tokens, lang_pred FROM exact
+        |         WHERE id NOT IN (SELECT id_b FROM dl)),
+        |bsh AS (SELECT DISTINCT array_to_string(bw[i:i+4], ' ') s
+        |        FROM (SELECT string_split($normSql, ' ') bw FROM documents
+        |              WHERE doc_id % 20 = 0),
+        |             LATERAL (SELECT unnest(generate_series(1, len(bw)-4)) i)),
+        |tsh AS (SELECT DISTINCT id, array_to_string(nw[i:i+4], ' ') s
+        |        FROM (SELECT id, string_split(norm, ' ') nw FROM surv),
+        |             LATERAL (SELECT unnest(generate_series(1, len(nw)-4)) i)),
+        |cont AS (SELECT t.id FROM tsh t LEFT JOIN bsh b ON t.s = b.s
+        |         GROUP BY t.id
+        |         HAVING CAST(count(b.s) AS DOUBLE) / count(*) >= 0.5)
+        |SELECT id, text, n_tokens, lang_pred FROM surv
+        |WHERE id NOT IN (SELECT id FROM cont)""".stripMargin,
 
     // coalesce inside the window sum: the operator counts a NULL
     // weight as 0 (doc kept, budget untouched), while a bare window

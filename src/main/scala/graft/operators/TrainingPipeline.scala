@@ -41,6 +41,28 @@ object TrainingPipeline {
       (d, i, t) => Dedup.minhashLshPairs(d, i, t,
         n = cfg.shingleN, threshold = cfg.nearDupThreshold))
 
+  /** `prepareWith` + benchmark decontamination — the last gate of a
+    * real pretraining prep: after quality/lang/dedup, drop any
+    * surviving doc whose `benchN`-gram overlap with the held-out
+    * `bench` corpus reaches `maxOverlap`
+    * (`Decontaminate.overlapStats`; the bench shingle set broadcasts,
+    * so the extra stage costs one more pass over the SURVIVORS, not
+    * the raw corpus). Docs too short to shingle have no overlap row
+    * and survive. */
+  def prepareDecontaminatedWith(docs: DataFrame, id: Column, text: Column,
+                                cfg: Config, bench: DataFrame,
+                                benchId: Column, benchText: Column,
+                                benchN: Int, maxOverlap: Double,
+                                pairGen: (DataFrame, Column, Column) => DataFrame)
+      : DataFrame = {
+    val prepped = prepareWith(docs, id, text, cfg, pairGen)
+    val benchConformed = bench.select(benchId.as("id"), benchText.as("text"))
+    val contaminated = Decontaminate.overlapStats(prepped, benchConformed,
+        col("id"), col("text"), benchN, maxOverlap)
+      .where(col("contaminated") === 1).select("id")
+    prepped.join(contaminated, Seq("id"), "left_anti")
+  }
+
   /** As `prepare`, but with a pluggable near-dup pair generator —
     * MinHash-LSH is the scale default; the exact n-gram jaccard
     * generator makes the whole pipeline SQL-reproducible
