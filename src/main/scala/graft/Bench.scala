@@ -81,6 +81,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // a >10 s JVM freeze (32 GiB full GC, or the host stalls the
+      // probe documents) breaches the default executor-heartbeat RPC
+      // timeout and kills the whole SparkContext mid-suite — an sf1
+      // run died exactly this way. Stretch the tolerance so a stall
+      // costs a timing, not the harness.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/scheduler warmup so the first query's number is the query,
