@@ -24,6 +24,13 @@ import java.nio.file.{Files, Paths}
   * is re-timed ISOLATED in the same session/JVM — the in-suite median
   * vs same-session isolated delta is the attribution signal rounds
   * 3-4 lacked.
+  *
+  * Runs whose host-stall probe exceeds `SPARK_GRAFT_STALL_MAX`
+  * (default 5 s) are retried (up to `SPARK_GRAFT_STALL_RETRIES` extra,
+  * default 3) and excluded from the medians when quiet runs exist;
+  * `stall_poisoned` in the JSON is true only when no quiet run was
+  * achieved — the round-5 lesson, where the artifact of record carried
+  * 20-68 s/run of invisible host stall.
   */
 object Bench {
 
@@ -145,16 +152,36 @@ object Bench {
     val oracleNames = names.filter(oracleOnly)
     val loadBefore = loadavg
     StallProbe.start()
-    val stallMarks = scala.collection.mutable.ArrayBuffer(StallProbe.totalSec)
-    val perRun: Seq[Map[String, Double]] = (1 to runs).map { r =>
+    // stall-aware retry (round-5 lesson: BENCH_r05's artifact of
+    // record was poisoned by 20-68 s/run host stalls and only
+    // cross-referencing a committed side artifact exposed it): a run
+    // whose stall_sec exceeds SPARK_GRAFT_STALL_MAX doesn't count
+    // toward the `runs` quiet samples — up to SPARK_GRAFT_STALL_RETRIES
+    // extra runs chase a quiet window. If quiet runs exist, medians use
+    // ONLY those; if none do, all runs are used and the artifact says
+    // so loudly (`stall_poisoned: true`), so a noisy number can never
+    // again masquerade as a clean one.
+    val stallMax = sys.env.getOrElse("SPARK_GRAFT_STALL_MAX", "5.0").toDouble
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_STALL_RETRIES", "3").toInt
+    val attempts = scala.collection.mutable.ArrayBuffer
+      .empty[(Map[String, Double], Double)]
+    var go = true
+    while (go) {
+      val before = StallProbe.totalSec
       val m = headlineNames.map(n => n -> timeOne(n)).toMap
-      stallMarks += StallProbe.totalSec
-      System.err.println(s"[bench] run $r/$runs total=" +
+      val stall = StallProbe.totalSec - before
+      attempts += ((m, stall))
+      val quiet = attempts.count(_._2 <= stallMax)
+      System.err.println(s"[bench] run ${attempts.size} total=" +
         f"${m.values.filter(_ >= 0).sum}%.1f s loadavg=$loadavg " +
-        f"stall=${stallMarks.last - stallMarks(r - 1)}%.1f s")
-      m
+        f"stall=$stall%.1f s quiet=$quiet/$runs")
+      go = quiet < runs && attempts.size < runs + maxExtra
     }
-    val stallPerRun = stallMarks.sliding(2).map(w => w(1) - w(0)).toSeq
+    val quietIdx = attempts.indices.filter(i => attempts(i)._2 <= stallMax)
+    val usedIdx = if (quietIdx.nonEmpty) quietIdx else attempts.indices
+    val perRun: Seq[Map[String, Double]] = usedIdx.map(i => attempts(i)._1)
+    val stallPerRun = attempts.map(_._2).toSeq
+    val stallPoisoned = usedIdx.exists(i => attempts(i)._2 > stallMax)
     // oracle-only twins: one timed sample after the repeat runs
     val oracleTimes = oracleNames.map(n => n -> timeOne(n)).toMap
     // same-session isolated re-time of the historically divergent
@@ -196,10 +223,16 @@ object Bench {
     val errs = jarr(errors.toSeq)
     val json =
       s"""{"metric":"headline_median_total","value":$headlineMedian,"unit":"sec"""" +
-        s""","runs":$runs,"queries":${jmap(med)}""" +
+        s""","runs":$runs,"attempts":${attempts.size},"queries":${jmap(med)}""" +
         s""","queries_min":${jmap(mins)},"queries_max":${jmap(maxs)}""" +
         s""","per_run_total":${perRun.map(runTotal).mkString("[", ",", "]")}""" +
-        s""","stall_sec":${stallPerRun.map(s => f"$s%.2f").mkString("[", ",", "]")}""" +
+        // raw Doubles: Double.toString is locale-independent, while a
+        // locale-sensitive `f"%.2f"` writes `0,52` under comma-decimal
+        // JVM locales and breaks the JSON
+        s""","stall_sec":${stallPerRun.map(s => math.round(s * 100) / 100.0)
+          .mkString("[", ",", "]")}""" +
+        s""","stall_max":$stallMax,"stall_poisoned":$stallPoisoned""" +
+        s""","used_runs":${usedIdx.mkString("[", ",", "]")}""" +
         s""","dropped_from_totals":${jarr(dropped)}""" +
         s""","oracle_only":${jarr(oracleOnly.toSeq.sorted)}""" +
         s""","oracle_only_sec":$oracleSec""" +

@@ -228,6 +228,30 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables(s, dir).embeddings, threshold = 0.4,
         planes = Similarity.axisPlanes(64, 16), bitsPerBand = 2)),
 
+    // The SCALE-REGIME variant (r6): threshold 0.9 with 8 bands of 8
+    // sign bits over all 64 dims. q25's oracle-pinned 0.4 threshold is
+    // output-quadratic by semantics (DuckDB confirms 107× pair growth
+    // at sf1), so its bench row can never show the pruning working;
+    // here a random pair is a candidate with p ≈ 8/256 while a
+    // cosine≥0.9 pair still collides with ≥94% probability
+    // (1-(1-p₁^8)^8, p₁ = 1-acos(0.9)/π ≈ 0.857) — the regime a real
+    // near-dup pass runs in. The organic corpus has NO pairs above
+    // cosine 0.52 at any SF, which would make the oracle vacuously
+    // empty, so 5 scaled copies (×1.25f — float-exact to replay:
+    // a 24-bit mantissa × 3 significant bits is ≤ 27 bits, exact in
+    // double, so DuckDB's CAST(CAST(x AS DOUBLE)*1.25 AS FLOAT)
+    // reproduces Spark's float multiply bit-for-bit) are planted
+    // under shifted ids: the oracle hash-checks 5 real cosine values
+    // while 99.99% of the corpus exercises the pruning.
+    "q_dedup_embedding_strict" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      Similarity.nearDupPairs(emb.unionByName(planted), threshold = 0.9,
+        planes = Similarity.axisPlanes(64, 64), bitsPerBand = 8)
+    }),
+
     "q_ann_topk_cosine" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       Similarity.annTopKCosine(emb, emb.where(col("vec_id") < 8), k = 10)
@@ -358,8 +382,11 @@ object SparkEntry {
         TextFns.rollingHash(col("text")).as("fp_roll"))),
 
     // Binary-column plumbing: payload is the text cast to bytes (the
-    // container has no image/audio libs — decode is stubbed in
-    // operators.Multimodal); the metadata extraction is real.
+    // testdata ships no real media bytes). operators.Multimodal's
+    // decoders are REAL for image/audio/video container headers
+    // (javax.imageio, javax.sound, ISO-BMFF box walk) and PNG/BMP
+    // pixels; only audio-sample / video-frame decode stays stubbed
+    // (no JDK codec). This query exercises the metadata plumbing.
     "q_multimodal_meta" -> ((s, dir) =>
       Tables(s, dir).documents.select(col("doc_id"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
@@ -752,6 +779,28 @@ object SparkEntry {
         |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
         |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
 
+    "q_dedup_embedding_strict" ->
+      s"""WITH u AS (SELECT vec_id AS id, embedding AS e0 FROM embeddings
+        |           UNION ALL
+        |           SELECT vec_id + 10000000,
+        |                  list_transform(embedding,
+        |                    x -> CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT))
+        |           FROM embeddings WHERE vec_id < 5),
+        |v AS (SELECT id, CAST(e0 AS DOUBLE[]) e FROM u
+        |      WHERE list_inner_product(e0, e0) > 0),
+        |b AS ($embBandStrictSql)
+        |, cand AS (SELECT DISTINCT a.id id_a, b2.id id_b
+        |           FROM b a JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
+        |                               AND a.id < b2.id)
+        |SELECT c.id_a, c.id_b,
+        |       list_inner_product(va.e, vb.e) /
+        |         (sqrt(list_inner_product(va.e, va.e)) *
+        |          sqrt(list_inner_product(vb.e, vb.e))) AS cosine
+        |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+        |WHERE list_inner_product(va.e, vb.e) /
+        |        (sqrt(list_inner_product(va.e, va.e)) *
+        |         sqrt(list_inner_product(vb.e, vb.e))) >= 0.9""".stripMargin,
+
     "q_ann_lsh_bucketed" -> lshOracleSql,
 
     // IVF with md5 seeding and lloydIters=0: centroids = 16 corpus
@@ -1050,15 +1099,25 @@ object SparkEntry {
   private val normSql =
     """lower(trim(replace(replace(replace(replace(text, chr(13), ' '), chr(10), ' '), '"', ''), ',', '')))"""
 
-  /** The 8 two-bit axis-plane bands of q_dedup_embedding, as a UNION
-    * ALL (bit i of the Spark bucket = sign of dimension i; band b
-    * carries bits 2b and 2b+1, low bit first). */
-  private val embBandSql: String =
-    (0 until 8).map { b =>
-      s"SELECT id, $b AS band, " +
-        s"(CASE WHEN e[${2 * b + 1}] >= 0 THEN 1 ELSE 0 END) + " +
-        s"(CASE WHEN e[${2 * b + 2}] >= 0 THEN 2 ELSE 0 END) AS bits FROM v"
+  /** Axis-plane LSH bands as a UNION ALL: bit i of the Spark bucket =
+    * sign of dimension i (DuckDB lists are 1-indexed); band b carries
+    * bits [b·bitsPerBand, (b+1)·bitsPerBand), low bit first —
+    * exactly `Similarity.bucketBits` over
+    * `axisPlanes(dim, bands·bitsPerBand)`. */
+  private def embBandSqlFor(bands: Int, bitsPerBand: Int): String =
+    (0 until bands).map { b =>
+      val bits = (0 until bitsPerBand).map { k =>
+        s"(CASE WHEN e[${b * bitsPerBand + k + 1}] >= 0 THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT id, $b AS band, $bits AS bits FROM v"
     }.mkString(" UNION ALL ")
+
+  /** The 8 two-bit bands of q_dedup_embedding. */
+  private val embBandSql: String = embBandSqlFor(bands = 8, bitsPerBand = 2)
+
+  /** The 8 eight-bit bands of q_dedup_embedding_strict. */
+  private val embBandStrictSql: String =
+    embBandSqlFor(bands = 8, bitsPerBand = 8)
 
   /** q_ann_lsh_bucketed oracle: the exact Gaussian hyperplanes the
     * Spark query uses (Similarity.hyperplanes(64, 6) — deterministic,

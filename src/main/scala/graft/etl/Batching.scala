@@ -95,6 +95,10 @@ object Batching {
     * per-partition form is the right call. Only the range shuffle
     * moves data; offsets are a ≤`partitions`-row aggregate broadcast
     * back.
+    *
+    * Caching: persists the ranged input (MEMORY_AND_DISK) for the two
+    * passes and does not auto-unpersist (the caller owns the result's
+    * lifetime) — see `takeByBudgetPerKey`'s caching note.
     */
   /** Keep rows while a PER-KEY running weight stays within `budget` —
     * the training-data "token budget per language/domain" mixing step:
@@ -114,6 +118,21 @@ object Batching {
     *
     * Preconditions (as `packByWeight`): `order` unique within `key`;
     * weights non-negative (NULL counts 0). A null key is a key.
+    *
+    * Key equality: partitioning/join compare keys with SQL equality
+    * (`<=>`) while the per-partition boundary detector compares JVM
+    * values — `Objects.deepEquals`, so strings/numerics/null/binary
+    * all behave. The one residual divergence is DOUBLE -0.0 vs 0.0
+    * (SQL-equal, JVM-distinct): such a key pair would reset the
+    * accumulator mid-key and over-admit — use a normalized (or
+    * non-floating) key type.
+    *
+    * Caching: the ranged input persists (MEMORY_AND_DISK) to back the
+    * two passes; the library cannot know when the caller is done with
+    * the result, so the cache is NOT auto-unpersisted — long-lived
+    * pipelines issuing many calls should `spark.sharedState
+    * .cacheManager.clearCache()` (or unpersist via the catalog)
+    * between calls, as Bench's sweep does.
     */
   def takeByBudgetPerKey(df: DataFrame, key: Column, order: Column,
                          weight: Column, budget: Long, partitions: Int,
@@ -138,7 +157,12 @@ object Batching {
       var prev: Any = null
       it.map { r =>
         val k = r.get(kAt)
-        if (!started || k != prev) { c = 0L; started = true; prev = k }
+        // deepEquals, not !=: binary keys arrive as fresh Array[Byte]
+        // per row (reference-unequal), which would spuriously reset
+        // the accumulator at every row and admit the whole key
+        if (!started || !java.util.Objects.deepEquals(k, prev)) {
+          c = 0L; started = true; prev = k
+        }
         c += r.getLong(wAt)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
       }

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * native decoder, then a tight per-record loop).
   *
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK with
-  * PNG/GIF/BMP/JPEG/WBMP readers, and [[ImageHeaderDecoder]] reads
-  * width/height/channels from the header without decoding pixel data.
+  * PNG/GIF/BMP/JPEG/WBMP readers — [[ImageHeaderDecoder]] reads
+  * width/height/channels from the header without decoding pixel data,
+  * and [[extractFeatures]] runs a REAL full-pixel decode
+  * (`ImageIO.read` via [[PixelDecoder]]) so image embeddings are
+  * computed from sRGB pixel values, not container bytes.
   * AUDIO decode is REAL: `javax.sound.sampled` parses WAV/AIFF/AU
   * headers ([[AudioHeaderDecoder]] → [[decodeAudio]]) for sample
   * rate / channels / duration without touching sample data. VIDEO
@@ -286,11 +289,13 @@ object Multimodal {
 
   // ======================================================================
   // STUB DECODER — deterministic fake for payloads no real header
-  // parser recognizes (all three kinds now have real parsers: imageio,
-  // javax.sound, ISO-BMFF). A real pixel/sample pipeline binds a
-  // native library here (one init per partition, reused across
-  // records). The fake derives "dimensions" from payload bytes so
-  // tests are reproducible without codecs.
+  // parser recognizes (all three kinds have real header parsers:
+  // imageio, javax.sound, ISO-BMFF; image PIXEL decode is real too —
+  // see PixelDecoder. The remaining stub surface is audio-sample and
+  // video-frame decode, which have no JDK codec). A real sample
+  // pipeline binds a native library here (one init per partition,
+  // reused across records). The fake derives "dimensions" from
+  // payload bytes so tests are reproducible without codecs.
   // ======================================================================
   private final class StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Boolean) =
@@ -340,14 +345,40 @@ object Multimodal {
       }
   }
 
-  final case class MediaFeature(doc_id: Long, embedding: Array[Float])
+  /** `source` says what the embedding was computed FROM: "pixels"
+    * (real decoded image raster) or "bytes" (raw-payload fallback). */
+  final case class MediaFeature(doc_id: Long, embedding: Array[Float],
+                                source: String)
 
-  /** Feature extraction STUB: payload → fixed-`dim` float vector.
-    * A real model runs here (batched per partition); the stub folds
-    * payload bytes into buckets and L2-normalizes, so outputs are
-    * deterministic, non-degenerate, and feed directly into the
-    * `Similarity` ANN operators (same `Array[Float]` shape as the
-    * embeddings table).
+  /** Full-pixel image decode over pure-JDK `ImageIO.read` — the same
+    * no-external-codec argument as [[ImageHeaderDecoder]], but now the
+    * pixel data itself (PNG/GIF/BMP/JPEG/WBMP in any stock JDK). One
+    * instance per partition, global disk cache off (executor tasks
+    * must not contend on temp files). */
+  private final class PixelDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null || payload.length < 4) None
+      else
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None } // corrupt body after a valid header
+  }
+
+  /** Feature extraction: payload → fixed-`dim` L2-normalized float
+    * vector, same `Array[Float]` shape as the embeddings table so the
+    * output feeds the `Similarity` ANN operators directly.
+    *
+    * Image payloads are REALLY decoded ([[PixelDecoder]],
+    * `ImageIO.read`) and embedded from their sRGB pixel values
+    * (`getRGB` folds every pixel's R,G,B through the color model), so
+    * the embedding depends on what the image SHOWS, not how it is
+    * encoded — a PNG and a BMP of the same raster embed identically,
+    * which is the property a near-dup/similarity pipeline needs and a
+    * byte-fold cannot give. Payloads no JDK reader decodes take the
+    * byte-fold fallback (a stand-in for a learned encoder; audio
+    * samples / video frames have no JDK codec). `source` records the
+    * path per row.
     */
   def extractFeatures(payloads: DataFrame, dim: Int = 64)
                      (implicit spark: SparkSession): Dataset[MediaFeature] = {
@@ -355,18 +386,37 @@ object Multimodal {
     payloads.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val pix = new PixelDecoder // per-partition init
         it.map { case (id, payload) =>
           val acc = new Array[Float](dim)
-          if (payload != null) {
-            var i = 0
-            while (i < payload.length) {
-              acc(i % dim) += ((payload(i) & 0xff) - 128) / 128.0f
-              i += 1
-            }
+          var n = 0
+          def add(v: Int): Unit = {
+            acc(n % dim) += (v - 128) / 128.0f; n += 1
+          }
+          val source = pix.decode(payload) match {
+            case Some(img) =>
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y) // sRGB, format-independent
+                  add((rgb >> 16) & 0xff); add((rgb >> 8) & 0xff)
+                  add(rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              "pixels"
+            case None =>
+              if (payload != null) {
+                var i = 0
+                while (i < payload.length) { add(payload(i) & 0xff); i += 1 }
+              }
+              "bytes"
           }
           val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x))
           val out = if (norm > 0) acc.map(x => (x / norm).toFloat) else acc
-          MediaFeature(id, out)
+          MediaFeature(id, out, source)
         }
       }
   }

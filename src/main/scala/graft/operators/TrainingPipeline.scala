@@ -55,7 +55,14 @@ object TrainingPipeline {
                                 benchN: Int, maxOverlap: Double,
                                 pairGen: (DataFrame, Column, Column) => DataFrame)
       : DataFrame = {
+    // persisted: `prepped` feeds BOTH the overlap scan and the final
+    // anti-join — without caching, everything upstream of it (the
+    // staged gates, the exact-dedup aggregate, and the near-dup pair
+    // join, the pipeline's priciest stage) executes twice unless
+    // exchange reuse happens to fire. With the cache, decontamination
+    // really does cost one more pass over the survivors.
     val prepped = prepareWith(docs, id, text, cfg, pairGen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchConformed = bench.select(benchId.as("id"), benchText.as("text"))
     val contaminated = Decontaminate.overlapStats(prepped, benchConformed,
         col("id"), col("text"), benchN, maxOverlap)

@@ -29,11 +29,17 @@ object ArrayExpressions {
       ColumnBridge.expression(tokens), ColumnBridge.expression(remove)))
 }
 
-/** See [[ArrayExpressions.removeAll]]. Inputs are `array<string>`
-  * with non-null elements (both sides come from `split` /
-  * `collect_list`, which never emit null elements). The remove side
-  * is scanned linearly per token — it is a boilerplate/stop set,
-  * small by construction; for large remove sets prefer an equi-join.
+/** See [[ArrayExpressions.removeAll]]. The pipeline feeds it
+  * `split` / `collect_list` outputs (never null elements), but the
+  * expression is also registered as a public SQL function, so null
+  * elements must not crash a task: a null token is DROPPED (matching
+  * the documented `filter(tokens, t -> !array_contains(remove, t))`
+  * equivalent, where the null-propagating predicate filters the
+  * element out) and null entries in the remove set are ignored (no
+  * string equals null) — so `containsNull = false` on the output
+  * stays truthful. The remove side is scanned linearly per token —
+  * it is a boilerplate/stop set, small by construction; for large
+  * remove sets prefer an equi-join.
   */
 case class ArrayRemoveAll(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -61,14 +67,16 @@ case class ArrayRemoveAll(left: Expression, right: Expression)
     val out = new java.util.ArrayList[UTF8String](n)
     var i = 0
     while (i < n) {
-      val t = toks.getUTF8String(i)
-      var hit = false
-      var j = 0
-      while (!hit && j < m) {
-        if (t.equals(rem.getUTF8String(j))) hit = true
-        j += 1
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var hit = false
+        var j = 0
+        while (!hit && j < m) {
+          if (!rem.isNullAt(j) && t.equals(rem.getUTF8String(j))) hit = true
+          j += 1
+        }
+        if (!hit) out.add(t)
       }
-      if (!hit) out.add(t)
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -90,10 +98,11 @@ case class ArrayRemoveAll(left: Expression, right: Expression)
          |int $m = $b.numElements();
          |java.util.ArrayList<$utf8> $out = new java.util.ArrayList<$utf8>($n);
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  $utf8 $t = $a.getUTF8String($i);
          |  boolean $hit = false;
          |  for (int $j = 0; !$hit && $j < $m; $j++) {
-         |    if ($t.equals($b.getUTF8String($j))) $hit = true;
+         |    if (!$b.isNullAt($j) && $t.equals($b.getUTF8String($j))) $hit = true;
          |  }
          |  if (!$hit) $out.add($t);
          |}

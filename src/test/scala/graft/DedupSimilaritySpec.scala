@@ -187,6 +187,45 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(out.forall(r => !r.getDouble(3).isNaN))
   }
 
+  test("strict embedding near-dup (0.9): exact precision, measured recall, real pruning") {
+    import spark.implicits._
+    // plant guaranteed near-dups: scaled copies (cosine 1.0 exactly up
+    // to rounding) of 5 vectors under shifted ids
+    val base = t.embeddings.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.25f).as("embedding"))
+    val emb = t.embeddings.select("vec_id", "embedding").unionByName(base)
+    val planes = Similarity.axisPlanes(64, 64)
+    val strict = Similarity.nearDupPairs(emb, 0.9, planes, bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth at the same threshold
+    val v = emb.select(col("vec_id").as("id"), col("embedding").as("e"))
+      .withColumn("n", VectorFns.l2Norm(col("e"))).where(col("n") > 0)
+    val a = v.select(col("id").as("id_a"), col("e").as("ea"), col("n").as("na"))
+    val b = v.select(col("id").as("id_b"), col("e").as("eb"), col("n").as("nb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        VectorFns.cosinePre(col("ea"), col("eb"), col("na"), col("nb")))
+      .where(col("cos") >= 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 5) // the planted pairs are in the ground truth
+    // precision is exact: every reported pair is a true pair
+    assert(strict.subsetOf(brute))
+    // recall: scaled copies agree on EVERY sign bit, so all planted
+    // pairs must collide; overall recall stays high on this data
+    (0 until 5).foreach(i => assert(strict.contains((i.toLong, i + 100000L))))
+    assert(strict.size.toDouble >= 0.8 * brute.size)
+    // pruning: threshold -1 keeps every verified candidate, so its
+    // output size IS the candidate-pair count — the 8×8-bit banding
+    // must examine far fewer than all pairs
+    val nv = v.count()
+    val candidates = Similarity
+      .nearDupPairs(emb, -1.0, planes, bitsPerBand = 8).count()
+    assert(candidates < 0.2 * nv * (nv - 1) / 2,
+      s"banding pruned nothing: $candidates of ${nv * (nv - 1) / 2} pairs")
+  }
+
   test("LSH-bucketed ANN returns same-bucket neighbors only") {
     val planes = Similarity.hyperplanes(64, 6)
     val out = Similarity.annLshTopK(
@@ -257,6 +296,46 @@ class DedupSimilaritySpec extends GraftSuite {
     val out = Similarity.annTopKCosine(feats,
       feats.where(col("doc_id") < 4), k = 3, idCol = "doc_id")
     assert(out.count() == 6) // 2 queries × k=3
+  }
+
+  test("extractFeatures embeds real pixels: encoding-invariant, content-sensitive") {
+    implicit val s = spark
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def raster(w: Int, h: Int, salt: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 2654435761L + y * 40503L) ^ salt).toInt & 0xffffff)
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val same = raster(6, 5, 0)
+    val other = raster(6, 5, 0x5a5a5a)
+    val payloads = Seq(
+      (0L, enc(same, "png")), // identical pixels, different containers
+      (1L, enc(same, "bmp")),
+      (2L, enc(other, "png")), // different pixels
+      (3L, "not an image at all".getBytes("UTF-8")) // byte-fold fallback
+    ).toDF("doc_id", "payload")
+    val f = Multimodal.extractFeatures(payloads, dim = 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    // container bytes differ wildly (different compression), but the
+    // embedding is computed from decoded pixels — byte-identical vectors
+    assert(f(0L).source == "pixels" && f(1L).source == "pixels")
+    assert(f(0L).embedding.sameElements(f(1L).embedding))
+    // and it IS a function of the pixels: different raster, different vector
+    assert(f(2L).source == "pixels")
+    assert(!f(0L).embedding.sameElements(f(2L).embedding))
+    // undecodable payloads take the byte-fold path, flagged as such
+    assert(f(3L).source == "bytes")
+    assert(f(3L).embedding.exists(_ != 0f))
+    // all normalized
+    assert(f.values.forall(r =>
+      math.abs(r.embedding.foldLeft(0.0)((a, x) => a + x * x) - 1.0) < 1e-4))
   }
 
   test("fused seeded-simhash bits == declarative md5 formula, bit for bit") {
