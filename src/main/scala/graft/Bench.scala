@@ -134,20 +134,67 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Per-query watchdog (r6, after an sf1 query ate 40+ min of a
+    // single-run probe with NOTHING in the log to name it): the timed
+    // action runs under a job group; if it exceeds
+    // SPARK_GRAFT_QUERY_TIMEOUT_SEC the group's jobs are cancelled,
+    // the query records as failed (-1, dropped from totals like any
+    // error), and the bench MOVES ON instead of silently wedging the
+    // round's artifact. 0 disables. The default is far above any
+    // healthy query (sf0.1 slowest ≈ 7 s; sf1 ≈ 100 s) — this is a
+    // tourniquet for pathology, not a performance gate.
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
     // noop write, not count(): a count prunes every projection
     // expression out of map-only queries and would time a bare scan
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
+      System.err.println(s"[bench] > $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      def secs = (System.nanoTime() - t0) / 1e9
+      try {
+        val action = new java.util.concurrent.FutureTask[Unit](() =>
+          try {
+            spark.sparkContext.setJobGroup(s"bench-$name",
+              name, interruptOnCancel = true)
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } finally spark.sparkContext.clearJobGroup())
+        val runner = new Thread(action, s"bench-$name")
+        runner.setDaemon(true)
+        runner.start()
+        try
+          if (queryTimeoutSec > 0)
+            action.get(queryTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+          else action.get()
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(s"bench-$name")
+            runner.join(30000) // let the cancel land before sweeping
+            throw new RuntimeException(
+              s"timed out after $queryTimeoutSec s (jobs cancelled)")
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+        val t = secs
+        System.err.println(f"[bench] < $name ${t}%.2f s")
+        t
+      } catch { case e: Throwable =>
+        System.err.println(
+          f"[bench] < $name FAILED after $secs%.1f s: ${e.getMessage}")
         errors += name; -1.0
       } finally sweep()
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    // comma-separated subset for isolating one query's behavior at a
+    // given SF (diagnostics only — artifacts of record run the suite)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(subset) =>
+        val want = subset.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- allNames.toSet
+        require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown: $unknown")
+        allNames.filter(want)
+      case None => allNames
+    }
     val headlineNames = names.filterNot(oracleOnly)
     val oracleNames = names.filter(oracleOnly)
     val loadBefore = loadavg

