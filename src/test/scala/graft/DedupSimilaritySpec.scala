@@ -239,15 +239,15 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(Similarity.autoBandConfig(5010L) == ((8, 8))) // the oracle rung
     // decades that cross a rung boundary stay far below the 100x a
     // fixed config costs (inside the first rung quadratic growth is
-    // tolerated - sub-64k corpora are cheap at any banding; past the
+    // tolerated - sub-16k corpora are cheap at any banding; past the
     // last rung the 64 axis bits are spent and a deployment moves to
     // Gaussian hyperplanes with more total bits, per the scaladoc)
-    for (n <- Seq(22000L, 220000L))
+    for (n <- Seq(2000L, 20000L))
       assert(cand(10 * n) / cand(n) <= 25.0,
         s"rung jump at $n grows candidates ${cand(10 * n) / cand(n)}x")
-    // sf0.1 -> sf1 specifically (the benched pair): sublinear in the
-    // 10x corpus growth
-    assert(cand(220000L) / cand(22000L) < 10.0)
+    // sf0.1 -> sf1 specifically (the benched embeddings pair,
+    // 2k -> 20k vectors): SUBLINEAR candidate growth in the 10x corpus
+    assert(cand(20000L) / cand(2000L) < 10.0)
   }
 
   test("LSH-bucketed ANN returns same-bucket neighbors only") {
