@@ -442,6 +442,25 @@ object SparkEntry {
         .toDF().select(col("doc_id"), col("source"), col("embedding"))
     }),
 
+    // Passage-level exact dedup (r6): aligned 8-token windows, one
+    // canonical occurrence of each duplicated full window survives
+    // corpus-wide, documents rebuilt from their surviving passages —
+    // the span-level dedup mode (license headers, navigation
+    // boilerplate) that doc-level dedup can't see.
+    "q_dedup_passage" -> ((s, dir) =>
+      Dedup.passageDedup(Tables(s, dir).documents, col("doc_id"),
+          col("text"), k = 8)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Domain-mixture report (r6): per-source doc/token contribution
+    // with integer-exact ppm token shares and token-mass rank — the
+    // observability half of data mixing (takeByBudgetPerKey is the
+    // enforcement half).
+    "q_domain_mix" -> ((s, dir) =>
+      CorpusStats.domainMixture(Tables(s, dir).documents,
+          col("source"), col("text"))
+        .withColumnRenamed("domain", "source")),
+
     // Benchmark decontamination: held-out set = doc_id % 20 == 0
     // (stands in for an eval benchmark), 5-gram shingle overlap of
     // every remaining training doc against it, flag at >= 0.5
@@ -992,6 +1011,52 @@ object SparkEntry {
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_kind
         |FROM documents""".stripMargin,
+
+    // Aligned 8-token windows over RAW space-split tokens (no
+    // normalization — reassembly must reproduce original bytes).
+    // row_number==1 in the oracle == min(struct(id, seg)) in the
+    // operator; DuckDB count(*)/sum need BIGINT casts (HUGEINT
+    // otherwise) to match Spark's long schema.
+    "q_dedup_passage" ->
+      """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w, CAST(ceil(len(w) / 8.0) AS BIGINT) n_passages
+        |      FROM t),
+        |seg AS (SELECT doc_id, i AS seg_id,
+        |               array_to_string(list_slice(w, i*8+1, i*8+8), ' ') ptext,
+        |               len(list_slice(w, i*8+1, i*8+8)) = 8 AS eligible
+        |        FROM b, LATERAL (SELECT unnest(range(n_passages)) i)),
+        |keep AS (
+        |  SELECT doc_id, seg_id, ptext FROM (
+        |    SELECT doc_id, seg_id, ptext,
+        |           row_number() OVER (PARTITION BY ptext
+        |                              ORDER BY doc_id, seg_id) rn
+        |    FROM seg WHERE eligible) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, seg_id, ptext FROM seg WHERE NOT eligible),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_kept,
+        |               string_agg(ptext, ' ' ORDER BY seg_id) text_clean
+        |        FROM keep GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+        |       b.n_passages,
+        |       b.n_passages - coalesce(agg.n_kept, 0) AS n_dropped
+        |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
+
+    // Integer `//` division == Spark's `div`; sums cast to BIGINT
+    // (DuckDB sum(BIGINT) is HUGEINT). NULL text counts 0 tokens.
+    "q_domain_mix" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN text IS NULL THEN 0
+        |                       ELSE len(string_split(text, ' ')) END)
+        |              AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(n_tokens * 1000000 //
+        |            (SELECT sum(n_tokens) FROM g) AS BIGINT) AS tok_share_ppm,
+        |       CAST(row_number() OVER (ORDER BY n_tokens DESC, source ASC)
+        |            AS BIGINT) AS tok_rank
+        |FROM g""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),

@@ -87,6 +87,41 @@ object CorpusStats {
     * surprisal differs across engines in the last ulp; df sums are
     * exact in any engine). `df_mean` is a single per-row division of
     * two exactly-represented integers. */
+  /** Per-domain corpus mixture table — the "how much of the training
+    * mix does each source contribute" report that drives data-mixing
+    * decisions (pair with `Batching.takeByBudgetPerKey` to enforce the
+    * chosen budgets): `(domain, n_docs, n_tokens, tok_share_ppm,
+    * tok_rank)`. Token shares are parts-per-million by INTEGER
+    * division (`n_tokens * 1_000_000 / total`) — exact in any engine,
+    * no cross-row float accumulation. NULL text counts 0 tokens; a
+    * NULL domain is a domain.
+    *
+    * Scale shape: one domain-keyed count/sum aggregate (map-side
+    * combined; output is domain-cardinality-sized — tiny), then the
+    * total folds in as a one-row broadcast (the watermark-scalar
+    * pattern) and the rank is a window over the aggregated rows only
+    * — the unpartitioned window never sees corpus-sized data.
+    */
+  def domainMixture(df: DataFrame, domain: Column, text: Column)
+      : DataFrame = {
+    val perDoc = df.select(domain.as("domain"),
+      when(text.isNotNull, size(split(text, " ")).cast("long"))
+        .otherwise(lit(0L)).as("__t"))
+    val grouped = perDoc.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val total = grouped.agg(sum(col("n_tokens")).as("__total"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        // integral `div`, not `/`: Spark's `/` is DOUBLE division,
+        // which rounds past 2^53 — at 100 TB the ppm numerator gets
+        // there; `div` stays exact and matches DuckDB's `//`
+        call_function("div", col("n_tokens") * lit(1000000L),
+          col("__total")).as("tok_share_ppm"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_tokens").desc, col("domain").asc_nulls_last))
+          .cast("long").as("tok_rank"))
+  }
+
   def rarityStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"), explode(toks(text)).as("token"))
       .join(docFrequencies(df, id, text), "token")

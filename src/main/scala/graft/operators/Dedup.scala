@@ -524,4 +524,79 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Passage-level exact dedup (the "exact substring dedup" mode of
+    * Lee et al., *Deduplicating Training Data Makes Language Models
+    * Better*, restricted to aligned windows): segment every document
+    * into non-overlapping `k`-token passages, keep exactly ONE
+    * occurrence of each duplicated full passage corpus-wide (the
+    * lexicographically smallest (id, seg_id)), and rebuild each
+    * document from its surviving passages in order. Unlike the
+    * doc-level modes above, this removes duplicated SPANS from inside
+    * otherwise-unique documents — the boilerplate paragraphs, license
+    * headers and navigation blocks whole-doc dedup can't see.
+    *
+    * Output: `(id, text_clean, n_passages, n_dropped)` — one row per
+    * input document (docs whose every passage was dropped keep a row
+    * with empty `text_clean`). Only FULL `k`-token passages
+    * participate in dedup; a short tail passage always survives (a
+    * tail is not evidence of duplication, just of length % k).
+    *
+    * Scale shape: the canonical-occurrence aggregate IS the surviving
+    * set — `groupBy(passage).agg(min(struct(id, seg)))` emits one row
+    * per distinct passage, so no join-back over the passage volume is
+    * needed. Two content shuffles total, both with map-side partial
+    * aggregation: the passage-keyed min (carries each distinct
+    * passage once per map partition) and the id-keyed reassembly.
+    * The final id-keyed left join against the per-doc stats frame
+    * re-reads the scan (cheap map-side projection) rather than
+    * caching the corpus. Hot boilerplate passages are exactly what
+    * the min-aggregate collapses map-side — the skew case degrades
+    * toward fewer reduce rows, not more.
+    *
+    * Works on RAW space-delimited tokens (`split(text, ' ')`), not
+    * `Cleanser.normalized`, so reassembly reproduces original bytes;
+    * compose with a normalization pass upstream when fuzzier span
+    * matching is wanted.
+    */
+  def passageDedup(df: DataFrame, id: Column, text: Column,
+                   k: Int): DataFrame = {
+    require(k >= 1, "passage length must be >= 1")
+    // n_passages = ceil(|tokens| / k); split('', ' ') = [''] so every
+    // doc (null text included, via the coalesce) has >= 1 passage
+    val base = df.select(id.as("id"),
+        split(coalesce(text, lit("")), " ").as("__w"))
+      .select(col("id"), col("__w"),
+        ceil(size(col("__w")).cast("double") / k).cast("long")
+          .as("n_passages"))
+    val w = col("__w")
+    val seg = base.select(col("id"), col("n_passages"),
+        posexplode(transform(sequence(lit(0L), col("n_passages") - 1L),
+          i => slice(w, (i * k + 1).cast("int"), lit(k))))
+          .as(Seq("seg_id", "__p")))
+      .select(col("id"), col("seg_id").cast("long").as("seg_id"),
+        array_join(col("__p"), " ").as("ptext"),
+        (size(col("__p")) === k).as("eligible"))
+    // one surviving (id, seg_id) per distinct full-length passage —
+    // the aggregate output is the survivor set, no join back
+    val keptEligible = seg.where(col("eligible"))
+      .groupBy(col("ptext"))
+      .agg(min(struct(col("id"), col("seg_id"))).as("__min"))
+      .select(col("__min.id").as("id"), col("__min.seg_id").as("seg_id"),
+        col("ptext"))
+    val survivors = keptEligible.unionByName(
+      seg.where(!col("eligible")).select("id", "seg_id", "ptext"))
+    val rebuilt = survivors.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_id"), col("ptext")))),
+          s => s.getField("ptext")), " ").as("__text"))
+    base.select(col("id"), col("n_passages"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__text"), lit("")).as("text_clean"),
+        col("n_passages"),
+        (col("n_passages") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

@@ -115,6 +115,23 @@ class CorpusOpsSpec extends GraftSuite {
     assert(got(2L) == ((3L, 5L, 5.0 / 3.0, 1L)))
   }
 
+  test("domainMixture: exact integer ppm shares and token-mass rank") {
+    val docs = Seq(
+      (1L, "src0", "a b"),                    // 2 tokens
+      (2L, "src0", "c"),                      // 1
+      (3L, "src1", "d e f g"),                // 4
+      (4L, "src2", null.asInstanceOf[String]), // NULL text -> 0 tokens
+      (5L, "src2", "h")                       // 1
+    ).toDF("doc_id", "source", "text")
+    // totals: src0=3, src1=4, src2=1 of 8
+    val got = CorpusStats.domainMixture(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("src0") == ((2L, 3L, 375000L, 2L)))
+    assert(got("src1") == ((1L, 4L, 500000L, 1L)))
+    assert(got("src2") == ((2L, 1L, 125000L, 3L)))
+  }
+
   // ---- Batching.takeByBudgetPerKey ----
 
   /** Naive single-window reference: per-key running sum, keep ≤ budget. */
