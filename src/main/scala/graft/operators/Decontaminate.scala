@@ -34,17 +34,39 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct hashed-shingle frame `(id, shingle: long)` — the
-    * jaccardPairs index shape. */
-  private def hashedShingleSet(df: DataFrame, id: Column, text: Column,
-                               n: Int): DataFrame =
+  /** Per-doc DISTINCT hashed-shingle array `(id, shingles:
+    * array<long>)`. The dedup is per-row `array_distinct` — map-side,
+    * no shuffle — rather than a global `(id, shingle)` distinct,
+    * which is the same set (shingles are deduped within each doc;
+    * across docs they were never merged). Shared by the batch rollup
+    * (which explodes it) and the streaming twin (which keeps the
+    * array — a stateless per-row shape). */
+  private[graft] def hashedShingleArr(df: DataFrame, id: Column,
+                                      text: Column, n: Int): DataFrame =
     df.select(id.as("id"),
         split(graft.io.Cleanser.normalized(text), " ").as("__w"))
       .where(size(col("__w")) >= n)
       .select(col("id"),
-        explode(graft.plans.HashExpressions.hashedShingles(col("__w"), n))
-          .as("shingle"))
-      .distinct()
+        array_distinct(
+          graft.plans.HashExpressions.hashedShingles(col("__w"), n))
+          .as("shingles"))
+
+  /** Distinct hashed-shingle frame `(id, shingle: long)` — the
+    * jaccardPairs index shape. */
+  private def hashedShingleSet(df: DataFrame, id: Column, text: Column,
+                               n: Int): DataFrame =
+    hashedShingleArr(df, id, text, n)
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+
+  /** The benchmark's global distinct shingle set folded into a ONE-ROW
+    * frame `(bench_shingles: array<long>)` — the broadcastable scalar
+    * the streaming twin joins against (bench corpora are MB-scale by
+    * construction; the array is sorted for determinism). */
+  private[graft] def benchShingleArray(bench: DataFrame, id: Column,
+                                       text: Column, n: Int): DataFrame =
+    hashedShingleSet(bench, id, text, n)
+      .select(col("shingle")).distinct()
+      .agg(sort_array(collect_list(col("shingle"))).as("__bench"))
 
   /** Per-train-doc overlap stats: `(id, n_shingles, n_matched,
     * overlap_frac, contaminated)`. Docs with fewer than `n` tokens
@@ -67,6 +89,44 @@ object Decontaminate {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("__hit")).as("n_matched"))
+      .select(col("id"), col("n_shingles"), col("n_matched"),
+        frac.as("overlap_frac"),
+        (frac >= threshold).cast("int").as("contaminated"))
+  }
+
+  /** Stateless per-row variant of [[overlapStats]] — identical output
+    * (spec-asserted), but each doc's overlap is computed in one row
+    * against the broadcast bench-shingle ARRAY (`array_intersect`)
+    * instead of explode → join → rollup. No doc-keyed shuffle at all,
+    * and — because no state, no aggregation, no watermark is involved
+    * — the SAME declaration runs unchanged on a STREAMING `docs`
+    * frame (stream-static equi-join on a constant key, Append mode):
+    * the streaming decontamination gate is this function applied to
+    * `readStream` input.
+    *
+    * Cost shape vs the join path: `array_intersect` builds a hash set
+    * from one argument per ROW, so per-doc cost is
+    * O(|bench| + |doc|); the join path pays O(|bench|) once per
+    * PARTITION (broadcast hash table) plus a corpus-wide shuffle.
+    * Batch pipelines over huge corpora with large bench sets keep
+    * [[overlapStats]]; streams and shuffle-averse pipelines take this
+    * one (bench sets are MB-scale by construction).
+    */
+  def overlapStatsStateless(docs: DataFrame, bench: DataFrame,
+                            id: Column, text: Column, n: Int,
+                            threshold: Double): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    val benchArr = broadcast(
+      benchShingleArray(bench, id, text, n).withColumn("__one", lit(1)))
+    val frac = col("n_matched").cast("double") /
+      col("n_shingles").cast("double")
+    hashedShingleArr(docs, id, text, n)
+      .withColumn("__one", lit(1))
+      .join(benchArr, "__one")
+      .select(col("id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        size(array_intersect(col("shingles"), col("__bench")))
+          .cast("long").as("n_matched"))
       .select(col("id"), col("n_shingles"), col("n_matched"),
         frac.as("overlap_frac"),
         (frac >= threshold).cast("int").as("contaminated"))

@@ -115,6 +115,20 @@ class CorpusOpsSpec extends GraftSuite {
     assert(got(2L) == ((3L, 5L, 5.0 / 3.0, 1L)))
   }
 
+  test("overlapStatsStateless equals overlapStats on the corpus split") {
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val a = norm(Decontaminate.overlapStats(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5))
+    val b = norm(Decontaminate.overlapStatsStateless(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5))
+    assert(a.nonEmpty && a == b)
+  }
+
   test("domainMixture: exact integer ppm shares and token-mass rank") {
     val docs = Seq(
       (1L, "src0", "a b"),                    // 2 tokens

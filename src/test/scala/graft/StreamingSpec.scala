@@ -157,6 +157,32 @@ class StreamingSpec extends GraftSuite {
     assert(!got.exists(r => r._1 == "en" && r._2 == 3L))
   }
 
+  test("streaming decontamination gate equals the batch rollup") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e f g h"),  // exact copy
+      (2L, "p q r s t u v w"),  // clean
+      (3L, "x y a b c d e z"),  // partial overlap
+      (4L, "t u"))              // too short to shingle: absent both sides
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = graft.operators.Decontaminate.overlapStatsStateless(
+        mem.toDF().toDF("doc_id", "text"), bench,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("decon")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val want = graft.operators.Decontaminate.overlapStats(
+        docs.toDF("doc_id", "text"), bench,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(want.size == 3 && got == want)
+  }
+
   test("streamTokenBudget: a closed key admits nothing in later batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
