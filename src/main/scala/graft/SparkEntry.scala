@@ -473,6 +473,25 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // rows-only: the Bloom-sketch decontamination gate — same corpus
+    // split and threshold as q_decontaminate, but membership is a
+    // broadcast Bloom probe (no join in the plan) instead of the exact
+    // broadcast shingle set: the scale path for bench corpora whose
+    // exact key set outgrows a broadcast. A sketch false positive can
+    // only 0->1 the contaminated flag (drops MORE, the safe side), so
+    // the sketch is not SQL-replayable; the conservative-superset and
+    // generous-sizing-equals-exact properties are spec-asserted
+    // (CorpusOpsSpec), and q_decontaminate stays the oracle twin.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontaminate.overlapStatsBloom(
+          train = docs.where(col("doc_id") % 20 =!= 0),
+          bench = docs.where(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), n = 5, threshold = 0.5,
+          fpp = 0.01)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // CCNet-style boilerplate pruning: tokens in >= 75% of documents
     // are stripped from every document, order preserved, via a 1-row
     // broadcast hot-token array (no doc-keyed reassembly shuffle)

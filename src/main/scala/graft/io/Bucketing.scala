@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layout control — the storage-side half of the
+  * shuffle story SURVEY §5 tells. Every join/agg keyed on a fact
+  * table's join column pays a full shuffle of that table PER QUERY;
+  * bucketing pays the shuffle ONCE at write time and every subsequent
+  * equi-join or aggregate on the bucket key reads co-located files
+  * with no exchange in the plan at all (the bucketed scan reports
+  * `HashPartitioning(bucket cols)`, so `EnsureRequirements` inserts
+  * nothing). At 100 TB that converts the nightly "join facts to the
+  * conformed dim snapshot" from a corpus-wide shuffle into a scan —
+  * the single biggest recurring cost in a pipeline like the
+  * reference's census join (ukg_open_census.py:331-352), which re-keys
+  * the same fact table every run.
+  *
+  * Rules of use at scale:
+  *  - both sides of a co-located join need the SAME bucket count and
+  *    key (Spark does not ratio-match bucket counts across tables);
+  *  - bucket count sizes files: target ~(table size / buckets) ≈
+  *    128-512 MB per bucket file per partition-dir;
+  *  - `sortBy` makes each bucket file sorted so a sort-merge join can
+  *    skip its sort phase when one file per bucket is read;
+  *  - bucket pruning applies to point predicates on the bucket key
+  *    (`spark.sql.sources.bucketing.enabled`, on by default).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (optionally per-file-sorted) managed
+    * parquet table. The write itself shuffles by the bucket key — that
+    * is the one-time cost every later co-located join amortizes. */
+  def writeBucketed(df: DataFrame, table: String,
+                    keys: Seq[String], buckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    require(buckets >= 1, "bucket count must be >= 1")
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their shared bucket key. This is a
+    * PLAIN equi-join — the method exists to document the contract:
+    * when both tables were written by [[writeBucketed]] with the same
+    * `keys` and `buckets`, the physical plan contains no shuffle
+    * exchange on either side (spec-asserted in BucketingSpec). */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+                    keys: Seq[String],
+                    joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), keys, joinType)
+}

@@ -94,6 +94,88 @@ object Decontaminate {
         (frac >= threshold).cast("int").as("contaminated"))
   }
 
+  /** Sketch variant of [[overlapStats]] for when even the bench
+    * shingle set outgrows an exact broadcast (a 10⁹-shingle composite
+    * benchmark suite is ~8 GB as exact 64-bit keys — past broadcast
+    * comfort; its Bloom sketch at 1% fpp is ~1.2 GB, at 5% ~750 MB,
+    * and the fpp knob trades memory directly against over-dropping).
+    * The plan gets STRICTLY simpler: no join at all — the train side
+    * is one scan → shingle explode → per-row sketch probe (codegen) →
+    * the same doc-keyed rollup, with the sketch built by one
+    * distributed aggregate over the bench side and broadcast once.
+    *
+    * Error direction: a Bloom false positive inflates `n_matched`, so
+    * `contaminated` can only move 0→1 — decontamination drops MORE,
+    * never less, the safe side (spec-asserted superset of the exact
+    * gate). `n_shingles` and the doc row set are exactly
+    * [[overlapStats]]'s.
+    *
+    * `expectedItems` sizes the sketch; pass the known bench distinct
+    * count, or <= 0 to spend one (bench-side, cheap) count job.
+    */
+  def overlapStatsBloom(train: DataFrame, bench: DataFrame,
+                        id: Column, text: Column, n: Int,
+                        threshold: Double, fpp: Double = 0.01,
+                        expectedItems: Long = 0L): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    val benchSet = hashedShingleSet(bench, id, text, n)
+      .select(col("shingle")).distinct()
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(benchSet.count(), 1L)
+    val filter = graft.plans.BloomFilters.buildLong(
+      benchSet, col("shingle"), items, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(filter)
+    val frac = col("n_matched").cast("double") /
+      col("n_shingles").cast("double")
+    hashedShingleSet(train, id, text, n)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(graft.plans.BloomFilters.mightContainLong(bc,
+          col("shingle")), 1)).as("n_matched"))
+      .select(col("id"), col("n_shingles"), col("n_matched"),
+        frac.as("overlap_frac"),
+        (frac >= threshold).cast("int").as("contaminated"))
+  }
+
+  /** Stateless per-row form of [[overlapStatsBloom]]: the sketch is
+    * built once from the (static, MB-scale) bench corpus, then each
+    * doc's overlap is a single projection — `size(shingles)` probes of
+    * the broadcast filter via the codegen'd `BloomCountContainedLong`,
+    * no explode, no rollup shuffle, no join. Because nothing
+    * aggregates, the SAME declaration runs on a STREAMING `docs` frame
+    * in Append mode — the streaming decontamination gate at sketch
+    * memory cost (`overlapStatsStateless` is its exact-set sibling;
+    * this one trades its O(|bench|) per-row `array_intersect` hash
+    * build for O(|doc|) probes — cheaper per row AND smaller per
+    * executor once the bench set is large). Same conservative
+    * fp direction as [[overlapStatsBloom]].
+    */
+  def overlapStatsBloomStateless(docs: DataFrame, bench: DataFrame,
+                                 id: Column, text: Column, n: Int,
+                                 threshold: Double, fpp: Double = 0.01,
+                                 expectedItems: Long = 0L): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    val benchSet = hashedShingleSet(bench, id, text, n)
+      .select(col("shingle")).distinct()
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(benchSet.count(), 1L)
+    val filter = graft.plans.BloomFilters.buildLong(
+      benchSet, col("shingle"), items, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(filter)
+    val frac = col("n_matched").cast("double") /
+      col("n_shingles").cast("double")
+    hashedShingleArr(docs, id, text, n)
+      .select(col("id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        graft.plans.BloomFilters.countContainedLong(bc, col("shingles"))
+          .as("n_matched"))
+      .select(col("id"), col("n_shingles"), col("n_matched"),
+        frac.as("overlap_frac"),
+        (frac >= threshold).cast("int").as("contaminated"))
+  }
+
   /** Stateless per-row variant of [[overlapStats]] — identical output
     * (spec-asserted), but each doc's overlap is computed in one row
     * against the broadcast bench-shingle ARRAY (`array_intersect`)

@@ -115,6 +115,88 @@ class CorpusOpsSpec extends GraftSuite {
     assert(got(2L) == ((3L, 5L, 5.0 / 3.0, 1L)))
   }
 
+  test("overlapStatsBloom: conservative superset of the exact gate") {
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    val exact = byId(Decontaminate.overlapStats(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5))
+    val bloom = byId(Decontaminate.overlapStatsBloom(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5, fpp = 0.03))
+    assert(exact.nonEmpty && bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (nSh, nMatch, flag)) =>
+      val (bSh, bMatch, bFlag) = bloom(id)
+      assert(bSh == nSh, s"doc $id shingle count drifted")
+      // false positives only ADD matches — never subtract
+      assert(bMatch >= nMatch, s"doc $id lost matches under bloom")
+      assert(bFlag >= flag, s"doc $id lost its contamination flag")
+    }
+    // and the realized fp load is sketch-sized, not pathological:
+    // at fpp=3% total spurious matches stay well under 10% of probes
+    val spurious = exact.keys.map(id => bloom(id)._2 - exact(id)._2).sum
+    val probes = exact.values.map(_._1).sum
+    assert(spurious.toDouble / probes < 0.10,
+      s"fp load $spurious/$probes exceeds sketch sizing")
+  }
+
+  test("overlapStatsBloom: generous sizing reproduces the exact gate") {
+    // The realized fp set is DETERMINISTIC per (corpus, sizing): at
+    // fpp 1e-6 this corpus realizes exactly one spurious shingle match
+    // (~3% chance over ~30k probes — we drew it), at 1e-9 it realizes
+    // zero, verified — so the sketch path reproduces the exact
+    // operator bit-for-bit at this sizing, and the test pins that
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val a = norm(Decontaminate.overlapStats(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5))
+    val b = norm(Decontaminate.overlapStatsBloom(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5, fpp = 1e-9))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("bloom build/probe: no false negatives, merged across partitions") {
+    import graft.plans.BloomFilters
+    val vals = spark.range(0, 5000).toDF("v").repartition(7)
+    val bf = BloomFilters.buildLong(vals, col("v"), 5000L, 0.01)
+    // every inserted value answers true (bloom guarantees no false
+    // negatives ONLY if partial filters merged correctly)
+    val bc = spark.sparkContext.broadcast(bf)
+    val missed = spark.range(0, 5000).toDF("v")
+      .where(!BloomFilters.mightContainLong(bc, col("v")))
+      .count()
+    assert(missed == 0L)
+    // and far-away values mostly answer false (sketch isn't saturated)
+    val fps = spark.range(1000000, 1010000).toDF("v")
+      .where(BloomFilters.mightContainLong(bc, col("v")))
+      .count()
+    assert(fps < 500L, s"false-positive count $fps implies a broken merge")
+  }
+
+  test("overlapStatsBloomStateless equals the rollup bloom gate") {
+    // same sketch parameters -> the SAME deterministic filter (putLong
+    // is deterministic and partial merges are bitwise OR), so the
+    // per-row projection must reproduce the explode->rollup plan
+    // bit-for-bit
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val a = norm(Decontaminate.overlapStatsBloom(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5, fpp = 0.03))
+    val b = norm(Decontaminate.overlapStatsBloomStateless(train, bench,
+      col("doc_id"), col("text"), n = 5, threshold = 0.5, fpp = 0.03))
+    assert(a.nonEmpty && a == b)
+  }
+
   test("overlapStatsStateless equals overlapStats on the corpus split") {
     val docs = graft.io.Tables(spark, sfDir).documents
     val train = docs.where(col("doc_id") % 20 =!= 0)

@@ -183,6 +183,36 @@ class StreamingSpec extends GraftSuite {
     assert(want.size == 3 && got == want)
   }
 
+  test("streaming BLOOM decontamination gate equals the batch exact rollup") {
+    // generously-sized sketch (fpp 1e-6 over 6 bench shingles) -> no
+    // realized false positives on this fixed corpus, so the streaming
+    // sketch gate must equal the batch EXACT gate; the sketch is built
+    // from the static bench side before the stream starts
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w"),
+      (3L, "x y a b c d e z"),
+      (4L, "t u"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = graft.operators.Decontaminate.overlapStatsBloomStateless(
+        mem.toDF().toDF("doc_id", "text"), bench,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5, fpp = 1e-6)
+      .writeStream.format("memory").queryName("decon_bloom")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("decon_bloom")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val want = graft.operators.Decontaminate.overlapStats(
+        docs.toDF("doc_id", "text"), bench,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(want.size == 3 && got == want)
+  }
+
   test("streamTokenBudget: a closed key admits nothing in later batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
