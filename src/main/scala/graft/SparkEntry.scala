@@ -202,6 +202,35 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables(s, dir).documents, col("doc_id"),
         col("text"), n = 3, numHashes = 32, bands = 8, threshold = 0.5)),
 
+    // Incremental dedup: the daily-ingest shape — near-dup pairs of a
+    // NEW batch (doc_id % 3 != 0) against the existing corpus
+    // (doc_id % 3 == 0) plus the batch itself; reference-internal
+    // pairs never enumerate, id_b is always the new doc at risk.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.incrementalJaccardPairs(
+        newDocs = docs.where(col("doc_id") % 3 =!= 0),
+        refDocs = docs.where(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+    }),
+
+    // rows-only: the signature-store form of the incremental pass —
+    // the reference corpus enters as its (id, sig) MinHash signature
+    // frame (at scale a stored artifact; no reference text re-read),
+    // xxhash64 throughout so not SQL-replayable; the jaccard twin
+    // above oracle-checks the increment semantics, and the spec pins
+    // this path equal to full-corpus LSH restricted to new pairs
+    "q_dedup_incremental_minhash" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sigs = (d: org.apache.spark.sql.DataFrame) =>
+        Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+          n = 3, numHashes = 32)
+      Dedup.incrementalLshPairs(
+        newSigs = sigs(docs.where(col("doc_id") % 3 =!= 0)),
+        refSigs = sigs(docs.where(col("doc_id") % 3 === 0)),
+        numHashes = 32, bands = 8, threshold = 0.5)
+    }),
+
     // oracle-checked MinHash: md5-seeded signatures (portable hex-min)
     // and md5 band keys run the SAME band/bucket/verify machinery as
     // the xxhash64 entry above (Dedup.lshPairsFromSignatures), so the
@@ -700,6 +729,29 @@ object SparkEntry {
         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+        |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
+        |           JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5""".stripMargin,
+
+    // The incremental pass replayed in SQL: same shingle inverted
+    // index, but the candidate join's right side is restricted to NEW
+    // docs (is_ref = 0) and a pair qualifies when the left is a
+    // reference doc (any id) or a smaller-id new doc — id_b is always
+    // the new doc at risk, mirroring Dedup.incrementalJaccardPairs.
+    "q_dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) i)),
+        |m AS (SELECT doc_id, s,
+        |             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_ref
+        |      FROM sh),
+        |cnt AS (SELECT doc_id, count(*) n FROM m GROUP BY 1),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+        |          FROM m a JOIN m b ON a.s = b.s AND b.is_ref = 0
+        |           AND (a.is_ref = 1 OR a.doc_id < b.doc_id)
         |          GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |       CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard

@@ -115,6 +115,123 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental exact-Jaccard near-dup detection: pairs between a NEW
+    * batch and the union of a REFERENCE corpus and the batch itself —
+    * the daily-ingest shape at 100 TB, where re-deduping the whole
+    * corpus per batch is the thing a pipeline must never do. The
+    * reference side contributes only its shingle index (two longs per
+    * shingle once hashed — at scale that index is a PRECOMPUTED stored
+    * artifact, like the signature store of
+    * [[incrementalLshPairs]]); reference×reference pairs are never
+    * enumerated — the candidate join's left side is the new batch's
+    * index only, so join output scales with |new| × overlap, not
+    * |corpus|².
+    *
+    * Output orientation: `id_b` is ALWAYS the new doc at risk; `id_a`
+    * is its match — a reference doc (any id) or a smaller-id new doc
+    * (new×new pairs appear once, `id_a < id_b`). The uniform drop
+    * policy "drop id_b" then keeps the reference corpus canonical and
+    * collapses new-batch chains to their smallest id, exactly
+    * [[jaccardPairs]]'s policy on the union when reference ids sort
+    * below batch ids.
+    *
+    * `maxShingleDf` caps document frequency counted over the UNION
+    * index (matching what full-corpus [[jaccardPairs]] would see); at
+    * scale the reference df counts come from the stored index.
+    */
+  def incrementalJaccardPairs(newDocs: DataFrame, refDocs: DataFrame,
+                              id: Column, text: Column, n: Int,
+                              threshold: Double,
+                              maxShingleDf: Option[Int] = None): DataFrame = {
+    def index(df: DataFrame, isRef: Int): DataFrame =
+      df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+        .where(size(col("__w")) >= n)
+        .select(col("id"),
+          explode(HashExpressions.hashedShingles(col("__w"), n)).as("shingle"))
+        .distinct()
+        .withColumn("is_ref", lit(isRef))
+    // persisted: the union index feeds the df cap, the per-doc counts
+    // and both candidate join sides
+    val all0 = index(refDocs, 1).unionByName(index(newDocs, 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = maxShingleDf.fold(all0) { cap =>
+      val dfreq = all0.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= cap).select("shingle")
+      all0.join(dfreq, "shingle")
+    }
+    val cnt = all.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val newSide = all.where(col("is_ref") === 0)
+      .select(col("id").as("id_b"), col("shingle"))
+    val matchSide = all.select(col("id").as("id_a"), col("is_ref"),
+      col("shingle"))
+    val common = newSide.join(matchSide, "shingle")
+      .where(col("is_ref") === 1 || col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(cnt.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** New-batch docs surviving [[incrementalJaccardPairs]]'s drop
+    * policy (every new doc at risk in some pair drops; docs too short
+    * to shingle trivially survive). Returns `newDocs` rows unchanged —
+    * append them (and their index/signatures) to the corpus store to
+    * complete the increment. */
+  def dedupeIncrementJaccard(newDocs: DataFrame, refDocs: DataFrame,
+                             id: Column, text: Column, n: Int,
+                             threshold: Double,
+                             maxShingleDf: Option[Int] = None): DataFrame = {
+    val drops = incrementalJaccardPairs(newDocs, refDocs, id, text, n,
+      threshold, maxShingleDf).select(col("id_b").as("__drop")).distinct()
+    newDocs.join(drops, id === col("__drop"), "left_anti")
+  }
+
+  /** MinHash form of the incremental pass: the reference corpus enters
+    * as its stored `(id, sig)` SIGNATURE frame — ~`numHashes` longs
+    * per doc, no reference text is ever re-read, re-normalized or
+    * re-shingled — and only the new batch computes signatures from
+    * text. Candidates are the banded equi-join of the new side against
+    * reference ∪ new (reference×reference never meets); verification
+    * is signature agreement ≥ `threshold`, as [[lshPairsFromSignatures]].
+    * Same output orientation as [[incrementalJaccardPairs]]: `id_b` is
+    * the new doc at risk.
+    */
+  def incrementalLshPairs(newSigs: DataFrame, refSigs: DataFrame,
+                          numHashes: Int, bands: Int, threshold: Double,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(sigs: DataFrame, isRef: Int): DataFrame =
+      sigs.select(col("id"), col("sig"),
+          explode(array((0 until bands).map(bi =>
+            struct(lit(bi).as("band"),
+              xxhash64(lit(bi), slice(col("sig"), bi * r + 1, r)).as("bk"))
+          ): _*)).as("b"))
+        .select(col("id"), col("sig"), col("b.band"), col("b.bk"))
+        .withColumn("is_ref", lit(isRef))
+    val all0 = banded(refSigs, 1).unionByName(banded(newSigs, 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = capBuckets(all0, "bk", maxBucketSize)
+    val newSide = all.where(col("is_ref") === 0)
+      .select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("band"), col("bk"))
+    val matchSide = all.select(col("id").as("id_a"),
+      col("sig").as("sig_a"), col("is_ref"), col("band"), col("bk"))
+    newSide.join(matchSide, Seq("band", "bk"))
+      .where(col("is_ref") === 1 || col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** (id, sig) MinHash signatures: `numHashes` independent min-hashes
     * of the doc's shingle set, map-side only — no shuffle, no explode.
     *

@@ -55,6 +55,76 @@ class DedupSimilaritySpec extends GraftSuite {
     assert((truth intersect est).size >= (truth.size * 0.8).toInt)
   }
 
+  test("incrementalJaccardPairs == full-corpus pairs touching a new doc") {
+    val docs = t.documents
+    val isRef = (idv: Long) => idv % 3 == 0
+    val full = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // restrict to pairs with at least one NEW member, normalized to
+    // unordered (sorted) id pairs since the incremental output orients
+    // ref-first rather than min-first
+    val want = full.filter { case (a, b, _) => !isRef(a) || !isRef(b) }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    val got = Dedup.incrementalJaccardPairs(
+        newDocs = docs.where(col("doc_id") % 3 =!= 0),
+        refDocs = docs.where(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // orientation contract: id_b is always new; id_a is ref or a
+    // smaller-id new doc
+    assert(got.forall { case (a, b, _) =>
+      !isRef(b) && (isRef(a) || a < b) })
+    val gotNorm = got.map { case (a, b, j) =>
+      (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(want.nonEmpty && gotNorm == want)
+  }
+
+  test("dedupeIncrementJaccard == full-corpus survivors when ref ids sort first") {
+    // ref = doc_id < 250, new = rest: every ref id < every new id, so
+    // the incremental drop policy (drop the at-risk new doc) coincides
+    // with the full-corpus policy (drop id_b of every pair) restricted
+    // to the new side — the equivalence the increment promises
+    val docs = t.documents
+    val refs = docs.where(col("doc_id") < 250)
+    val news = docs.where(col("doc_id") >= 250)
+    val fullDrops = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      .where(col("id_b") >= 250).select("id_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val wantSurvivors = news.select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- fullDrops
+    val got = Dedup.dedupeIncrementJaccard(news, refs,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == wantSurvivors && got.nonEmpty)
+  }
+
+  test("incrementalLshPairs from a signature store == full LSH on new pairs") {
+    val docs = t.documents
+    val isRef = (idv: Long) => idv % 3 == 0
+    val sigsOf = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+        n = 3, numHashes = 32)
+    // the reference side enters ONLY as (id, sig) — the stored-
+    // artifact shape; no ref text reaches the incremental operator
+    val refSigs = sigsOf(docs.where(col("doc_id") % 3 === 0))
+      .select("id", "sig")
+    val got = Dedup.incrementalLshPairs(
+        sigsOf(docs.where(col("doc_id") % 3 =!= 0)), refSigs,
+        numHashes = 32, bands = 8, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (a, b, _) =>
+      !isRef(b) && (isRef(a) || a < b) })
+    val want = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 8, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => !isRef(a) || !isRef(b) }.toSet
+    val gotNorm = got.map { case (a, b, j) =>
+      (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(want.nonEmpty && gotNorm == want)
+  }
+
   test("simhash pigeonhole banding has exact recall at maxHamming < bands") {
     val sh = Dedup.simhashes(t.documents, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
