@@ -202,27 +202,67 @@ object Dedup {
     */
   def incrementalLshPairs(newSigs: DataFrame, refSigs: DataFrame,
                           numHashes: Int, bands: Int, threshold: Double,
-                          maxBucketSize: Option[Int] = None): DataFrame = {
+                          maxBucketSize: Option[Int] = None): DataFrame =
+    incrementalLshPairsFromIndex(newSigs,
+      bandIndex(refSigs, numHashes, bands),
+      numHashes, bands, threshold, maxBucketSize)
+
+  /** The banded signature index `(id, band, bk, sig)` of a signatures
+    * frame — the STORED shape of a dedup corpus at scale: write it
+    * once (bucketed by `bk`, see [[io.Bucketing]]) and every later
+    * increment joins against it WITHOUT shuffling the store (Spark's
+    * bucketed scan reports hash partitioning on `bk`, which satisfies
+    * the (band, bk) join's clustering requirement, so only the new
+    * batch — the small side — shuffles; spec-asserted in
+    * DedupSimilaritySpec). */
+  def bandIndex(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def banded(sigs: DataFrame, isRef: Int): DataFrame =
-      sigs.select(col("id"), col("sig"),
-          explode(array((0 until bands).map(bi =>
-            struct(lit(bi).as("band"),
-              xxhash64(lit(bi), slice(col("sig"), bi * r + 1, r)).as("bk"))
-          ): _*)).as("b"))
-        .select(col("id"), col("sig"), col("b.band"), col("b.bk"))
-        .withColumn("is_ref", lit(isRef))
-    val all0 = banded(refSigs, 1).unionByName(banded(newSigs, 0))
+    sigs.select(col("id"), col("sig"),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("band"),
+            xxhash64(lit(bi), slice(col("sig"), bi * r + 1, r)).as("bk"))
+        ): _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bk"), col("sig"))
+  }
+
+  /** [[incrementalLshPairs]] with the reference side given as an
+    * already-banded index (e.g. `spark.table` over the bucketed store
+    * [[bandIndex]] writes) — new×reference candidates come from ONE
+    * equi-join against the store, new×new from a self-join of the
+    * batch's own (persisted, batch-sized) index; the two pair families
+    * are disjoint by construction, so the union needs no cross-family
+    * dedup. `maxBucketSize` caps (band, bk) buckets counted over
+    * store ∪ batch. */
+  def incrementalLshPairsFromIndex(newSigs: DataFrame, refIndex: DataFrame,
+                                   numHashes: Int, bands: Int,
+                                   threshold: Double,
+                                   maxBucketSize: Option[Int] = None)
+      : DataFrame = {
+    // persisted: the batch index feeds the bucket cap, the store join
+    // and both sides of the self-join (batch-sized — tiny next to the
+    // store); the caller owns cache lifetime, as the other pair
+    // generators
+    val newIdx0 = bandIndex(newSigs, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val all = capBuckets(all0, "bk", maxBucketSize)
-    val newSide = all.where(col("is_ref") === 0)
-      .select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("band"), col("bk"))
-    val matchSide = all.select(col("id").as("id_a"),
-      col("sig").as("sig_a"), col("is_ref"), col("band"), col("bk"))
-    newSide.join(matchSide, Seq("band", "bk"))
-      .where(col("is_ref") === 1 || col("id_a") < col("id_b"))
+    val (newIdx, refIdx) = maxBucketSize.fold((newIdx0, refIndex)) { c =>
+      val ok = newIdx0.select("band", "bk")
+        .unionByName(refIndex.select("band", "bk"))
+        .groupBy("band", "bk").agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= c).select("band", "bk")
+      (newIdx0.join(ok, Seq("band", "bk")),
+        refIndex.join(ok, Seq("band", "bk")))
+    }
+    val newSide = newIdx.select(col("id").as("id_b"),
+      col("sig").as("sig_b"), col("band"), col("bk"))
+    val vsRef = newSide.join(refIdx.select(col("id").as("id_a"),
+        col("sig").as("sig_a"), col("band"), col("bk")),
+      Seq("band", "bk"))
+    val vsNew = newSide.join(newIdx.select(col("id").as("id_a"),
+        col("sig").as("sig_a"), col("band"), col("bk")),
+      Seq("band", "bk"))
+      .where(col("id_a") < col("id_b"))
+    vsRef.unionByName(vsNew)
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>

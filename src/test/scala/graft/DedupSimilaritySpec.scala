@@ -125,6 +125,59 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(want.nonEmpty && gotNorm == want)
   }
 
+  test("bucketed band-index store: increments join it without shuffling the store") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS sig_store")
+    val docs = t.documents
+    val sigsOf = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+        n = 3, numHashes = 32)
+    val refSigs = sigsOf(docs.where(col("doc_id") % 3 === 0))
+    val newSigs = sigsOf(docs.where(col("doc_id") % 3 =!= 0))
+    // the store: banded index written ONCE, bucketed by the join keys
+    graft.io.Bucketing.writeBucketed(
+      Dedup.bandIndex(refSigs, numHashes = 32, bands = 8),
+      "sig_store", Seq("band", "bk"), buckets = 8)
+    // the same index as a plain (unbucketed) parquet round-trip — the
+    // control whose plan must shuffle the store side
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("sig_plain").toString
+    Dedup.bandIndex(refSigs, numHashes = 32, bands = 8)
+      .write.mode("overwrite").parquet(plainDir)
+
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val fromStore = Dedup.incrementalLshPairsFromIndex(newSigs,
+        s.table("sig_store"), numHashes = 32, bands = 8, threshold = 0.5)
+      val fromPlain = Dedup.incrementalLshPairsFromIndex(newSigs,
+        s.read.parquet(plainDir), numHashes = 32, bands = 8,
+        threshold = 0.5)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = rows(fromStore)
+      assert(a.nonEmpty && a == rows(fromPlain))
+      // and equal to the all-in-memory variant
+      assert(a == rows(Dedup.incrementalLshPairs(newSigs, refSigs,
+        numHashes = 32, bands = 8, threshold = 0.5)))
+      // the point of the store: its scan arrives pre-partitioned on
+      // the join keys, so the bucketed plan carries strictly fewer
+      // shuffles than the identical plan over plain parquet
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString)
+          .size
+      assert(exchanges(fromStore) < exchanges(fromPlain),
+        s"store scan still shuffles: ${exchanges(fromStore)} vs " +
+          s"${exchanges(fromPlain)} exchanges")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.sql("DROP TABLE IF EXISTS sig_store")
+    }
+  }
+
   test("simhash pigeonhole banding has exact recall at maxHamming < bands") {
     val sh = Dedup.simhashes(t.documents, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
