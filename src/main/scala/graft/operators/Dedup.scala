@@ -265,8 +265,7 @@ object Dedup {
     vsRef.unionByName(vsNew)
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1))
+        HashExpressions.sigAgree(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -393,12 +392,29 @@ object Dedup {
       bi => bandKey(lit(bi), slice(col("sig"), bi * r + 1, r)),
       maxBucketSize, salt)
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1))
+        sigAgreement(signatures, col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
+
+  /** Signature-agreement count for the verify step: long-array
+    * signatures (the xxhash64 scale paths) take the fused codegen
+    * walk (`plans.SigAgreeCount` — the declarative
+    * zip_with/filter pair is two INTERPRETED lambdas per candidate,
+    * the hot loop once banding has pruned); the md5 hex-string
+    * signatures of the seeded oracle path keep the declarative form
+    * (oracle plumbing, not a scale path). Both are spec-pinned equal. */
+  private def sigAgreement(signatures: DataFrame,
+                           sigA: Column, sigB: Column): Column =
+    signatures.schema("sig").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) =>
+        HashExpressions.sigAgree(sigA, sigB)
+      case _ =>
+        size(filter(zip_with(sigA, sigB, (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1))
+    }
 
   /** md5-seeded MinHash signatures: `sig[k] = min over shingles of
     * md5(k || '|' || shingle)` — 32-char lowercase hex strings whose

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -50,6 +50,12 @@ object HashExpressions {
     * (md5-based, oracle-reproducible — see [[SimHashBitsSeeded]]). */
   def simhashBitsSeeded(tokens: Column): Column =
     ColumnBridge.column(SimHashBitsSeeded(ColumnBridge.expression(tokens)))
+
+  /** Positions where two array<long> signatures agree — the fused
+    * MinHash verify (see [[SigAgreeCount]]). */
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -114,6 +120,70 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): HashedShingles =
     copy(child = newChild)
+}
+
+/** Number of positions where two `array<long>` signatures agree — the
+  * MinHash verify step, fused. The declarative form
+  * `size(filter(zip_with(a, b, (x,y) => ...), v => ...))` runs TWO
+  * interpreted higher-order lambdas per candidate pair (`ZipWith` and
+  * `ArrayFilter` are CodegenFallback) and allocates two intermediate
+  * arrays; this is the hot loop of every LSH query once banding has
+  * done its job — candidates ≫ docs on template-heavy corpora. One
+  * codegen'd walk, no allocation. Arrays shorter than the other's
+  * length compare positionally over the common prefix (signatures are
+  * fixed-width by construction; the guard is for direct SQL use).
+  */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_agree_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint> inputs, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreeCount =
+    copy(left = newLeft, right = newRight)
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {

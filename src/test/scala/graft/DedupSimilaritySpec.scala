@@ -55,6 +55,36 @@ class DedupSimilaritySpec extends GraftSuite {
     assert((truth intersect est).size >= (truth.size * 0.8).toInt)
   }
 
+  test("SigAgreeCount == declarative zip_with/filter agreement, incl. edges") {
+    import graft.plans.HashExpressions
+    // real signature pairs from the corpus
+    val sigs = Dedup.minhashSignatures(t.documents, col("doc_id"),
+      col("text"), n = 3, numHashes = 32)
+    val pairs = sigs.select(col("sig").as("a"))
+      .crossJoin(sigs.where(col("id") % 97 === 0).select(col("sig").as("b")))
+      .limit(500)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(zip_with(a, b, (x, y) =>
+        when(x === y, 1).otherwise(0)), v => v === 1))
+    val mism = pairs.select(
+        HashExpressions.sigAgree(col("a"), col("b")).as("fast"),
+        hof(col("a"), col("b")).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(mism == 0L)
+    // edge rows: null elements never count, length mismatch compares
+    // the common prefix — both matching the zip_with(null-pad) form
+    val edges = spark.sql(
+      """SELECT array(1L, NULL, 3L) a, array(1L, 2L, 3L, 9L) b
+        |UNION ALL SELECT array() , array(5L)
+        |UNION ALL SELECT array(7L), array(7L)""".stripMargin)
+    val got = edges.select(
+        HashExpressions.sigAgree(col("a"), col("b")).as("fast"),
+        hof(col("a"), col("b")).as("ref")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.forall { case (f, r) => f == r })
+    assert(got.map(_._1).toSeq == Seq(2, 0, 1))
+  }
+
   test("incrementalJaccardPairs == full-corpus pairs touching a new doc") {
     val docs = t.documents
     val isRef = (idv: Long) => idv % 3 == 0
