@@ -206,12 +206,18 @@ object SparkEntry {
     // NEW batch (doc_id % 3 != 0) against the existing corpus
     // (doc_id % 3 == 0) plus the batch itself; reference-internal
     // pairs never enumerate, id_b is always the new doc at risk.
+    // maxShingleDf = 64: inert at graded SFs (corpus max df < 64, so
+    // oracle parity is bit-exact without modeling the cap in SQL) but
+    // load-bearing on the scale corpus — without it the new-vs-all
+    // candidate join pays the hot-shingle mass q22's PERF study
+    // measured (sf1: 37.7 s uncapped → capped at the q22 valve)
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       Dedup.incrementalJaccardPairs(
         newDocs = docs.where(col("doc_id") % 3 =!= 0),
         refDocs = docs.where(col("doc_id") % 3 === 0),
-        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+        col("doc_id"), col("text"), n = 3, threshold = 0.5,
+        maxShingleDf = Some(64))
     }),
 
     // rows-only: the signature-store form of the incremental pass —
@@ -499,6 +505,22 @@ object SparkEntry {
           train = docs.where(col("doc_id") % 20 =!= 0),
           bench = docs.where(col("doc_id") % 20 === 0),
           col("doc_id"), col("text"), n = 5, threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // SEMANTIC decontamination: train docs whose EMBEDDING is
+    // near-duplicate of any held-out bench vector (vec_id % 10 == 0)
+    // — the paraphrase-level contamination the n-gram gates (q45/q55)
+    // cannot see. Candidates from the same 8×2-bit sign-band equi-join
+    // as q_dedup_embedding's oracle (bench side is benchmark-sized →
+    // broadcasts), exact-cosine verify, one doc-keyed rollup.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.semanticOverlap(
+          docs = emb.where(col("vec_id") % 10 =!= 0),
+          bench = emb.where(col("vec_id") % 10 === 0),
+          threshold = 0.4,
+          planes = Similarity.axisPlanes(64, 16), bitsPerBand = 2)
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -916,6 +938,25 @@ object SparkEntry {
         |SELECT c.id_a, c.id_b, list_cosine_similarity(va.e, vb.e) AS cosine
         |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
         |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
+
+    // Semantic decontamination replayed in SQL: identical band CTE to
+    // q_dedup_embedding, but the candidate join crosses the bench
+    // slice (id % 10 = 0) against the train slice, then rolls up per
+    // train doc (count + max over IDENTICAL doubles — order-free, so
+    // hash-exact without rounding).
+    "q_decontaminate_semantic" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+        |           WHERE list_inner_product(embedding, embedding) > 0),
+        |b AS ($embBandSql)
+        |, cand AS (SELECT DISTINCT a.id bench_id, t.id doc_id
+        |           FROM b a JOIN b t ON a.band = t.band AND a.bits = t.bits
+        |           WHERE a.id % 10 = 0 AND t.id % 10 <> 0),
+        |m AS (SELECT c.doc_id, list_cosine_similarity(va.e, vt.e) AS cosine
+        |      FROM cand c JOIN v va ON va.id = c.bench_id
+        |                  JOIN v vt ON vt.id = c.doc_id
+        |      WHERE list_cosine_similarity(va.e, vt.e) >= 0.4)
+        |SELECT doc_id, count(*) AS n_matched, max(cosine) AS max_cosine
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q_dedup_embedding_strict" ->
       s"""WITH u AS (SELECT vec_id AS id, embedding AS e0 FROM embeddings

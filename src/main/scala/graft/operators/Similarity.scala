@@ -242,16 +242,31 @@ object Similarity {
                    planes: Seq[Seq[Double]], bitsPerBand: Int,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
+    val (v, banded) = signBanded(df, planes, bitsPerBand, idCol, vecCol)
+    val cand = banded.select(col("id").as("id_a"), col("band"), col("bits"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bits")),
+        Seq("band", "bits"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyCosine(cand, v, v, threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** (vectors, banded bits) of one frame: `v = (id, e, nrm)` scans the
+    * raw vectors; `banded = (id, band, bits)` is persisted — both
+    * sides of any candidate join read the band bits, and caching the
+    * 3-column frame (no vectors) avoids recomputing the hyperplane
+    * dots per side. The verify joins re-scan the raw vectors instead
+    * of caching them — candidates ≪ corpus, and a (id, vec, norm)
+    * cache would hold the whole embedding table. */
+  private def signBanded(df: DataFrame, planes: Seq[Seq[Double]],
+                         bitsPerBand: Int, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     require(planes.size % bitsPerBand == 0, "bands must tile the planes")
     val bands = planes.size / bitsPerBand
     val v = df.select(col(idCol).as("id"), col(vecCol).as("e"))
       .withColumn("bucket", bucketBits(col("e"), planes))
       .withColumn("nrm", VectorFns.l2Norm(col("e")))
-    // persisted: both sides of the candidate self-join read the band
-    // bits; caching the 3-column frame (no vectors) avoids recomputing
-    // the hyperplane dots per side. The verify joins below re-scan the
-    // raw vectors instead of caching them — candidates ≪ corpus, and a
-    // (id, vec, norm) cache would hold the whole embedding table.
     val banded = v.select(col("id"),
         explode(array((0 until bands).map { bi =>
           struct(lit(bi).as("band"),
@@ -260,20 +275,61 @@ object Similarity {
         }: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.select(col("id").as("id_a"), col("band"), col("bits"))
-      .join(banded.select(col("id").as("id_b"), col("band"), col("bits")),
-        Seq("band", "bits"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    (v, banded)
+  }
+
+  /** Exact-cosine verify of candidate `(id_a, id_b)` pairs against
+    * vector frames `va`/`vb` (zero-norm rows excluded, not
+    * NaN-ranked). */
+  private def verifyCosine(cand: DataFrame, va: DataFrame, vb: DataFrame,
+                           threshold: Double): DataFrame =
     cand
-      .join(v.select(col("id").as("id_a"), col("e").as("ea"),
+      .join(va.select(col("id").as("id_a"), col("e").as("ea"),
         col("nrm").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("e").as("eb"),
+      .join(vb.select(col("id").as("id_b"), col("e").as("eb"),
         col("nrm").as("nb")), "id_b")
       .where(col("na") > 0 && col("nb") > 0)
       .withColumn("cosine",
         VectorFns.cosinePre(col("ea"), col("eb"), col("na"), col("nb")))
       .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+
+  /** Cross-corpus near-duplicate pairs: every (bench, doc) pair with
+    * cosine ≥ `threshold` — SEMANTIC decontamination's pair generator,
+    * catching the paraphrase-level contamination n-gram overlap can't
+    * see. Both frames band on the same hyperplane sign bits and meet
+    * in an equi-join on (band, bits) — never a bench × corpus
+    * cartesian, and the bench side is benchmark-sized (MB-scale) so
+    * its banded frame broadcasts. Output: `(bench_id, doc_id,
+    * cosine)`; a doc may match several bench vectors (one row each).
+    * Recall follows the banding config exactly as [[nearDupPairs]]
+    * (identical vectors collide in every band; [[autoBandConfig]]
+    * ladders corpus-sized deployments). */
+  def crossNearDupPairs(docs: DataFrame, bench: DataFrame,
+                        threshold: Double, planes: Seq[Seq[Double]],
+                        bitsPerBand: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val (vd, bd) = signBanded(docs, planes, bitsPerBand, idCol, vecCol)
+    val (vb, bb) = signBanded(bench, planes, bitsPerBand, idCol, vecCol)
+    val cand = bb.select(col("id").as("id_a"), col("band"), col("bits"))
+      .join(bd.select(col("id").as("id_b"), col("band"), col("bits")),
+        Seq("band", "bits"))
+      .select("id_a", "id_b").distinct()
+    verifyCosine(cand, vb, vd, threshold)
+      .select(col("id_a").as("bench_id"), col("id_b").as("doc_id"),
+        col("cosine"))
   }
+
+  /** Per-doc rollup of [[crossNearDupPairs]]: `(id, n_matched,
+    * max_cosine)` for every doc with at least one bench match at
+    * `threshold` — the semantic analog of
+    * `Decontaminate.overlapStats`' contaminated rows (docs without a
+    * match are absent: semantically clean). */
+  def semanticOverlap(docs: DataFrame, bench: DataFrame,
+                      threshold: Double, planes: Seq[Seq[Double]],
+                      bitsPerBand: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    crossNearDupPairs(docs, bench, threshold, planes, bitsPerBand,
+        idCol, vecCol)
+      .groupBy(col("doc_id").as("id"))
+      .agg(count(lit(1)).as("n_matched"), max(col("cosine")).as("max_cosine"))
 }

@@ -55,6 +55,42 @@ class DedupSimilaritySpec extends GraftSuite {
     assert((truth intersect est).size >= (truth.size * 0.8).toInt)
   }
 
+  test("crossNearDupPairs == self-join pairs restricted to cross pairs") {
+    val emb = t.embeddings
+    val planes = Similarity.axisPlanes(64, 16)
+    val isBench = (idv: Long) => idv % 10 == 0
+    val full = Similarity.nearDupPairs(emb, threshold = 0.4,
+        planes = planes, bitsPerBand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = full.filter { case (a, b, _) => isBench(a) ^ isBench(b) }
+      .map { case (a, b, c) => (math.min(a, b), math.max(a, b), c) }.toSet
+    val got = Similarity.crossNearDupPairs(
+        docs = emb.where(col("vec_id") % 10 =!= 0),
+        bench = emb.where(col("vec_id") % 10 === 0),
+        threshold = 0.4, planes = planes, bitsPerBand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (b, d, _) => isBench(b) && !isBench(d) })
+    val gotNorm = got.map { case (b, d, c) =>
+      (math.min(b, d), math.max(b, d), c) }.toSet
+    assert(want.nonEmpty && gotNorm == want)
+  }
+
+  test("semanticOverlap flags a planted exact copy at cosine 1.0") {
+    val s = spark; import s.implicits._
+    val base = t.embeddings.limit(1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val bench = Seq((1000L, base)).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, base),                        // exact copy -> cosine 1.0
+      (2L, base.map(x => -x)),           // antipode -> cosine -1, no match
+      (3L, Seq.fill(base.size)(0.0f))    // zero vector -> excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticOverlap(docs, bench, threshold = 0.9,
+        planes = Similarity.axisPlanes(64, 16), bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1.0)))
+  }
+
   test("SigAgreeCount == declarative zip_with/filter agreement, incl. edges") {
     import graft.plans.HashExpressions
     // real signature pairs from the corpus
