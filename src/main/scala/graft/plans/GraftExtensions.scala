@@ -55,7 +55,11 @@ object GraftExtensions {
     (FunctionIdentifier("array_remove_all"),
       info("array_remove_all", "array_remove_all(tokens, remove) - drop every occurrence of any `remove` element, order/duplicates preserved"),
       arity("array_remove_all", "array_remove_all(tokens, remove)", 2)(args =>
-        ArrayRemoveAll(args(0), args(1)))))
+        ArrayRemoveAll(args(0), args(1)))),
+    (FunctionIdentifier("sig_agree_count"),
+      info("sig_agree_count", "sig_agree_count(sig_a, sig_b) - positions where two bigint-array signatures agree (null elements never match; length mismatch compares the common prefix)"),
+      arity("sig_agree_count", "sig_agree_count(sig_a, sig_b)", 2)(args =>
+        SigAgreeCount(args(0), args(1)))))
 
   private def intArg(e: Expression, fn: String, name: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

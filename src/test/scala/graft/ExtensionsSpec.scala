@@ -12,11 +12,13 @@ class ExtensionsSpec extends GraftSuite {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       simhash64(hashed_shingles(array('a','b','c'), 1)) AS sh,
-        |       size(minhash_sig(hashed_shingles(array('a','b','c'), 2), 8)) AS k
+        |       size(minhash_sig(hashed_shingles(array('a','b','c'), 2), 8)) AS k,
+        |       sig_agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS ag
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 8)
+    assert(r.getInt(3) == 2)
   }
 
   test("vec_dot nulls out on length mismatch and null elements") {
