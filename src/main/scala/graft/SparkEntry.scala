@@ -508,6 +508,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Corpus observability: per-source document-length quantiles —
+    // the distribution that sizes chunk windows and packing budgets.
+    // Exact percentile by design (memory bounds on DISTINCT lengths,
+    // not corpus size — see CorpusStats.lengthQuantiles).
+    "q_length_quantiles" -> ((s, dir) =>
+      CorpusStats.lengthQuantiles(Tables(s, dir).documents,
+        col("source"), col("text"))
+        .withColumnRenamed("domain", "source")),
+
     // SEMANTIC decontamination: train docs whose EMBEDDING is
     // near-duplicate of any held-out bench vector (vec_id % 10 == 0)
     // — the paraphrase-level contamination the n-gram gates (q45/q55)
@@ -938,6 +947,20 @@ object SparkEntry {
         |SELECT c.id_a, c.id_b, list_cosine_similarity(va.e, vb.e) AS cosine
         |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
         |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
+
+    // Linear-interpolation quantiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the (n-1)·p convention; ROUND(…, 2) on
+    // both sides absorbs last-ulp interpolation noise.
+    "q_length_quantiles" ->
+      """WITH t AS (SELECT source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) n
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(*) AS n_docs,
+        |       ROUND(quantile_cont(n, 0.25), 2) AS p25,
+        |       ROUND(quantile_cont(n, 0.50), 2) AS p50,
+        |       ROUND(quantile_cont(n, 0.75), 2) AS p75,
+        |       ROUND(quantile_cont(n, 0.90), 2) AS p90
+        |FROM t GROUP BY source""".stripMargin,
 
     // Semantic decontamination replayed in SQL: identical band CTE to
     // q_dedup_embedding, but the candidate join crosses the bench

@@ -122,6 +122,32 @@ object CorpusStats {
           .cast("long").as("tok_rank"))
   }
 
+  /** Per-domain document-length quantiles `(domain, n_docs, p25, p50,
+    * p75, p90)` — the distribution report that sizes chunking windows
+    * and packing budgets. Null-text docs are excluded (no length).
+    *
+    * Scale shape: EXACT percentile is deliberate here — Spark's
+    * `percentile` buffers (value → count) per group, so memory is
+    * bounded by the number of DISTINCT lengths (≤ max doc tokens,
+    * thousands), not corpus size; whole-corpus cardinality never
+    * reaches one node. For unbounded-cardinality metrics (e.g. double
+    * scores) use `approx_percentile` instead — exact-on-bounded /
+    * sketch-on-unbounded is the rule. */
+  def lengthQuantiles(df: DataFrame, domain: Column, text: Column)
+      : DataFrame =
+    df.where(text.isNotNull)
+      .select(domain.as("domain"),
+        size(split(text, " ")).cast("long").as("__n"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("__n"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("__q"))
+      .select(col("domain"), col("n_docs"),
+        round(col("__q").getItem(0), 2).as("p25"),
+        round(col("__q").getItem(1), 2).as("p50"),
+        round(col("__q").getItem(2), 2).as("p75"),
+        round(col("__q").getItem(3), 2).as("p90"))
+
   def rarityStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"), explode(toks(text)).as("token"))
       .join(docFrequencies(df, id, text), "token")

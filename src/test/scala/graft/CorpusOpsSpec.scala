@@ -211,6 +211,24 @@ class CorpusOpsSpec extends GraftSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("lengthQuantiles: exact interpolated quantiles, null text excluded") {
+    // src0 lengths {1,2,3,4,5}: p25 = 2.0, p50 = 3.0, p75 = 4.0,
+    // p90 = 4.6 ((n-1)p = 3.6 -> 4 + 0.6*(5-4)); src1 single doc ->
+    // every quantile is its length
+    val docs = Seq(
+      (1L, "src0", "a"), (2L, "src0", "a b"), (3L, "src0", "a b c"),
+      (4L, "src0", "a b c d"), (5L, "src0", "a b c d e"),
+      (6L, "src1", "x y z"),
+      (7L, "src1", null.asInstanceOf[String])  // excluded
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.lengthQuantiles(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("src0") == ((5L, 2.0, 3.0, 4.0, 4.6)))
+    assert(got("src1") == ((1L, 3.0, 3.0, 3.0, 3.0)))
+  }
+
   test("domainMixture: exact integer ppm shares and token-mass rank") {
     val docs = Seq(
       (1L, "src0", "a b"),                    // 2 tokens
