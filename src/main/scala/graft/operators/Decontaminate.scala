@@ -112,6 +112,13 @@ object Decontaminate {
     *
     * `expectedItems` sizes the sketch; pass the known bench distinct
     * count, or <= 0 to spend one (bench-side, cheap) count job.
+    *
+    * Lifetime contract: each call builds (one Spark job) and
+    * broadcasts one fresh sketch; the broadcast lives until the
+    * session GCs it (ContextCleaner) — long-lived pipelines calling
+    * this per batch against the SAME bench corpus should build once
+    * via `plans.BloomFilters.buildLong` + broadcast and probe with
+    * `mightContainLong` directly.
     */
   def overlapStatsBloom(train: DataFrame, bench: DataFrame,
                         id: Column, text: Column, n: Int,
@@ -149,7 +156,8 @@ object Decontaminate {
     * this one trades its O(|bench|) per-row `array_intersect` hash
     * build for O(|doc|) probes — cheaper per row AND smaller per
     * executor once the bench set is large). Same conservative
-    * fp direction as [[overlapStatsBloom]].
+    * fp direction — and same per-call sketch-build/broadcast
+    * lifetime contract — as [[overlapStatsBloom]].
     */
   def overlapStatsBloomStateless(docs: DataFrame, bench: DataFrame,
                                  id: Column, text: Column, n: Int,
