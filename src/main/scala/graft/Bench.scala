@@ -38,7 +38,8 @@ object Bench {
     * path (SparkEntry documents each pairing). Excluded from the
     * headline total, reported separately. */
   val oracleOnly: Set[String] =
-    Set("q_dedup_minhash_seeded", "q_dedup_simhash_seeded", "q_ann_ivf_seeded")
+    Set("q_dedup_minhash_seeded", "q_dedup_simhash_seeded", "q_ann_ivf_seeded",
+      "q_multimodal_bytefold")
 
   private def loadavg: String =
     try Files.readString(Paths.get("/proc/loadavg")).trim

@@ -461,20 +461,42 @@ object SparkEntry {
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("media_kind"))),
 
-    // Media feature extraction through the query surface (r6):
-    // payloads that ImageIO can decode embed from real sRGB pixels,
-    // the rest take the deterministic byte-fold fallback (here: text
-    // bytes, so every row exercises the fallback; the pixel path is
-    // spec-tested with generated PNG/BMP rasters). Rows-only by
-    // design: the pixel path is not SQL-expressible and the
-    // byte-fold's float32 accumulation order is engine-specific, so
-    // a DuckDB double replay would hash-diverge on the last ulp.
+    // Media feature extraction through the query surface (r6; output
+    // reshaped r7): payloads that ImageIO can decode embed from real
+    // sRGB pixels, the rest take the deterministic byte-fold fallback
+    // (here: text bytes, so every row exercises the fallback; the
+    // pixel path is spec-tested with generated PNG/BMP rasters).
+    // Rows-only by design — the pixel path is not SQL-expressible and
+    // the final float32 rounding is engine-specific — but the output
+    // is harness-digestible: the embedding rides as a deterministic
+    // fixed-precision CSV string plus scalar summaries, never a raw
+    // array<float> (which the driver's pandas sort cannot hash — the
+    // r6 lesson). The integer core of the fallback IS oracle-verified
+    // via the q_multimodal_bytefold twin below.
     "q_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
         Tables(s, dir).documents.select(col("doc_id"),
           col("text").cast("binary").as("payload")), dim = 16)
-        .toDF().select(col("doc_id"), col("source"), col("embedding"))
+        .toDF().select(col("doc_id"), col("source"),
+          concat_ws(",", transform(col("embedding"),
+            x => format_number(x, 5))).as("emb_csv"),
+          size(col("embedding")).as("n_dim"))
+    }),
+
+    // Oracle-checked twin of the byte-fold fallback (r7): the
+    // per-(doc, slot) centered byte sums extractFeatures normalizes —
+    // pure Long arithmetic, so DuckDB replays it hash-exactly by
+    // enumerating byte positions (the corpus is ASCII, so ord(char)
+    // == utf-8 byte). The spec pins the fallback embedding equal to
+    // these sums normalized, closing the chain: oracle verifies the
+    // integer core, spec ties the float surface to it.
+    "q_multimodal_bytefold" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.byteFoldSums(
+        Tables(s, dir).documents.select(col("doc_id"),
+          col("text").cast("binary").as("payload")), dim = 16)
+        .toDF()
     }),
 
     // Passage-level exact dedup (r6): aligned 8-token windows, one
@@ -1146,6 +1168,29 @@ object SparkEntry {
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_kind
         |FROM documents""".stripMargin,
+
+    // Byte-position enumeration replay of Multimodal.foldBytes: slot
+    // j accumulates ord(char at i) - 128 over i ≡ j (mod 16). ord ==
+    // utf-8 byte on the ASCII corpus; all 16 slots emitted (zero-fill
+    // via the slots cross join) exactly like the Spark side; DuckDB's
+    // SUM(int) is HUGEINT → cast back to BIGINT for schema parity.
+    "q_multimodal_bytefold" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+        |  FROM documents
+        |),
+        |sums AS (
+        |  SELECT doc_id, CAST((i-1) % 16 AS INT) AS slot,
+        |         SUM(ord(substr(text, CAST(i AS INT), 1)) - 128) AS s
+        |  FROM pos GROUP BY 1, 2
+        |),
+        |slots AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS slot)
+        |SELECT d.doc_id, sl.slot,
+        |       CAST(COALESCE(m.s, 0) AS BIGINT) AS fold_sum,
+        |       CAST(length(d.text) AS INT) AS n_bytes
+        |FROM documents d
+        |CROSS JOIN slots sl
+        |LEFT JOIN sums m ON m.doc_id = d.doc_id AND m.slot = sl.slot""".stripMargin,
 
     // Aligned 8-token windows over RAW space-split tokens (no
     // normalization — reassembly must reproduce original bytes).

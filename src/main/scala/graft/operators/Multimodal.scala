@@ -346,9 +346,121 @@ object Multimodal {
   }
 
   /** `source` says what the embedding was computed FROM: "pixels"
-    * (real decoded image raster) or "bytes" (raw-payload fallback). */
+    * (real decoded image raster), "samples" (real decoded PCM audio
+    * samples, r7), or "bytes" (raw-payload fallback). */
   final case class MediaFeature(doc_id: Long, embedding: Array[Float],
                                 source: String)
+
+  /** Per-slot centered byte sums of a payload: `sums(j) = Σ (b_i − 128)`
+    * over bytes at positions `i ≡ j (mod dim)`. Pure Long arithmetic —
+    * exact, order-free, and engine-portable (a SQL engine that can
+    * enumerate byte values replays it bit-for-bit). This IS the
+    * byte-fold fallback of [[extractFeatures]] before normalization:
+    * the embedding equals `(sums(j)/128.0) / ‖·‖₂` rounded once to
+    * float32 at the end. */
+  private def foldBytes(payload: Array[Byte], dim: Int): Array[Long] = {
+    val sums = new Array[Long](dim)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        sums(i % dim) += (payload(i) & 0xff) - 128; i += 1
+      }
+    }
+    sums
+  }
+
+  /** One byte-fold row: the integer-exact pre-normalization state of
+    * the [[extractFeatures]] fallback path, one row per (doc, slot). */
+  final case class ByteFold(doc_id: Long, slot: Int, fold_sum: Long,
+                            n_bytes: Int)
+
+  /** The byte-fold fallback's integer core as a first-class query
+    * surface: per-(doc, slot) centered byte sums, all `dim` slots
+    * emitted (zero-filled past payload end) so the output shape is
+    * independent of payload length. Because every value is a Long,
+    * the result is ORACLE-REPLAYABLE — a SQL engine enumerating byte
+    * positions reproduces it hash-exactly, which ties the fallback
+    * embedding path (spec: embedding == normalized fold sums,
+    * bit-for-bit) to a driver-verifiable integer query. */
+  def byteFoldSums(payloads: DataFrame, dim: Int = 64)
+                  (implicit spark: SparkSession): Dataset[ByteFold] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val sums = foldBytes(payload, dim)
+        val n = if (payload == null) 0 else payload.length
+        Iterator.tabulate(dim)(j => ByteFold(id, j, sums(j), n))
+      }
+  }
+
+  /** Full PCM sample decode over pure-JDK `javax.sound.sampled` (r7) —
+    * the audio analog of [[PixelDecoder]]: `AudioSystem.
+    * getAudioInputStream` parses the container (WAV/AIFF/AU) and
+    * yields the raw sample stream, which is canonicalized to SIGNED
+    * 16-BIT values independent of how the container stored them —
+    * WAV PCM is little-endian and its 8-bit form unsigned, AIFF is
+    * big-endian signed; after canonicalization the same recording
+    * embeds identically from either container, the exact
+    * container-invariance property the pixel path has for PNG/BMP.
+    * Only PCM encodings (8/16-bit) decode; compressed codecs (MP3,
+    * AAC, Vorbis — no JDK codec) still fall through to the byte-fold
+    * stub, which is now the ONLY remaining stub surface besides video
+    * frames. One instance per partition (codec-init seam). */
+  private final class SampleDecoder {
+    /** Fold canonical 16-bit samples into per-slot Long sums
+      * (round-robin over `dim`, channel-interleaved order as stored).
+      * Returns None when the payload is not a decodable 8/16-bit PCM
+      * container — the caller falls back. Exact integer accumulation,
+      * same argument as [[foldBytes]]. */
+    def foldSamples(payload: Array[Byte], dim: Int): Option[Array[Long]] = {
+      if (payload == null || payload.length < 12) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          val enc = f.getEncoding
+          val pcmSigned =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val pcmUnsigned =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = f.getSampleSizeInBits
+          if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16))
+            return None
+          val bytes = ais.readAllBytes()
+          val sums = new Array[Long](dim)
+          var n = 0
+          if (bits == 8) {
+            // canonical: signed 16-bit, so 8-bit widens by << 8
+            var i = 0
+            while (i < bytes.length) {
+              val v =
+                if (pcmUnsigned) ((bytes(i) & 0xff) - 128) << 8
+                else bytes(i).toInt << 8
+              sums(n % dim) += v; n += 1; i += 1
+            }
+          } else {
+            val be = f.isBigEndian
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val raw =
+                if (be) ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+                else ((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)
+              val v =
+                if (pcmUnsigned) (raw & 0xffff) - 32768
+                else raw.toShort.toInt
+              sums(n % dim) += v; n += 1; i += 2
+            }
+          }
+          if (n == 0) None else Some(sums)
+        } finally ais.close()
+      } catch {
+        // UnsupportedAudioFileException / truncated stream → not audio
+        case _: Exception => None
+      }
+    }
+  }
 
   /** Full-pixel image decode over pure-JDK `ImageIO.read` — the same
     * no-external-codec argument as [[ImageHeaderDecoder]], but now the
@@ -375,11 +487,23 @@ object Multimodal {
     * the embedding depends on what the image SHOWS, not how it is
     * encoded — a PNG and a BMP of the same raster embed identically,
     * which is the property a near-dup/similarity pipeline needs and a
-    * byte-fold cannot give. Payloads no JDK reader decodes take the
-    * byte-fold fallback (a stand-in for a learned encoder; audio
-    * samples / video frames have no JDK codec). `source` records the
-    * path per row.
-    */
+    * byte-fold cannot give. PCM audio payloads are REALLY decoded too
+    * (r7, [[SampleDecoder]]): WAV/AIFF/AU sample streams canonicalize
+    * to signed 16-bit values, so the same recording embeds identically
+    * from either container. Payloads neither path decodes take the
+    * byte-fold fallback (a stand-in for a learned encoder; compressed
+    * audio codecs / video frames have no JDK codec). `source` records
+    * the path per row: "pixels" / "samples" / "bytes".
+    *
+    * Accumulation is Long-exact (centered values summed as integers,
+    * one float32 rounding at the very end), so the result is
+    * independent of accumulation order — a float32 running sum would
+    * start rounding once a slot's partial sum passes 2^17 (≈ a
+    * 4-megapixel image at dim 64), and its value would then depend on
+    * byte order. The fallback path therefore equals the normalized
+    * [[byteFoldSums]] exactly (spec-pinned), which is what lets the
+    * integer core be oracle-verified while the embedding stays
+    * rows-only. */
   def extractFeatures(payloads: DataFrame, dim: Int = 64)
                      (implicit spark: SparkSession): Dataset[MediaFeature] = {
     import spark.implicits._
@@ -387,14 +511,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val pix = new PixelDecoder // per-partition init
+        val snd = new SampleDecoder
         it.map { case (id, payload) =>
-          val acc = new Array[Float](dim)
-          var n = 0
-          def add(v: Int): Unit = {
-            acc(n % dim) += (v - 128) / 128.0f; n += 1
-          }
-          val source = pix.decode(payload) match {
+          val (sums, source) = pix.decode(payload) match {
             case Some(img) =>
+              val s = new Array[Long](dim)
+              var n = 0
+              def add(v: Int): Unit = { s(n % dim) += v - 128; n += 1 }
               var y = 0
               while (y < img.getHeight) {
                 var x = 0
@@ -406,16 +529,17 @@ object Multimodal {
                 }
                 y += 1
               }
-              "pixels"
-            case None =>
-              if (payload != null) {
-                var i = 0
-                while (i < payload.length) { add(payload(i) & 0xff); i += 1 }
-              }
-              "bytes"
+              (s, "pixels")
+            case None => snd.foldSamples(payload, dim) match {
+              case Some(s) => (s, "samples")
+              case None => (foldBytes(payload, dim), "bytes")
+            }
           }
+          val acc = sums.map(_ / 128.0) // exact: Long scaled by 2^-7
           val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x))
-          val out = if (norm > 0) acc.map(x => (x / norm).toFloat) else acc
+          val out =
+            if (norm > 0) acc.map(x => (x / norm).toFloat)
+            else new Array[Float](dim)
           MediaFeature(id, out, source)
         }
       }

@@ -607,6 +607,88 @@ class DedupSimilaritySpec extends GraftSuite {
       math.abs(r.embedding.foldLeft(0.0)((a, x) => a + x * x) - 1.0) < 1e-4))
   }
 
+  test("extractFeatures decodes real PCM samples: container-invariant") {
+    implicit val s = spark
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // one recording: a 440-ish Hz sine, 16-bit mono samples
+    val samples: Array[Short] = Array.tabulate(800)(i =>
+      (math.sin(i * 0.18) * 12000).toShort)
+    def pcmBytes(bigEndian: Boolean): Array[Byte] = {
+      val b = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        val (hi, lo) = (((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        if (bigEndian) { b(2 * i) = hi; b(2 * i + 1) = lo }
+        else { b(2 * i) = lo; b(2 * i + 1) = hi }
+      }
+      b
+    }
+    def container(tpe: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, bigEndian)
+      val raw = pcmBytes(bigEndian)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(AudioSystem.write(ais, tpe, bos) > 0, s"no $tpe writer")
+      bos.toByteArray
+    }
+    val wav = container(AudioFileFormat.Type.WAVE, bigEndian = false)
+    val aiff = container(AudioFileFormat.Type.AIFF, bigEndian = true)
+    assert(!wav.sameElements(aiff)) // genuinely different containers
+    val payloads = Seq(
+      (0L, wav), (1L, aiff),
+      (2L, "not audio either".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val f = Multimodal.extractFeatures(payloads, dim = 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    // both containers decode through the REAL sample path...
+    assert(f(0L).source == "samples" && f(1L).source == "samples")
+    // ...and the same recording embeds identically from either — the
+    // canonical signed-16-bit fold erases endianness and container
+    // framing, exactly like the pixel path erases PNG-vs-BMP
+    assert(f(0L).embedding.sameElements(f(1L).embedding))
+    assert(f(0L).embedding.exists(_ != 0f))
+    // non-audio still takes the byte-fold, flagged as such
+    assert(f(2L).source == "bytes")
+  }
+
+  test("byte-fold fallback == normalized byteFoldSums, bit for bit") {
+    // the chain the oracle twin relies on: q_multimodal_bytefold
+    // verifies the integer sums in DuckDB; THIS spec pins the
+    // rows-only embedding to exactly those sums normalized — one
+    // float32 rounding at the end, no accumulation-order dependence
+    implicit val s = spark
+    val payloads = t.documents.select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+    val dim = 16
+    val folds = Multimodal.byteFoldSums(payloads, dim).collect()
+      .groupBy(_.doc_id)
+      .map { case (id, rows) =>
+        val sums = new Array[Long](dim)
+        rows.foreach(r => sums(r.slot) = r.fold_sum)
+        id -> sums
+      }
+    val feats = Multimodal.extractFeatures(payloads, dim).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(folds.size == feats.size && folds.nonEmpty)
+    folds.foreach { case (id, sums) =>
+      val acc = sums.map(_ / 128.0)
+      val norm = math.sqrt(acc.foldLeft(0.0)((a, x) => a + x * x))
+      val expect =
+        if (norm > 0) acc.map(x => (x / norm).toFloat)
+        else new Array[Float](dim)
+      assert(feats(id).source == "bytes")
+      assert(feats(id).embedding.sameElements(expect), s"doc $id")
+    }
+    // every doc emits ALL dim slots (zero-filled past payload end) and
+    // a consistent byte count
+    val perDoc = Multimodal.byteFoldSums(payloads, dim).collect()
+      .groupBy(_.doc_id)
+    assert(perDoc.values.forall(_.map(_.slot).sorted.sameElements(0 until dim)))
+    assert(perDoc.values.forall(rs => rs.map(_.n_bytes).distinct.length == 1))
+  }
+
   test("fused seeded-simhash bits == declarative md5 formula, bit for bit") {
     // the fused expression must reproduce EXACTLY the conv(md5) vote
     // formula the DuckDB oracle replays — any divergence would silently
