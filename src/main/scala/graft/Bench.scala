@@ -280,6 +280,12 @@ object Bench {
         s""","stall_sec":${stallPerRun.map(s => math.round(s * 100) / 100.0)
           .mkString("[", ",", "]")}""" +
         s""","stall_max":$stallMax,"stall_poisoned":$stallPoisoned""" +
+        // quiet_runs < runs means retries ran out with a SHORT quiet
+        // sample: medians rest on fewer samples than requested even
+        // though stall_poisoned stays false — flagged explicitly so a
+        // short-sample artifact can't read as a full clean one
+        s""","quiet_runs":${quietIdx.size}""" +
+        s""","short_sample":${quietIdx.nonEmpty && quietIdx.size < runs}""" +
         s""","used_runs":${usedIdx.mkString("[", ",", "]")}""" +
         s""","dropped_from_totals":${jarr(dropped)}""" +
         s""","oracle_only":${jarr(oracleOnly.toSeq.sorted)}""" +

@@ -286,12 +286,16 @@ object SparkEntry {
     // under shifted ids: the oracle hash-checks 5 real cosine values
     // while 99.99% of the corpus exercises the pruning.
     // Banding rides Similarity.autoBandConfig: the sf0.01 Verify run
-    // lands on the (8 bands × 8 bits) rung — exactly what the static
-    // oracle SQL replays — while sf1's ~220k vectors take (5 × 12),
-    // holding candidate growth sublinear (n²·bands/2^bits) instead of
-    // the ~50× a fixed 8×8 would cost at 10× the data. The count()
-    // driving the rung is one column-pruned scan, trivial beside the
-    // candidate join it right-sizes.
+    // (505 vectors < the 16k rung boundary) lands on the (8 bands ×
+    // 8 bits) rung — exactly what the static oracle SQL replays —
+    // while sf1's ~20k vectors (2000 × the 10× ScaleUp replica) cross
+    // 16k and take (5 × 12), holding candidate growth sublinear
+    // (n²·bands/2^bits) instead of the ~50× a fixed 8×8 would cost at
+    // 10× the data. tools/check.py asserts the graded corpus still
+    // lands on the oracle's rung before comparing, so testdata growth
+    // past 16k vectors fails loudly instead of hash-mismatching. The
+    // count() driving the rung is one column-pruned scan, trivial
+    // beside the candidate join it right-sizes.
     "q_dedup_embedding_strict" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
       val planted = emb.where(col("vec_id") < 5)
@@ -1232,7 +1236,7 @@ object SparkEntry {
         |              AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source)
         |SELECT source, n_docs, n_tokens,
-        |       CAST(n_tokens * 1000000 //
+        |       CAST(CAST(n_tokens AS HUGEINT) * 1000000 //
         |            (SELECT sum(n_tokens) FROM g) AS BIGINT) AS tok_share_ppm,
         |       CAST(row_number() OVER (ORDER BY n_tokens DESC, source ASC)
         |            AS BIGINT) AS tok_rank
@@ -1429,10 +1433,12 @@ object SparkEntry {
   private val embBandSql: String = embBandSqlFor(bands = 8, bitsPerBand = 2)
 
   /** The 8 eight-bit bands of q_dedup_embedding_strict — the
-    * `autoBandConfig` rung for n < 64k, which is what the sf0.01
-    * corpus Verify grades against lands on; larger corpora take
-    * higher-bit rungs the Spark side computes from count() (this
-    * static SQL is only ever replayed at sf0.01). */
+    * `autoBandConfig` rung for n < 16k, which is what the sf0.01
+    * corpus Verify grades against lands on (505 vectors incl. the 5
+    * planted copies); larger corpora take higher-bit rungs the Spark
+    * side computes from count() (this static SQL is only ever
+    * replayed at sf0.01, and tools/check.py asserts the rung match
+    * before grading). */
   private val embBandStrictSql: String =
     embBandSqlFor(bands = 8, bitsPerBand = 8)
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Cleanser
 
@@ -114,9 +115,15 @@ object CorpusStats {
       .select(col("domain"), col("n_docs"), col("n_tokens"),
         // integral `div`, not `/`: Spark's `/` is DOUBLE division,
         // which rounds past 2^53 — at 100 TB the ppm numerator gets
-        // there; `div` stays exact and matches DuckDB's `//`
-        call_function("div", col("n_tokens") * lit(1000000L),
-          col("__total")).as("tok_share_ppm"),
+        // there; `div` stays exact and matches DuckDB's `//`. The
+        // numerator is widened to decimal BEFORE the multiply: a Long
+        // numerator overflows past ~9.2e12 tokens (inside the 100 TB
+        // regime), which ANSI mode turns into ARITHMETIC_OVERFLOW;
+        // decimal(30,0) × 10^6 stays within decimal(38,0), and `div`
+        // on decimals still returns an exact BIGINT
+        call_function("div",
+          col("n_tokens").cast(DecimalType(30, 0)) * lit(1000000L),
+          col("__total").cast(DecimalType(30, 0))).as("tok_share_ppm"),
         row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("n_tokens").desc, col("domain").asc_nulls_last))
           .cast("long").as("tok_rank"))

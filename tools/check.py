@@ -37,6 +37,18 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = fail = 0
+    # q_dedup_embedding_strict's static oracle encodes the (8 bands x
+    # 8 bits) autoBandConfig rung (n < 16000). Assert the graded corpus
+    # still lands on that rung BEFORE comparing, so testdata growth
+    # past the boundary fails loudly instead of silently hash-mismatching.
+    if "q_dedup_embedding_strict" in oracles:
+        n_vec = con.sql("SELECT count(*) + 5 FROM embeddings").fetchone()[0]
+        if n_vec >= 16000:  # mirror of Similarity.autoBandConfig
+            print(f"RUNG!    q_dedup_embedding_strict: corpus has {n_vec} "
+                  f"vectors (incl. 5 planted) >= 16000 — Spark takes a "
+                  f"higher rung than the static (8,8) oracle")
+            fail += 1
+            del oracles["q_dedup_embedding_strict"]
     for name in sorted(oracles):
         sql = oracles[name]
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
