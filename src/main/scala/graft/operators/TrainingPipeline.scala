@@ -70,6 +70,28 @@ object TrainingPipeline {
     prepped.join(contaminated, Seq("id"), "left_anti")
   }
 
+  /** [[prepareDecontaminatedWith]] with a PREBUILT bench sketch
+    * ([[Decontaminate.buildBenchSketch]]): the per-batch shape — a
+    * daily-ingest pipeline builds the sketch once per bench corpus
+    * and prepares every batch against it without re-paying the
+    * bench-side count/build/broadcast (or any bench scan at all).
+    * The gate is the sketch probe, so its false-positive direction is
+    * drop-MORE — the safe side for decontamination. */
+  def prepareDecontaminatedSketch(docs: DataFrame, id: Column, text: Column,
+                                  cfg: Config,
+                                  sketch: Decontaminate.BenchSketch,
+                                  maxOverlap: Double,
+                                  pairGen: (DataFrame, Column, Column) => DataFrame)
+      : DataFrame = {
+    // same single-extra-pass caching argument as prepareDecontaminatedWith
+    val prepped = prepareWith(docs, id, text, cfg, pairGen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contaminated = Decontaminate.overlapStatsBloom(prepped, sketch,
+        col("id"), col("text"), maxOverlap)
+      .where(col("contaminated") === 1).select("id")
+    prepped.join(contaminated, Seq("id"), "left_anti")
+  }
+
   /** As `prepare`, but with a pluggable near-dup pair generator —
     * MinHash-LSH is the scale default; the exact n-gram jaccard
     * generator makes the whole pipeline SQL-reproducible

@@ -49,5 +49,16 @@ class TrainingPipelineSpec extends GraftSuite {
         (d, i, t) => Dedup.jaccardPairs(d, i, t, n = 3, threshold = 0.8))
       .select("id").as[Long].collect().toSet
     assert(prep == Set(1L, 2L))
+    // the prebuilt-sketch per-batch form reproduces the exact gate
+    // here (generous sizing → zero realized false positives), and the
+    // same sketch serves repeated batches without a bench re-scan
+    val sketch = graft.operators.Decontaminate.buildBenchSketch(
+      bench, col("doc_id"), col("text"), n = 5, fpp = 1e-9)
+    val viaSketch = TrainingPipeline.prepareDecontaminatedSketch(
+        train, col("doc_id"), col("text"), TrainingPipeline.Config(),
+        sketch, maxOverlap = 0.5,
+        (d, i, t) => Dedup.jaccardPairs(d, i, t, n = 3, threshold = 0.8))
+      .select("id").as[Long].collect().toSet
+    assert(viaSketch == out)
   }
 }
