@@ -720,7 +720,8 @@ object Dedup {
     * per distinct passage, so no join-back over the passage volume is
     * needed. Two content shuffles total, both with map-side partial
     * aggregation: the passage-keyed min (carries each distinct
-    * passage once per map partition) and the id-keyed reassembly.
+    * passage once per map partition; keyed by an xxhash64 prefix +
+    * exact ptext — see the inline note) and the id-keyed reassembly.
     * The final id-keyed left join against the per-doc stats frame
     * re-reads the scan (cheap map-side projection) rather than
     * caching the corpus. Hot boilerplate passages are exactly what
@@ -751,9 +752,20 @@ object Dedup {
         array_join(col("__p"), " ").as("ptext"),
         (size(col("__p")) === k).as("eligible"))
     // one surviving (id, seg_id) per distinct full-length passage —
-    // the aggregate output is the survivor set, no join back
+    // the aggregate output is the survivor set, no join back. The
+    // grouping key leads with xxhash64(ptext) (r7): the 8-byte prefix
+    // fail-fasts every key comparison — most valuable when the
+    // aggregate spills and the sort-based fallback compares full keys
+    // — while ptext stays IN the key so semantics remain EXACT. A
+    // hash-ONLY key with ptext as payload (the tempting further step)
+    // is wrong at target scale: ~10^12 distinct 8-token passages at
+    // 100 TB put the 64-bit birthday bound at thousands of collisions,
+    // each silently deleting one passage corpus-wide — so the hash
+    // prunes comparisons and the exact key confirms, the same
+    // candidates-then-verify discipline as the LSH paths, fused into
+    // one aggregate.
     val keptEligible = seg.where(col("eligible"))
-      .groupBy(col("ptext"))
+      .groupBy(xxhash64(col("ptext")).as("__h"), col("ptext"))
       .agg(min(struct(col("id"), col("seg_id"))).as("__min"))
       .select(col("__min.id").as("id"), col("__min.seg_id").as("seg_id"),
         col("ptext"))
