@@ -25,7 +25,11 @@ object CsvIngest {
   /** `encoding` is the JVM-charset analog of the reference's
     * utf-8→cp1252 decode fallback; Spark 4 allows iso-8859-1 (the
     * cp1252 superset-for-printables) out of the box and the full
-    * windows-1252 set behind `spark.sql.legacy.javaCharsets=true`. */
+    * windows-1252 set behind `spark.sql.legacy.javaCharsets=true`.
+    * `encoding = "auto"` (r7, `readCleansed` only) runs
+    * [[Cleanser.decodeAuto]]'s BOM-sniff → UTF-8-validate → fallback
+    * ladder per file, so one mixed drop of UTF-8/UTF-16/cp1252 files
+    * ingests to identical rows without per-file configuration. */
   /** `repairBareNewlines` applies the reference's `(?<!\r)\n → " "`
     * record repair before splitting — only valid for CRLF-terminated
     * files (on plain-LF files it would fuse every record), hence
@@ -65,8 +69,12 @@ object CsvIngest {
   def readCleansed(spark: SparkSession, path: String, schema: StructType,
                    opts: Options = Options()): DataFrame = {
     val headerLine = schema.fieldNames.mkString(opts.delimiter)
+    val dec =
+      if (opts.encoding.equalsIgnoreCase("auto"))
+        Cleanser.decodeAuto(col("content"))
+      else decode(col("content"), opts.encoding)
     val raw = spark.read.format("binaryFile").load(path)
-      .select(decode(col("content"), opts.encoding).as("__raw"))
+      .select(dec.as("__raw"))
     val repaired = if (opts.repairBareNewlines)
       raw.select(Cleanser.repairBareNewlines(col("__raw")).as("__raw"))
     else raw

@@ -104,6 +104,43 @@ class InfraSpec extends GraftSuite {
     assert(rows(1).getLong(2) == 20L)
   }
 
+  test("auto encoding ingests UTF-8/UTF-16/cp1252 files to identical rows") {
+    // the SAME content in five on-disk encodings — one mixed drop of
+    // files ingests identically with zero per-file configuration
+    val content = "id,name,amt\n1,café,10\n2,naïve — ok,20\n"
+    val dir = Files.createTempDirectory("graft_auto_enc")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(dir.resolve(name), bytes)
+    val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    val bomLe = Array(0xFF, 0xFE).map(_.toByte)
+    val bomBe = Array(0xFE, 0xFF).map(_.toByte)
+    put("plain_utf8.csv", content.getBytes("UTF-8"))
+    put("bom_utf8.csv", bom8 ++ content.getBytes("UTF-8"))
+    put("utf16le.csv", bomLe ++ content.getBytes("UTF-16LE"))
+    put("utf16be.csv", bomBe ++ content.getBytes("UTF-16BE"))
+    // cp1252 variant drops the em-dash (not in latin-1's printables);
+    // its é/ï bytes are INVALID utf-8, exercising the fallback arm
+    val cpContent = "id,name,amt\n1,café,10\n2,naïve ok,20\n"
+    put("cp1252.csv", cpContent.getBytes("windows-1252"))
+    def rows(file: String) =
+      CsvIngest.readCleansed(spark, dir.resolve(file).toString, schema,
+          CsvIngest.Options(encoding = "auto"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expect = Seq((1L, "café", 10L), (2L, "naïve — ok", 20L))
+    assert(rows("plain_utf8.csv") == expect)
+    assert(rows("bom_utf8.csv") == expect)      // BOM stripped, not data
+    assert(rows("utf16le.csv") == expect)
+    assert(rows("utf16be.csv") == expect)
+    assert(rows("cp1252.csv") ==
+      Seq((1L, "café", 10L), (2L, "naïve ok", 20L)))
+    // and the whole mixed drop reads in ONE pass
+    val all = CsvIngest.readCleansed(spark, dir.toString, schema,
+      CsvIngest.Options(encoding = "auto"))
+    assert(all.count() == 10L)
+    assert(all.where(col("name") === "café").count() == 5L)
+  }
+
   test("newerThan passes everything through on an empty watermark (bootstrap)") {
     val t = graft.io.Tables(spark, sfDir)
     val empty = t.orders.where(lit(false))
