@@ -215,15 +215,22 @@ object Dedup {
     * the (band, bk) join's clustering requirement, so only the new
     * batch — the small side — shuffles; spec-asserted in
     * DedupSimilaritySpec). */
-  def bandIndex(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def bandIndex(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
+        explode(bandKeyArray(col("sig"), numHashes, bands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bk"), col("sig"))
+
+  /** The per-band `(band, bk)` key structs of a signature column —
+    * THE banding formula (one xxhash64 over each band's signature
+    * slice, salted by band index), factored out so the batch index
+    * and the streaming gate (`streaming.EventPipelines.
+    * streamNearDupPairs`) bucket bit-for-bit identically. */
+  def bandKeyArray(sig: Column, numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    sigs.select(col("id"), col("sig"),
-        explode(array((0 until bands).map(bi =>
-          struct(lit(bi).as("band"),
-            xxhash64(lit(bi), slice(col("sig"), bi * r + 1, r)).as("bk"))
-        ): _*)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bk"), col("sig"))
+    array((0 until bands).map(bi =>
+      struct(lit(bi).as("band"),
+        xxhash64(lit(bi), slice(sig, bi * r + 1, r)).as("bk"))): _*)
   }
 
   /** [[incrementalLshPairs]] with the reference side given as an

@@ -186,6 +186,110 @@ object EventPipelines {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  // ---------------------------------------------------------------
+  // Streaming near-dup gate: in-stream state over LSH band buckets
+  // ---------------------------------------------------------------
+
+  final case class SigEvent(id: Long, ts: Timestamp, sig: Seq[Long])
+  final case class BucketDoc(band: Int, bk: Long, id: Long, ts: Timestamp,
+                             sig: Seq[Long])
+  final case class SigEntry(id: Long, sig: Seq[Long])
+  final case class BucketState(entries: List[SigEntry], lastMs: Long)
+  final case class StreamPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** In-stream near-duplicate detection (r7) — dedup WITHIN the
+    * stream, the piece the stream-static store join
+    * (`Dedup.incrementalLshPairsFromIndex`) can't do: each arriving
+    * document's MinHash signature is banded with the SAME
+    * `Dedup.bandKeyArray` formula as the batch index, the stream is
+    * keyed by (band, bk), and `flatMapGroupsWithState` holds the
+    * signatures previously seen in each bucket. An arrival compares
+    * against its bucket's held signatures (cross-batch AND
+    * earlier-in-batch, in id order — exactly the batch generator's
+    * vsRef ∪ vsNew families) and emits a [[StreamPair]] per agreeing
+    * band at `est_jaccard` = agreeing positions / numHashes ≥
+    * `threshold`, with `id_b` always the later arrival — the doc at
+    * risk under the keep-first drop policy.
+    *
+    * Replay contract (spec-pinned): over any batch sequence with no
+    * eviction, the emitted pair SET equals replaying
+    * `Dedup.incrementalLshPairs(batch_k, batch_1..k-1)` for every k.
+    * (Set, not bag: the batch generator dedups candidates across
+    * bands before verifying; the stream, which never sees across
+    * buckets, emits once per agreeing band instead.)
+    *
+    * Bounded state, two valves:
+    *  - `EventTimeTimeout` eviction: a bucket idle past `evictAfter`
+    *    of event time drops its state — history older than the
+    *    horizon stops flagging (a streaming gate remembers a window,
+    *    not forever; pair a long-horizon corpus against the STORED
+    *    index path instead);
+    *  - `maxBucketSize`: a bucket already holding that many
+    *    signatures stops admitting (and comparing) — the hot-bucket
+    *    valve, the streaming analog of the batch `maxBucketSize`
+    *    exclusion (forward-only: already-held entries keep serving).
+    * Per-bucket state is entries × ~numHashes longs, partitioned
+    * across executors by bucket key like any shuffle.
+    */
+  def streamNearDupPairs(docs: Dataset[SigEvent], numHashes: Int,
+                         bands: Int, threshold: Double,
+                         watermark: String = "24 hours",
+                         evictAfterMs: Long = 24L * 3600 * 1000,
+                         maxBucketSize: Int = 1024): Dataset[StreamPair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def fn(key: (Int, Long), evts: Iterator[BucketDoc],
+           state: GroupState[BucketState]): Iterator[StreamPair] = {
+      if (!evts.hasNext && state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      var lastMs = state.getOption.fold(Long.MinValue)(_.lastMs)
+      var nHeld = entries.size
+      val out = Vector.newBuilder[StreamPair]
+      // id order within the trigger batch = the batch generator's
+      // id_a < id_b orientation for in-batch pairs
+      evts.toArray.sortBy(_.id).foreach { d =>
+        lastMs = math.max(lastMs, d.ts.getTime)
+        if (nHeld < maxBucketSize) {
+          entries.foreach { e =>
+            if (e.id != d.id) {
+              val sa = e.sig
+              val sb = d.sig
+              val n = math.min(sa.length, sb.length)
+              var agree = 0
+              var i = 0
+              while (i < n) { if (sa(i) == sb(i)) agree += 1; i += 1 }
+              val est = agree.toDouble / numHashes
+              if (est >= threshold) out += StreamPair(e.id, d.id, est)
+            }
+          }
+          entries = SigEntry(d.id, d.sig) :: entries
+          nHeld += 1
+        }
+      }
+      state.update(BucketState(entries, lastMs))
+      state.setTimeoutTimestamp(lastMs + evictAfterMs)
+      out.result().iterator
+    }
+
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("id"), col("ts"), col("sig"),
+        explode(graft.operators.Dedup.bandKeyArray(col("sig"),
+          numHashes, bands)).as("b"))
+      .select(col("b.band").as("band"), col("b.bk").as("bk"),
+        col("id"), col("ts"), col("sig"))
+      .as[BucketDoc]
+      .groupByKey(d => (d.band, d.bk))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Watermark-correct built-in sessionization (`session_window`):
     * late in-watermark events merge/extend sessions properly and
     * results emit only once final. Note the built-in's `end` is

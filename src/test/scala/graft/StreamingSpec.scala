@@ -213,6 +213,97 @@ class StreamingSpec extends GraftSuite {
     assert(want.size == 3 && got == want)
   }
 
+  test("streamNearDupPairs == incrementalLshPairs replay, batch by batch") {
+    // the r6 verdict's in-stream-state ask: over any batch sequence
+    // with no eviction, the stream's emitted pair SET must equal
+    // replaying the batch incremental generator with each batch as
+    // the new side and all earlier batches as the reference corpus
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val t = graft.io.Tables(spark, sfDir)
+    val (nh, nb, thr) = (32, 8, 0.5)
+    val corpus = graft.operators.Dedup.minhashSignatures(
+        t.documents, col("doc_id"), col("text"), n = 3, numHashes = nh)
+      .as[(Long, Seq[Long])].collect()
+    // three "daily" batches; planted signature copies guarantee both
+    // pair families are non-vacuous: 1000001 (batch 1) copies a batch-0
+    // doc → cross-batch pair; 1000002/1000003 (both batch 2) copy one
+    // batch-2 doc → in-batch pair
+    val byBatch = corpus.groupBy(_._1 % 3)
+    val donorA = byBatch(0L).head
+    val donorB = byBatch(2L).head
+    val batches: Seq[Seq[(Long, Seq[Long])]] = Seq(
+      byBatch(0L).toSeq,
+      byBatch(1L).toSeq :+ ((1000001L, donorA._2)),
+      byBatch(2L).toSeq :+ ((1000002L, donorB._2)) :+ ((1000003L, donorB._2)))
+    val mem = MemoryStream[EventPipelines.SigEvent]
+    val q = EventPipelines.streamNearDupPairs(mem.toDS(),
+        numHashes = nh, bands = nb, threshold = thr,
+        watermark = "3650 days", evictAfterMs = 1000L * 3600 * 24 * 3650,
+        maxBucketSize = 100000)
+      .writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    try {
+      batches.zipWithIndex.foreach { case (b, k) =>
+        mem.addData(b.map { case (id, sg) =>
+          EventPipelines.SigEvent(id,
+            new Timestamp(3600L * 1000 * (k + 1)), sg) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = s.table("snd").as[EventPipelines.StreamPair].collect()
+      .map(p => (p.id_a, p.id_b, p.est_jaccard)).toSet
+    def sigDf(xs: Seq[(Long, Seq[Long])]) = xs.toDF("id", "sig")
+    val want = batches.indices.flatMap { k =>
+      graft.operators.Dedup.incrementalLshPairs(
+          newSigs = sigDf(batches(k)),
+          refSigs = sigDf(batches.take(k).flatten),
+          numHashes = nh, bands = nb, threshold = thr)
+        .as[(Long, Long, Double)].collect()
+    }.toSet
+    assert(want.nonEmpty && got == want)
+    // both planted families really occurred
+    assert(want.exists { case (a, b, _) => a == donorA._1 && b == 1000001L })
+    assert(want.exists { case (a, b, _) => a == 1000002L && b == 1000003L })
+  }
+
+  test("streamNearDupPairs: idle buckets evict past the horizon") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dup = Seq.tabulate(32)(i => 7L * i + 3)
+    def noise(seed: Long) = Seq.tabulate(32)(i => seed * 1000003L + i)
+    val mem = MemoryStream[EventPipelines.SigEvent]
+    val q = EventPipelines.streamNearDupPairs(mem.toDS(),
+        numHashes = 32, bands = 8, threshold = 0.5,
+        watermark = "1 second", evictAfterMs = 1000L)
+      .writeStream.format("memory").queryName("snd_evict")
+      .outputMode("append").start()
+    def at(minutes: Long) = new Timestamp(minutes * 60000L)
+    try {
+      mem.addData(EventPipelines.SigEvent(1L, at(0), dup))
+      q.processAllAvailable()
+      // unrelated traffic advances the watermark far past doc 1's
+      // bucket timeout...
+      mem.addData(EventPipelines.SigEvent(99L, at(60), noise(99)))
+      q.processAllAvailable()
+      // ...and the NEXT batch fires the idle bucket's timeout (a
+      // bucket receiving events in a batch is not "idle" — eviction
+      // happens on a trigger where it gets none)
+      mem.addData(EventPipelines.SigEvent(98L, at(61), noise(98)))
+      q.processAllAvailable()
+      // doc 1's state is gone: an exact signature copy is NOT flagged
+      mem.addData(EventPipelines.SigEvent(2L, at(120), dup))
+      q.processAllAvailable()
+      // but fresh state works: the next copy pairs with doc 2
+      mem.addData(EventPipelines.SigEvent(3L, at(121), dup))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("snd_evict").as[EventPipelines.StreamPair].collect()
+      .map(p => (p.id_a, p.id_b)).toSet
+    assert(!got.exists(_._1 == 1L), s"evicted doc 1 still flagged: $got")
+    assert(got.contains((2L, 3L)))
+  }
+
   test("streamTokenBudget: a closed key admits nothing in later batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
