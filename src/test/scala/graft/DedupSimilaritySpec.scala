@@ -504,6 +504,74 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.forall(_.getLong(1) <= 5)) // rnk within k
   }
 
+  test("80-bit Gaussian rung: recall vs brute force on a generated 100k corpus") {
+    // the >1.6M-vector rung (4 bands × 20 bits = 80 planes — past any
+    // axis family) exercised at spec scale: 100k random dim-64
+    // vectors, 150 planted exact scaled copies, 250 planted noisy
+    // near-dups. At dim 64, random background pairs cannot reach
+    // cosine 0.9 (P ~ 1e-22 per pair), so ground truth is exactly the
+    // planted pairs — and the brute-force cross-check below confirms
+    // it on a query sample.
+    val s = spark; import s.implicits._
+    val dim = 64
+    val n = 100000L
+    val base = spark.range(0, n).select(col("id"),
+      array((0 until dim).map(i => randn(i * 7919L + 13)): _*).as("e"))
+      .persist()
+    val noisy = base.where(col("id") < 250)
+      .select((col("id") + 1000000L).as("id"),
+        zip_with(col("e"),
+          array((0 until dim).map(i => randn(i * 104729L + 7)): _*),
+          (x, d) => x + d * lit(0.12)).as("e"))
+    val exact = base.where(col("id") >= 250 && col("id") < 400)
+      .select((col("id") + 2000000L).as("id"),
+        transform(col("e"), x => x * lit(1.25)).as("e"))
+    val corpus = base.unionByName(noisy).unionByName(exact)
+    // the ladder: this corpus size in production would be 1.6M-16M →
+    // autoPlanes must hand back the Gaussian (4×20) family
+    val (planes, bits) = Similarity.autoPlanes(2000000L, dim)
+    assert(planes.size == 80 && bits == 20)
+    assert(planes.exists(p => p.count(_ != 0.0) > 1)) // Gaussian, not axis
+    val pairs = Similarity.nearDupPairs(corpus, threshold = 0.9,
+        planes = planes, bitsPerBand = bits, idCol = "id", vecCol = "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision is exact by construction (cosine-verified)...
+    assert(pairs.forall(_._3 >= 0.9))
+    // ...and nothing but planted pairs shows up
+    assert(pairs.forall { case (a, b, _) =>
+      (a < 400 && b >= 1000000L) || (a >= 1000000L && b >= 1000000L) })
+    // exact scaled copies agree on every sign bit: recall 1.0, any rung
+    val exactHits = pairs.count { case (a, b, _) =>
+      b == a + 2000000L && a >= 250 && a < 400 }
+    assert(exactHits == 150, s"exact-dup recall ${exactHits}/150")
+    // noisy copies: true cosine ≈ 1/sqrt(1+0.12²·… ) ≈ 0.985; ground
+    // truth = planted pairs whose verified cosine is ≥ 0.9 (brute,
+    // on the 250-pair planted set)
+    val truth = Similarity.annTopKCosine(base.where(col("id") < 250)
+          .select(col("id").as("vec_id"), col("e").as("embedding")),
+        noisy.select(col("id").as("vec_id"), col("e").as("embedding")),
+        k = 1, idCol = "vec_id", vecCol = "embedding")
+      .where(col("score") >= 0.9 && col("n_id") === col("q_id") - 1000000L)
+      .count()
+    val noisyHits = pairs.count { case (a, b, _) => b == a + 1000000L }
+    assert(truth > 200, s"planted noise too strong: only $truth/250 >= 0.9")
+    // analytic band recall at cosine .985: (1-acos(.985)/pi)^20 ≈ .35;
+    // 1-(1-.35)^4 ≈ .82 — assert a loose floor, not the point estimate
+    assert(noisyHits.toDouble / truth >= 0.5,
+      s"recall $noisyHits/$truth below the (4×20) rung's floor")
+    // brute-force cross-check on a 50-query sample: the random
+    // background really is clean at 0.9 (ground-truth completeness)
+    val bg = Similarity.annTopKCosine(
+        base.where(col("id") >= 400)
+          .select(col("id").as("vec_id"), col("e").as("embedding")),
+        base.where(col("id") >= 400 && col("id") < 450)
+          .select(col("id").as("vec_id"), col("e").as("embedding")),
+        k = 1, idCol = "vec_id", vecCol = "embedding")
+      .agg(max(col("score"))).head().getDouble(0)
+    assert(bg < 0.9, s"background pair at cosine $bg breaks ground truth")
+    base.unpersist()
+  }
+
   test("multimodal feature extraction feeds the ANN operators") {
     implicit val s = spark
     val feats = Multimodal.extractFeatures(
