@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Measures the bucketed signature store's claim AT VOLUME: the
+  * `io.Bucketing` + [[Dedup.bandIndex]] architecture says a persisted
+  * dedup corpus should be written bucketed by its `(band, bk)` join
+  * keys once, so that every later increment joins it with ZERO
+  * store-side shuffle. DedupSimilaritySpec asserts that claim at the
+  * PLAN level (strictly fewer exchanges); this main prices it in
+  * seconds at sf1, where the store is big enough for its shuffle to
+  * be the dominant join cost.
+  *
+  * Setup (one-time, timed separately — this is the write-side cost
+  * bucketing asks you to pay up front): signatures of the reference
+  * corpus (95% of `documents`, replicated `SPARK_GRAFT_STORE_SCALE`
+  * times under distinct ids so the STORE carries the volume the
+  * architecture targets — sf1's own 380k-row index shuffles in
+  * ~0.3 s at local[32], under run-to-run noise) are written twice —
+  * `writeBucketed` on `(band, bk)` and a plain parquet control. Per
+  * run, the SAME increment (the remaining 5%) joins each store via
+  * [[Dedup.incrementalLshPairsFromIndex]], alternating arm order
+  * across runs so host drift cannot systematically favor one arm.
+  * The increment's signatures are computed ONCE and persisted before
+  * the timed loop: signature computation from text is identical on
+  * both arms and would otherwise drown the store-side delta the
+  * harness exists to price (first-shot lesson: ratio 1.008 with it
+  * left inside the timer).
+  *
+  * Broadcast is disabled for the timed joins, as in the plan spec:
+  * at local sf1 the 5% batch side fits under the 10 MB broadcast
+  * threshold and BHJ would measure neither arm's shuffle — while at
+  * the 100 TB regime this store exists for, neither a month of
+  * corpus nor its banded index broadcasts, and the join IS the
+  * sort-merge/shuffled-hash shape this harness times. AQE stays off
+  * for the same reason it is off in the spec: plan stability across
+  * arms. Stall witness per run, as `Bench` (same Firecracker host).
+  */
+object StoreBench {
+
+  private def loadavg: String =
+    try Files.readString(Paths.get("/proc/loadavg")).trim
+    catch { case _: Throwable => "" }
+
+  private object StallProbe {
+    @volatile private var stallNanos = 0L
+    def start(): Unit = {
+      val t = new Thread(() => {
+        while (true) {
+          val t0 = System.nanoTime()
+          try Thread.sleep(100) catch { case _: InterruptedException => }
+          val over = System.nanoTime() - t0 - 100000000L
+          if (over > 150000000L) stallNanos += over
+        }
+      }, "graft-stall-probe")
+      t.setDaemon(true)
+      t.start()
+    }
+    def totalSec: Double = stallNanos / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/repo/bench_data/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val warehouse = sys.env.getOrElse("SPARK_GRAFT_STORE_WAREHOUSE",
+      "/tmp/graft_store_bench/warehouse")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val numHashes = 32
+    val bands = 8
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def sigsOf(d: DataFrame): DataFrame =
+      Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+        n = 3, numHashes = numHashes)
+    // 95/5 split on a hash, not doc_id ranges: ids correlate with
+    // generation order, and a contiguous "new batch" would share
+    // boilerplate unrepresentatively
+    val isNew = pmod(xxhash64(col("doc_id")), lit(20)) === 0
+    val storeScale = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE", "10").toInt
+    // distinct-id copies: same signature DISTRIBUTION as a larger
+    // corpus, and ref×ref never meets in the incremental join, so
+    // the copies only do what they're for — give the store volume
+    val refDocs = (0 until storeScale).map(i =>
+        docs.where(!isNew).select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text")))
+      .reduce(_ unionByName _)
+    val newDocs = docs.where(isNew)
+
+    spark.range(1000).selectExpr("sum(id)").count() // JVM warmup
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // one-time store writes (the cost bucketing front-loads)
+    spark.sql("DROP TABLE IF EXISTS store_bench_sig")
+    val plainDir = s"$warehouse/sig_plain"
+    val tWBucketed = timed {
+      graft.io.Bucketing.writeBucketed(
+        Dedup.bandIndex(sigsOf(refDocs), numHashes, bands),
+        "store_bench_sig", Seq("band", "bk"), buckets = shuffle.toInt)
+    }
+    val tWPlain = timed {
+      // fair control: same file count as the bucketed store (a plain
+      // store written by the same engineer would be compacted too)
+      Dedup.bandIndex(sigsOf(refDocs), numHashes, bands)
+        .repartition(shuffle.toInt)
+        .write.mode("overwrite").parquet(plainDir)
+    }
+    val storeRows = spark.table("store_bench_sig").count()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the increment's signatures, materialized OUTSIDE the timers (to
+    // parquet, not a cache — the between-arm sweep clears caches) —
+    // identical work on both arms, not part of the claim under test
+    val newSigsDir = s"$warehouse/new_sigs"
+    sigsOf(newDocs).write.mode("overwrite").parquet(newSigsDir)
+    val newSigs = spark.read.parquet(newSigsDir)
+    val batchRows = newSigs.count()
+    def increment(refIndex: DataFrame): Unit =
+      Dedup.incrementalLshPairsFromIndex(newSigs, refIndex,
+          numHashes, bands, threshold = 0.5)
+        .write.format("noop").mode("overwrite").save()
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+    }
+
+    val loadBefore = loadavg
+    StallProbe.start()
+    val bucketed = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val plain = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val stalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (r <- 0 until runs) {
+      val s0 = StallProbe.totalSec
+      val arms: Seq[(String, () => Double)] = Seq(
+        "bucketed" -> (() => timed(increment(spark.table("store_bench_sig")))),
+        "plain" -> (() => timed(increment(spark.read.parquet(plainDir)))))
+      val order = if (r % 2 == 0) arms else arms.reverse
+      val got = order.map { case (n, f) =>
+        val t = f(); sweep(); n -> t }.toMap
+      bucketed += got("bucketed"); plain += got("plain")
+      stalls += StallProbe.totalSec - s0
+      System.err.println(f"[store-bench] run $r bucketed=${got("bucketed")}%.2f s " +
+        f"plain=${got("plain")}%.2f s stall=${stalls.last}%.2f s")
+    }
+    val loadAfter = loadavg
+    spark.sql("DROP TABLE IF EXISTS store_bench_sig")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def jarr(xs: Seq[Double]) =
+      xs.map(x => math.round(x * 1000) / 1000.0).mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"store_increment_median","value":${median(bucketed.toSeq)}""" +
+        s""","unit":"sec","plain_median":${median(plain.toSeq)}""" +
+        s""","ratio":${median(bucketed.toSeq) / median(plain.toSeq)}""" +
+        s""","bucketed_runs":${jarr(bucketed.toSeq)}""" +
+        s""","plain_runs":${jarr(plain.toSeq)}""" +
+        s""","stall_sec":${jarr(stalls.toSeq)}""" +
+        s""","write_bucketed_sec":${math.round(tWBucketed * 100) / 100.0}""" +
+        s""","write_plain_sec":${math.round(tWPlain * 100) / 100.0}""" +
+        s""","store_rows":$storeRows,"batch_rows":$batchRows""" +
+        s""","store_scale":$storeScale,"buckets":$shuffle""" +
+        s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
+        s""","cpus":"$cpus","sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "store_bench.json")
+    try Files.writeString(Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[store-bench] write $out failed: $e") }
+    spark.stop()
+  }
+}
