@@ -323,6 +323,16 @@ object SparkEntry {
         Similarity.hyperplanes(64, 6), k = 5)
     }),
 
+    // oracle-checked: same planes as q_ann_lsh_bucketed plus the two
+    // lowest-margin bit-flip probes per query — the oracle replays
+    // the probe ORDER, not just the buckets, because the margin dots
+    // are the same strict left fold DuckDB computes bitwise
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.annLshMultiProbe(emb, emb.where(col("vec_id") < 8),
+        Similarity.hyperplanes(64, 6), k = 5, probes = 3)
+    }),
+
     // rows-only: IVF scale path (hash-sampled centroid assignment)
     "q_ann_ivf_probe" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
@@ -1033,6 +1043,7 @@ object SparkEntry {
         |         sqrt(list_inner_product(vb.e, vb.e))) >= 0.9""".stripMargin,
 
     "q_ann_lsh_bucketed" -> lshOracleSql,
+    "q_ann_multiprobe" -> multiProbeOracleSql,
 
     // IVF with md5 seeding and lloydIters=0: centroids = 16 corpus
     // vectors with smallest md5(id) (id tie-break); corpus assignment
@@ -1461,15 +1472,61 @@ object SparkEntry {
       s"(CASE WHEN list_inner_product(e, CAST($arr AS DOUBLE[])) >= 0 " +
         s"THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+    lshSqlWith(bucketExpr, probeCte = "", probeSrc = "qb",
+      bucketCol = "qb.bucket")
+  }
+
+  /** q_ann_multiprobe oracle: lshOracleSql's buckets plus the probe
+    * expansion — per plane, the query's |dot| margin (the identical
+    * left-fold double Spark computes); the `probes - 1` smallest
+    * margins (plane index breaks ties, as the Spark side's
+    * struct(m, i) sort) flip their bit of the base bucket via xor.
+    * One UNION ALL branch per plane keeps the margin sort a plain
+    * window row_number — no list-of-struct sorting in SQL. */
+  private def multiProbeOracleSql: String = {
+    val planes = graft.operators.Similarity.hyperplanes(64, 6)
+    val probes = 3
+    def bucketExpr: String = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(e, CAST($arr AS DOUBLE[])) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val marginUnion = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"SELECT q_id, $i AS i, CAST(${1L << i} AS BIGINT) AS mask, " +
+        s"abs(list_inner_product(e, CAST($arr AS DOUBLE[]))) AS m FROM qb"
+    }.mkString(" UNION ALL ")
+    val probeCte =
+      s""",mg AS ($marginUnion),
+         |fl AS (SELECT q_id, mask,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY m, i) rn
+         |       FROM mg),
+         |pb AS (SELECT q_id, bucket FROM qb
+         |       UNION ALL
+         |       SELECT f.q_id, xor(qb.bucket, f.mask) AS bucket
+         |       FROM fl f JOIN qb ON qb.q_id = f.q_id
+         |       WHERE f.rn <= ${probes - 1})""".stripMargin
+    lshSqlWith(bucketExpr, probeCte,
+      probeSrc = "pb JOIN qb ON qb.q_id = pb.q_id",
+      bucketCol = "pb.bucket")
+  }
+
+  /** Shared LSH-oracle skeleton: corpus/query bucketing + cosine
+    * top-5; `probeSrc`/`bucketCol` select which bucket set the join
+    * probes (the query's own, or the multi-probe expansion CTE). */
+  private def lshSqlWith(bucketExpr: String, probeCte: String,
+                         probeSrc: String, bucketCol: String): String = {
     s"""WITH c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
        |      WHERE list_inner_product(embedding, embedding) > 0),
        |q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
        |      WHERE vec_id < 8
        |        AND list_inner_product(embedding, embedding) > 0),
        |cb AS (SELECT n_id, e, $bucketExpr AS bucket FROM c),
-       |qb AS (SELECT q_id, e, $bucketExpr AS bucket FROM q),
-       |s AS (SELECT q_id, n_id, list_cosine_similarity(qb.e, cb.e) score
-       |      FROM qb JOIN cb ON qb.bucket = cb.bucket AND n_id <> q_id)
+       |qb AS (SELECT q_id, e, $bucketExpr AS bucket FROM q)
+       |$probeCte,
+       |s AS (SELECT qb.q_id, cb.n_id, list_cosine_similarity(qb.e, cb.e) score
+       |      FROM $probeSrc JOIN cb ON cb.bucket = $bucketCol
+       |                                AND cb.n_id <> qb.q_id)
        |SELECT q_id, CAST(rn AS BIGINT) AS rnk, n_id, score
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
        |                                   ORDER BY score DESC, n_id) rn

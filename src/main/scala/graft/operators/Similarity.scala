@@ -101,6 +101,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB 2007, restricted to
+    * single-bit flips): each query probes its own sign bucket PLUS
+    * the `probes - 1` buckets reached by flipping the one plane bit
+    * whose margin `|dot(q, plane)|` is smallest — the planes the
+    * query sits closest to, hence the buckets its missed neighbors
+    * most likely landed in. This buys recall the way extra hash
+    * tables do, without their cost: at 100 TB the corpus side stays
+    * ONE stored bucket layout (nothing is replicated or re-shuffled);
+    * only the broadcast query side fans out ×`probes`, and since a
+    * corpus vector lives in exactly one bucket the probe candidate
+    * sets are disjoint — no dedup pass. `probes = 1` degenerates to
+    * [[annLshTopK]] (spec-asserted). Margin ordering ties break on
+    * plane index, and every dot is the same strict left fold the
+    * DuckDB oracle replays bitwise, so the probe SEQUENCE — not just
+    * the scores — is engine-reproducible. */
+  def annLshMultiProbe(corpus: DataFrame, queries: DataFrame,
+                       planes: Seq[Seq[Double]], k: Int, probes: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= planes.size + 1,
+      "probes ranges from 1 (base bucket only) to planes + 1")
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("ec"))
+      .withColumn("bucket", bucketBits(col("ec"), planes))
+      .withColumn("nc", VectorFns.l2Norm(col("ec")))
+    // flip masks as a literal array: shiftleft by a runtime index
+    // isn't in the Column API, and a literal lookup is exact at any
+    // plane count (vs pow(2, i) going lossy past 2^53)
+    val masks = array(planes.indices.map(i => lit(1L << i)): _*)
+    val margins = array_sort(transform(
+      array(planes.map(p => VectorFns.dotConst(col("eq"), p)): _*),
+      (d, i) => struct(abs(d).as("m"), i.as("i"))))
+    val flips = transform(slice(margins, 1, probes - 1),
+      s => col("base").bitwiseXOR(element_at(masks, s.getField("i") + 1)))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("eq"))
+      .withColumn("nq", VectorFns.l2Norm(col("eq")))
+      .withColumn("base", bucketBits(col("eq"), planes))
+      .withColumn("bucket", explode(concat(array(col("base")), flips)))
+      .drop("base")
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("n_id") =!= col("q_id"))
+      .where(col("nc") > 0 && col("nq") > 0)
+      .withColumn("score",
+        VectorFns.cosinePre(col("eq"), col("ec"), col("nq"), col("nc")))
+      .select("q_id", "n_id", "score")
+    rankTopK(scored, k)
+  }
+
   /** IVF-partitioned approximate top-k: the corpus is partitioned by
     * nearest centroid (an inverted file), and each query probes only
     * its `nProbe` closest centroid partitions.

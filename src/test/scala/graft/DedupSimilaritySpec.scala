@@ -504,6 +504,31 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.forall(_.getLong(1) <= 5)) // rnk within k
   }
 
+  test("multi-probe LSH: probes=1 is the plain bucket; recall climbs toward brute force") {
+    val planes = Similarity.hyperplanes(64, 6)
+    val emb = t.embeddings
+    val q = emb.where(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // probes = 1 degenerates to the single-bucket form, row for row
+    val base = pairs(Similarity.annLshTopK(emb, q, planes, k = 5))
+    assert(base ==
+      pairs(Similarity.annLshMultiProbe(emb, q, planes, k = 5, probes = 1)))
+    // recall against brute-force truth is monotone in probes: each
+    // extra probe only ADDS candidates (disjoint buckets), so the
+    // top-k can only gain true neighbors
+    val truth = pairs(Similarity.annTopKCosine(emb, q, k = 5))
+    def recall(p: Int) = {
+      val got = pairs(Similarity.annLshMultiProbe(emb, q, planes,
+        k = 5, probes = p))
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r3 = recall(3); val r7 = recall(7)
+    assert(r1 <= r3 + 1e-9 && r3 <= r7 + 1e-9,
+      s"recall not monotone: $r1 / $r3 / $r7")
+    assert(r7 > r1, s"probing never helped: $r1 -> $r7")
+  }
+
   test("80-bit Gaussian rung: recall vs brute force on a generated 100k corpus") {
     // the >1.6M-vector rung (4 bands × 20 bits = 80 planes — past any
     // axis family) exercised at spec scale: 100k random dim-64
