@@ -556,6 +556,20 @@ object SparkEntry {
         col("source"), col("text"))
         .withColumnRenamed("domain", "source")),
 
+    // rows-only by design: the GK sketch's exact output isn't
+    // replayable in DuckDB (t-digest there); q_length_quantiles is
+    // the oracle-green shape twin, and the spec pins the GK rank
+    // guarantee. Metric: mean token length — a double whose distinct
+    // count grows with the corpus, the regime the exact percentile's
+    // bounded-buffer rule excludes.
+    "q_tokenlen_quantiles_approx" -> ((s, dir) =>
+      CorpusStats.metricQuantilesApprox(
+        Tables(s, dir).documents.where(col("text").isNotNull),
+        col("source"),
+        length(col("text")).cast("double") /
+          size(split(col("text"), " ")))
+        .withColumnRenamed("domain", "source")),
+
     // SEMANTIC decontamination: train docs whose EMBEDDING is
     // near-duplicate of any held-out bench vector (vec_id % 10 == 0)
     // — the paraphrase-level contamination the n-gram gates (q45/q55)

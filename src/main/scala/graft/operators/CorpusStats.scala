@@ -155,6 +155,37 @@ object CorpusStats {
         round(col("__q").getItem(2), 2).as("p75"),
         round(col("__q").getItem(3), 2).as("p90"))
 
+  /** [[lengthQuantiles]]'s report over an UNBOUNDED-cardinality
+    * metric (double scores, ratios — anything whose distinct-value
+    * count grows with the corpus, where the exact percentile's
+    * value→count buffer rule stops bounding memory):
+    * `approx_percentile`, Spark's Greenwald-Khanna sketch. Buffer is
+    * O(accuracy · log n) per group REGARDLESS of cardinality, merge
+    * is associative (map-side combine works), and the result carries
+    * the GK rank guarantee — each reported value's rank is within
+    * n/accuracy of the requested p·n (spec-asserted against exact
+    * sort rank on a generated 10k-value corpus at accuracy 100).
+    * Returned quantiles are observed data values, not interpolations.
+    *
+    * Rows-only by design at the query surface: a GK sketch's exact
+    * output is not replayable in another engine (DuckDB's
+    * approx_quantile is t-digest); `q_length_quantiles` is the
+    * oracle-green twin vouching for the report shape. */
+  def metricQuantilesApprox(df: DataFrame, domain: Column, metric: Column,
+                            accuracy: Int = 10000): DataFrame =
+    df.select(domain.as("domain"), metric.cast("double").as("__m"))
+      .where(col("__m").isNotNull && !col("__m").isNaN)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_percentile(col("__m"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
+          lit(accuracy)).as("__q"))
+      .select(col("domain"), col("n_docs"),
+        col("__q").getItem(0).as("p25"),
+        col("__q").getItem(1).as("p50"),
+        col("__q").getItem(2).as("p75"),
+        col("__q").getItem(3).as("p90"))
+
   def rarityStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"), explode(toks(text)).as("token"))
       .join(docFrequencies(df, id, text), "token")

@@ -282,6 +282,40 @@ class CorpusOpsSpec extends GraftSuite {
     assert(got("src1") == ((1L, 3.0, 3.0, 3.0, 3.0)))
   }
 
+  test("metricQuantilesApprox: GK rank guarantee holds at low accuracy") {
+    // 10k distinct doubles per domain (unbounded-cardinality regime)
+    // at accuracy 100 → rank error bound n/100 = 100 ranks. Values
+    // are deterministic but shuffled-looking (xxhash64 order), so
+    // the sketch sees an adversarial-ish stream, not sorted input.
+    val s = spark; import s.implicits._
+    val n = 10000
+    val accuracy = 100
+    val data = spark.range(0, 2L * n).select(
+      when(col("id") % 2 === 0, "src0").otherwise("src1").as("domain"),
+      (xxhash64(col("id")).cast("double") / 1e18).as("m"))
+      .persist()
+    val got = CorpusStats.metricQuantilesApprox(data, col("domain"),
+        col("m"), accuracy).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Seq(r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))))).toMap
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+    for (dom <- Seq("src0", "src1")) {
+      val vals = data.where(col("domain") === dom).select("m")
+        .collect().map(_.getDouble(0)).sorted
+      val (cnt, qs) = got(dom)
+      assert(cnt == n.toLong)
+      probs.zip(qs).foreach { case (p, q) =>
+        // GK returns an OBSERVED value whose rank is within n/accuracy
+        assert(vals.contains(q), s"$dom p$p=$q not an observed value")
+        val rank = vals.count(_ <= q)
+        assert(math.abs(rank - p * n) <= n.toDouble / accuracy + 1,
+          s"$dom p$p rank $rank outside ${p * n} ± ${n / accuracy}")
+      }
+    }
+    data.unpersist()
+  }
+
   test("domainMixture: exact integer ppm shares and token-mass rank") {
     val docs = Seq(
       (1L, "src0", "a b"),                    // 2 tokens
