@@ -620,6 +620,22 @@ object SparkEntry {
           col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // rows-only: hashed-linear quality model on the xxhash64 scale
+    // path (q_quality_model_seeded is the hash-green md5 twin; the
+    // two share every line but the hash key)
+    "q_quality_model" -> ((s, dir) =>
+      QualityModel.score(Tables(s, dir).documents,
+          col("doc_id"), col("text"), dim = 4096)
+        .withColumnRenamed("id", "doc_id")),
+
+    // oracle-checked: md5-prefix hashing replays bucket, weight,
+    // margin and label bit-for-bit in DuckDB — margins are exact
+    // integer sums, so no float accumulation can drift
+    "q_quality_model_seeded" -> ((s, dir) =>
+      QualityModel.score(Tables(s, dir).documents,
+          col("doc_id"), col("text"), dim = 4096, QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")),
+
     // Full pipeline with the decontamination gate: gates → exact
     // dedup → jaccard near-dup removal → drop docs overlapping the
     // held-out benchmark slice (doc_id % 20 == 0, as q_decontaminate)
@@ -1299,6 +1315,30 @@ object SparkEntry {
         |FROM (SELECT doc_id, w,
         |        list_filter(w, x -> NOT list_contains(hot.arr, x)) kept
         |      FROM t, hot)""".stripMargin,
+
+    // unigrams + adjacent bigrams, bucket = 60-bit md5 prefix mod
+    // 4096, weight = re-hash of the bucket id mod 2001 - 1000; the
+    // margin is an exact integer sum on both engines, score its one
+    // final double division (sum(w) is HUGEINT in DuckDB — cast)
+    "q_quality_model_seeded" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, list_concat(w, CASE WHEN len(w) >= 2
+        |         THEN list_transform(generate_series(1, len(w) - 1),
+        |                             i -> w[i] || ' ' || w[i + 1])
+        |         ELSE [] END) f
+        |      FROM t WHERE len(w) >= 1),
+        |feats AS (SELECT doc_id, unnest(f) tok FROM g),
+        |wts AS (SELECT doc_id,
+        |          (CAST(concat('0x', substr(md5(CAST(
+        |             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+        |               % 4096 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001)
+        |            - 1000 AS w
+        |        FROM feats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |       CAST(sum(w) AS BIGINT) AS margin,
+        |       CAST(sum(w) AS DOUBLE) / count(*) AS score,
+        |       CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS INT) AS label
+        |FROM wts GROUP BY doc_id""".stripMargin,
 
     "q_quality_rarity" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.io.Cleanser
+
+/** Hashed-linear quality scoring — the fastText/CCNet-shaped quality
+  * filter every pretraining pipeline runs before mixing (score each
+  * document with a linear model over hashed n-gram features, keep
+  * above threshold), re-expressed as pure Column algebra.
+  *
+  * Structure (the operator's contract):
+  *  - features = normalized unigrams + adjacent bigrams (the fastText
+  *    default), each hashed into one of `dim` buckets — the hashing
+  *    trick, so the feature space is fixed-width regardless of
+  *    vocabulary;
+  *  - each bucket carries an INTEGER-quantized weight in
+  *    [-1000, 1000], derived deterministically by re-hashing the
+  *    bucket id (the stand-in for trained weights — production
+  *    quantized classifiers ship exactly this shape, and a real
+  *    deployment swaps the derivation for a broadcast weight array
+  *    lookup without touching the plan);
+  *  - a document's margin is the SUM of its feature weights: exact
+  *    Long arithmetic, order-free, map-side only — no shuffle, no
+  *    floating-point accumulation, so the scale plan is a bare scan
+  *    and the seeded variant replays hash-identically in DuckDB.
+  *
+  * Two hash families, as the dedup operators: xxhash64 (the scale
+  * path, rows-only at the query surface) and the 60-bit md5 prefix
+  * (`conv(substring(md5(t), 1, 15), 16, 10)` == DuckDB
+  * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`) for the
+  * oracle-green twin.
+  */
+object QualityModel {
+
+  /** The md5-prefix hash key (engine-portable oracle twin). */
+  val seededKey: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Per-document linear score `(id, n_feats, margin, score, label)`:
+    * margin = Σ weight(bucket(feature)) exactly in Longs; score =
+    * margin / n_feats (ONE double division at the end); label =
+    * 1 iff margin ≥ 0. Docs with no tokens (null/unsplittable text)
+    * are excluded — they have no features to score. */
+  def score(df: DataFrame, id: Column, text: Column, dim: Int,
+            hashKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(dim >= 1, "feature dimension must be positive")
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= 1)
+      .select(col("id"),
+        concat(col("__w"), TextFns.bigramArray(col("__w"))).as("__f"))
+      // per-feature integer weight: bucket = hash(token) mod dim,
+      // weight = hash(bucket) mod 2001 - 1000; pmod, not %, because
+      // xxhash64 goes negative (the md5 60-bit prefix never does —
+      // DuckDB's plain % on it matches)
+      .select(col("id"), size(col("__f")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("__f"),
+            t => pmod(hashKey(pmod(hashKey(t), lit(dim.toLong))
+              .cast("string")), lit(2001L)) - lit(1000L)),
+          lit(0L), (acc, w) => acc + w).as("margin"))
+      .select(col("id"), col("n_feats"), col("margin"),
+        (col("margin").cast("double") / col("n_feats")).as("score"),
+        when(col("margin") >= 0, lit(1)).otherwise(lit(0)).as("label"))
+  }
+}

@@ -91,4 +91,42 @@ class TextQualitySpec extends GraftSuite {
       }
     }
   }
+
+  test("quality model: fold margin == declarative explode replay, both hash families") {
+    val s = spark; import s.implicits._
+    val t = graft.io.Tables(spark, sfDir)
+    val docs = t.documents
+    for (key <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        xxhash64(_), graft.operators.QualityModel.seededKey)) {
+      val got = graft.operators.QualityModel
+        .score(docs, col("doc_id"), col("text"), dim = 512, key)
+      // the same model via explode + groupBy-sum — the declarative
+      // replay the fused in-row fold must match exactly
+      val toks = docs
+        .select(col("doc_id"),
+          split(graft.io.Cleanser.normalized(col("text")), " ").as("w"))
+        .where(size(col("w")) >= 1)
+        .select(col("doc_id"),
+          explode(concat(col("w"), TextFns.bigramArray(col("w")))).as("tok"))
+      val replay = toks
+        .select(col("doc_id"),
+          (pmod(key(pmod(key(col("tok")), lit(512L)).cast("string")),
+            lit(2001L)) - 1000L).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("margin"))
+      val a = got.select("id", "n_feats", "margin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = replay.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a.nonEmpty && a == b)
+    }
+    // label/score are pure functions of (margin, n_feats); the model
+    // actually separates (both classes present on the corpus)
+    val out = graft.operators.QualityModel
+      .score(docs, col("doc_id"), col("text"), dim = 512).collect()
+    assert(out.forall(r => (r.getInt(4) == 1) == (r.getLong(2) >= 0)))
+    assert(out.forall(r =>
+      r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1)))
+    assert(out.exists(_.getInt(4) == 1) && out.exists(_.getInt(4) == 0))
+  }
 }
