@@ -620,6 +620,21 @@ object SparkEntry {
           col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // oracle-checked: exact per-domain vocabulary (count DISTINCT
+    // token) — the engine-portable twin of the HLL scale path below
+    "q_vocab_stats" -> ((s, dir) =>
+      CorpusStats.vocabularyStats(Tables(s, dir).documents,
+          col("source"), col("text"), exact = true)
+        .withColumnRenamed("domain", "source")),
+
+    // rows-only by design: HyperLogLog++ sketches aren't replayable
+    // across engines; q_vocab_stats is the exact oracle-green twin
+    // and the spec bounds the sketch error against it at 3×rsd
+    "q_vocab_stats_approx" -> ((s, dir) =>
+      CorpusStats.vocabularyStats(Tables(s, dir).documents,
+          col("source"), col("text"), exact = false)
+        .withColumnRenamed("domain", "source")),
+
     // rows-only: hashed-linear quality model on the xxhash64 scale
     // path (q_quality_model_seeded is the hash-green md5 twin; the
     // two share every line but the hash key)
@@ -1315,6 +1330,13 @@ object SparkEntry {
         |FROM (SELECT doc_id, w,
         |        list_filter(w, x -> NOT list_contains(hot.arr, x)) kept
         |      FROM t, hot)""".stripMargin,
+
+    "q_vocab_stats" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        |FROM (SELECT source, unnest(string_split($normSql, ' ')) tok
+        |      FROM documents WHERE text IS NOT NULL)
+        |GROUP BY source""".stripMargin,
 
     // unigrams + adjacent bigrams, bucket = 60-bit md5 prefix mod
     // 4096, weight = re-hash of the bucket id mod 2001 - 1000; the

@@ -186,6 +186,32 @@ object CorpusStats {
         col("__q").getItem(2).as("p75"),
         col("__q").getItem(3).as("p90"))
 
+  /** Per-domain vocabulary report `(domain, n_tokens, vocab)` over
+    * normalized tokens — the observability a tokenizer / mixing
+    * decision reads (type-token ratios, domain vocabulary sizing).
+    *
+    * `exact = true` computes `count(DISTINCT token)` — Spark expands
+    * to a (domain, token) pre-distinct, i.e. a shuffle keyed on the
+    * full token set. That is the ORACLE path: replayable in any
+    * engine, affordable while vocabulary fits a shuffle. At 100 TB
+    * the pre-distinct is itself corpus-scale garbage traffic, so
+    * `exact = false` swaps in `approx_count_distinct` (HyperLogLog++,
+    * relative error `rsd`): a KB-sized sketch per (partition, domain)
+    * that merges associatively — ONE map-side-combinable pass, no
+    * token ever shuffles. Same columns either way; the spec bounds
+    * the sketch against the exact twin at 3× rsd. */
+  def vocabularyStats(df: DataFrame, domain: Column, text: Column,
+                      exact: Boolean, rsd: Double = 0.05): DataFrame = {
+    val occ = df.where(text.isNotNull)
+      .select(domain.as("domain"),
+        explode(split(graft.io.Cleanser.normalized(text), " ")).as("__t"))
+    val vocabAgg =
+      if (exact) count_distinct(col("__t"))
+      else approx_count_distinct(col("__t"), rsd)
+    occ.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_tokens"), vocabAgg.as("vocab"))
+  }
+
   def rarityStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"), explode(toks(text)).as("token"))
       .join(docFrequencies(df, id, text), "token")

@@ -316,6 +316,23 @@ class CorpusOpsSpec extends GraftSuite {
     data.unpersist()
   }
 
+  test("vocabularyStats: HLL sketch lands within 3×rsd of the exact twin") {
+    val docs = graft.io.Tables(spark, sfDir).documents
+    def byDom(exact: Boolean) =
+      CorpusStats.vocabularyStats(docs, col("source"), col("text"), exact)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    val ex = byDom(exact = true)
+    val ap = byDom(exact = false)
+    assert(ex.nonEmpty && ex.keySet == ap.keySet)
+    for ((dom, (nTok, vocab)) <- ex) {
+      val (nTokA, vocabA) = ap(dom)
+      assert(nTokA == nTok) // non-distinct aggregates are exact
+      val rel = math.abs(vocabA - vocab).toDouble / vocab
+      assert(rel <= 0.15, s"$dom vocab $vocabA vs exact $vocab: $rel")
+    }
+  }
+
   test("domainMixture: exact integer ppm shares and token-mass rank") {
     val docs = Seq(
       (1L, "src0", "a b"),                    // 2 tokens
