@@ -161,6 +161,14 @@ object SparkEntry {
       Batching.assignScalable(Tables(s, dir).customer.select("c_custkey"),
         col("c_custkey"), 50, partitions = 8)),
 
+    // oracle-checked: epoch-salted deterministic training-export
+    // shuffle; the oracle replays it as the single global window the
+    // operator exists to avoid running at scale
+    "q_shuffle_export" -> ((s, dir) =>
+      Batching.deterministicShuffle(
+        Tables(s, dir).documents.select("doc_id", "source"),
+        col("doc_id"), salt = "epoch0", partitions = 8)),
+
     "q_retention_filter" -> ((s, dir) =>
       Compaction.retain(Tables(s, dir).events.select("event_id", "ts"),
         col("ts"), 14)),
@@ -807,6 +815,13 @@ object SparkEntry {
       """SELECT c_custkey,
         |       CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 50.0) AS BIGINT) AS batch_id
         |FROM customer""".stripMargin,
+
+    "q_shuffle_export" ->
+      """SELECT doc_id, source,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR))) - 1
+        |         AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     "q_retention_filter" ->
       """SELECT event_id, ts FROM events

@@ -67,6 +67,27 @@ object Batching {
       .drop("__mid", "__pid", "__idx", "__opid", "__off")
   }
 
+  /** Deterministic global shuffle for training-data export: every row
+    * gets a dense rank 0..n−1 in `md5(salt|id)` order — the
+    * "randomize example order" step before sequence packing, made
+    * reproducible (same salt → same permutation; a new salt per epoch
+    * reshuffles). The rank is assembled by [[assignScalable]]'s
+    * partition-offset machinery with batch size 1: a global
+    * `row_number()` window would funnel the corpus through ONE task,
+    * while here the only data-sized movement is the range shuffle on
+    * the hash key — which at 100 TB is also exactly the layout the
+    * downstream contiguous packer wants to scan. `id` must be unique
+    * (it salts the hash; a duplicate id would make two rows tie on
+    * the full sort key). */
+  def deterministicShuffle(df: DataFrame, id: Column, salt: String,
+                           partitions: Int,
+                           out: String = "shuffle_rank"): DataFrame =
+    assignScalable(
+      df.withColumn("__sk",
+        md5(concat_ws("|", lit(salt), id.cast("string")))),
+      col("__sk"), size = 1, partitions = partitions, out = out)
+      .drop("__sk")
+
   /** Shuffle-free batch key for fact-scale inputs: stable hash bucket
     * (batches are balanced, not contiguous). */
   def batchedByHash(df: DataFrame, keys: Seq[Column], numBatches: Int,

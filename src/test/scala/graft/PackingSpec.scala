@@ -28,6 +28,27 @@ class PackingSpec extends GraftSuite {
     assert(out == brute(rows, 100L))
   }
 
+  test("deterministicShuffle: a reproducible permutation, window-replay equal") {
+    val df = spark.range(1000).toDF("id")
+    def ranks(salt: String, parts: Int) =
+      Batching.deterministicShuffle(df, col("id"), salt, parts)
+        .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val a = ranks("e0", 7)
+    // a dense permutation 0..n-1
+    assert(a.values.toSeq.sorted == (0L until 1000L))
+    // reproducible and partition-count independent
+    assert(a == ranks("e0", 3))
+    // equal to the single-window replay the operator replaces
+    val replay = df.select(col("id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(md5(concat_ws("|", lit("e0"), col("id").cast("string")))))
+          - 1).cast("long").as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(a == replay)
+    // a new epoch salt is a genuinely different permutation
+    assert(ranks("e1", 7) != a)
+  }
+
   test("pack assignment is independent of the partition count") {
     val df = spark.range(500).toDF("id")
       .withColumn("w", (col("id") % 37) + 1)
