@@ -290,9 +290,11 @@ object Multimodal {
   // ======================================================================
   // STUB DECODER — deterministic fake for payloads no real header
   // parser recognizes (all three kinds have real header parsers:
-  // imageio, javax.sound, ISO-BMFF; image PIXEL decode is real too —
-  // see PixelDecoder. The remaining stub surface is audio-sample and
-  // video-frame decode, which have no JDK codec). A real sample
+  // imageio, javax.sound, ISO-BMFF; image PIXEL decode is real —
+  // PixelDecoder — as are PCM audio samples — SampleDecoder — and
+  // MJPEG-AVI video frames — AviFrames + extractFrameFeatures. The
+  // remaining stub surface is COMPRESSED codecs only: MP3/AAC audio,
+  // H.264-class video — no JDK decoder exists). A real sample
   // pipeline binds a native library here (one init per partition,
   // reused across records). The fake derives "dimensions" from
   // payload bytes so tests are reproducible without codecs.
@@ -405,8 +407,9 @@ object Multimodal {
     * container-invariance property the pixel path has for PNG/BMP.
     * Only PCM encodings (8/16-bit) decode; compressed codecs (MP3,
     * AAC, Vorbis — no JDK codec) still fall through to the byte-fold
-    * stub, which is now the ONLY remaining stub surface besides video
-    * frames. One instance per partition (codec-init seam). */
+    * stub. With [[extractFrameFeatures]]'s MJPEG-AVI frame decode,
+    * compressed codecs are the ONLY remaining stub surface. One
+    * instance per partition (codec-init seam). */
   private final class SampleDecoder {
     /** Fold canonical 16-bit samples into per-slot Long sums
       * (round-robin over `dim`, channel-interleaved order as stored).
@@ -514,33 +517,141 @@ object Multimodal {
         val snd = new SampleDecoder
         it.map { case (id, payload) =>
           val (sums, source) = pix.decode(payload) match {
-            case Some(img) =>
-              val s = new Array[Long](dim)
-              var n = 0
-              def add(v: Int): Unit = { s(n % dim) += v - 128; n += 1 }
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y) // sRGB, format-independent
-                  add((rgb >> 16) & 0xff); add((rgb >> 8) & 0xff)
-                  add(rgb & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              (s, "pixels")
+            case Some(img) => (pixelSums(img, dim), "pixels")
             case None => snd.foldSamples(payload, dim) match {
               case Some(s) => (s, "samples")
               case None => (foldBytes(payload, dim), "bytes")
             }
           }
-          val acc = sums.map(_ / 128.0) // exact: Long scaled by 2^-7
-          val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x))
-          val out =
-            if (norm > 0) acc.map(x => (x / norm).toFloat)
-            else new Array[Float](dim)
-          MediaFeature(id, out, source)
+          MediaFeature(id, normalizedEmbedding(sums, dim), source)
+        }
+      }
+  }
+
+  /** sRGB pixel fold shared by whole-image and per-frame embedding:
+    * every pixel's R,G,B centered and summed into `dim` Long slots in
+    * raster order — exact integer accumulation, see
+    * [[extractFeatures]]'s ordering note. */
+  private def pixelSums(img: java.awt.image.BufferedImage,
+                        dim: Int): Array[Long] = {
+    val s = new Array[Long](dim)
+    var n = 0
+    def add(v: Int): Unit = { s(n % dim) += v - 128; n += 1 }
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y) // sRGB, format-independent
+        add((rgb >> 16) & 0xff); add((rgb >> 8) & 0xff)
+        add(rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Long sums → L2-normalized float32 vector: one exact 2^-7 scale,
+    * one double norm, one float rounding at the very end. */
+  private def normalizedEmbedding(sums: Array[Long],
+                                  dim: Int): Array[Float] = {
+    val acc = sums.map(_ / 128.0) // exact: Long scaled by 2^-7
+    val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x))
+    if (norm > 0) acc.map(x => (x / norm).toFloat)
+    else new Array[Float](dim)
+  }
+
+  final case class FrameFeature(doc_id: Long, frame_idx: Int,
+                                embedding: Array[Float], source: String)
+
+  /** RIFF/AVI container walk (r7) — the one video format a stock JDK
+    * can fully decode: the container is a plain chunk grammar (no
+    * codec involved), and MJPEG frame chunks are ordinary JFIF JPEGs
+    * `ImageIO.read` handles. Frames are the `##dc`/`##db` chunks of
+    * the `movi` LIST (including those nested in `rec ` LISTs). All
+    * sizes little-endian, chunks padded to even offsets — per the
+    * public AVI RIFF spec. */
+  private object AviFrames {
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+        (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+    private def fcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+
+    private def collect(b: Array[Byte], from: Int, limit: Int,
+                        out: scala.collection.mutable.ArrayBuffer[Array[Byte]])
+        : Unit = {
+      var o = from
+      while (o + 8 <= limit) {
+        val id = fcc(b, o)
+        val size = u32le(b, o + 4)
+        val dataEnd = o + 8 + size
+        if (size < 0 || dataEnd > limit) return // truncated/corrupt: stop
+        if (id == "LIST" && size >= 4) {
+          val lt = fcc(b, o + 8)
+          if (lt == "movi" || lt == "rec ")
+            collect(b, o + 12, dataEnd.toInt, out)
+        } else if (isFrameId(id) && size > 0) {
+          out += java.util.Arrays.copyOfRange(b, o + 8, dataEnd.toInt)
+        }
+        o = (dataEnd + (size & 1L)).toInt // chunks align to even offsets
+      }
+    }
+
+    /** The frame chunks of an AVI payload, container order; None when
+      * the payload isn't RIFF/AVI or carries no frames. */
+    def frames(payload: Array[Byte]): Option[Vector[Array[Byte]]] = {
+      if (payload == null || payload.length < 12) return None
+      if (fcc(payload, 0) != "RIFF" || fcc(payload, 8) != "AVI ") return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val end = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
+      collect(payload, 12, end, out)
+      if (out.isEmpty) None else Some(out.toVector)
+    }
+  }
+
+  /** REAL per-frame feature extraction for MJPEG-in-AVI payloads —
+    * one row per sampled frame (every `stride`-th, container order),
+    * embedded from DECODED sRGB pixels exactly as [[extractFeatures]]
+    * embeds whole images (same fold, same Long-exact accumulation:
+    * spec-pinned — frame k of an AVI embeds identically to the same
+    * JPEG passed as an image payload). Frames ImageIO cannot decode
+    * (a non-MJPEG codec inside a valid container) take the byte-fold
+    * fallback with `source = "bytes"`; payloads that are not AVI at
+    * all yield NO rows — a frame extractor has nothing to say about
+    * them. With this, audio (PCM) and video (MJPEG) each have a real
+    * sample/frame decode path, and the declared stub surface shrinks
+    * to compressed codecs only (no JDK decoder exists — the honest
+    * boundary since r2). Justified `mapPartitions`, as
+    * [[extractFeatures]]: codec work is not Catalyst-expressible. */
+  def extractFrameFeatures(payloads: DataFrame, dim: Int = 64,
+                           stride: Int = 1)
+                          (implicit spark: SparkSession)
+      : Dataset[FrameFeature] = {
+    require(stride >= 1, "stride must be positive")
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val pix = new PixelDecoder // per-partition init
+        it.flatMap { case (id, payload) =>
+          AviFrames.frames(payload) match {
+            case None => Iterator.empty
+            case Some(fs) =>
+              fs.iterator.zipWithIndex
+                .filter { case (_, i) => i % stride == 0 }
+                .map { case (bytes, i) =>
+                  val (sums, source) = pix.decode(bytes) match {
+                    case Some(img) => (pixelSums(img, dim), "pixels")
+                    case None => (foldBytes(bytes, dim), "bytes")
+                  }
+                  FrameFeature(id, i, normalizedEmbedding(sums, dim),
+                    source)
+                }
+          }
         }
       }
   }

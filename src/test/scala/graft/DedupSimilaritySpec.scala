@@ -700,6 +700,68 @@ class DedupSimilaritySpec extends GraftSuite {
       math.abs(r.embedding.foldLeft(0.0)((a, x) => a + x * x) - 1.0) < 1e-4))
   }
 
+  test("extractFrameFeatures decodes real MJPEG-AVI frames, frame == image path") {
+    implicit val s = spark
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def raster(w: Int, h: Int, salt: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 2654435761L + y * 40503L) ^ salt).toInt & 0xffffff)
+      img
+    }
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    // a REAL (minimal) RIFF/AVI around MJPEG frames: LIST hdrl with an
+    // avih chunk, LIST movi with 00dc frame chunks, even-aligned
+    def u32le(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ u32le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(lt: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", lt.getBytes("US-ASCII") ++ children)
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+      val movi = list("movi",
+        frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body
+    }
+    val imgs = (0 until 4).map(i => raster(6, 5, i * 0x1111))
+    val fjpg = imgs.map(jpeg)
+    val payloads = Seq(
+      0L -> avi(fjpg),
+      1L -> avi(Seq(fjpg.head, "not a jpeg frame".getBytes("UTF-8"))),
+      2L -> "not an avi".getBytes("UTF-8")).toDF("doc_id", "payload")
+    val got = Multimodal.extractFrameFeatures(payloads, dim = 16)
+      .collect().groupBy(_.doc_id)
+    // every frame of doc 0, container order, all really decoded
+    assert(got(0L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(got(0L).forall(_.source == "pixels"))
+    // a frame embeds EXACTLY as the same JPEG passed as an image
+    // payload — one fold, two surfaces
+    val whole = Multimodal.extractFeatures(
+        Seq(0L -> fjpg(2)).toDF("doc_id", "payload"), dim = 16)
+      .collect().head
+    assert(whole.source == "pixels")
+    val f2 = got(0L).find(_.frame_idx == 2).get
+    assert(f2.embedding.sameElements(whole.embedding))
+    // an undecodable frame inside a valid container byte-folds
+    val d1 = got(1L).map(f => f.frame_idx -> f.source).toMap
+    assert(d1 == Map(0 -> "pixels", 1 -> "bytes"))
+    // non-AVI payloads yield no frame rows at all
+    assert(!got.contains(2L))
+    // stride sampling keeps every stride-th frame
+    val strided = Multimodal.extractFrameFeatures(
+        payloads.where(col("doc_id") === 0L), dim = 16, stride = 2)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(strided == Seq(0, 2))
+  }
+
   test("extractFeatures decodes real PCM samples: container-invariant") {
     implicit val s = spark
     import spark.implicits._
