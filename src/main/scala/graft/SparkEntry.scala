@@ -169,6 +169,15 @@ object SparkEntry {
         Tables(s, dir).documents.select("doc_id", "source"),
         col("doc_id"), salt = "epoch0", partitions = 8)),
 
+    // oracle-checked: exact-count train/val/test split at cumulative
+    // rank boundaries (hash-gate sampling only hits fractions in
+    // expectation; rank cuts hit them exactly)
+    "q_split_exact" -> ((s, dir) =>
+      Batching.splitByRank(Tables(s, dir).documents.select("doc_id"),
+        col("doc_id"), salt = "fold0",
+        slices = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        partitions = 8)),
+
     "q_retention_filter" -> ((s, dir) =>
       Compaction.retain(Tables(s, dir).events.select("event_id", "ts"),
         col("ts"), 14)),
@@ -822,6 +831,21 @@ object SparkEntry {
         |         ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR))) - 1
         |         AS BIGINT) AS shuffle_rank
         |FROM documents""".stripMargin,
+
+    // identical double boundary math: ceil(n·c) over IEEE doubles
+    "q_split_exact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (
+        |           ORDER BY md5('fold0|' || CAST(doc_id AS VARCHAR))) - 1
+        |           AS rk,
+        |         (SELECT count(*) FROM documents) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN rk < ceil(n * 0.8) THEN 'train'
+        |            WHEN rk < ceil(n * 0.9) THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM r""".stripMargin,
 
     "q_retention_filter" ->
       """SELECT event_id, ts FROM events

@@ -88,6 +88,40 @@ object Batching {
       col("__sk"), size = 1, partitions = partitions, out = out)
       .drop("__sk")
 
+  /** EXACT-proportion deterministic split (train/val/test): slices
+    * cut the [[deterministicShuffle]] rank space at cumulative-count
+    * boundaries — slice i holds ranks [⌈n·c_{i−1}⌉, ⌈n·c_i⌉), so
+    * sizes are exact integers, where a hash-gate split
+    * (`md5(id) < threshold`, as `Sampling`) only hits its fraction in
+    * expectation with binomial noise — at 10-doc validation sets the
+    * noise IS the set. Same salt → identical split across runs; the
+    * boundaries are IEEE-double `ceil(n·c)`, reproducible in any
+    * engine from the same count. NOT stable under corpus growth (a
+    * new doc permutes ranks): pin the corpus snapshot first, which a
+    * split consumer must do anyway.
+    *
+    * `n` is taken from a pre-shuffle `count()` of the input — a scan
+    * metadata aggregate, deliberately not a second pass over the
+    * shuffled frame. */
+  def splitByRank(df: DataFrame, id: Column, salt: String,
+                  slices: Seq[(String, Double)], partitions: Int,
+                  out: String = "split"): DataFrame = {
+    require(slices.nonEmpty && slices.forall(_._2 > 0),
+      "slice fractions must be positive")
+    require(math.abs(slices.map(_._2).sum - 1.0) < 1e-9,
+      "slice fractions must sum to 1")
+    val n = df.count()
+    val cums = slices.scanLeft(0.0)(_ + _._2).tail // c_1..c_k, c_k = 1
+    val ranked = deterministicShuffle(df, id, salt, partitions,
+      out = "__rk")
+    val expr = slices.init.zip(cums.init).reverse
+      .foldLeft(lit(slices.last._1)) { case (acc, ((name, _), c)) =>
+        when(col("__rk") < ceil(lit(n) * lit(c)), lit(name))
+          .otherwise(acc)
+      }
+    ranked.withColumn(out, expr).drop("__rk")
+  }
+
   /** Shuffle-free batch key for fact-scale inputs: stable hash bucket
     * (batches are balanced, not contiguous). */
   def batchedByHash(df: DataFrame, keys: Seq[Column], numBatches: Int,

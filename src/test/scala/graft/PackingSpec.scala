@@ -49,6 +49,26 @@ class PackingSpec extends GraftSuite {
     assert(ranks("e1", 7) != a)
   }
 
+  test("splitByRank: exact slice sizes, deterministic, ceil boundaries") {
+    val df = spark.range(1000).toDF("id")
+    def split(salt: String) =
+      Batching.splitByRank(df, col("id"), salt,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), partitions = 5)
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val a = split("f0")
+    // exact counts, not expected counts
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(a == split("f0")) // same salt, same split
+    assert(split("f1") != a) // new salt, new fold
+    // non-divisible n: boundaries are ceil(n*c) — 7 docs at 50/50
+    // cut at ceil(3.5)=4
+    val b = Batching.splitByRank(spark.range(7).toDF("id"), col("id"),
+        "s", Seq("a" -> 0.5, "b" -> 0.5), partitions = 2)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(b == Map("a" -> 4L, "b" -> 3L))
+  }
+
   test("pack assignment is independent of the partition count") {
     val df = spark.range(500).toDF("id")
       .withColumn("w", (col("id") % 37) + 1)
