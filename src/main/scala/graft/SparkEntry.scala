@@ -543,6 +543,14 @@ object SparkEntry {
           col("text"), k = 8)
         .withColumnRenamed("id", "doc_id")),
 
+    // oracle-checked: intra-doc repetition pruning — q53's window
+    // dedup scoped to ONE doc, which collapses the whole operator
+    // into the scan projection (zero shuffle at any corpus size)
+    "q_dedup_intradoc" -> ((s, dir) =>
+      Dedup.intraDocDedup(Tables(s, dir).documents, col("doc_id"),
+          col("text"), k = 8)
+        .withColumnRenamed("id", "doc_id")),
+
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
     // observability half of data mixing (takeByBudgetPerKey is the
@@ -1299,6 +1307,34 @@ object SparkEntry {
     // row_number==1 in the oracle == min(struct(id, seg)) in the
     // operator; DuckDB count(*)/sum need BIGINT casts (HUGEINT
     // otherwise) to match Spark's long schema.
+    // q53's oracle with doc_id joined into the dedup partition key —
+    // first occurrence WITHIN the doc survives, cross-doc repeats
+    // are untouched
+    "q_dedup_intradoc" ->
+      """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w, CAST(ceil(len(w) / 8.0) AS BIGINT) n_passages
+        |      FROM t),
+        |seg AS (SELECT doc_id, i AS seg_id,
+        |               array_to_string(list_slice(w, i*8+1, i*8+8), ' ') ptext,
+        |               len(list_slice(w, i*8+1, i*8+8)) = 8 AS eligible
+        |        FROM b, LATERAL (SELECT unnest(range(n_passages)) i)),
+        |keep AS (
+        |  SELECT doc_id, seg_id, ptext FROM (
+        |    SELECT doc_id, seg_id, ptext,
+        |           row_number() OVER (PARTITION BY doc_id, ptext
+        |                              ORDER BY seg_id) rn
+        |    FROM seg WHERE eligible) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, seg_id, ptext FROM seg WHERE NOT eligible),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_kept,
+        |               string_agg(ptext, ' ' ORDER BY seg_id) text_clean
+        |        FROM keep GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+        |       b.n_passages,
+        |       b.n_passages - coalesce(agg.n_kept, 0) AS n_dropped
+        |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
+
     "q_dedup_passage" ->
       """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') w
         |           FROM documents),

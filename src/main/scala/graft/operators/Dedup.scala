@@ -791,4 +791,48 @@ object Dedup {
         (col("n_passages") - coalesce(col("__n_kept"), lit(0L)))
           .as("n_dropped"))
   }
+
+  /** INTRA-document repeated-window removal (Gopher-style repetition
+    * pruning): within each doc, an aligned `k`-token window that
+    * already appeared EARLIER IN THE SAME DOC is dropped — the
+    * "page repeats its own nav block fifty times" pathology, which
+    * [[passageDedup]]'s corpus-wide mode also catches but only by
+    * paying its corpus-sized shuffles. Because the scope is one row,
+    * this is pure in-row column algebra: ZERO shuffle at any corpus
+    * size, the whole operator lives in the scan projection.
+    *
+    * First-occurrence test: `array_position(segs, seg_i) == i + 1` —
+    * exact string equality against earlier windows, O(p²) small
+    * compares per doc (p = ⌈tokens/k⌉, so hundreds for typical web
+    * docs). Book-length outliers where p² bites should route through
+    * [[passageDedup]] instead, whose aggregate is corpus-parallel.
+    * Same output shape as passageDedup; the short tail window is
+    * never dropped (it can't be a full duplicated window). */
+  def intraDocDedup(df: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "window length must be >= 1")
+    val staged = df.select(id.as("id"),
+        split(coalesce(text, lit("")), " ").as("__w"))
+      .select(col("id"), col("__w"),
+        ceil(size(col("__w")).cast("double") / k).cast("long")
+          .as("n_passages"))
+      // stage the window array as an attribute: the filter lambda
+      // below references it per element (the r2 nested-HOF trap)
+      .withColumn("__segs",
+        transform(sequence(lit(0L), col("n_passages") - 1L),
+          i => array_join(
+            slice(col("__w"), (i * k + 1).cast("int"), lit(k)), " ")))
+    staged
+      .select(col("id"), col("n_passages"),
+        filter(col("__segs"), (s, i) =>
+          // keep the (always-last) short tail, and every full
+          // window whose FIRST occurrence in this doc is itself
+          ((i + 1) * k > size(col("__w"))) ||
+            array_position(col("__segs"), s) === (i + 1).cast("long"))
+          .as("__kept"))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("text_clean"),
+        col("n_passages"),
+        (col("n_passages") - size(col("__kept"))).as("n_dropped"))
+  }
 }

@@ -463,6 +463,35 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got(6L) == (("", 2L, 2L)))
   }
 
+  test("intraDocDedup: first in-doc occurrence survives, cross-doc repeats untouched, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "q r s q r s q r"),    // window 1 repeats window 0: dropped
+      (1L, "a b c d e f"),        // no in-doc repeats
+      (2L, "a b c a b c"),        // dup of ITS OWN window, not doc1's
+      (3L, "a b c"),              // cross-doc repeat only: kept
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(docs, col("doc_id"), col("text"), k = 3)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("q r s q r", 3L, 1L)))
+    assert(got(1L) == (("a b c d e f", 2L, 0L)))
+    assert(got(2L) == (("a b c", 2L, 1L)))
+    assert(got(3L) == (("a b c", 1L, 0L))) // cross-doc scope: untouched
+    assert(got(4L) == (("", 1L, 0L)))
+    // the scale claim, asserted at the plan level: the whole operator
+    // is scan-projection algebra — not one Exchange
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // idempotent on the real corpus
+    val corpus = t.documents
+    val once = Dedup.intraDocDedup(corpus, col("doc_id"), col("text"), 8)
+    val twice = Dedup.intraDocDedup(
+      once.select(col("id").as("doc_id"), col("text_clean").as("text")),
+      col("doc_id"), col("text"), 8)
+    assert(twice.agg(sum(col("n_dropped"))).head().getLong(0) == 0L)
+  }
+
   test("passageDedup on the corpus: token conservation and idempotence") {
     val docs = t.documents
     val out = Dedup.passageDedup(docs, col("doc_id"), col("text"), k = 8)
