@@ -213,6 +213,33 @@ class StreamingSpec extends GraftSuite {
     assert(want.size == 3 && got == want)
   }
 
+  test("quality-model scoring runs unchanged on a stream, equal to batch") {
+    // QualityModel.score is scan-projection algebra (spec-asserted
+    // zero-shuffle batch plan), so the SAME code path gates a stream
+    // with no stateful operators at all — the property every
+    // per-document gate in this library aims for
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "completely different words here"),
+      (3L, "the the the the"), (4L, "x"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = graft.operators.QualityModel.score(
+        mem.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), dim = 512)
+      .writeStream.format("memory").queryName("qm_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("qm_stream")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val want = graft.operators.QualityModel.score(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        dim = 512)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(want.size == 4 && got == want)
+  }
+
   test("streamNearDupPairs == incrementalLshPairs replay, batch by batch") {
     // the r6 verdict's in-stream-state ask: over any batch sequence
     // with no eviction, the stream's emitted pair SET must equal
