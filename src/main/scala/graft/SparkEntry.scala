@@ -645,6 +645,14 @@ object SparkEntry {
           col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // oracle-checked: per-doc top-5 TF-IDF keywords; score = tf·N/df
+    // (integer product, one double division — the rarityStats
+    // portability rule applied to ranking)
+    "q_tfidf_topk" -> ((s, dir) =>
+      CorpusStats.tfidfTopTerms(Tables(s, dir).documents,
+          col("doc_id"), col("text"), k = 5)
+        .withColumnRenamed("id", "doc_id")),
+
     // oracle-checked: exact per-domain vocabulary (count DISTINCT
     // token) — the engine-portable twin of the HLL scale path below
     "q_vocab_stats" -> ((s, dir) =>
@@ -1405,6 +1413,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, w,
         |        list_filter(w, x -> NOT list_contains(hot.arr, x)) kept
         |      FROM t, hot)""".stripMargin,
+
+    "q_tfidf_topk" ->
+      s"""WITH occ AS (SELECT doc_id, unnest(string_split($normSql, ' ')) term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |       FROM occ GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) n FROM tf)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, term, tf, df, score
+        |FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |             CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |               ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfreq.df DESC,
+        |                        tf.term) rn
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |WHERE rn <= 5""".stripMargin,
 
     "q_vocab_stats" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,

@@ -212,6 +212,45 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_tokens"), vocabAgg.as("vocab"))
   }
 
+  /** Per-document top-`k` TF-IDF terms `(id, rnk, term, tf, df,
+    * score)` — keyword extraction for corpus exploration and
+    * doc-level topical tagging. `score = tf·N/df` with the integer
+    * product exact in Longs and ONE double division at the end — the
+    * engine-portable SURROGATE for `tf·ln(N/df)`: monotone in tf and
+    * in N/df separately (a rarer-and-more-frequent term always ranks
+    * higher), though it weights idf more steeply than the log form,
+    * so rankings can differ where tf and idf trade off. Chosen
+    * because `ln` differs across engines in the last ulp and one
+    * integer division doesn't — the [[rarityStats]] portability
+    * rule; swap the score lambda for the log form if fidelity to
+    * classic tf-idf matters more than replayability.
+    *
+    * Scale shape: tf is a map-side-combinable (id, term) count; df a
+    * term-keyed count of the distinct-pair frame; their join is
+    * term-keyed (vocabulary-sized, shuffles once); N rides a
+    * broadcast 1-row frame; ranking is `TopK.perGroup`, never a
+    * single-partition window. */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val occ = df.where(text.isNotNull)
+      .select(id.as("id"),
+        explode(split(graft.io.Cleanser.normalized(text), " ")).as("term"))
+    val tf = occ.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // tf is already distinct (id, term)
+    val n = tf.select(count_distinct(col("id")).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("__n")).cast("double") / col("df"))
+          .as("score"))
+    TopK.perGroup(scored, Seq(col("id")),
+        Seq(col("score").desc, col("term").asc), k)
+      .select("id", "rnk", "term", "tf", "df", "score")
+  }
+
   def rarityStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"), explode(toks(text)).as("token"))
       .join(docFrequencies(df, id, text), "token")

@@ -333,6 +333,35 @@ class CorpusOpsSpec extends GraftSuite {
     }
   }
 
+  test("tfidfTopTerms: hand-computed ranks, rare terms beat common ones") {
+    val s = spark; import s.implicits._
+    // 3 docs; "rare" appears in 1 doc, "both" in 2, "all" in 3.
+    // doc 1: all=1 both=1 rare=2 -> scores (N=3): all 1.0, both 1.5,
+    // rare 6.0 -> top: rare, both, all
+    val docs = Seq(
+      (1L, "all both rare rare"),
+      (2L, "all both"),
+      (3L, "all"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusStats.tfidfTopTerms(docs, col("doc_id"), col("text"),
+        k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got((1L, 1L)) == (("rare", 2L, 1L, 6.0)))
+    assert(got((1L, 2L)) == (("both", 1L, 2L, 1.5)))
+    // doc 2: both 1.5 beats all 1.0
+    assert(got((2L, 1L))._1 == "both" && got((2L, 2L))._1 == "all")
+    // doc 3 has one term; null-text doc has none
+    assert(got.keys.count(_._1 == 3L) == 1 && !got.keys.exists(_._1 == 4L))
+    // score-tie determinism: equal scores rank by term asc
+    val tied = CorpusStats.tfidfTopTerms(
+        Seq((1L, "b a")).toDF("doc_id", "text"), col("doc_id"),
+        col("text"), k = 2).collect()
+      .sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+    assert(tied == Seq("a", "b"))
+  }
+
   test("domainMixture: exact integer ppm shares and token-mass rank") {
     val docs = Seq(
       (1L, "src0", "a b"),                    // 2 tokens
