@@ -287,6 +287,18 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables(s, dir).embeddings, threshold = 0.4,
         planes = Similarity.axisPlanes(64, 16), bitsPerBand = 2)),
 
+    // oracle-checked: the daily-batch regime for embeddings (q56's
+    // shape for vectors) — candidates only from the NEW side, id_b
+    // is the new doc at risk
+    "q_dedup_embedding_incremental" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.incrementalNearDupPairs(
+        newVecs = emb.where(col("vec_id") % 3 =!= 0),
+        refVecs = emb.where(col("vec_id") % 3 === 0),
+        threshold = 0.4,
+        planes = Similarity.axisPlanes(64, 16), bitsPerBand = 2)
+    }),
+
     // The SCALE-REGIME variant (r6): threshold 0.9 with size-laddered
     // sign-bit banding. q25's oracle-pinned 0.4 threshold is
     // output-quadratic by semantics (DuckDB confirms 107× pair growth
@@ -1083,6 +1095,25 @@ object SparkEntry {
         |, cand AS (SELECT DISTINCT a.id id_a, b2.id id_b
         |           FROM b a JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
         |                               AND a.id < b2.id)
+        |SELECT c.id_a, c.id_b, list_cosine_similarity(va.e, vb.e) AS cosine
+        |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
+
+    // q25's oracle with the incremental orientation: id_b always the
+    // new doc (vec_id % 3 <> 0); ref→new pairs carry the ref on id_a
+    // regardless of id order, new×new pairs keep a < b
+    "q_dedup_embedding_incremental" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+        |           WHERE list_inner_product(embedding, embedding) > 0),
+        |b AS ($embBandSql)
+        |, cand AS (SELECT DISTINCT a.id id_a, b2.id id_b
+        |           FROM b a JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
+        |           WHERE a.id % 3 = 0 AND b2.id % 3 <> 0
+        |           UNION
+        |           SELECT DISTINCT a.id, b2.id
+        |           FROM b a JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
+        |                               AND a.id < b2.id
+        |           WHERE a.id % 3 <> 0 AND b2.id % 3 <> 0)
         |SELECT c.id_a, c.id_b, list_cosine_similarity(va.e, vb.e) AS cosine
         |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
         |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,

@@ -373,6 +373,38 @@ object Similarity {
         VectorFns.cosinePre(col("ea"), col("eb"), col("na"), col("nb")))
       .where(col("cosine") >= threshold)
 
+  /** INCREMENTAL embedding near-dup (r7) — the daily-batch regime
+    * for vectors, completing the symmetry with
+    * [[graft.operators.Dedup.incrementalJaccardPairs]]: only the NEW
+    * batch generates candidates (new×ref and new×new; ref×ref never
+    * meets, so output scales with batch × overlap, never corpus²),
+    * and `id_b` is always the new doc at risk. The reference side
+    * enters as stored vectors; at volume its banded frame is the
+    * thing to persist bucketed by (band, bits) — `io.Bucketing`, the
+    * exact layout StoreBench prices for signatures. Ids must be
+    * disjoint across the two frames (caller contract, as the jaccard
+    * form). */
+  def incrementalNearDupPairs(newVecs: DataFrame, refVecs: DataFrame,
+                              threshold: Double, planes: Seq[Seq[Double]],
+                              bitsPerBand: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val (vn, bn) = signBanded(newVecs, planes, bitsPerBand, idCol, vecCol)
+    val (vr, br) = signBanded(refVecs, planes, bitsPerBand, idCol, vecCol)
+    val newSide = bn.select(col("id").as("id_b"), col("band"), col("bits"))
+    val candRef = br.select(col("id").as("id_a"), col("band"), col("bits"))
+      .join(newSide, Seq("band", "bits"))
+      .select("id_a", "id_b").distinct()
+    val candNew = bn.select(col("id").as("id_a"), col("band"), col("bits"))
+      .join(newSide, Seq("band", "bits"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // the two families are disjoint by the id-disjointness contract
+    verifyCosine(candRef.unionByName(candNew), vr.unionByName(vn), vn,
+        threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Cross-corpus near-duplicate pairs: every (bench, doc) pair with
     * cosine ≥ `threshold` — SEMANTIC decontamination's pair generator,
     * catching the paraphrase-level contamination n-gram overlap can't

@@ -533,6 +533,29 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.forall(_.getLong(1) <= 5)) // rnk within k
   }
 
+  test("incremental embedding near-dup == full-corpus pairs touching a new doc") {
+    val emb = t.embeddings
+    val planes = Similarity.axisPlanes(64, 16)
+    val newV = emb.where(col("vec_id") % 3 =!= 0)
+    val refV = emb.where(col("vec_id") % 3 === 0)
+    val got = Similarity.incrementalNearDupPairs(newV, refV,
+        threshold = 0.4, planes = planes, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: every full-corpus pair with >= 1 new member, the new
+    // doc rotated onto id_b (a<b kept when both are new)
+    val full = Similarity.nearDupPairs(emb, threshold = 0.4,
+        planes = planes, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def isNew(id: Long) = id % 3 != 0
+    val want = full.collect {
+      case (a, b) if isNew(b) => (a, b)
+      case (a, b) if isNew(a) && !isNew(b) => (b, a)
+    }
+    assert(got.nonEmpty && got == want)
+    // and nothing ref×ref leaked
+    assert(got.forall { case (_, b) => isNew(b) })
+  }
+
   test("multi-probe LSH: probes=1 is the plain bucket; recall climbs toward brute force") {
     val planes = Similarity.hyperplanes(64, 6)
     val emb = t.embeddings
