@@ -389,10 +389,45 @@ object Similarity {
                               bitsPerBand: Int,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
+    val (_, br) = signBanded(refVecs, planes, bitsPerBand, idCol, vecCol)
+    incrementalNearDupPairsFromIndex(newVecs, refVecs, br, threshold,
+      planes, bitsPerBand, idCol, vecCol)
+  }
+
+  /** The `(id, band, bits)` sign-band index of a vector frame — the
+    * STORED shape of an embedding dedup corpus, exactly as
+    * [[graft.operators.Dedup.bandIndex]] is for signatures: write it
+    * once bucketed by `(band, bits)` (`io.Bucketing`) and every
+    * later increment joins it with zero store-side shuffle
+    * (spec-asserted; StoreBench prices the same layout for
+    * signatures). */
+  def signBandIndex(df: DataFrame, planes: Seq[Seq[Double]],
+                    bitsPerBand: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    signBanded(df, planes, bitsPerBand, idCol, vecCol)._2
+
+  /** [[incrementalNearDupPairs]] with the reference side's banded
+    * index supplied separately (e.g. `spark.table` over a bucketed
+    * [[signBandIndex]] store) — the raw `refVecs` are still scanned
+    * for the verify step's vectors (candidates ≪ corpus; carrying
+    * vectors inside the index would multiply it ×bands), but the
+    * candidate join never re-computes or re-shuffles the store's
+    * plane dots. */
+  def incrementalNearDupPairsFromIndex(newVecs: DataFrame,
+                                       refVecs: DataFrame,
+                                       refIndex: DataFrame,
+                                       threshold: Double,
+                                       planes: Seq[Seq[Double]],
+                                       bitsPerBand: Int,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding")
+      : DataFrame = {
     val (vn, bn) = signBanded(newVecs, planes, bitsPerBand, idCol, vecCol)
-    val (vr, br) = signBanded(refVecs, planes, bitsPerBand, idCol, vecCol)
+    val vr = refVecs.select(col(idCol).as("id"), col(vecCol).as("e"))
+      .withColumn("nrm", VectorFns.l2Norm(col("e")))
     val newSide = bn.select(col("id").as("id_b"), col("band"), col("bits"))
-    val candRef = br.select(col("id").as("id_a"), col("band"), col("bits"))
+    val candRef = refIndex
+      .select(col("id").as("id_a"), col("band"), col("bits"))
       .join(newSide, Seq("band", "bits"))
       .select("id_a", "id_b").distinct()
     val candNew = bn.select(col("id").as("id_a"), col("band"), col("bits"))

@@ -533,6 +533,48 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.forall(_.getLong(1) <= 5)) // rnk within k
   }
 
+  test("bucketed sign-band store: embedding increments join it without shuffling the store") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS emb_store")
+    val emb = t.embeddings
+    val planes = Similarity.axisPlanes(64, 16)
+    val newV = emb.where(col("vec_id") % 3 =!= 0)
+    val refV = emb.where(col("vec_id") % 3 === 0)
+    graft.io.Bucketing.writeBucketed(
+      Similarity.signBandIndex(refV, planes, bitsPerBand = 2),
+      "emb_store", Seq("band", "bits"), buckets = 8)
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("emb_plain").toString
+    Similarity.signBandIndex(refV, planes, bitsPerBand = 2)
+      .write.mode("overwrite").parquet(plainDir)
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      def run(idx: org.apache.spark.sql.DataFrame) =
+        Similarity.incrementalNearDupPairsFromIndex(newV, refV, idx,
+          threshold = 0.4, planes = planes, bitsPerBand = 2)
+      val fromStore = run(s.table("emb_store"))
+      val fromPlain = run(s.read.parquet(plainDir))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = rows(fromStore)
+      assert(a.nonEmpty && a == rows(fromPlain))
+      assert(a == rows(Similarity.incrementalNearDupPairs(newV, refV,
+        threshold = 0.4, planes = planes, bitsPerBand = 2)))
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      assert(exchanges(fromStore) < exchanges(fromPlain),
+        s"store scan still shuffles: ${exchanges(fromStore)} vs " +
+          s"${exchanges(fromPlain)}")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.sql("DROP TABLE IF EXISTS emb_store")
+    }
+  }
+
   test("incremental embedding near-dup == full-corpus pairs touching a new doc") {
     val emb = t.embeddings
     val planes = Similarity.axisPlanes(64, 16)
