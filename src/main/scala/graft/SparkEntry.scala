@@ -289,7 +289,11 @@ object SparkEntry {
 
     // oracle-checked: the daily-batch regime for embeddings (q56's
     // shape for vectors) — candidates only from the NEW side, id_b
-    // is the new doc at risk
+    // is the new doc at risk. Inherits q25's documented caveat at its
+    // 0.4 oracle threshold: output-bound at sf1+ (the pair SET is
+    // quadratic by semantics — DuckDB confirms the same growth), so
+    // scale deployments run threshold 0.9 with the autoPlanes ladder,
+    // exactly as q50 is the scale path of q25.
     "q_dedup_embedding_incremental" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       Similarity.incrementalNearDupPairs(
