@@ -45,21 +45,45 @@ object QualityModel {
     * 1 iff margin ≥ 0. Docs with no tokens (null/unsplittable text)
     * are excluded — they have no features to score. */
   def score(df: DataFrame, id: Column, text: Column, dim: Int,
-            hashKey: Column => Column = xxhash64(_)): DataFrame = {
+            hashKey: Column => Column = xxhash64(_)): DataFrame =
+    scoreBy(df, id, text, dim, hashKey,
+      // per-feature integer weight: bucket = hash(token) mod dim,
+      // weight = hash(bucket) mod 2001 - 1000; pmod, not %, because
+      // xxhash64 goes negative (the md5 60-bit prefix never does —
+      // DuckDB's plain % on it matches)
+      b => pmod(hashKey(b.cast("string")), lit(2001L)) - lit(1000L))
+
+  /** [[score]] with TRAINED weights: `weights(b)` is the quantized
+    * weight of feature bucket `b`, carried as one literal array —
+    * broadcast-by-construction (the array rides the serialized plan
+    * to every executor), so the query keeps the derived-weight
+    * form's ZERO-shuffle scan-projection plan (spec-asserted
+    * identical shape). At `dim` beyond a few hundred thousand, move
+    * the array to an explicit `broadcast()` dim-frame join + per-doc
+    * re-aggregate instead — one shuffle keyed by doc id — but a
+    * quantized model at fastText's own default (2M buckets × 8-bit)
+    * is ~2 MB: literal-array territory. */
+  def scoreWithWeights(df: DataFrame, id: Column, text: Column,
+                       weights: Array[Int],
+                       hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    val warr = array(weights.map(w => lit(w.toLong)): _*)
+    scoreBy(df, id, text, weights.length, hashKey,
+      b => element_at(warr, (b + 1L).cast("int")))
+  }
+
+  private def scoreBy(df: DataFrame, id: Column, text: Column, dim: Int,
+                      hashKey: Column => Column,
+                      weightOf: Column => Column): DataFrame = {
     require(dim >= 1, "feature dimension must be positive")
     df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
       .where(size(col("__w")) >= 1)
       .select(col("id"),
         concat(col("__w"), TextFns.bigramArray(col("__w"))).as("__f"))
-      // per-feature integer weight: bucket = hash(token) mod dim,
-      // weight = hash(bucket) mod 2001 - 1000; pmod, not %, because
-      // xxhash64 goes negative (the md5 60-bit prefix never does —
-      // DuckDB's plain % on it matches)
       .select(col("id"), size(col("__f")).cast("long").as("n_feats"),
         aggregate(
           transform(col("__f"),
-            t => pmod(hashKey(pmod(hashKey(t), lit(dim.toLong))
-              .cast("string")), lit(2001L)) - lit(1000L)),
+            t => weightOf(pmod(hashKey(t), lit(dim.toLong)))),
           lit(0L), (acc, w) => acc + w).as("margin"))
       .select(col("id"), col("n_feats"), col("margin"),
         (col("margin").cast("double") / col("n_feats")).as("score"),

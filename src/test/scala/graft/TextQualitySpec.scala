@@ -92,6 +92,29 @@ class TextQualitySpec extends GraftSuite {
     }
   }
 
+  test("scoreWithWeights: trained-weight array == derived weights, zero-shuffle plan") {
+    val s = spark; import s.implicits._
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val dim = 512
+    // a weights array holding exactly what score() derives per
+    // bucket — so the two surfaces must agree bit-for-bit
+    val w = spark.range(dim)
+      .select((pmod(xxhash64(col("id").cast("string")), lit(2001L))
+        - 1000L).as("w"))
+      .as[Long].collect().map(_.toInt)
+    val trained = graft.operators.QualityModel.scoreWithWeights(
+      docs, col("doc_id"), col("text"), w)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(rows(trained) == rows(graft.operators.QualityModel.score(
+      docs, col("doc_id"), col("text"), dim)))
+    // the literal array rides the plan: still not one Exchange
+    trained.write.format("noop").mode("overwrite").save()
+    assert(!trained.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+
   test("quality model: fold margin == declarative explode replay, both hash families") {
     val s = spark; import s.implicits._
     val t = graft.io.Tables(spark, sfDir)
