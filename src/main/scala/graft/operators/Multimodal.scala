@@ -265,9 +265,12 @@ object Multimodal {
   }
 
   /** Decode video payloads partition-wise through the real
-    * [[VideoHeaderDecoder]]; unrecognized payloads report ok = false
-    * with zeroed fields (decoder "none") rather than faking numbers —
-    * video, like audio, is a typed path, not a stub. */
+    * [[VideoHeaderDecoder]] (ISO-BMFF), falling back to the RIFF/AVI
+    * `avih` main header (r7, [[AviFrames.header]] — the container
+    * [[extractFrameFeatures]] decodes frames from); unrecognized
+    * payloads report ok = false with zeroed fields (decoder "none")
+    * rather than faking numbers — video, like audio, is a typed
+    * path, not a stub. */
   def decodeVideo(payloads: DataFrame)
                  (implicit spark: SparkSession): Dataset[VideoMeta] = {
     import spark.implicits._
@@ -280,8 +283,12 @@ object Multimodal {
           dec.decode(payload) match {
             case Some((w, h, dur)) =>
               VideoMeta(id, n, w, h, dur, ok = true, decoder = "isobmff")
-            case None =>
-              VideoMeta(id, n, 0, 0, -1.0, ok = false, decoder = "none")
+            case None => AviFrames.header(payload) match {
+              case Some((w, h, dur)) =>
+                VideoMeta(id, n, w, h, dur, ok = true, decoder = "riff-avi")
+              case None =>
+                VideoMeta(id, n, 0, 0, -1.0, ok = false, decoder = "none")
+            }
           }
         }
       }
@@ -610,6 +617,46 @@ object Multimodal {
       val end = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
       collect(payload, 12, end, out)
       if (out.isEmpty) None else Some(out.toVector)
+    }
+
+    /** (width, height, durationSec) from the `avih` main header
+      * (r7): dwMicroSecPerFrame@0, dwTotalFrames@16, dwWidth@32,
+      * dwHeight@36 — per the public AVI RIFF spec; duration −1 when
+      * frame timing is absent. None when the payload isn't RIFF/AVI
+      * or carries no hdrl/avih. */
+    def header(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+      if (payload == null || payload.length < 12) return None
+      if (fcc(payload, 0) != "RIFF" || fcc(payload, 8) != "AVI ") return None
+      val end = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
+      var o = 12
+      while (o + 8 <= end) {
+        val id = fcc(payload, o)
+        val size = u32le(payload, o + 4)
+        val dataEnd = o + 8 + size
+        if (dataEnd > end) return None
+        if (id == "LIST" && size >= 4 && fcc(payload, o + 8) == "hdrl") {
+          var p = o + 12
+          while (p + 8 <= dataEnd) {
+            val cid = fcc(payload, p)
+            val csz = u32le(payload, p + 4)
+            val cEnd = p + 8 + csz
+            if (cEnd > dataEnd) return None
+            if (cid == "avih" && csz >= 40) {
+              val usPerFrame = u32le(payload, p + 8)
+              val totalFrames = u32le(payload, p + 8 + 16)
+              val w = u32le(payload, p + 8 + 32).toInt
+              val h = u32le(payload, p + 8 + 36).toInt
+              val dur = if (usPerFrame > 0) totalFrames * usPerFrame / 1e6
+                        else -1.0
+              return Some((w, h, dur))
+            }
+            p = (cEnd + (csz & 1L)).toInt
+          }
+          return None
+        }
+        o = (dataEnd + (size & 1L)).toInt
+      }
+      None
     }
   }
 

@@ -819,7 +819,14 @@ class DedupSimilaritySpec extends GraftSuite {
     def list(lt: String, children: Array[Byte]): Array[Byte] =
       chunk("LIST", lt.getBytes("US-ASCII") ++ children)
     def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
-      val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+      // a filled avih main header: 25 fps (40000 us/frame), real
+      // frame count and dimensions at the spec'd field offsets
+      val avih = new Array[Byte](56)
+      u32le(40000).copyToArray(avih, 0)           // dwMicroSecPerFrame
+      u32le(frames.size).copyToArray(avih, 16)    // dwTotalFrames
+      u32le(6).copyToArray(avih, 32)              // dwWidth
+      u32le(5).copyToArray(avih, 36)              // dwHeight
+      val hdrl = list("hdrl", chunk("avih", avih))
       val movi = list("movi",
         frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
       val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
@@ -854,6 +861,14 @@ class DedupSimilaritySpec extends GraftSuite {
         payloads.where(col("doc_id") === 0L), dim = 16, stride = 2)
       .collect().map(_.frame_idx).sorted.toSeq
     assert(strided == Seq(0, 2))
+    // decodeVideo reads the avih main header of the same container
+    // (r7): real dimensions + frames×usPerFrame duration, typed path
+    val meta = Multimodal.decodeVideo(payloads).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(0L).ok && meta(0L).decoder == "riff-avi")
+    assert(meta(0L).width == 6 && meta(0L).height == 5)
+    assert(math.abs(meta(0L).duration_sec - 4 * 0.04) < 1e-9)
+    assert(!meta(2L).ok && meta(2L).decoder == "none")
   }
 
   test("extractFeatures decodes real PCM samples: container-invariant") {
