@@ -417,6 +417,27 @@ object SparkEntry {
         order = col("doc_id"), weight = col("n_tokens"),
         budget = 2048, partitions = 8)),
 
+    // oracle-checked: the composed CURRICULUM export — quality-model
+    // margins (md5 twin) order documents best-first (score DESC is
+    // exactly positives-then-negatives: score and margin share sign),
+    // then contiguous 2048-token packs in that order; one SQL oracle
+    // replays the whole chain
+    "q_curriculum_pack" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val scored = QualityModel.score(docs, col("doc_id"), col("text"),
+          dim = 4096, QualityModel.seededKey)
+        .select(col("id"), col("score"))
+      val withTok = scored.join(
+        docs.select(col("doc_id").as("id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "id")
+      Batching.packByWeight(withTok,
+          order = struct((-col("score")).as("s"), col("id").as("i")),
+          weight = col("n_tokens"), budget = 2048, partitions = 8)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "n_tokens", "score", "pack_id")
+    }),
+
     // sliding-window character chunks (context-window prep):
     // 200-char chunks, 40-char overlap — pure integer + substring
     // arithmetic, map-side explode
@@ -1065,6 +1086,37 @@ object SparkEntry {
         |                                 AND 1 PRECEDING), 0)
         |         // 2048 AS BIGINT) AS pack_id
         |FROM t""".stripMargin,
+
+    // q64's margin chain feeding the q40-style cumulative pack, in
+    // (score DESC, doc_id) order — ORDER BY -score mirrors the Spark
+    // side's struct(-score, id) range sort on identical doubles
+    "q_curriculum_pack" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, list_concat(w, CASE WHEN len(w) >= 2
+        |         THEN list_transform(generate_series(1, len(w) - 1),
+        |                             i -> w[i] || ' ' || w[i + 1])
+        |         ELSE [] END) f
+        |      FROM t WHERE len(w) >= 1),
+        |feats AS (SELECT doc_id, unnest(f) tok FROM g),
+        |wts AS (SELECT doc_id,
+        |          (CAST(concat('0x', substr(md5(CAST(
+        |             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+        |               % 4096 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001)
+        |            - 1000 AS w
+        |        FROM feats),
+        |s AS (SELECT doc_id, CAST(sum(w) AS DOUBLE) / count(*) AS score
+        |      FROM wts GROUP BY doc_id),
+        |j AS (SELECT s.doc_id,
+        |             CAST(len(string_split(d.text, ' ')) AS BIGINT) n_tokens,
+        |             s.score
+        |      FROM s JOIN documents d ON d.doc_id = s.doc_id)
+        |SELECT doc_id, n_tokens, score,
+        |       CAST(coalesce(sum(coalesce(n_tokens, 0))
+        |                  OVER (ORDER BY -score, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                 AND 1 PRECEDING), 0)
+        |         // 2048 AS BIGINT) AS pack_id
+        |FROM j""".stripMargin,
 
     // Connected components = min reachable id: enumerate reachability
     // with a recursive CTE (UNION dedups, so it terminates), then
