@@ -50,8 +50,24 @@ object Similarity {
   def axisPlanes(dim: Int, planes: Int): Seq[Seq[Double]] =
     (0 until planes).map(p => Seq.tabulate(dim)(d => if (d == p) 1.0 else 0.0))
 
-  /** Bucket id: bit p = 1 iff dot(vec, plane_p) >= 0. */
-  def bucketBits(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Bucket id: bit p = 1 iff dot(vec, plane_p) >= 0. The whole
+    * plane family rides in ONE plan node (a codegen reference
+    * object, graft.plans.SignBands) instead of `planes × dim`
+    * literal children — plan and generated-code size stay constant
+    * in the family's width, which is what keeps the wide Gaussian
+    * rungs clear of the 64 KB codegen-method fallback.
+    * [[bucketBitsDeclarative]] is the literal-per-plane twin the
+    * spec pins it against. */
+  def bucketBits(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 64, "a packed bucket id holds at most 64 bits")
+    element_at(graft.plans.PlaneExpressions.signBands(vec, planes, planes.size), 1)
+  }
+
+  /** The literal-per-plane fold [[bucketBits]] replaced (r8) — kept
+    * as the spec reference asserting the fused form bit-for-bit,
+    * exactly as `VectorFns.dotHof` witnesses `vec_dot`. */
+  private[graft] def bucketBitsDeclarative(vec: Column,
+                                           planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(VectorFns.dotConst(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -125,12 +141,14 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("ec"))
       .withColumn("bucket", bucketBits(col("ec"), planes))
       .withColumn("nc", VectorFns.l2Norm(col("ec")))
-    // flip masks as a literal array: shiftleft by a runtime index
+    // flip masks as ONE typed literal: shiftleft by a runtime index
     // isn't in the Column API, and a literal lookup is exact at any
     // plane count (vs pow(2, i) going lossy past 2^53)
-    val masks = array(planes.indices.map(i => lit(1L << i)): _*)
+    val masks = typedLit(planes.indices.map(i => 1L << i))
+    // every plane dot from a single matrix-bound node (plan size
+    // constant in the family width; same fold bit-for-bit)
     val margins = array_sort(transform(
-      array(planes.map(p => VectorFns.dotConst(col("eq"), p)): _*),
+      graft.plans.PlaneExpressions.planeDots(col("eq"), planes),
       (d, i) => struct(abs(d).as("m"), i.as("i"))))
     val flips = transform(slice(margins, 1, probes - 1),
       s => col("base").bitwiseXOR(element_at(masks, s.getField("i") + 1)))
@@ -337,7 +355,6 @@ object Similarity {
       : (DataFrame, DataFrame) = {
     require(planes.size % bitsPerBand == 0, "bands must tile the planes")
     require(bitsPerBand <= 62, "a band's bits must fit in a long")
-    val bands = planes.size / bitsPerBand
     val v = df.select(col(idCol).as("id"), col(vecCol).as("e"))
       .withColumn("nrm", VectorFns.l2Norm(col("e")))
     // each band packs ONLY ITS OWN plane slice (r7) — bit-identical
@@ -345,15 +362,14 @@ object Similarity {
     // with no 64-bit ceiling on total planes, which is what lets the
     // autoBandConfig ladder continue past ~1.6M vectors on Gaussian
     // families (each plane's dot is still computed exactly once:
-    // plane → band membership is a partition)
+    // plane → band membership is a partition). All bands come out of
+    // ONE matrix-bound sign_bands node (r8): posexplode's position IS
+    // the band index, and the plane coefficients appear once per
+    // plan, not once per band.
     val banded = v.select(col("id"),
-        explode(array((0 until bands).map { bi =>
-          struct(lit(bi).as("band"),
-            bucketBits(col("e"),
-              planes.slice(bi * bitsPerBand, (bi + 1) * bitsPerBand))
-              .as("bits"))
-        }: _*)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bits"))
+        posexplode(graft.plans.PlaneExpressions
+          .signBands(col("e"), planes, bitsPerBand))
+          .as(Seq("band", "bits")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (v, banded)
   }

@@ -1068,4 +1068,100 @@ class DedupSimilaritySpec extends GraftSuite {
     val again = Multimodal.decode(Multimodal.asPayload(t.documents)).collect()
     assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
+
+  /** The edge-case frame the matrix-bound plane expressions (r8) are
+    * pinned on: normal vectors, all-negative, all-zero (dot == +0.0,
+    * bit SET), a null vector, a length mismatch, a null element, and
+    * a NaN element (Spark's `>=` ranks NaN above every real, so its
+    * bit is SET — the fused form must agree). */
+  private def planeEdgeCases = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("e", ArrayType(FloatType, containsNull = true))))
+    def fa(xs: Float*): Seq[java.lang.Float] =
+      xs.map(java.lang.Float.valueOf)
+    val rows = Seq(
+      Row(0, fa(1f, -2f, 3f, 0.5f)),
+      Row(1, fa(-1f, -1f, -1f, -1f)),
+      Row(2, fa(0f, 0f, 0f, 0f)),
+      Row(3, null),
+      Row(4, fa(1f, 2f)),
+      Row(5, Seq[java.lang.Float](1f, null, 2f, 3f)),
+      Row(6, fa(Float.NaN, 1f, 1f, 1f)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("sign_bands == the literal-per-plane declarative banding") {
+    val df = planeEdgeCases
+    val planes = Similarity.hyperplanes(4, 6, seed = 7L)
+    val bitsPerBand = 3
+    val bands = planes.size / bitsPerBand
+    val decl = df.select(col("id"), explode(array((0 until bands).map { bi =>
+        struct(lit(bi).as("band"),
+          Similarity.bucketBitsDeclarative(col("e"),
+            planes.slice(bi * bitsPerBand, (bi + 1) * bitsPerBand))
+            .as("bits"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bits")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val fused = df.select(col("id"),
+        posexplode(graft.plans.PlaneExpressions
+          .signBands(col("e"), planes, bitsPerBand))
+          .as(Seq("band", "bits"))).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(decl.nonEmpty && fused == decl)
+    // the single-bucket form too (bucketBits == its declarative twin)
+    val b1 = df.select(col("id"),
+        Similarity.bucketBits(col("e"), planes).as("b")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b2 = df.select(col("id"),
+        Similarity.bucketBitsDeclarative(col("e"), planes).as("b")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    // the NaN row has its first-plane bits set in SOME band (sanity
+    // that the edge case actually exercises the NaN branch)
+    assert(b1.contains(6))
+  }
+
+  test("plane_dots == array(dotConst(..)) element-for-element") {
+    val df = planeEdgeCases
+    val planes = Similarity.hyperplanes(4, 5, seed = 11L)
+    def bits(v: Any): Any = v match {
+      case null => null
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+    }
+    val decl = df.select(col("id"),
+        array(planes.map(p => VectorFns.dotConst(col("e"), p)): _*).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Any](1).map(bits)).toMap
+    val fused = df.select(col("id"),
+        graft.plans.PlaneExpressions.planeDots(col("e"), planes).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Any](1).map(bits)).toMap
+    assert(decl.nonEmpty && fused == decl)
+    // null vector → all-null dots, not a null array (array() semantics)
+    assert(fused(3).forall(_ == null) && fused(3).size == planes.size)
+  }
+
+  test("plane coefficients appear ONCE per plan: never as literals") {
+    val emb = t.embeddings
+    // the wide Gaussian rung the fix protects: 80 planes × 64 dims
+    val (planes, bits) = (Similarity.hyperplanes(64, 80), 20)
+    val coeffs = planes.flatten.map(_.toString.take(12))
+    val idx = Similarity.signBandIndex(emb, planes, bits)
+    val idxPlan = idx.queryExecution.executedPlan.toString
+    assert(idxPlan.contains("sign_bands"))
+    assert(coeffs.forall(c => !idxPlan.contains(c)),
+      "a plane coefficient leaked into the sign-band plan as a literal")
+    idx.unpersist()
+    // multi-probe: margins + base bucket + corpus bucket in one plan
+    val mp = Similarity.annLshMultiProbe(emb, emb.where(col("vec_id") < 4),
+      Similarity.hyperplanes(64, 6), k = 3, probes = 3)
+    val mpPlan = mp.queryExecution.executedPlan.toString
+    val mpCoeffs = Similarity.hyperplanes(64, 6).flatten.map(_.toString.take(12))
+    assert(mpPlan.contains("plane_dots") && mpPlan.contains("sign_bands"))
+    assert(mpCoeffs.forall(c => !mpPlan.contains(c)),
+      "a plane coefficient leaked into the multi-probe plan as a literal")
+  }
 }
