@@ -1392,7 +1392,7 @@ object SparkEntry {
         |slots AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS slot)
         |SELECT d.doc_id, sl.slot,
         |       CAST(COALESCE(m.s, 0) AS BIGINT) AS fold_sum,
-        |       CAST(length(d.text) AS INT) AS n_bytes
+        |       CAST(COALESCE(length(d.text), 0) AS INT) AS n_bytes
         |FROM documents d
         |CROSS JOIN slots sl
         |LEFT JOIN sums m ON m.doc_id = d.doc_id AND m.slot = sl.slot""".stripMargin,

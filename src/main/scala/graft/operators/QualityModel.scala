@@ -58,11 +58,16 @@ object QualityModel {
     * broadcast-by-construction (the array rides the serialized plan
     * to every executor), so the query keeps the derived-weight
     * form's ZERO-shuffle scan-projection plan (spec-asserted
-    * identical shape). At `dim` beyond a few hundred thousand, move
-    * the array to an explicit `broadcast()` dim-frame join + per-doc
-    * re-aggregate instead — one shuffle keyed by doc id — but a
-    * quantized model at fastText's own default (2M buckets × 8-bit)
-    * is ~2 MB: literal-array territory. */
+    * identical shape). The per-element `lit` array caps out at a few
+    * hundred thousand buckets — beyond that, Catalyst pays for one
+    * `CreateArray` CHILD per weight in plan construction,
+    * serialization and codegen (a 2M-bucket fastText-sized model is
+    * ~2 MB of DATA but 2M expression nodes — pathological long
+    * before the bytes matter). Past the threshold either pass the
+    * weights as ONE node (`functions.typedLit(weights.toSeq)`, a
+    * single Literal holding the array, same zero-shuffle plan) or
+    * move to an explicit `broadcast()` dim-frame join + per-doc
+    * re-aggregate — one shuffle keyed by doc id. */
   def scoreWithWeights(df: DataFrame, id: Column, text: Column,
                        weights: Array[Int],
                        hashKey: Column => Column = xxhash64(_))

@@ -49,6 +49,21 @@ def main():
                   f"higher rung than the static (8,8) oracle")
             fail += 1
             del oracles["q_dedup_embedding_strict"]
+    # q_multimodal_bytefold's oracle equates ord(char) with the utf-8
+    # BYTE and length(chars) with length(bytes) — true only on an
+    # all-ASCII corpus. Guard loudly (the RUNG! pattern) so a future
+    # non-ASCII doc in testdata fails here, not as an opaque hash
+    # mismatch.
+    if "q_multimodal_bytefold" in oracles:
+        n_nonascii = con.sql(
+            r"SELECT count(*) FROM documents "
+            r"WHERE regexp_matches(text, '[^\x00-\x7F]')").fetchone()[0]
+        if n_nonascii > 0:
+            print(f"ASCII!   q_multimodal_bytefold: {n_nonascii} docs have "
+                  f"non-ASCII text — the ord==byte oracle equivalence no "
+                  f"longer holds on this corpus")
+            fail += 1
+            del oracles["q_multimodal_bytefold"]
     for name in sorted(oracles):
         sql = oracles[name]
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
