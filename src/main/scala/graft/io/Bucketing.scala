@@ -70,4 +70,100 @@ object Bucketing {
                     keys: Seq[String],
                     joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), keys, joinType)
+
+  /** Fold a day's rows INTO an existing bucketed store — the
+    * maintenance half of the bucketed-index architecture
+    * (`Dedup.bandIndex` / `Similarity.signBandIndex` stores): without
+    * it a daily pipeline must either rewrite the full store per day
+    * (a corpus-sized write for a batch-sized delta) or append
+    * unaligned and fragment into writeTasks × buckets files — the
+    * exact failure [[writeBucketed]] closes at initial-write time,
+    * reappearing incrementally.
+    *
+    * The append is bucket-ALIGNED (same pre-repartition as the
+    * initial write), so each call adds exactly `writeParallelism`
+    * files per bucket, and Spark refuses a mismatched bucket spec
+    * outright — the store's layout contract survives every append.
+    * Appends never break the zero-exchange join property (bucket
+    * membership is file-name metadata, not file contents;
+    * spec-asserted after N appends in BucketingSpec); what they DO
+    * grow is files/bucket, i.e. opens per scan task — bound it with
+    * [[compactIfFragmented]]. */
+  def appendBucketed(df: DataFrame, table: String,
+                     keys: Seq[String], buckets: Int,
+                     sortCols: Seq[String] = Nil,
+                     writeParallelism: Int = 1): Unit =
+    writeBucketed(df, table, keys, buckets, sortCols, SaveMode.Append,
+      writeParallelism)
+
+  /** Filesystem location of a managed table (public `DESC FORMATTED`
+    * route — one metadata row, no data motion). */
+  def tableLocation(spark: SparkSession, table: String): String = {
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"DESC FORMATTED $table")
+      .where(col("col_name") === "Location")
+      .head().getString(1)
+  }
+
+  /** Data-file count per bucket id of a bucketed table, read from the
+    * file NAMES (`part-…_00003.c000…` carries the bucket id) — a
+    * metadata listing, never a data scan. The max over buckets is the
+    * per-scan-task open count, the quantity [[compactIfFragmented]]
+    * bounds. */
+  def filesPerBucket(spark: SparkSession, table: String): Map[Int, Int] = {
+    val loc = new org.apache.hadoop.fs.Path(tableLocation(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_([0-9]{5})\\.".r
+    fs.listStatus(loc).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .flatMap(s => bucketId.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+      .toSeq.groupBy(identity).map { case (b, xs) => b -> xs.size }
+  }
+
+  /** Rewrite the store to `writeParallelism` files per bucket IF any
+    * bucket's fragment count exceeds `maxFragments`; no-op (false)
+    * otherwise. The rewrite is the one corpus-sized cost in the
+    * append/compact cycle and runs once per ~`maxFragments` days, so
+    * the amortized daily maintenance stays batch-sized: N days cost
+    * N appends + N/maxFragments rewrites, vs N full rewrites without
+    * the append path. Swap is write-aside (`table__compacting`), then
+    * drop + rename — the store never exists half-written under its
+    * own name. */
+  def compactIfFragmented(spark: SparkSession, table: String,
+                          keys: Seq[String], buckets: Int,
+                          sortCols: Seq[String] = Nil,
+                          maxFragments: Int = 16,
+                          writeParallelism: Int = 1): Boolean = {
+    require(maxFragments >= 1, "maxFragments must be >= 1")
+    val worst = filesPerBucket(spark, table).values.maxOption.getOrElse(0)
+    if (worst <= maxFragments) false
+    else {
+      val tmp = s"${table}__compacting"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      writeBucketed(spark.table(table), tmp, keys, buckets, sortCols,
+        writeParallelism = writeParallelism)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      true
+    }
+  }
+
+  /** The daily store-maintenance entry: bucket-aligned append of the
+    * day's accepted rows, then a bounded-fragmentation check. Returns
+    * true when the append tripped a compaction. This is what keeps a
+    * [[graft.operators.Dedup.bandIndex]] /
+    * [[graft.operators.Similarity.signBandIndex]] store joinable with
+    * zero store-side exchange AND boundedly many file opens per task
+    * on day N, at day-1 cost (StoreBench's day-N arm prices it). */
+  def appendAndMaintain(df: DataFrame, table: String,
+                        keys: Seq[String], buckets: Int,
+                        sortCols: Seq[String] = Nil,
+                        maxFragments: Int = 16,
+                        writeParallelism: Int = 1): Boolean = {
+    appendBucketed(df, table, keys, buckets, sortCols, writeParallelism)
+    compactIfFragmented(spark = df.sparkSession, table = table,
+      keys = keys, buckets = buckets, sortCols = sortCols,
+      maxFragments = maxFragments, writeParallelism = writeParallelism)
+  }
 }

@@ -52,6 +52,77 @@ class BucketingSpec extends GraftSuite {
     }
   }
 
+  test("store maintenance: appends stay exchange-free, compaction bounds fragments") {
+    import graft.operators.Dedup
+    dropTables("bs_sigstore", "bs_sigstore__compacting")
+    val numHashes = 32
+    val bands = 8
+    val docs = graft.io.Tables(spark, sfDir).documents
+    def sigsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+        n = 3, numHashes = numHashes)
+    def idxOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bandIndex(sigsOf(d), numHashes, bands)
+    val slice = pmod(xxhash64(col("doc_id")), lit(10))
+    // day 0 store + three daily appends + a day-4 increment batch
+    Bucketing.writeBucketed(idxOf(docs.where(slice < 6)), "bs_sigstore",
+      Seq("band", "bk"), buckets = 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      (6 to 8).foreach { day =>
+        val compacted = Bucketing.appendAndMaintain(
+          idxOf(docs.where(slice === day)), "bs_sigstore",
+          Seq("band", "bk"), buckets = 8, maxFragments = 16)
+        assert(!compacted, "compaction must not trip under the bound")
+      }
+      // bucket-aligned appends: exactly one new file per bucket per day
+      val fpb = Bucketing.filesPerBucket(spark, "bs_sigstore")
+      assert(fpb.nonEmpty && fpb.values.max == 4,
+        s"expected 4 fragments/bucket after day0 + 3 appends, got $fpb")
+      val storeRows = spark.table("bs_sigstore").count()
+      // the appended store == a fresh index of the same corpus
+      val freshIdx = idxOf(docs.where(slice < 9))
+      assert(storeRows == freshIdx.count())
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val newSigs = sigsOf(docs.where(slice === 9))
+      def inc(refIdx: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalLshPairsFromIndex(newSigs, refIdx,
+          numHashes, bands, threshold = 0.5)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val fromStore = inc(spark.table("bs_sigstore"))
+      val fromFresh = inc(freshIdx)
+      val got = pairs(fromStore)
+      assert(got.nonEmpty && got == pairs(fromFresh),
+        "day-N appended store diverges from a fresh full index")
+      assert(exchanges(fromStore) < exchanges(fromFresh),
+        s"appended store still shuffles: ${exchanges(fromStore)} vs " +
+          s"${exchanges(fromFresh)}")
+
+      // over the bound → rewrite to one file per bucket, content intact
+      assert(Bucketing.compactIfFragmented(spark, "bs_sigstore",
+        Seq("band", "bk"), buckets = 8, maxFragments = 2))
+      val fpbAfter = Bucketing.filesPerBucket(spark, "bs_sigstore")
+      assert(fpbAfter.values.max == 1, s"compaction left fragments: $fpbAfter")
+      assert(spark.table("bs_sigstore").count() == storeRows)
+      val fromCompacted = inc(spark.table("bs_sigstore"))
+      assert(pairs(fromCompacted) == got)
+      assert(exchanges(fromCompacted) < exchanges(fromFresh))
+      // idempotent below the bound
+      assert(!Bucketing.compactIfFragmented(spark, "bs_sigstore",
+        Seq("band", "bk"), buckets = 8, maxFragments = 2))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      dropTables("bs_sigstore", "bs_sigstore__compacting")
+    }
+  }
+
   test("aggregation on the bucket key skips the exchange") {
     dropTables("bs_agg")
     val facts = spark.range(0, 2000).select(
