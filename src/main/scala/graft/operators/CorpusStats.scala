@@ -229,7 +229,23 @@ object CorpusStats {
     * term-keyed count of the distinct-pair frame; their join is
     * term-keyed (vocabulary-sized, shuffles once); N rides a
     * broadcast 1-row frame; ranking is `TopK.perGroup`, never a
-    * single-partition window. */
+    * single-partition window.
+    *
+    * Caching: the (id, term) tf frame persists (MEMORY_AND_DISK) to
+    * back its three consumers (df-frequency, the N count, and the
+    * scored join) — without it each consumer re-runs the explode +
+    * count over the corpus. The frame is corpus-scale (one row per
+    * distinct (doc, term) pair), so at 100 TB this is a deliberate
+    * cache-vs-recompute trade: MEMORY_AND_DISK spills rather than
+    * evicts, costing local disk instead of two extra corpus scans.
+    * As with `takeByBudgetPerKey`/`packByWeight`, the library cannot
+    * know when the caller is done with the result, so the cache is
+    * NOT auto-unpersisted — long-lived pipelines issuing many calls
+    * should `spark.sharedState.cacheManager.clearCache()` (or
+    * unpersist via the catalog) between calls, as Bench's sweep does.
+    * Pipelines that cannot afford the cache should checkpoint the tf
+    * frame to their own store and call the df/N/score stages over
+    * the checkpoint instead. */
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
                     k: Int): DataFrame = {
     require(k >= 1, "k must be positive")

@@ -193,29 +193,54 @@ object Similarity {
                  vecCol: String = "embedding",
                  seedKey: Column => Column = xxhash64(_)): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids)
-    def withNorm(c: DataFrame): DataFrame =
-      c.withColumn("cn", VectorFns.l2Norm(col("cv")))
-    def assignTo(cents: DataFrame)(side: DataFrame, id: String, vec: String,
-                                   keep: Int): DataFrame = {
-      val scored = side
-        .select(col(id).as("__id"), col(vec).as("__v"))
-        .withColumn("__n", VectorFns.l2Norm(col("__v")))
-        .crossJoin(broadcast(cents))
-        .withColumn("__s",
-          VectorFns.cosinePre(col("__v"), col("cv"), col("__n"), col("cn")))
-      if (keep == 1)
-        // map-side partial max_by: one skinny shuffle of n rows
-        scored.groupBy("__id")
-          .agg(max_by(col("c_id"), struct(col("__s"), col("c_id"))).as("c_id"))
-      else
-        TopK.perGroup(scored.select(col("__id"), col("c_id"), col("__s")),
-            groups = Seq(col("__id")),
-            order = Seq(col("__s").desc, col("c_id")), k = keep)
-          .select(col("__id"), col("c_id"))
-    }
-    // Seed centroids: deterministic hash-sample of corpus vectors
-    // (smallest xxhash64, id tie-break) — dimension-sized sort input.
-    var cents = withNorm(TopK.perGroup(
+    val cents = ivfCentroids(corpus, numCentroids, lloydIters,
+      idCol, vecCol, seedKey)
+    annIvfTopKFromIndex(cents, ivfAssignments(corpus, cents, idCol, vecCol),
+      queries, nProbe, k, idCol, vecCol)
+  }
+
+  private def withCentNorm(c: DataFrame): DataFrame =
+    c.withColumn("cn", VectorFns.l2Norm(col("cv")))
+
+  private def assignTo(cents: DataFrame)(side: DataFrame, id: String,
+                                         vec: String, keep: Int): DataFrame = {
+    val scored = side
+      .select(col(id).as("__id"), col(vec).as("__v"))
+      .withColumn("__n", VectorFns.l2Norm(col("__v")))
+      .crossJoin(broadcast(cents.select(col("c_id"), col("cv"), col("cn"))))
+      .withColumn("__s",
+        VectorFns.cosinePre(col("__v"), col("cv"), col("__n"), col("cn")))
+    if (keep == 1)
+      // map-side partial max_by: one skinny shuffle of n rows
+      scored.groupBy("__id")
+        .agg(max_by(col("c_id"), struct(col("__s"), col("c_id"))).as("c_id"))
+    else
+      TopK.perGroup(scored.select(col("__id"), col("c_id"), col("__s")),
+          groups = Seq(col("__id")),
+          order = Seq(col("__s").desc, col("c_id")), k = keep)
+        .select(col("__id"), col("c_id"))
+  }
+
+  /** The trained half of the IVF layout: `(c_id, cv, cn)` centroids —
+    * a deterministic hash-sample of corpus vectors (smallest
+    * `seedKey`, id tie-break) refined by `lloydIters` distributed
+    * k-means steps. This is what a persisted IVF index STORES next to
+    * its assignments ([[ivfAssignments]]): centroids are k·dim
+    * doubles, so they live as a small parquet file and broadcast into
+    * every later assignment — the layout is trained once, then every
+    * daily batch assigns against the SAME centroids
+    * ([[annIvfTopKFromIndex]]), which is what makes incremental
+    * maintenance sound (assignment is pointwise per vector, so
+    * store ∪ new-batch assignments ≡ assignments of the combined
+    * corpus, spec-asserted). Returned frame is localCheckpoint'ed
+    * (k rows) — materialized for its downstream assignments and
+    * lineage-truncated so Lloyd's iterative plan never re-analyzes. */
+  def ivfCentroids(corpus: DataFrame, numCentroids: Int,
+                   lloydIters: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   seedKey: Column => Column = xxhash64(_)): DataFrame = {
+    var cents = withCentNorm(TopK.perGroup(
         corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
           .withColumn("__h", seedKey(col("c_id"))),
         groups = Seq(lit(1)), order = Seq(col("__h"), col("c_id")),
@@ -240,7 +265,7 @@ object Similarity {
       val asg = assignTo(prev)(corpus, idCol, vecCol, keep = 1)
         .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
           "__id")
-      cents = withNorm(asg
+      cents = withCentNorm(asg
         .select(col("c_id"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg(col("x").cast("double")).as("m"))
         .groupBy("c_id")
@@ -252,16 +277,56 @@ object Similarity {
       // the CacheManager — free the prior iteration through the RDD
       org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
     }
-    val assign = assignTo(cents) _
-    val corpusAsg = assign(corpus, idCol, vecCol, 1)
-      .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("ec")), "__id")
+    cents
+  }
+
+  /** The inverted file itself: `(c_id, n_id, ec, nc)` — every vector
+    * of `vecs` tagged with its nearest centroid (cosine, larger c_id
+    * on ties), carrying the vector and its norm so probing never
+    * joins back to the source frame. Assignment is pointwise per
+    * vector (a broadcast of the centroids against the scan, reduced
+    * map-side), which is the property incremental maintenance rests
+    * on: `ivfAssignments(ref) ∪ ivfAssignments(batch)` over the SAME
+    * centroids is bit-identical to `ivfAssignments(ref ∪ batch)` —
+    * so a daily batch appends to the stored inverted file without
+    * touching existing rows ([[graft.io.PartitionedStore]] gives the
+    * append fragmentation control + partition-selective compaction).
+    * Stored `partitionBy("c_id")`, each probe reads only its nProbe
+    * clusters' directories — |corpus|·nProbe/numCentroids bytes, the
+    * IVF read-suppression claim, enforced by dynamic partition
+    * pruning at scan time (spec-asserted). */
+  def ivfAssignments(vecs: DataFrame, centroids: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    assignTo(centroids)(vecs, idCol, vecCol, 1)
+      .join(vecs.select(col(idCol).as("__id"), col(vecCol).as("ec")), "__id")
       .select(col("__id").as("n_id"), col("c_id"), col("ec"))
       .withColumn("nc", VectorFns.l2Norm(col("ec")))
-    val queryProbes = assign(queries, idCol, vecCol, nProbe)
+
+  /** Probe a STORED IVF layout: queries assign to their `nProbe`
+    * nearest stored centroids and meet only those clusters'
+    * assignment rows. `assignments` is typically
+    * `spark.read.parquet(store)` over a [[ivfAssignments]] frame
+    * written partitioned by `c_id`; the query side broadcasts, so
+    * the store never shuffles, and the broadcast's c_id set prunes
+    * the store scan to the probed partition directories (dynamic
+    * partition pruning — the plan's store scan carries a
+    * `dynamicpruning` partition filter, spec-asserted). Exactly
+    * [[annIvfTopK]]'s probe half: composing it with [[ivfCentroids]]
+    * + [[ivfAssignments]] reproduces annIvfTopK bit-for-bit
+    * (spec-asserted), which is what makes the stored layout a cache
+    * of the computation, not a fork of it. */
+  def annIvfTopKFromIndex(centroids: DataFrame, assignments: DataFrame,
+                          queries: DataFrame, nProbe: Int, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1, "nProbe must be positive")
+    val queryProbes = assignTo(centroids)(queries, idCol, vecCol, nProbe)
       .join(queries.select(col(idCol).as("__id"), col(vecCol).as("eq")), "__id")
       .select(col("__id").as("q_id"), col("c_id"), col("eq"))
       .withColumn("nq", VectorFns.l2Norm(col("eq")))
-    val scored = corpusAsg.join(broadcast(queryProbes), Seq("c_id"))
+    val scored = assignments.select("c_id", "n_id", "ec", "nc")
+      .join(broadcast(queryProbes), Seq("c_id"))
       .where(col("n_id") =!= col("q_id"))
       .where(col("nc") > 0 && col("nq") > 0)
       .withColumn("score",
