@@ -386,6 +386,28 @@ object SparkEntry {
         seedKey = c => md5(c.cast("string")))
     }),
 
+    // oracle-checked incremental IVF (q71's daily-ingest shape for
+    // the IVF path): the layout is trained (md5 seed, no Lloyd) on
+    // the REFERENCE slice and FROZEN; the batch's assignments union
+    // in pointwise — assignment is per-vector, so ref ∪ batch ≡
+    // assignments of the combined corpus (IvfStoreSpec pins the same
+    // identity through a real partitionBy store with value-aligned
+    // appends + partition-selective compaction, and asserts the probe
+    // scan carries a dynamicpruning partition filter). DuckDB replays
+    // seed → assign → probe → rank bit-for-bit.
+    "q_ann_ivf_incremental" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      val ref = emb.where(col("vec_id") % 3 === 0)
+      val batch = emb.where(col("vec_id") % 3 =!= 0)
+      val cents = Similarity.ivfCentroids(ref, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val asg = Similarity.ivfAssignments(ref, cents)
+        .unionByName(Similarity.ivfAssignments(batch, cents))
+      Similarity.annIvfTopKFromIndex(cents, asg,
+        emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
+    }),
+
     // rows-only: end-to-end corpus prep composing the verified stages
     "q_training_prep" -> ((s, dir) =>
       TrainingPipeline.prepare(Tables(s, dir).documents,
@@ -1246,6 +1268,47 @@ object SparkEntry {
         |  FROM embeddings
         |  WHERE list_inner_product(embedding, embedding) > 0),
         |seed AS (SELECT id AS c_id, e AS cv, n AS cn FROM v
+        |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |ca AS (SELECT id, c_id FROM (
+        |         SELECT v.id, s.c_id,
+        |                row_number() OVER (PARTITION BY v.id
+        |                  ORDER BY list_inner_product(v.e, s.cv)/(v.n*s.cn) DESC,
+        |                           s.c_id DESC) rn
+        |         FROM v CROSS JOIN seed s)
+        |       WHERE rn = 1),
+        |qp AS (SELECT id, c_id FROM (
+        |         SELECT v.id, s.c_id,
+        |                row_number() OVER (PARTITION BY v.id
+        |                  ORDER BY list_inner_product(v.e, s.cv)/(v.n*s.cn) DESC,
+        |                           s.c_id ASC) rn
+        |         FROM v CROSS JOIN seed s WHERE v.id < 8)
+        |       WHERE rn <= 4),
+        |sc AS (SELECT q.id q_id, c.id n_id,
+        |              list_inner_product(qv.e, cv2.e)/(qv.n*cv2.n) score
+        |       FROM qp q JOIN ca c ON q.c_id = c.c_id
+        |            JOIN v qv ON qv.id = q.id
+        |            JOIN v cv2 ON cv2.id = c.id
+        |       WHERE c.id <> q.id)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rnk, n_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                   ORDER BY score DESC, n_id) rn
+        |      FROM sc)
+        |WHERE rn <= 5""".stripMargin,
+
+    // Incremental IVF: identical replay to q_ann_ivf_seeded except
+    // the seed set draws from the REFERENCE slice only (id % 3 = 0) —
+    // assignment being pointwise, the union of ref and batch
+    // assignments over the frozen centroids needs no special form in
+    // SQL; it IS the assignment of every vector.
+    "q_ann_ivf_incremental" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e,
+        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[]))) n
+        |  FROM embeddings
+        |  WHERE list_inner_product(embedding, embedding) > 0),
+        |seed AS (SELECT id AS c_id, e AS cv, n AS cn FROM v
+        |         WHERE id % 3 = 0
         |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
         |ca AS (SELECT id, c_id FROM (
         |         SELECT v.id, s.c_id,

@@ -321,9 +321,17 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
     require(nProbe >= 1, "nProbe must be positive")
+    // The probe side's c_id is cast to the STORE's c_id type (a
+    // partitionBy'd store reads its directory values back at the
+    // inferred width, e.g. int). Casting the broadcast side keeps the
+    // store-side join key a bare partition attribute — a cast there
+    // would block dynamic partition pruning, turning the probe into a
+    // full store scan.
+    val storeKeyType = assignments.schema("c_id").dataType
     val queryProbes = assignTo(centroids)(queries, idCol, vecCol, nProbe)
       .join(queries.select(col(idCol).as("__id"), col(vecCol).as("eq")), "__id")
-      .select(col("__id").as("q_id"), col("c_id"), col("eq"))
+      .select(col("__id").as("q_id"),
+        col("c_id").cast(storeKeyType).as("c_id"), col("eq"))
       .withColumn("nq", VectorFns.l2Norm(col("eq")))
     val scored = assignments.select("c_id", "n_id", "ec", "nc")
       .join(broadcast(queryProbes), Seq("c_id"))

@@ -4,16 +4,29 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Two-phase distributed top-K per group.
+/** Distributed top-K per group.
   *
-  * A single `Window.partitionBy(group)` collapses parallelism to
-  * |groups| reducer tasks — with a handful of groups the whole fact
-  * table sorts through a handful of tasks (the reference's ranking in
-  * code/ukg_open_census.py:28-29 inherits the same hazard). Phase 1
-  * ranks within (group, input-partition) — thousands of buckets, fully
-  * parallel — and keeps at most K rows per bucket; phase 2 ranks the
-  * surviving ≤ K·numPartitions rows per group, which is dimension-sized
-  * at any scale.
+  * The naive hazard: a single `Window.partitionBy(group)` over a fact
+  * table collapses to |groups| reducer tasks (the reference's ranking
+  * in code/ukg_open_census.py:28-29 inherits it). On Spark 4 the
+  * hazard is gone for rank-limit filters: `InferWindowGroupLimit`
+  * plans a map-side `WindowGroupLimit(Partial)` BEFORE the exchange,
+  * so each map partition forwards at most K rows per group — the
+  * shuffle moves K·maps·|groups| rows, not the table. That beats the
+  * old manual two-phase trick (rank within `(group,
+  * spark_partition_id)`, then globally), which shuffled the FULL
+  * input on (group, pid) first — and whose `spark_partition_id()` is
+  * nondeterministic, which disqualifies any plan built on it from
+  * being a dynamic-partition-pruning filter subquery and blocks
+  * predicate pushdown through it (measured: the IVF store probe lost
+  * its `dynamicpruning` scan filter — a full corpus read — until this
+  * operator went deterministic).
+  *
+  * The native group limit only fires for K ≤
+  * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000);
+  * past it this falls back to an explicit two-phase with
+  * DETERMINISTIC content-hash buckets, keeping the reduce input at
+  * K·buckets per group and the plan deterministic at any K.
   *
   * Ordering must carry a deterministic tie-break (e.g. `id ASC` last)
   * for a stable result.
@@ -22,12 +35,19 @@ object TopK {
 
   def perGroup(df: DataFrame, groups: Seq[Column], order: Seq[Column],
                k: Int, rankCol: String = "rnk"): DataFrame = {
-    val narrowed = df
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy((groups :+ col("__pid")): _*).orderBy(order: _*)))
-      .where(col("__lrn") <= k)
-      .drop("__pid", "__lrn")
+    val threshold = df.sparkSession.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+    val narrowed =
+      if (k <= threshold) df
+      else {
+        val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+        df.withColumn("__bkt",
+            pmod(xxhash64(struct(df.columns.map(col): _*)), lit(parts.toLong)))
+          .withColumn("__lrn", row_number().over(
+            Window.partitionBy((groups :+ col("__bkt")): _*).orderBy(order: _*)))
+          .where(col("__lrn") <= k)
+          .drop("__bkt", "__lrn")
+      }
     val global = Window.partitionBy(groups: _*).orderBy(order: _*)
     narrowed
       .withColumn(rankCol, row_number().over(global).cast("long"))

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.{PartitionedStore, Tables}
+import graft.operators.Similarity
+
+/** The persisted IVF layout: centroids + assignments stored once,
+  * probed and incrementally appended without recomputing the corpus
+  * side — the IVF analog of the bucketed signature / sign-band
+  * stores. */
+class IvfStoreSpec extends GraftSuite {
+
+  private val storeRoot = "/tmp/graft_ivf_store_spec"
+
+  private def emb: DataFrame =
+    Tables(spark, sfDir).embeddings
+      .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+
+  test("stored layout reproduces annIvfTopK bit-for-bit through a store roundtrip") {
+    val path = s"$storeRoot/roundtrip"
+    val queries = emb.where(col("vec_id") < 8)
+    val direct = Similarity.annIvfTopK(emb, queries,
+      numCentroids = 16, nProbe = 4, k = 5, lloydIters = 2)
+
+    val cents = Similarity.ivfCentroids(emb, 16, lloydIters = 2)
+    PartitionedStore.write(Similarity.ivfAssignments(emb, cents),
+      path, "c_id")
+    // centroids persist next to the assignments, as a deployment would
+    cents.write.mode("overwrite").parquet(s"${path}__centroids")
+    val stored = Similarity.annIvfTopKFromIndex(
+      spark.read.parquet(s"${path}__centroids"),
+      spark.read.parquet(path),
+      queries, nProbe = 4, k = 5)
+    assert(rows(stored) == rows(direct))
+  }
+
+  test("appended assignments equal a full recompute over the combined corpus") {
+    val path = s"$storeRoot/incr"
+    val ref = emb.where(col("vec_id") % 3 === 0)
+    val batch = emb.where(col("vec_id") % 3 =!= 0)
+    // the layout is trained on the reference corpus and FROZEN — the
+    // daily batch assigns against the same centroids, which is what
+    // makes append ≡ recompute (assignment is pointwise per vector)
+    val cents = Similarity.ivfCentroids(ref, 16, lloydIters = 1)
+
+    PartitionedStore.write(Similarity.ivfAssignments(ref, cents),
+      path, "c_id")
+    val tripped = PartitionedStore.appendAndMaintain(
+      Similarity.ivfAssignments(batch, cents), path, "c_id",
+      maxFragments = 4)
+    assert(tripped.isEmpty, "one append must not trip compaction")
+
+    val queries = emb.where(col("vec_id") < 8)
+    val fromStore = Similarity.annIvfTopKFromIndex(cents,
+      spark.read.parquet(path), queries, nProbe = 4, k = 5)
+    val recomputed = Similarity.annIvfTopKFromIndex(cents,
+      Similarity.ivfAssignments(ref.unionByName(batch), cents),
+      queries, nProbe = 4, k = 5)
+    assert(rows(fromStore).nonEmpty && rows(fromStore) == rows(recomputed))
+  }
+
+  test("probe scan is pruned to the probed partitions (dynamic partition pruning)") {
+    val path = s"$storeRoot/dpp"
+    val cents = Similarity.ivfCentroids(emb, 16, lloydIters = 0)
+    PartitionedStore.write(Similarity.ivfAssignments(emb, cents),
+      path, "c_id")
+    val probe = Similarity.annIvfTopKFromIndex(cents,
+      spark.read.parquet(path), emb.where(col("vec_id") < 8),
+      nProbe = 4, k = 5)
+    probe.count()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"store scan is not partition-pruned by the probe set:\n$plan")
+  }
+
+  test("appends fragment boundedly; compaction rewrites only fragmented directories") {
+    val path = s"$storeRoot/frag"
+    val cents = Similarity.ivfCentroids(emb, 8, lloydIters = 0)
+    val asg = Similarity.ivfAssignments(emb, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      PartitionedStore.write(asg, path, "c_id")
+      val total = spark.read.parquet(path).count()
+      // three daily appends of a slice touching only SOME clusters
+      val slice = asg.where(pmod(col("n_id"), lit(4)) === 0)
+      val sliceClusters = slice.select("c_id").distinct()
+        .collect().map(_.getLong(0).toString).toSet
+      val untouched = PartitionedStore
+        .filesPerPartition(spark, path, "c_id")
+        .keys.filterNot(sliceClusters).toSet
+      (1 to 3).foreach { _ =>
+        PartitionedStore.append(slice, path, "c_id")
+      }
+      val fpp = PartitionedStore.filesPerPartition(spark, path, "c_id")
+      assert(fpp.values.max == 4,
+        s"value-aligned appends must add one file per touched dir: $fpp")
+      assert(untouched.forall(fpp(_) == 1),
+        "append touched directories outside the batch's clusters")
+
+      // compaction bound 2: only the appended (4-file) dirs rewrite
+      val rewritten = PartitionedStore.compactIfFragmented(
+        spark, path, "c_id", maxFragments = 2)
+      assert(rewritten.nonEmpty &&
+        rewritten.toSet.subsetOf(sliceClusters),
+        s"compaction rewrote untouched dirs: $rewritten")
+      val after = PartitionedStore.filesPerPartition(spark, path, "c_id")
+      assert(after.values.max == 1, s"compaction left fragments: $after")
+      // content intact: original + 3 appended slices
+      val sliceRows = slice.count()
+      assert(spark.read.parquet(path).count() == total + 3 * sliceRows)
+      // idempotent below the bound
+      assert(PartitionedStore.compactIfFragmented(
+        spark, path, "c_id", maxFragments = 2).isEmpty)
+    } finally asg.unpersist()
+  }
+}
