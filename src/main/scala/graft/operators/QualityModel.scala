@@ -77,6 +77,89 @@ object QualityModel {
       b => element_at(warr, (b + 1L).cast("int")))
   }
 
+  /** Distributed logistic trainer for the hashed-linear model: full-
+    * batch gradient descent over a LABELED frame, expressed entirely
+    * as DataFrame aggregates — no driver-side loop over rows, no
+    * MLlib. Returns weights quantized to the integer [-1000, 1000]
+    * array [[scoreWithWeights]] consumes, so train → score is a
+    * closed loop: the scoring plan stays the zero-shuffle scan the
+    * derived-weight form has (the weights ride in as one literal).
+    *
+    * Featurization is IDENTICAL to [[score]]/[[scoreWithWeights]]
+    * (normalized unigrams + bigrams, hashed into `dim` buckets) —
+    * trained weights are only as good as the train/score feature
+    * match, so both derive from the same private builder. The model
+    * optimizes logistic loss on the MEAN bucket weight (margin /
+    * n_feats — exactly the quantity [[score]] thresholds at 0, so
+    * p ≥ ½ ⇔ predicted label 1 and the sign survives positive
+    * quantization scaling).
+    *
+    * Cost shape per epoch: one pass over the persisted (id, bucket,
+    * cnt) feature frame — a doc-keyed aggregate for margins, a
+    * doc-keyed join + bucket-keyed aggregate for the gradient — and
+    * one dim-sized collect. The feature frame is labeled-set-sized,
+    * not corpus-sized: quality classifiers train on a curated labeled
+    * sample (10⁵–10⁶ docs) and SCORE the 100 TB corpus, so the
+    * trainer's shuffles are bounded by the labeled set while the
+    * scoring path stays shuffle-free. The dim-sized driver weight
+    * array obeys the same size guidance as [[scoreWithWeights]]'s
+    * literal (hundreds of thousands of buckets; one typedLit node
+    * carries it into each epoch's plan). `labelCol` must be 0/1. */
+  def train(df: DataFrame, id: Column, text: Column, labelCol: Column,
+            dim: Int, epochs: Int = 30, lr: Double = 1.0,
+            l2: Double = 0.0,
+            hashKey: Column => Column = xxhash64(_)): Array[Int] = {
+    require(dim >= 1, "feature dimension must be positive")
+    require(epochs >= 1, "epochs must be positive")
+    val feats = featureBuckets(df, id, text, dim, hashKey)
+      .join(df.select(id.as("id"), labelCol.cast("double").as("y")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val numDocs = feats.select(col("id")).distinct().count().toDouble
+      require(numDocs > 0, "no scoreable labeled documents")
+      val w = Array.fill(dim)(0.0)
+      for (_ <- 0 until epochs) {
+        val warr = typedLit(w.toSeq)
+        val p = feats.groupBy("id", "y", "n")
+          .agg(sum(col("cnt") *
+            element_at(warr, (col("b") + 1L).cast("int"))).as("m"))
+          .select(col("id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("m") / col("n")))).as("p"))
+        val grad = feats.join(p, "id")
+          .groupBy("b")
+          .agg(sum((col("p") - col("y")) * col("cnt") / col("n")).as("g"))
+          .collect()
+        grad.foreach { r =>
+          val b = r.getLong(0).toInt
+          w(b) -= lr * (r.getDouble(1) / numDocs + l2 * w(b))
+        }
+      }
+      quantize(w)
+    } finally feats.unpersist()
+  }
+
+  /** Positive-scale quantization to [[scoreWithWeights]]'s integer
+    * range: sign (and so every predicted label) is preserved. */
+  def quantize(w: Array[Double]): Array[Int] = {
+    val mx = math.max(w.iterator.map(math.abs).maxOption.getOrElse(0.0), 1e-12)
+    w.map(x => math.round(x / mx * 1000.0).toInt)
+  }
+
+  /** Shared featurization, factored so train and score cannot drift:
+    * one row per (doc, bucket) with its in-doc count and the doc's
+    * total feature count. */
+  private def featureBuckets(df: DataFrame, id: Column, text: Column,
+                             dim: Int, hashKey: Column => Column)
+      : DataFrame =
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= 1)
+      .select(col("id"),
+        concat(col("__w"), TextFns.bigramArray(col("__w"))).as("__f"))
+      .select(col("id"), size(col("__f")).cast("double").as("n"),
+        explode(transform(col("__f"),
+          t => pmod(hashKey(t), lit(dim.toLong)))).as("b"))
+      .groupBy("id", "n", "b").agg(count(lit(1)).cast("double").as("cnt"))
+
   private def scoreBy(df: DataFrame, id: Column, text: Column, dim: Int,
                       hashKey: Column => Column,
                       weightOf: Column => Column): DataFrame = {

@@ -115,6 +115,46 @@ class TextQualitySpec extends GraftSuite {
       .contains("Exchange"))
   }
 
+  test("train: planted signal recovered on held-out docs; scoring plan unchanged") {
+    val s = spark; import s.implicits._
+    // planted signal: positives draw half their tokens from a "good"
+    // vocabulary, negatives from a "bad" one, both mixed with shared
+    // noise — the signal lives in the hashed unigrams/bigrams the
+    // trainer must weight, not in any column it can see directly
+    val goodV = Vector("crisp", "lucid", "cogent", "precise", "thorough")
+    val badV = Vector("soggy", "garbled", "rambling", "vacuous", "turgid")
+    val noise = Vector("the", "of", "report", "data", "table", "with",
+      "notes", "entry", "file", "update")
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 300).map { i =>
+      val pos = i % 2 == 0
+      val vocab = if (pos) goodV else badV
+      val words = (0 until 12 + rng.nextInt(8)).map { _ =>
+        if (rng.nextDouble() < 0.5) vocab(rng.nextInt(vocab.size))
+        else noise(rng.nextInt(noise.size))
+      }
+      (i.toLong, words.mkString(" "), if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val holdout = docs.where(col("doc_id") % 5 === 0)
+    val trainSet = docs.where(col("doc_id") % 5 =!= 0)
+    val w = graft.operators.QualityModel.train(trainSet, col("doc_id"),
+      col("text"), col("y"), dim = 256, epochs = 25, lr = 2.0)
+    assert(w.length == 256 && w.exists(_ != 0))
+    assert(w.forall(x => x >= -1000 && x <= 1000))
+    val scored = graft.operators.QualityModel.scoreWithWeights(
+      holdout, col("doc_id"), col("text"), w)
+    val joined = scored.select(col("id"), col("label"))
+      .join(holdout.select(col("doc_id").as("id"), col("y")), "id")
+    val acc = joined.where(col("label") === col("y")).count().toDouble /
+      joined.count()
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+    // the trained array changes nothing about the scoring plan:
+    // still not one Exchange
+    scored.write.format("noop").mode("overwrite").save()
+    assert(!scored.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+
   test("quality model: fold margin == declarative explode replay, both hash families") {
     val s = spark; import s.implicits._
     val t = graft.io.Tables(spark, sfDir)
