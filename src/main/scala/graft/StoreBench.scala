@@ -32,6 +32,16 @@ import graft.operators.Dedup
   * harness exists to price (first-shot lesson: ratio 1.008 with it
   * left inside the timer).
   *
+  * The day-N arm prices the MAINTENANCE claim: a second bucketed
+  * store takes `SPARK_GRAFT_STORE_DAYS` daily `appendAndMaintain`
+  * cycles (bucket-aligned appends, compaction past
+  * `SPARK_GRAFT_STORE_MAXFRAG` fragments/bucket) before the same
+  * increment joins it. If maintenance holds, day-N join cost tracks
+  * the store's ROW growth (`dayn_rows` vs `store_rows`), not its
+  * append count — the fragmentation failure mode would show as
+  * dayn_vs_day1 far above the row ratio, with `dayn_frag_max` as the
+  * witness.
+  *
   * Broadcast is disabled for the timed joins, as in the plan spec:
   * at local sf1 the 5% batch side fits under the 10 MB broadcast
   * threshold and BHJ would measure neither arm's shuffle — while at
@@ -126,6 +136,39 @@ object StoreBench {
     }
     val storeRows = spark.table("store_bench_sig").count()
 
+    // day-N arm: the SAME day-0 rows into a second store, then
+    // `days` daily `appendAndMaintain` cycles of day-sized slices
+    // (distinct ids — never meeting the increment batch, so the only
+    // difference the timer can see on this arm vs day-1 is what
+    // maintenance is supposed to bound: files/bucket and store
+    // volume growth). Appends + compaction run OUTSIDE the timers —
+    // they are the maintenance cost `write_*_sec` style numbers
+    // price, not the per-increment join this harness times.
+    val days = sys.env.getOrElse("SPARK_GRAFT_STORE_DAYS", "5").toInt
+    val dayMaxFragments =
+      sys.env.getOrElse("SPARK_GRAFT_STORE_MAXFRAG", "4").toInt
+    spark.sql("DROP TABLE IF EXISTS store_bench_sig_dayn")
+    graft.io.Bucketing.writeBucketed(
+      Dedup.bandIndex(sigsOf(refDocs), numHashes, bands),
+      "store_bench_sig_dayn", Seq("band", "bk"), buckets = shuffle.toInt)
+    var compactions = 0
+    val tAppends = timed {
+      (1 to days).foreach { d =>
+        val dayDocs = docs.where(pmod(xxhash64(col("doc_id")), lit(20)) === d)
+          .select((col("doc_id") + lit(900000000L + d * 10000000L)).as("doc_id"),
+            col("text"))
+        if (graft.io.Bucketing.appendAndMaintain(
+            Dedup.bandIndex(sigsOf(dayDocs), numHashes, bands),
+            "store_bench_sig_dayn", Seq("band", "bk"),
+            buckets = shuffle.toInt, maxFragments = dayMaxFragments))
+          compactions += 1
+      }
+    }
+    val dayNFragMax = graft.io.Bucketing
+      .filesPerBucket(spark, "store_bench_sig_dayn")
+      .values.maxOption.getOrElse(0)
+    val dayNRows = spark.table("store_bench_sig_dayn").count()
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // the increment's signatures, materialized OUTSIDE the timers (to
@@ -147,22 +190,27 @@ object StoreBench {
     StallProbe.start()
     val bucketed = scala.collection.mutable.ArrayBuffer.empty[Double]
     val plain = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val dayN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val stalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (r <- 0 until runs) {
       val s0 = StallProbe.totalSec
       val arms: Seq[(String, () => Double)] = Seq(
         "bucketed" -> (() => timed(increment(spark.table("store_bench_sig")))),
+        "dayN" -> (() => timed(increment(spark.table("store_bench_sig_dayn")))),
         "plain" -> (() => timed(increment(spark.read.parquet(plainDir)))))
       val order = if (r % 2 == 0) arms else arms.reverse
       val got = order.map { case (n, f) =>
         val t = f(); sweep(); n -> t }.toMap
       bucketed += got("bucketed"); plain += got("plain")
+      dayN += got("dayN")
       stalls += StallProbe.totalSec - s0
       System.err.println(f"[store-bench] run $r bucketed=${got("bucketed")}%.2f s " +
+        f"dayN=${got("dayN")}%.2f s " +
         f"plain=${got("plain")}%.2f s stall=${stalls.last}%.2f s")
     }
     val loadAfter = loadavg
     spark.sql("DROP TABLE IF EXISTS store_bench_sig")
+    spark.sql("DROP TABLE IF EXISTS store_bench_sig_dayn")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -177,6 +225,12 @@ object StoreBench {
         s""","ratio":${median(bucketed.toSeq) / median(plain.toSeq)}""" +
         s""","bucketed_runs":${jarr(bucketed.toSeq)}""" +
         s""","plain_runs":${jarr(plain.toSeq)}""" +
+        s""","dayn_median":${median(dayN.toSeq)}""" +
+        s""","dayn_runs":${jarr(dayN.toSeq)}""" +
+        s""","dayn_vs_day1":${median(dayN.toSeq) / median(bucketed.toSeq)}""" +
+        s""","days":$days,"day_appends_sec":${math.round(tAppends * 100) / 100.0}""" +
+        s""","day_compactions":$compactions,"dayn_frag_max":$dayNFragMax""" +
+        s""","dayn_rows":$dayNRows""" +
         s""","stall_sec":${jarr(stalls.toSeq)}""" +
         s""","write_bucketed_sec":${math.round(tWBucketed * 100) / 100.0}""" +
         s""","write_plain_sec":${math.round(tWPlain * 100) / 100.0}""" +
