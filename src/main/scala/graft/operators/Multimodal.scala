@@ -125,10 +125,107 @@ object Multimodal {
     }
   }
 
-  /** Decode audio payloads partition-wise through the real
-    * [[AudioHeaderDecoder]]; unrecognized payloads report ok = false
-    * with zeroed fields (decoder "none") rather than faking numbers —
-    * audio is a typed path, not a stub. */
+  /** MP3 frame-header metadata parse — pure-JDK bit parsing of the
+    * published MPEG-1/2/2.5 audio frame header (ISO/IEC 11172-3 /
+    * 13818-3), the same header-only pattern as the ISO-BMFF and
+    * RIFF walks: 4-byte headers are read and frames are SKIPPED by
+    * their computed length; no sample data is ever decoded (no JDK
+    * codec exists for that — it stays the declared stub surface).
+    *
+    * Layout (b1..b4): 11 sync bits (0xFFE0), 2 version bits
+    * (00=2.5, 01=reserved, 10=2, 11=1), 2 layer bits (01=III,
+    * 10=II, 11=I), then bitrate index (4), sample-rate index (2),
+    * padding bit, and channel mode (mono iff 11). Frame length:
+    * Layer I = (12·br/sr + pad)·4; Layer II and MPEG-1 Layer III =
+    * 144·br/sr + pad; MPEG-2/2.5 Layer III = 72·br/sr + pad
+    * (576 samples/frame instead of 1152). Walking successive
+    * headers sums exact per-frame samples, so `duration_sec` is
+    * right for VBR streams too — not a CBR byte-count estimate.
+    *
+    * Recognition gate (the [[VideoHeaderDecoder]] `topLevel`
+    * argument): the sync must sit at offset 0 — after an optional
+    * ID3v2 tag, skipped via its syncsafe size — and the first
+    * header must be fully valid. Arbitrary bytes fall through to
+    * None instead of being misparsed; a sync APPEARING mid-buffer
+    * is not treated as MP3. */
+  private object Mp3Frames {
+    // kbps by [version V1=0/V2+V2.5=1][layer I=0/II=1/III=2][index 1..14]
+    private val kbps: Array[Array[Array[Int]]] = Array(
+      Array(
+        Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)),
+      Array(
+        Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+    private val srHz: Map[Int, Array[Int]] = Map(
+      3 -> Array(44100, 48000, 32000), // MPEG-1
+      2 -> Array(22050, 24000, 16000), // MPEG-2
+      0 -> Array(11025, 12000, 8000))  // MPEG-2.5
+
+    /** (sampleRateHz, bitrateKbps, channels, samplesPerFrame,
+      * frameBytes) of one header at `o`, or None if any field is
+      * reserved/invalid. */
+    def frameAt(b: Array[Byte], o: Int): Option[(Int, Int, Int, Int, Int)] = {
+      if (o + 4 > b.length) return None
+      if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return None
+      val ver = (b(o + 1) >> 3) & 3   // 0=2.5 1=reserved 2=V2 3=V1
+      val layer = (b(o + 1) >> 1) & 3 // 0=reserved 1=III 2=II 3=I
+      if (ver == 1 || layer == 0) return None
+      val brIdx = (b(o + 2) >> 4) & 15
+      val srIdx = (b(o + 2) >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/bad
+      val pad = (b(o + 2) >> 1) & 1
+      val mono = ((b(o + 3) >> 6) & 3) == 3
+      val sr = srHz(ver)(srIdx)
+      val br = kbps(if (ver == 3) 0 else 1)(3 - layer)(brIdx)
+      val (samples, len) = layer match {
+        case 3 => (384, (12 * br * 1000 / sr + pad) * 4)               // I
+        case 2 => (1152, 144 * br * 1000 / sr + pad)                   // II
+        case _ =>                                                      // III
+          if (ver == 3) (1152, 144 * br * 1000 / sr + pad)
+          else (576, 72 * br * 1000 / sr + pad)
+      }
+      Some((sr, br, if (mono) 1 else 2, samples, len))
+    }
+
+    /** ID3v2 tag length at offset 0 (header + syncsafe size [+
+      * footer]), or 0 when absent. */
+    def id3v2Len(b: Array[Byte]): Int = {
+      if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      10 + size + footer
+    }
+
+    /** (sampleRate, channels, durationSec) from the first header's
+      * rate/mode and the exact per-frame sample sum of the walk. */
+    def decode(payload: Array[Byte]): Option[(Float, Int, Double)] = {
+      if (payload == null || payload.length < 14) return None
+      val start = id3v2Len(payload)
+      frameAt(payload, start).map { case (sr0, _, ch0, _, _) =>
+        var o = start
+        var samples = 0L
+        var going = true
+        while (going) frameAt(payload, o) match {
+          case Some((_, _, _, smp, len)) if len > 0 =>
+            samples += smp; o += len
+          case _ => going = false
+        }
+        (sr0.toFloat, ch0, samples.toDouble / sr0)
+      }
+    }
+  }
+
+  /** Decode audio payloads partition-wise: the real
+    * [[AudioHeaderDecoder]] first (WAV/AIFF/AU via javax.sound),
+    * then the [[Mp3Frames]] frame-header walk (decoder "mp3hdr") for
+    * MPEG audio the JDK providers don't read; payloads neither
+    * recognizes report ok = false with zeroed fields (decoder
+    * "none") rather than faking numbers — audio is a typed path,
+    * not a stub. */
   def decodeAudio(payloads: DataFrame)
                  (implicit spark: SparkSession): Dataset[AudioMeta] = {
     import spark.implicits._
@@ -138,9 +235,11 @@ object Multimodal {
         val dec = new AudioHeaderDecoder // per-partition init
         it.map { case (id, payload) =>
           val n = if (payload == null) 0 else payload.length
-          dec.decode(payload) match {
-            case Some((sr, ch, dur)) =>
-              AudioMeta(id, n, sr, ch, dur, ok = true, decoder = "sound")
+          dec.decode(payload)
+            .map(r => (r, "sound"))
+            .orElse(Mp3Frames.decode(payload).map(r => (r, "mp3hdr"))) match {
+            case Some(((sr, ch, dur), d)) =>
+              AudioMeta(id, n, sr, ch, dur, ok = true, decoder = d)
             case None =>
               AudioMeta(id, n, 0f, 0, -1.0, ok = false, decoder = "none")
           }
@@ -299,9 +398,11 @@ object Multimodal {
   // parser recognizes (all three kinds have real header parsers:
   // imageio, javax.sound, ISO-BMFF; image PIXEL decode is real —
   // PixelDecoder — as are PCM audio samples — SampleDecoder — and
-  // MJPEG-AVI video frames — AviFrames + extractFrameFeatures. The
-  // remaining stub surface is COMPRESSED codecs only: MP3/AAC audio,
-  // H.264-class video — no JDK decoder exists). A real sample
+  // MJPEG-AVI video frames — AviFrames + extractFrameFeatures; MP3
+  // frame-HEADER metadata is parsed by Mp3Frames. The remaining stub
+  // surface is SAMPLE/FRAME decode of compressed codecs only —
+  // MP3/AAC audio samples, H.264-class video frames — where no JDK
+  // decoder exists). A real sample
   // pipeline binds a native library here (one init per partition,
   // reused across records). The fake derives "dimensions" from
   // payload bytes so tests are reproducible without codecs.

@@ -998,6 +998,47 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!m(7L).ok && m(7L).decoder == "none" && m(7L).channels == 0)
   }
 
+  test("MP3 frame-header walk: rate/channels/duration from generated frames") {
+    implicit val s = spark
+    import spark.implicits._
+    // frames built bit-for-bit per ISO/IEC 11172-3; lengths below are
+    // hand-computed from the spec formula, NOT from the code under test:
+    //   V1 L3 128kbps/44100  -> 144*128000/44100 = 417 B, 1152 smp
+    //   V1 L3 192kbps/44100  -> 144*192000/44100 = 626 B, 1152 smp
+    //   V2 L3  64kbps/22050  ->  72* 64000/22050 = 208 B,  576 smp
+    def frame(b2: Int, b3: Int, b4: Int, len: Int): Array[Byte] = {
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte; f(1) = b2.toByte; f(2) = b3.toByte; f(3) = b4.toByte
+      f
+    }
+    val cbr128 = frame(0xfb, 0x90, 0x00, 417) // V1 L3, brIdx 9, sr 44100, stereo
+    val cbr192 = frame(0xfb, 0xb0, 0x00, 626) // V1 L3, brIdx 11
+    val v2mono = frame(0xf3, 0x80, 0xc0, 208) // V2 L3, brIdx 8, sr 22050, mono
+    def cat(fs: Array[Byte]*): Array[Byte] = fs.flatten.toArray
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100) // syncsafe size 100, no footer
+    val payloads = Seq(
+      (1L, cat(Seq.fill(40)(cbr128): _*)),                    // CBR
+      (2L, cat(Seq.fill(10)(cbr128) ++ Seq.fill(10)(cbr192): _*)), // VBR
+      (3L, id3 ++ cat(Seq.fill(5)(v2mono): _*)),              // ID3v2 + V2 mono
+      (4L, Array[Byte]('x', 'x') ++ cat(cbr128)),             // sync NOT at 0
+      (5L, cbr128.take(3))                                    // truncated header
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudio(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(m(1L).ok && m(1L).decoder == "mp3hdr")
+    assert(m(1L).sample_rate == 44100f && m(1L).channels == 2)
+    assert(math.abs(m(1L).duration_sec - 40 * 1152.0 / 44100) < 1e-9)
+    // VBR: duration is the exact per-frame sample sum, not a byte estimate
+    assert(m(2L).ok && math.abs(m(2L).duration_sec - 20 * 1152.0 / 44100) < 1e-9)
+    assert(m(3L).ok && m(3L).decoder == "mp3hdr")
+    assert(m(3L).sample_rate == 22050f && m(3L).channels == 1)
+    assert(math.abs(m(3L).duration_sec - 5 * 576.0 / 22050) < 1e-9)
+    // recognition gate: a sync mid-buffer is not MP3, nor is a cut header
+    assert(!m(4L).ok && m(4L).decoder == "none")
+    assert(!m(5L).ok && m(5L).decoder == "none")
+  }
+
   test("ISO-BMFF box walk decodes real MP4 headers into video features") {
     implicit val s = spark
     import spark.implicits._
