@@ -712,6 +712,17 @@ object SparkEntry {
           col("doc_id"), col("text"), k = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    // rows-only by design: score = tf·ln(N/df), the classic log-idf
+    // form — ln isn't hash-replayable across engines (last-ulp
+    // drift), so q_tfidf_topk (the integer-exact surrogate over the
+    // SAME tf/df/N pipeline) is the oracle-green twin; the spec pins
+    // pairwise rank agreement between the two wherever tf and idf
+    // don't trade off
+    "q_tfidf_topk_ln" -> ((s, dir) =>
+      CorpusStats.tfidfTopTermsLn(Tables(s, dir).documents,
+          col("doc_id"), col("text"), k = 5)
+        .withColumnRenamed("id", "doc_id")),
+
     // oracle-checked: exact per-domain vocabulary (count DISTINCT
     // token) — the engine-portable twin of the HLL scale path below
     "q_vocab_stats" -> ((s, dir) =>

@@ -222,8 +222,8 @@ object CorpusStats {
     * so rankings can differ where tf and idf trade off. Chosen
     * because `ln` differs across engines in the last ulp and one
     * integer division doesn't — the [[rarityStats]] portability
-    * rule; swap the score lambda for the log form if fidelity to
-    * classic tf-idf matters more than replayability.
+    * rule; [[tfidfTopTermsLn]] is the log-form twin when fidelity
+    * to classic tf-idf matters more than replayability.
     *
     * Scale shape: tf is a map-side-combinable (id, term) count; df a
     * term-keyed count of the distinct-pair frame; their join is
@@ -247,7 +247,33 @@ object CorpusStats {
     * frame to their own store and call the df/N/score stages over
     * the checkpoint instead. */
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    tfidfTopBy(df, id, text, k,
+      (tf, n, dfreq) => (tf * n).cast("double") / dfreq)
+
+  /** The classic-form twin of [[tfidfTopTerms]]: `score =
+    * tf·ln(N/df)` — the log idf every textbook tf-idf uses, for
+    * callers who want fidelity over the surrogate's cross-engine
+    * hash-replayability (`ln` differs across engines in the last
+    * ulp, so this form is rows-only checkable where the surrogate is
+    * hash-exact). Same inputs, same tf/df/N pipeline — the two forms
+    * CANNOT drift on anything but the final score lambda — and the
+    * same ranking contract. Where tf and idf do not trade off (one
+    * term dominates another on both), the two forms order identically
+    * — the spec pins that; they may legitimately differ where a
+    * higher-tf/lower-idf term trades against the opposite, because
+    * the surrogate weights idf more steeply than the log. */
+  def tfidfTopTermsLn(df: DataFrame, id: Column, text: Column,
+                      k: Int): DataFrame =
+    tfidfTopBy(df, id, text, k,
+      (tf, n, dfreq) => tf * log(n.cast("double") / dfreq))
+
+  /** Shared tf/df/N pipeline of the two scoring forms: the persist
+    * contract documented on [[tfidfTopTerms]] lives here. `score`
+    * maps (tf, N, df) columns to the ranking score. */
+  private def tfidfTopBy(df: DataFrame, id: Column, text: Column, k: Int,
+                         score: (Column, Column, Column) => Column)
+      : DataFrame = {
     require(k >= 1, "k must be positive")
     val occ = df.where(text.isNotNull)
       .select(id.as("id"),
@@ -260,8 +286,7 @@ object CorpusStats {
     val n = tf.select(count_distinct(col("id")).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col("id"), col("term"), col("tf"), col("df"),
-        ((col("tf") * col("__n")).cast("double") / col("df"))
-          .as("score"))
+        score(col("tf"), col("__n"), col("df")).as("score"))
     TopK.perGroup(scored, Seq(col("id")),
         Seq(col("score").desc, col("term").asc), k)
       .select("id", "rnk", "term", "tf", "df", "score")

@@ -362,6 +362,56 @@ class CorpusOpsSpec extends GraftSuite {
     assert(tied == Seq("a", "b"))
   }
 
+  test("tfidfTopTermsLn: hand-computed log scores; rank agrees with surrogate off trade-offs") {
+    val s = spark; import s.implicits._
+    // same corpus as the surrogate test; doc 1 with N=3:
+    // rare 2·ln(3/1), both 1·ln(3/2), all 1·ln(3/3)=0
+    val docs = Seq(
+      (1L, "all both rare rare"),
+      (2L, "all both"),
+      (3L, "all")).toDF("doc_id", "text")
+    val got = CorpusStats.tfidfTopTermsLn(docs, col("doc_id"),
+        col("text"), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getDouble(5)))).toMap
+    assert(got((1L, 1L))._1 == "rare" &&
+      math.abs(got((1L, 1L))._2 - 2 * math.log(3.0)) < 1e-12)
+    assert(got((1L, 2L))._1 == "both" &&
+      math.abs(got((1L, 2L))._2 - math.log(1.5)) < 1e-12)
+    assert(got((1L, 3L))._1 == "all" && got((1L, 3L))._2 == 0.0)
+    // the declared agreement contract on the real corpus: wherever
+    // one term DOMINATES another (tf no smaller AND df no larger,
+    // one strict — i.e. tf and idf don't trade off), both forms
+    // must rank them the same way; they may only differ on
+    // trade-off pairs, where the surrogate's steeper idf decides
+    val t = graft.io.Tables(spark, sfDir)
+    def ranks(f: org.apache.spark.sql.DataFrame)
+        : Map[(Long, String), (Long, Long, Long)] =
+      f.collect().map(r => (r.getLong(0), r.getString(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val sur = ranks(CorpusStats.tfidfTopTerms(
+      t.documents, col("doc_id"), col("text"), k = 8))
+    val ln = ranks(CorpusStats.tfidfTopTermsLn(
+      t.documents, col("doc_id"), col("text"), k = 8))
+    val nDocs = t.documents.where(col("text").isNotNull).count()
+    var checked = 0
+    for {
+      (_, keys) <- sur.keySet.intersect(ln.keySet).groupBy(_._1)
+      a <- keys; b <- keys if a != b
+    } {
+      val (rsA, tfA, dfA) = sur(a); val (rsB, tfB, dfB) = sur(b)
+      val dominates = tfA >= tfB && dfA <= dfB && (tfA > tfB || dfA < dfB)
+      // df == N ties the ln form at 0 regardless of tf — exclude
+      // the one degenerate shape where dominance can't order it
+      if (dominates && !(dfA == nDocs && dfB == nDocs)) {
+        assert(rsA < rsB, s"surrogate rank order broken: $a vs $b")
+        assert(ln(a)._1 < ln(b)._1, s"ln rank order broken: $a vs $b")
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"only $checked dominant pairs — spec vacuous")
+  }
+
   test("domainMixture: exact integer ppm shares and token-mass rank") {
     val docs = Seq(
       (1L, "src0", "a b"),                    // 2 tokens
