@@ -303,6 +303,48 @@ object Similarity {
       .select(col("__id").as("n_id"), col("c_id"), col("ec"))
       .withColumn("nc", VectorFns.l2Norm(col("ec")))
 
+  /** [[ivfAssignments]] as pure scan algebra — the form that runs
+    * UNCHANGED on a stream. The batch form's per-vector `max_by`
+    * aggregate (one skinny shuffle) is replaced by collecting the
+    * centroids ONCE to the driver (k rows — the build-then-broadcast
+    * pattern the Bloom gate uses) and binding them into the plan:
+    * the centroid matrix rides in one [[graft.plans.PlaneExpressions
+    * .planeDots]] codegen reference (each dot is the exact `vec_dot`
+    * fold), c_id/norm arrays as two literals, and the argmax is
+    * `array_max` over `struct(score, c_id)` — lexicographic struct
+    * ordering IS `max_by(c_id, struct(score, c_id))`, so score ties
+    * break to the larger c_id exactly like the batch form, and the
+    * score is the same `dot / (nc * cn)` expression shape. Zero
+    * stateful operators, zero Exchange: a readStream of a daily
+    * vector batch assigns against the frozen layout and appends to
+    * the stored inverted file with no watermark bookkeeping at all.
+    * Same caller contract as every ANN op: filter zero-norm vectors
+    * first (a zero `nc` makes every score NaN). Spec pins row-for-row
+    * equality to [[ivfAssignments]] on the real embeddings, batch and
+    * MemoryStream-replayed. */
+  def ivfAssignStateless(vecs: DataFrame, centroids: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("c_id").cast("long"),
+        col("cv").cast("array<double>"), col("cn").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "no centroids to assign against")
+    val planes = cents.map(_._2.toSeq).toSeq
+    val cids = typedLit(cents.map(_._1).toSeq)
+    val cns = typedLit(cents.map(_._3).toSeq)
+    vecs.select(col(idCol).as("n_id"), col(vecCol).as("ec"))
+      .withColumn("nc", VectorFns.l2Norm(col("ec")))
+      .withColumn("__best", array_max(transform(
+        graft.plans.PlaneExpressions.planeDots(col("ec"), planes),
+        (d, i) => struct(
+          (d / (col("nc") * element_at(cns, i + 1))).as("s"),
+          element_at(cids, i + 1).as("c")))))
+      .select(col("n_id"), col("__best.c").as("c_id"), col("ec"),
+        col("nc"))
+  }
+
   /** Probe a STORED IVF layout: queries assign to their `nProbe`
     * nearest stored centroids and meet only those clusters'
     * assignment rows. `assignments` is typically

@@ -240,6 +240,43 @@ class StreamingSpec extends GraftSuite {
     assert(want.size == 4 && got == want)
   }
 
+  test("stateless IVF assignment == batch max_by form, zero Exchange, stream-ready") {
+    // ivfAssignStateless binds the frozen centroid layout into the
+    // plan (planeDots matrix + two literals) so daily-vector streams
+    // assign with no stateful operator — the IVF analog of the
+    // quality-model gate above
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val emb = graft.io.Tables(spark, sfDir).embeddings
+      .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+    val cents = graft.operators.Similarity.ivfCentroids(
+      emb, numCentroids = 8, lloydIters = 1)
+    val batch = graft.operators.Similarity.ivfAssignments(emb, cents)
+      .select("n_id", "c_id", "nc").as[(Long, Long, Double)]
+      .collect().toSet
+    val flat = graft.operators.Similarity.ivfAssignStateless(emb, cents)
+    val got = flat.select("n_id", "c_id", "nc").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == batch && got.nonEmpty)
+    // the whole point: scan algebra, not one Exchange in the plan
+    assert(!flat.queryExecution.executedPlan.toString.contains("Exchange"))
+    // MemoryStream replay in two batches — same rows out
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(rows.take(rows.length / 2).toIndexedSeq)
+    mem.addData(rows.drop(rows.length / 2).toIndexedSeq)
+    val q = graft.operators.Similarity.ivfAssignStateless(
+        mem.toDF().toDF("vec_id", "embedding"), cents)
+      .select("n_id", "c_id", "nc")
+      .writeStream.format("memory").queryName("ivf_assign_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table("ivf_assign_stream")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == got)
+  }
+
   test("streamNearDupPairs == incrementalLshPairs replay, batch by batch") {
     // the r6 verdict's in-stream-state ask: over any batch sequence
     // with no eviction, the stream's emitted pair SET must equal
