@@ -219,13 +219,68 @@ object Multimodal {
     }
   }
 
+  /** AAC/ADTS frame-header metadata parse — [[Mp3Frames]]'s pattern
+    * applied to the ADTS transport layout (ISO/IEC 13818-7 §6.2 /
+    * 14496-3): 12 sync bits 0xFFF, 1 version bit, 2 layer bits
+    * (always 00 in ADTS — which is exactly the value the MP3 header
+    * RESERVES, so the two parsers are mutually exclusive by
+    * construction and the fallback chain cannot misroute), CRC-absent
+    * bit, then profile(2)/sampling-frequency index(4)/channel
+    * config(3), a 13-bit whole-frame length, and a 2-bit
+    * frames-minus-1 count (1024 samples per AAC frame). Headers are
+    * read, frames skipped by their declared length; sample data never
+    * decodes (still the stub surface). Same recognition gate: sync at
+    * offset 0 after an optional ID3v2 skip, first header fully
+    * valid. */
+  private object AdtsFrames {
+    private val srHz = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+    /** (sampleRateHz, channels, samples, frameBytes) of one ADTS
+      * header at `o`, or None on any reserved/invalid field.
+      * Channels: config 1-6 map to themselves, 7 to 8, 0 (declared
+      * in an in-band PCE this parser never reads) to 0 — honest
+      * "unknown", not a guess. */
+    def frameAt(b: Array[Byte], o: Int): Option[(Int, Int, Int, Int)] = {
+      if (o + 7 > b.length) return None
+      if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xf0) != 0xf0) return None
+      if (((b(o + 1) >> 1) & 3) != 0) return None // layer must be 00
+      val srIdx = (b(o + 2) >> 2) & 0xf
+      if (srIdx >= srHz.length) return None
+      val cfg = ((b(o + 2) & 1) << 2) | ((b(o + 3) >> 6) & 3)
+      val len = ((b(o + 3) & 3) << 11) | ((b(o + 4) & 0xff) << 3) |
+        ((b(o + 5) >> 5) & 7)
+      if (len < 7) return None // must cover its own header
+      val samples = 1024 * ((b(o + 6) & 3) + 1)
+      val channels = if (cfg == 7) 8 else cfg
+      Some((srHz(srIdx), channels, samples, len))
+    }
+
+    /** (sampleRate, channels, durationSec) — first header's
+      * rate/config, exact sample sum of the walk. */
+    def decode(payload: Array[Byte]): Option[(Float, Int, Double)] = {
+      if (payload == null || payload.length < 14) return None
+      val start = Mp3Frames.id3v2Len(payload)
+      frameAt(payload, start).map { case (sr0, ch0, _, _) =>
+        var o = start
+        var samples = 0L
+        var going = true
+        while (going) frameAt(payload, o) match {
+          case Some((_, _, smp, len)) => samples += smp; o += len
+          case None => going = false
+        }
+        (sr0.toFloat, ch0, samples.toDouble / sr0)
+      }
+    }
+  }
+
   /** Decode audio payloads partition-wise: the real
     * [[AudioHeaderDecoder]] first (WAV/AIFF/AU via javax.sound),
-    * then the [[Mp3Frames]] frame-header walk (decoder "mp3hdr") for
-    * MPEG audio the JDK providers don't read; payloads neither
-    * recognizes report ok = false with zeroed fields (decoder
-    * "none") rather than faking numbers — audio is a typed path,
-    * not a stub. */
+    * then the [[Mp3Frames]] frame-header walk (decoder "mp3hdr") and
+    * the [[AdtsFrames]] walk (decoder "aachdr") for MPEG audio the
+    * JDK providers don't read; payloads none recognizes report
+    * ok = false with zeroed fields (decoder "none") rather than
+    * faking numbers — audio is a typed path, not a stub. */
   def decodeAudio(payloads: DataFrame)
                  (implicit spark: SparkSession): Dataset[AudioMeta] = {
     import spark.implicits._
@@ -237,7 +292,8 @@ object Multimodal {
           val n = if (payload == null) 0 else payload.length
           dec.decode(payload)
             .map(r => (r, "sound"))
-            .orElse(Mp3Frames.decode(payload).map(r => (r, "mp3hdr"))) match {
+            .orElse(Mp3Frames.decode(payload).map(r => (r, "mp3hdr")))
+            .orElse(AdtsFrames.decode(payload).map(r => (r, "aachdr"))) match {
             case Some(((sr, ch, dur), d)) =>
               AudioMeta(id, n, sr, ch, dur, ok = true, decoder = d)
             case None =>

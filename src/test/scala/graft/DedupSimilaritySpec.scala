@@ -1039,6 +1039,51 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!m(5L).ok && m(5L).decoder == "none")
   }
 
+  test("ADTS frame-header walk: AAC metadata; MP3/ADTS parsers mutually exclusive") {
+    implicit val s = spark
+    import spark.implicits._
+    // headers bit-packed per ISO/IEC 13818-7 §6.2 by hand:
+    // stereo LC @44100 (srIdx 4), frame len 256, 1 AAC frame (1024 smp)
+    def adts(b1: Int, b2: Int, cfgLow2: Int, len: Int, fm1: Int): Array[Byte] = {
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte; f(1) = b1.toByte; f(2) = b2.toByte
+      f(3) = ((cfgLow2 << 6) | ((len >> 11) & 3)).toByte
+      f(4) = ((len >> 3) & 0xff).toByte
+      f(5) = ((len & 7) << 5).toByte
+      f(6) = fm1.toByte
+      f
+    }
+    val stereo44k = adts(0xf1, 0x50, 2, 256, 0) // MPEG-4, LC, srIdx 4, cfg 2
+    val mono8k = adts(0xf9, 0x6c, 1, 100, 1)    // MPEG-2, srIdx 11, cfg 1, 2 frames
+    val mp3 = { // valid MP3 V1 L3 frame — must NOT parse as ADTS
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte
+      f
+    }
+    def cat(fs: Seq[Array[Byte]]): Array[Byte] = fs.flatten.toArray
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 40) ++
+      new Array[Byte](40)
+    val payloads = Seq(
+      (1L, cat(Seq.fill(20)(stereo44k))),
+      (2L, id3 ++ cat(Seq.fill(5)(mono8k))),
+      (3L, mp3),
+      (4L, Array[Byte]('z') ++ stereo44k) // sync not at offset 0
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudio(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(m(1L).ok && m(1L).decoder == "aachdr")
+    assert(m(1L).sample_rate == 44100f && m(1L).channels == 2)
+    assert(math.abs(m(1L).duration_sec - 20 * 1024.0 / 44100) < 1e-9)
+    assert(m(2L).ok && m(2L).decoder == "aachdr")
+    assert(m(2L).sample_rate == 8000f && m(2L).channels == 1)
+    // frames-minus-1 = 1 -> 2048 samples per ADTS frame
+    assert(math.abs(m(2L).duration_sec - 5 * 2048.0 / 8000) < 1e-9)
+    // exclusivity both ways: ADTS layer bits 00 are MP3's reserved
+    // layer, MP3's nonzero layer bits fail the ADTS gate
+    assert(m(3L).ok && m(3L).decoder == "mp3hdr")
+    assert(!m(4L).ok && m(4L).decoder == "none")
+  }
+
   test("ISO-BMFF box walk decodes real MP4 headers into video features") {
     implicit val s = spark
     import spark.implicits._
