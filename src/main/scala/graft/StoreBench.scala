@@ -32,6 +32,13 @@ import graft.operators.Dedup
   * harness exists to price (first-shot lesson: ratio 1.008 with it
   * left inside the timer).
   *
+  * `SPARK_GRAFT_STORE_KIND` selects the layout under test: "sig"
+  * (default) prices the minhash band index over documents (the q57
+  * store), "signband" the hyperplane sign-band index over embeddings
+  * (the q71 store, rung self-configured by `autoPlanes` from the
+  * store size) — the same harness and arms for both, so the two
+  * stored layouts carry symmetric measured numbers.
+  *
   * The day-N arm prices the MAINTENANCE claim: a second bucketed
   * store takes `SPARK_GRAFT_STORE_DAYS` daily `appendAndMaintain`
   * cycles (bucket-aligned appends, compaction past
@@ -93,26 +100,110 @@ object StoreBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val numHashes = 32
-    val bands = 8
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def sigsOf(d: DataFrame): DataFrame =
-      Dedup.minhashSignatures(d, col("doc_id"), col("text"),
-        n = 3, numHashes = numHashes)
-    // 95/5 split on a hash, not doc_id ranges: ids correlate with
-    // generation order, and a contiguous "new batch" would share
-    // boilerplate unrepresentatively
-    val isNew = pmod(xxhash64(col("doc_id")), lit(20)) === 0
     val storeScale = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE", "10").toInt
-    // distinct-id copies: same signature DISTRIBUTION as a larger
-    // corpus, and ref×ref never meets in the incremental join, so
-    // the copies only do what they're for — give the store volume
-    val refDocs = (0 until storeScale).map(i =>
-        docs.where(!isNew).select(
-          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-          col("text")))
-      .reduce(_ unionByName _)
-    val newDocs = docs.where(isNew)
+    // which store layout to price: "sig" = minhash band index over
+    // documents (the q57 shape), "signband" = hyperplane sign-band
+    // index over embeddings (the q71 shape) — same harness, same
+    // arms, so the two stored layouts carry SYMMETRIC measured
+    // numbers instead of one priced store and one plan-spec analogy
+    val kind = sys.env.getOrElse("SPARK_GRAFT_STORE_KIND", "sig")
+
+    /** One bench-able store layout: the index frames it stores and
+      * the increment joined against them. */
+    trait StoreKind {
+      def keys: Seq[String]
+      /** Index of the replicated reference corpus (the store body). */
+      def refIndex(): DataFrame
+      /** Index of day `d`'s id-shifted slice (the appends). */
+      def dayIndex(d: Int): DataFrame
+      /** Materialize the increment's inputs OUTSIDE the timers;
+        * returns the timed body (store frame ⇒ unit) + batch rows. */
+      def prepIncrement(): (DataFrame => Unit, Long)
+    }
+
+    // 95/5 split on a hash, not id ranges: ids correlate with
+    // generation order, and a contiguous "new batch" would share
+    // boilerplate unrepresentatively. Distinct-id copies: same
+    // signature/bit DISTRIBUTION as a larger corpus, and ref×ref
+    // never meets in the incremental join, so the copies only do
+    // what they're for — give the store volume.
+    val sigKind = new StoreKind {
+      private val numHashes = 32
+      private val bands = 8
+      private val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      private def sigsOf(d: DataFrame): DataFrame =
+        Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+          n = 3, numHashes = numHashes)
+      private val isNew = pmod(xxhash64(col("doc_id")), lit(20)) === 0
+      def keys: Seq[String] = Seq("band", "bk")
+      def refIndex(): DataFrame = Dedup.bandIndex(sigsOf(
+        (0 until storeScale).map(i =>
+            docs.where(!isNew).select(
+              (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _)), numHashes, bands)
+      def dayIndex(d: Int): DataFrame = Dedup.bandIndex(sigsOf(
+        docs.where(pmod(xxhash64(col("doc_id")), lit(20)) === d)
+          .select((col("doc_id") + lit(900000000L + d * 10000000L))
+            .as("doc_id"), col("text"))), numHashes, bands)
+      def prepIncrement(): (DataFrame => Unit, Long) = {
+        // signatures to parquet, not a cache — the between-arm sweep
+        // clears caches; identical work on both arms either way
+        val dir = s"$warehouse/new_sigs"
+        sigsOf(docs.where(isNew)).write.mode("overwrite").parquet(dir)
+        val newSigs = spark.read.parquet(dir)
+        (refIndex => Dedup.incrementalLshPairsFromIndex(newSigs,
+            refIndex, numHashes, bands, threshold = 0.5)
+          .write.format("noop").mode("overwrite").save(),
+          newSigs.count())
+      }
+    }
+
+    val signBandKind = new StoreKind {
+      import graft.operators.Similarity
+      private val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      private val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      private val refRows =
+        emb.where(pmod(xxhash64(col("vec_id")), lit(20)) =!= 0)
+          .count() * storeScale
+      // the rung self-configures from the store size, exactly as a
+      // real deployment's would
+      private val (planes, bits) = Similarity.autoPlanes(refRows, dim)
+      private val isNew = pmod(xxhash64(col("vec_id")), lit(20)) === 0
+      private def refVecs: DataFrame =
+        (0 until storeScale).map(i =>
+            emb.where(!isNew).select(
+              (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionByName _)
+      def keys: Seq[String] = Seq("band", "bits")
+      def refIndex(): DataFrame = Similarity.signBandIndex(refVecs,
+        planes, bits)
+      def dayIndex(d: Int): DataFrame = Similarity.signBandIndex(
+        emb.where(pmod(xxhash64(col("vec_id")), lit(20)) === d)
+          .select((col("vec_id") + lit(900000000L + d * 10000000L))
+            .as("vec_id"), col("embedding")), planes, bits)
+      def prepIncrement(): (DataFrame => Unit, Long) = {
+        // the verify step re-scans the raw ref vectors (by design —
+        // candidates ≪ corpus); materialize BOTH sides to parquet so
+        // neither arm's timer pays the 10-way union lineage
+        val refDir = s"$warehouse/ref_vecs"
+        val newDir = s"$warehouse/new_vecs"
+        refVecs.write.mode("overwrite").parquet(refDir)
+        emb.where(isNew).select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(newDir)
+        val refV = spark.read.parquet(refDir)
+        val newV = spark.read.parquet(newDir)
+        (refIndex => Similarity.incrementalNearDupPairsFromIndex(
+            newV, refV, refIndex, threshold = 0.9, planes, bits)
+          .write.format("noop").mode("overwrite").save(),
+          newV.count())
+      }
+    }
+
+    val layout: StoreKind =
+      if (kind == "signband") signBandKind else sigKind
 
     spark.range(1000).selectExpr("sum(id)").count() // JVM warmup
     def timed(body: => Unit): Double = {
@@ -123,14 +214,13 @@ object StoreBench {
     spark.sql("DROP TABLE IF EXISTS store_bench_sig")
     val plainDir = s"$warehouse/sig_plain"
     val tWBucketed = timed {
-      graft.io.Bucketing.writeBucketed(
-        Dedup.bandIndex(sigsOf(refDocs), numHashes, bands),
-        "store_bench_sig", Seq("band", "bk"), buckets = shuffle.toInt)
+      graft.io.Bucketing.writeBucketed(layout.refIndex(),
+        "store_bench_sig", layout.keys, buckets = shuffle.toInt)
     }
     val tWPlain = timed {
       // fair control: same file count as the bucketed store (a plain
       // store written by the same engineer would be compacted too)
-      Dedup.bandIndex(sigsOf(refDocs), numHashes, bands)
+      layout.refIndex()
         .repartition(shuffle.toInt)
         .write.mode("overwrite").parquet(plainDir)
     }
@@ -148,18 +238,13 @@ object StoreBench {
     val dayMaxFragments =
       sys.env.getOrElse("SPARK_GRAFT_STORE_MAXFRAG", "4").toInt
     spark.sql("DROP TABLE IF EXISTS store_bench_sig_dayn")
-    graft.io.Bucketing.writeBucketed(
-      Dedup.bandIndex(sigsOf(refDocs), numHashes, bands),
-      "store_bench_sig_dayn", Seq("band", "bk"), buckets = shuffle.toInt)
+    graft.io.Bucketing.writeBucketed(layout.refIndex(),
+      "store_bench_sig_dayn", layout.keys, buckets = shuffle.toInt)
     var compactions = 0
     val tAppends = timed {
       (1 to days).foreach { d =>
-        val dayDocs = docs.where(pmod(xxhash64(col("doc_id")), lit(20)) === d)
-          .select((col("doc_id") + lit(900000000L + d * 10000000L)).as("doc_id"),
-            col("text"))
-        if (graft.io.Bucketing.appendAndMaintain(
-            Dedup.bandIndex(sigsOf(dayDocs), numHashes, bands),
-            "store_bench_sig_dayn", Seq("band", "bk"),
+        if (graft.io.Bucketing.appendAndMaintain(layout.dayIndex(d),
+            "store_bench_sig_dayn", layout.keys,
             buckets = shuffle.toInt, maxFragments = dayMaxFragments))
           compactions += 1
       }
@@ -171,17 +256,9 @@ object StoreBench {
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // the increment's signatures, materialized OUTSIDE the timers (to
-    // parquet, not a cache — the between-arm sweep clears caches) —
+    // the increment's inputs, materialized OUTSIDE the timers —
     // identical work on both arms, not part of the claim under test
-    val newSigsDir = s"$warehouse/new_sigs"
-    sigsOf(newDocs).write.mode("overwrite").parquet(newSigsDir)
-    val newSigs = spark.read.parquet(newSigsDir)
-    val batchRows = newSigs.count()
-    def increment(refIndex: DataFrame): Unit =
-      Dedup.incrementalLshPairsFromIndex(newSigs, refIndex,
-          numHashes, bands, threshold = 0.5)
-        .write.format("noop").mode("overwrite").save()
+    val (increment, batchRows) = layout.prepIncrement()
     def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache(); System.gc()
     }
@@ -221,7 +298,7 @@ object StoreBench {
       xs.map(x => math.round(x * 1000) / 1000.0).mkString("[", ",", "]")
     val json =
       s"""{"metric":"store_increment_median","value":${median(bucketed.toSeq)}""" +
-        s""","unit":"sec","plain_median":${median(plain.toSeq)}""" +
+        s""","unit":"sec","kind":"$kind","plain_median":${median(plain.toSeq)}""" +
         s""","ratio":${median(bucketed.toSeq) / median(plain.toSeq)}""" +
         s""","bucketed_runs":${jarr(bucketed.toSeq)}""" +
         s""","plain_runs":${jarr(plain.toSeq)}""" +
