@@ -104,36 +104,65 @@ object QualityModel {
     * scoring path stays shuffle-free. The dim-sized driver weight
     * array obeys the same size guidance as [[scoreWithWeights]]'s
     * literal (hundreds of thousands of buckets; one typedLit node
-    * carries it into each epoch's plan). `labelCol` must be 0/1. */
+    * carries it into each epoch's plan). `labelCol` must be 0/1.
+    *
+    * `batchDenom` > 1 turns the full-batch pass into deterministic
+    * mini-batch GD: epoch e sees the 1/batchDenom stratum whose
+    * doc-hash residue is e mod batchDenom (the Sampling hash-gate
+    * idiom — no RNG, so training replays bit-for-bit), every stratum
+    * is visited once per batchDenom epochs, the gate prunes before
+    * the margin aggregate so epoch cost shrinks with the batch, and
+    * the gradient normalizes by the epoch's own doc count so the
+    * per-doc step size is batchDenom-invariant. */
   def train(df: DataFrame, id: Column, text: Column, labelCol: Column,
             dim: Int, epochs: Int = 30, lr: Double = 1.0,
             l2: Double = 0.0,
-            hashKey: Column => Column = xxhash64(_)): Array[Int] = {
+            hashKey: Column => Column = xxhash64(_),
+            batchDenom: Int = 1): Array[Int] = {
     require(dim >= 1, "feature dimension must be positive")
     require(epochs >= 1, "epochs must be positive")
+    require(batchDenom >= 1, "batchDenom must be positive")
     val feats = featureBuckets(df, id, text, dim, hashKey)
       .join(df.select(id.as("id"), labelCol.cast("double").as("y")), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val numDocs = feats.select(col("id")).distinct().count().toDouble
-      require(numDocs > 0, "no scoreable labeled documents")
       val w = Array.fill(dim)(0.0)
-      for (_ <- 0 until epochs) {
-        val warr = typedLit(w.toSeq)
-        val p = feats.groupBy("id", "y", "n")
-          .agg(sum(col("cnt") *
-            element_at(warr, (col("b") + 1L).cast("int"))).as("m"))
-          .select(col("id"),
-            (lit(1.0) / (lit(1.0) + exp(-col("m") / col("n")))).as("p"))
-        val grad = feats.join(p, "id")
-          .groupBy("b")
-          .agg(sum((col("p") - col("y")) * col("cnt") / col("n")).as("g"))
-          .collect()
-        grad.foreach { r =>
-          val b = r.getLong(0).toInt
-          w(b) -= lr * (r.getDouble(1) / numDocs + l2 * w(b))
+      for (e <- 0 until epochs) {
+        // mini-batch gate: epoch e sees the 1/batchDenom stratum
+        // whose doc-hash residue is e mod batchDenom — deterministic
+        // (same Sampling hash-gate idiom, no RNG to break replay),
+        // every stratum visited each batchDenom epochs, and the
+        // filter prunes BEFORE the margin aggregate so an epoch's
+        // cost shrinks by the same factor the batch does.
+        // batchDenom=1 (default) is exact full-batch GD.
+        val batch =
+          if (batchDenom == 1) feats
+          else feats.where(
+            pmod(xxhash64(col("id")), lit(batchDenom.toLong))
+              === lit((e % batchDenom).toLong))
+        // normalize by the docs THIS epoch sees, so the per-doc
+        // step size is batchDenom-invariant (for batchDenom=1 this
+        // is the full labeled set, the exact full-batch GD)
+        val nEpoch = batch.select(col("id")).distinct().count().toDouble
+        if (nEpoch > 0) {
+          val warr = typedLit(w.toSeq)
+          val p = batch.groupBy("id", "y", "n")
+            .agg(sum(col("cnt") *
+              element_at(warr, (col("b") + 1L).cast("int"))).as("m"))
+            .select(col("id"),
+              (lit(1.0) / (lit(1.0) + exp(-col("m") / col("n")))).as("p"))
+          val grad = batch.join(p, "id")
+            .groupBy("b")
+            .agg(sum((col("p") - col("y")) * col("cnt") / col("n")).as("g"))
+            .collect()
+          grad.foreach { r =>
+            val b = r.getLong(0).toInt
+            w(b) -= lr * (r.getDouble(1) / nEpoch + l2 * w(b))
+          }
         }
       }
+      require(w.exists(_ != 0.0) || epochs == 0,
+        "training saw no scoreable labeled documents")
       quantize(w)
     } finally feats.unpersist()
   }

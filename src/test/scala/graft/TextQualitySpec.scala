@@ -153,6 +153,19 @@ class TextQualitySpec extends GraftSuite {
     scored.write.format("noop").mode("overwrite").save()
     assert(!scored.queryExecution.executedPlan.toString
       .contains("Exchange"))
+    // mini-batch GD (each epoch a deterministic quarter-stratum)
+    // recovers the same signal: epochs scale with batchDenom so
+    // every stratum is visited the same number of times
+    val wMb = graft.operators.QualityModel.train(trainSet, col("doc_id"),
+      col("text"), col("y"), dim = 256, epochs = 100, lr = 2.0,
+      batchDenom = 4)
+    val accMb = graft.operators.QualityModel.scoreWithWeights(
+        holdout, col("doc_id"), col("text"), wMb)
+      .select(col("id"), col("label"))
+      .join(holdout.select(col("doc_id").as("id"), col("y")), "id")
+      .where(col("label") === col("y")).count().toDouble /
+      holdout.count()
+    assert(accMb >= 0.9, s"mini-batch held-out accuracy $accMb")
   }
 
   test("quality model: fold margin == declarative explode replay, both hash families") {
