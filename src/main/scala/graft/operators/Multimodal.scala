@@ -419,13 +419,174 @@ object Multimodal {
     }
   }
 
+  /** H.264 Annex-B SPS header metadata — [[Mp3Frames]]'s pattern for
+    * raw video elementary streams (ITU-T H.264 §7.3.2.1, a published
+    * spec): walk NAL units by their 0x000001/0x00000001 start codes,
+    * strip emulation-prevention bytes from the SPS payload
+    * (00 00 03 → 00 00), and read the sequence parameter set with an
+    * Exp-Golomb bit reader — profile/level, `pic_width_in_mbs` /
+    * `pic_height_in_map_units` with the frame-cropping rectangle
+    * applied (so a 1920×1080 stream reports 1080, not its coded
+    * 1088), and, when the VUI carries `timing_info`, the frame rate
+    * `time_scale / (2·num_units_in_tick)` — multiplied by the
+    * stream's coded-slice NAL count (types 1/5) for a duration.
+    * HEADER-only, as every parser here: slice payloads are skipped
+    * by start-code scan, never entropy-decoded (CABAC/CAVLC frame
+    * decode stays the declared stub surface).
+    *
+    * Recognition gate: the payload must BEGIN with a start code and
+    * contain an SPS NAL (type 7) — arbitrary bytes, and the other
+    * containers' magic, fall through to None. */
+  private object H264Sps {
+    /** MSB-first bit reader with Exp-Golomb (§9.1). */
+    private final class Bits(b: Array[Byte]) {
+      private var pos = 0
+      def more: Boolean = pos < b.length * 8
+      def u1(): Int = {
+        val r = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; r }
+      def u(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+      def ue(): Int = {
+        var zeros = 0
+        while (more && u1() == 0) zeros += 1
+        ((1L << zeros) - 1 + u(zeros)).toInt }
+      def se(): Int = {
+        val k = ue(); if (k % 2 == 0) -(k / 2) else (k + 1) / 2 }
+    }
+
+    private def unescape(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(until - from)
+      var i = from
+      while (i < until) {
+        if (i + 2 < until && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 3) {
+          out.write(0); out.write(0); i += 3 // drop the 03
+        } else { out.write(b(i)); i += 1 }
+      }
+      out.toByteArray
+    }
+
+    /** NAL unit offsets: (payloadStart, payloadEnd, type). */
+    private def nals(b: Array[Byte]): Vector[(Int, Int, Int)] = {
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i + 2 < b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+          starts += i + 3; i += 3
+        } else i += 1
+      }
+      starts.iterator.zipAll(starts.iterator.drop(1), -1, b.length)
+        .collect { case (s, e) if s >= 0 && s < b.length =>
+          // the next start code's 00 00 (or 00 00 00) prefix belongs
+          // to the separator, not this NAL's payload
+          var end = if (e == b.length) e else e - 3
+          while (end > s && b(end - 1) == 0) end -= 1
+          (s + 1, end, b(s) & 0x1f)
+        }.toVector
+    }
+
+    /** §7.3.2.1 parse of one unescaped SPS payload:
+      * (width, height, fps — 0.0 when the VUI has no timing). */
+    private def parseSps(rbsp: Array[Byte]): Option[(Int, Int, Double)] = {
+      val r = new Bits(rbsp)
+      val profile = r.u(8).toInt
+      r.u(8) // constraint flags + reserved
+      r.u(8) // level_idc
+      r.ue() // seq_parameter_set_id
+      var chromaFormat = 1 // 4:2:0 unless the high-profile branch says else
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profile)) {
+        chromaFormat = r.ue()
+        if (chromaFormat == 3) r.u1() // separate_colour_plane_flag
+        r.ue(); r.ue() // bit_depth_luma/chroma_minus8
+        r.u1() // qpprime_y_zero_transform_bypass
+        if (r.u1() == 1) { // seq_scaling_matrix_present
+          val lists = if (chromaFormat == 3) 12 else 8
+          for (i <- 0 until lists if r.u1() == 1) {
+            // scaling_list(): skip deltas until nextScale settles
+            val size = if (i < 6) 16 else 64
+            var last = 8; var next = 8; var j = 0
+            while (j < size) {
+              if (next != 0) { next = (last + r.se() + 256) % 256 }
+              last = if (next == 0) last else next
+              j += 1
+            }
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      r.ue() match { // pic_order_cnt_type
+        case 0 => r.ue()
+        case 1 =>
+          r.u1(); r.se(); r.se()
+          val n = r.ue(); (0 until n).foreach(_ => r.se())
+        case _ =>
+      }
+      r.ue() // max_num_ref_frames
+      r.u1() // gaps_in_frame_num_value_allowed
+      val widthMbs = r.ue() + 1
+      val heightUnits = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field
+      r.u1() // direct_8x8_inference
+      var w = widthMbs * 16
+      var h = (2 - frameMbsOnly) * heightUnits * 16
+      if (r.u1() == 1) { // frame_cropping_flag
+        val (cl, cr, ct, cb) = (r.ue(), r.ue(), r.ue(), r.ue())
+        // §7.4.2.1.1 crop units: SubWidthC/SubHeightC for 4:2:0/4:2:2
+        val cw = if (chromaFormat == 1 || chromaFormat == 2) 2 else 1
+        val ch0 = if (chromaFormat == 1) 2 else 1
+        w -= (cl + cr) * cw
+        h -= (ct + cb) * ch0 * (2 - frameMbsOnly)
+      }
+      var fps = 0.0
+      if (r.u1() == 1) { // vui_parameters_present
+        if (r.u1() == 1) { // aspect_ratio_info_present
+          if (r.u(8) == 255L) r.u(32) // extended SAR w+h
+        }
+        if (r.u1() == 1) r.u1() // overscan
+        if (r.u1() == 1) { // video_signal_type
+          r.u(4) // format + full_range
+          if (r.u1() == 1) r.u(24) // colour description
+        }
+        if (r.u1() == 1) { r.ue(); r.ue() } // chroma_sample_loc
+        if (r.u1() == 1) { // timing_info_present
+          val numUnits = r.u(32)
+          val timeScale = r.u(32)
+          if (numUnits > 0) fps = timeScale.toDouble / (2.0 * numUnits)
+        }
+      }
+      if (w > 0 && h > 0) Some((w, h, fps)) else None
+    }
+
+    /** (width, height, durationSec) — duration from coded-slice NAL
+      * count / VUI fps, -1.0 when the stream declares no timing. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+      if (payload == null || payload.length < 8) return None
+      val atZero = payload(0) == 0 && payload(1) == 0 &&
+        (payload(2) == 1 || (payload(2) == 0 && payload(3) == 1))
+      if (!atZero) return None
+      val units = nals(payload)
+      units.find(_._3 == 7).flatMap { case (s, e, _) =>
+        try parseSps(unescape(payload, s, e)) catch {
+          case _: ArrayIndexOutOfBoundsException => None
+        }
+      }.map { case (w, h, fps) =>
+        val frames = units.count(u => u._3 == 1 || u._3 == 5)
+        val dur = if (fps > 0 && frames > 0) frames / fps else -1.0
+        (w, h, dur)
+      }
+    }
+  }
+
   /** Decode video payloads partition-wise through the real
     * [[VideoHeaderDecoder]] (ISO-BMFF), falling back to the RIFF/AVI
     * `avih` main header (r7, [[AviFrames.header]] — the container
-    * [[extractFrameFeatures]] decodes frames from); unrecognized
-    * payloads report ok = false with zeroed fields (decoder "none")
-    * rather than faking numbers — video, like audio, is a typed
-    * path, not a stub. */
+    * [[extractFrameFeatures]] decodes frames from), then to the
+    * [[H264Sps]] Annex-B SPS walk (r8, decoder "h264sps") for raw
+    * elementary streams; unrecognized payloads report ok = false
+    * with zeroed fields (decoder "none") rather than faking numbers
+    * — video, like audio, is a typed path, not a stub. */
   def decodeVideo(payloads: DataFrame)
                  (implicit spark: SparkSession): Dataset[VideoMeta] = {
     import spark.implicits._
@@ -438,9 +599,11 @@ object Multimodal {
           dec.decode(payload) match {
             case Some((w, h, dur)) =>
               VideoMeta(id, n, w, h, dur, ok = true, decoder = "isobmff")
-            case None => AviFrames.header(payload) match {
-              case Some((w, h, dur)) =>
-                VideoMeta(id, n, w, h, dur, ok = true, decoder = "riff-avi")
+            case None => AviFrames.header(payload)
+              .map(r => (r, "riff-avi"))
+              .orElse(H264Sps.decode(payload).map(r => (r, "h264sps"))) match {
+              case Some(((w, h, dur), d)) =>
+                VideoMeta(id, n, w, h, dur, ok = true, decoder = d)
               case None =>
                 VideoMeta(id, n, 0, 0, -1.0, ok = false, decoder = "none")
             }

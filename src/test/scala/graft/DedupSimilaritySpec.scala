@@ -1084,6 +1084,79 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!m(4L).ok && m(4L).decoder == "none")
   }
 
+  test("H.264 SPS walk: width/height/fps from generated Annex-B streams") {
+    implicit val s = spark
+    import spark.implicits._
+    // an Exp-Golomb WRITER (§9.1 in reverse), so the parser is tested
+    // against independently-encoded bitstreams, not itself
+    class BitW {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var cur = 0; private var nb = 0
+      def u1(v: Int): Unit = {
+        cur = (cur << 1) | (v & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 } }
+      def u(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => u1(((v >> i) & 1).toInt))
+      def ue(v: Int): Unit = {
+        val k = v + 1
+        val bits = 32 - Integer.numberOfLeadingZeros(k)
+        (0 until bits - 1).foreach(_ => u1(0)); u(k.toLong, bits) }
+      def done(): Array[Byte] = { // rbsp_stop_one_bit + alignment
+        u1(1); while (nb != 0) u1(0); buf.toArray }
+    }
+    // encoder-side emulation prevention: 00 00 0x -> 00 00 03 0x
+    def escape(b: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      b.foreach { x =>
+        if (out.length >= 2 && out(out.length - 1) == 0 &&
+            out(out.length - 2) == 0 && (x & 0xff) <= 3)
+          out += 3
+        out += x
+      }
+      out.toArray
+    }
+    // baseline 64x48, no VUI -> duration unknown
+    val w1 = new BitW
+    w1.u(66, 8); w1.u(0, 8); w1.u(30, 8); w1.ue(0) // profile..sps_id
+    w1.ue(0); w1.ue(0); w1.ue(0)  // frame_num, poc_type 0, poc_lsb
+    w1.ue(1); w1.u1(0)            // max_ref, gaps
+    w1.ue(3); w1.ue(2)            // 4x16=64 wide, 3x16=48 tall
+    w1.u1(1); w1.u1(1); w1.u1(0); w1.u1(0) // fmo, d8x8, crop, vui
+    // high-profile 1920x1080 (coded 1088, crop_bottom 4 units x2),
+    // VUI timing 25 fps; num_units_in_tick=1 embeds 00 00 01 in the
+    // SPS so the escape/unescape path is exercised by construction
+    val w2 = new BitW
+    w2.u(100, 8); w2.u(0, 8); w2.u(40, 8); w2.ue(0)
+    w2.ue(1); w2.ue(0); w2.ue(0); w2.u1(0); w2.u1(0) // chroma 4:2:0…
+    w2.ue(0); w2.ue(2)            // frame_num, poc_type 2 (no extras)
+    w2.ue(4); w2.u1(0)
+    w2.ue(119); w2.ue(67)         // 120 MBs = 1920, 68 units = 1088
+    w2.u1(1); w2.u1(1)
+    w2.u1(1); w2.ue(0); w2.ue(0); w2.ue(0); w2.ue(4) // crop bottom 4
+    w2.u1(1)                      // vui_parameters_present
+    w2.u1(0); w2.u1(0); w2.u1(0); w2.u1(0) // aspect/overscan/signal/loc
+    w2.u1(1); w2.u(1, 32); w2.u(50, 32); w2.u1(1) // timing: 25 fps
+    val sc4 = Array[Byte](0, 0, 0, 1)
+    val sc3 = Array[Byte](0, 0, 1)
+    def stream(sps: Array[Byte], slices: Int): Array[Byte] =
+      sc4 ++ Array(0x67.toByte) ++ escape(sps) ++
+        (0 until slices).flatMap(_ =>
+          sc3 ++ Array(0x65.toByte, 0x88.toByte, 0x84.toByte)).toArray
+    val payloads = Seq(
+      (1L, stream(w1.done(), 0)),
+      (2L, stream(w2.done(), 50)),              // 50 frames @25 -> 2 s
+      (3L, Array[Byte](1, 0, 0, 1) ++ stream(w1.done(), 0)) // gate: no code at 0
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeVideo(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(m(1L).ok && m(1L).decoder == "h264sps")
+    assert(m(1L).width == 64 && m(1L).height == 48)
+    assert(m(1L).duration_sec == -1.0) // no VUI timing declared
+    assert(m(2L).ok && m(2L).width == 1920 && m(2L).height == 1080)
+    assert(math.abs(m(2L).duration_sec - 2.0) < 1e-9)
+    assert(!m(3L).ok && m(3L).decoder == "none")
+  }
+
   test("ISO-BMFF box walk decodes real MP4 headers into video features") {
     implicit val s = spark
     import spark.implicits._
