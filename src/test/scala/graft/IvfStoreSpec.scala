@@ -65,18 +65,47 @@ class IvfStoreSpec extends GraftSuite {
     assert(rows(fromStore).nonEmpty && rows(fromStore) == rows(recomputed))
   }
 
-  test("probe scan is pruned to the probed partitions (dynamic partition pruning)") {
+  test("probe scan READS only the probed partitions (measured, not plan-string)") {
+    // the lesson encoded here: this test used to assert the plan
+    // CONTAINS a dynamicpruning filter — which passed while the
+    // filter silently degraded to `true` at runtime (its broadcast
+    // is not reused for this plan shape under the default
+    // reuseBroadcastOnly) and the scan read every partition. The
+    // operator now pushes the probed cluster set as a static isin;
+    // this asserts the MEASURED file count of the executed scan.
     val path = s"$storeRoot/dpp"
     val cents = Similarity.ivfCentroids(emb, 16, lloydIters = 0)
     PartitionedStore.write(Similarity.ivfAssignments(emb, cents),
       path, "c_id")
+    val totalFiles = PartitionedStore
+      .filesPerPartition(spark, path, "c_id").values.sum
     val probe = Similarity.annIvfTopKFromIndex(cents,
       spark.read.parquet(path), emb.where(col("vec_id") < 8),
       nProbe = 4, k = 5)
-    probe.count()
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"store scan is not partition-pruned by the probe set:\n$plan")
+    probe.collect() // count() would execute a DERIVED plan — the
+    // metrics below must come from THIS one
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        leaves(r.child)
+      case s if s.children.isEmpty => Seq(s) ++ s.subqueries.flatMap(leaves)
+      case s => (s.children ++ s.subqueries).flatMap(leaves)
+    }
+    val storeScanFiles = leaves(probe.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Scan parquet"))
+      .flatMap(_.metrics.get("numFiles").map(_.value))
+      .filter(_ > 0)
+    // 8 queries × 4 probes < 16 clusters almost surely; the hard
+    // bound is ≤ 32 of them — strictly fewer files than the store
+    assert(storeScanFiles.exists(_ < totalFiles),
+      s"no store scan read fewer than all $totalFiles files: $storeScanFiles")
+    // and the probed set is what the plan filters on statically
+    assert(probe.queryExecution.executedPlan.toString.contains("c_id"),
+      "store scan lost its partition filter")
   }
 
   test("appends fragment boundedly; compaction rewrites only fragmented directories") {
