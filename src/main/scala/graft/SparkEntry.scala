@@ -393,7 +393,8 @@ object SparkEntry {
     // assignments of the combined corpus (IvfStoreSpec pins the same
     // identity through a real partitionBy store with value-aligned
     // appends + partition-selective compaction, and asserts the probe
-    // scan carries a dynamicpruning partition filter). DuckDB replays
+    // scan READS only probed partitions — measured file counts, via
+    // the static isin pushdown of the probe set). DuckDB replays
     // seed → assign → probe → rank bit-for-bit.
     "q_ann_ivf_incremental" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
