@@ -36,8 +36,11 @@ import graft.operators.Dedup
   * (default) prices the minhash band index over documents (the q57
   * store), "signband" the hyperplane sign-band index over embeddings
   * (the q71 store, rung self-configured by `autoPlanes` from the
-  * store size) — the same harness and arms for both, so the two
-  * stored layouts carry symmetric measured numbers.
+  * store size), "ivf" the directory-partitioned IVF inverted file
+  * (the q73 store, where the bucketed/plain contrast becomes
+  * partition-PRUNED probe vs full-scan probe — read suppression
+  * rather than shuffle elision) — the same harness and arms for all
+  * three, so every stored layout carries symmetric measured numbers.
   *
   * The day-N arm prices the MAINTENANCE claim: a second bucketed
   * store takes `SPARK_GRAFT_STORE_DAYS` daily `appendAndMaintain`
@@ -103,14 +106,23 @@ object StoreBench {
     val storeScale = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE", "10").toInt
     // which store layout to price: "sig" = minhash band index over
     // documents (the q57 shape), "signband" = hyperplane sign-band
-    // index over embeddings (the q71 shape) — same harness, same
-    // arms, so the two stored layouts carry SYMMETRIC measured
-    // numbers instead of one priced store and one plan-spec analogy
+    // index over embeddings (the q71 shape), "ivf" = the
+    // directory-partitioned IVF inverted file (the q73 shape, where
+    // the claim is READ SUPPRESSION via partition pruning rather
+    // than shuffle elision) — same harness, same arms, so all three
+    // stored layouts carry SYMMETRIC measured numbers instead of one
+    // priced store and two plan-spec analogies
     val kind = sys.env.getOrElse("SPARK_GRAFT_STORE_KIND", "sig")
+    val plainDir = s"$warehouse/plain_ctl"
 
-    /** One bench-able store layout: the index frames it stores and
-      * the increment joined against them. */
-    trait StoreKind {
+    /** One bench-able store layout: the index frames it stores, the
+      * increment joined against them, and the store lifecycle — the
+      * bucketed-table defaults serve sig/signband; the ivf kind
+      * overrides with the directory-partitioned store. (An abstract
+      * class, not a trait: local-trait default methods and their
+      * anonymous subclasses each capture the enclosing `spark`,
+      * which scalac 2.13 emits as a duplicate field.) */
+    abstract class StoreKind {
       def keys: Seq[String]
       /** Index of the replicated reference corpus (the store body). */
       def refIndex(): DataFrame
@@ -119,6 +131,31 @@ object StoreBench {
       /** Materialize the increment's inputs OUTSIDE the timers;
         * returns the timed body (store frame ⇒ unit) + batch rows. */
       def prepIncrement(): (DataFrame => Unit, Long)
+      /** Extra kind-specific JSON fields (must start with ","). */
+      def extraJson: String = ""
+      def writeMain(): Unit = graft.io.Bucketing.writeBucketed(
+        refIndex(), "store_bench_main", keys, buckets = shuffle.toInt)
+      def readMain(): DataFrame = spark.table("store_bench_main")
+      /** Fair control: same rows, same file count, no layout. */
+      def writePlain(): Unit = refIndex().repartition(shuffle.toInt)
+        .write.mode("overwrite").parquet(plainDir)
+      def readPlain(): DataFrame = spark.read.parquet(plainDir)
+      def buildDayN(): Unit = graft.io.Bucketing.writeBucketed(
+        refIndex(), "store_bench_dayn", keys, buckets = shuffle.toInt)
+      /** One daily maintenance cycle; true if it compacted. */
+      def appendDay(d: Int, maxFragments: Int): Boolean =
+        graft.io.Bucketing.appendAndMaintain(dayIndex(d),
+          "store_bench_dayn", keys, buckets = shuffle.toInt,
+          maxFragments = maxFragments)
+      def readDayN(): DataFrame = spark.table("store_bench_dayn")
+      def dayNFragMax(): Int = graft.io.Bucketing
+        .filesPerBucket(spark, "store_bench_dayn")
+        .values.maxOption.getOrElse(0)
+      def setup(): Unit = {
+        spark.sql("DROP TABLE IF EXISTS store_bench_main")
+        spark.sql("DROP TABLE IF EXISTS store_bench_dayn")
+      }
+      def cleanup(): Unit = setup()
     }
 
     // 95/5 split on a hash, not id ranges: ids correlate with
@@ -202,57 +239,109 @@ object StoreBench {
       }
     }
 
-    val layout: StoreKind =
-      if (kind == "signband") signBandKind else sigKind
+    val ivfKind = new StoreKind {
+      import graft.operators.Similarity
+      private val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      private val numCentroids =
+        sys.env.getOrElse("SPARK_GRAFT_IVF_CENTROIDS", "64").toInt
+      private val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_PROBE", "4").toInt
+      private val isNew = pmod(xxhash64(col("vec_id")), lit(20)) === 0
+      // the layout is trained ONCE on the unscaled reference slice
+      // and frozen (q73's contract) — distinct-id copies share
+      // vectors, so training on the copies would find the same
+      // centroids at storeScale× the cost
+      private lazy val cents = Similarity.ivfCentroids(emb.where(!isNew),
+        numCentroids, lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      private def refVecs: DataFrame =
+        (0 until storeScale).map(i =>
+            emb.where(!isNew).select(
+              (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionByName _)
+      private val mainPath = s"$warehouse/ivf_main"
+      private val dayNPath = s"$warehouse/ivf_dayn"
+      def keys: Seq[String] = Seq("c_id")
+      def refIndex(): DataFrame = Similarity.ivfAssignments(refVecs, cents)
+      def dayIndex(d: Int): DataFrame = Similarity.ivfAssignments(
+        emb.where(pmod(xxhash64(col("vec_id")), lit(20)) === d)
+          .select((col("vec_id") + lit(900000000L + d * 10000000L))
+            .as("vec_id"), col("embedding")), cents)
+      override def extraJson: String =
+        s""","num_centroids":$numCentroids,"n_probe":$nProbe""" +
+          s""","n_queries":${sys.env.getOrElse("SPARK_GRAFT_IVF_QUERIES", "8")}"""
+      override def writeMain(): Unit =
+        graft.io.PartitionedStore.write(refIndex(), mainPath, "c_id")
+      override def readMain(): DataFrame = spark.read.parquet(mainPath)
+      override def buildDayN(): Unit =
+        graft.io.PartitionedStore.write(refIndex(), dayNPath, "c_id")
+      override def appendDay(d: Int, maxFragments: Int): Boolean =
+        graft.io.PartitionedStore.appendAndMaintain(dayIndex(d),
+          dayNPath, "c_id", maxFragments = maxFragments).nonEmpty
+      override def readDayN(): DataFrame = spark.read.parquet(dayNPath)
+      override def dayNFragMax(): Int = graft.io.PartitionedStore
+        .filesPerPartition(spark, dayNPath, "c_id")
+        .values.maxOption.getOrElse(0)
+      def prepIncrement(): (DataFrame => Unit, Long) = {
+        // the timed body is the PROBE in its SERVING shape: a small
+        // query batch, so the union of probed clusters stays well
+        // under numCentroids and dynamic partition pruning has
+        // something to prune. (A day-batch of ~1000 queries probes
+        // every cluster collectively — first-shot lesson: partsRead
+        // was 64/64 and the "pruned" arm was just a full scan with
+        // more files.) Read suppression is the claim priced:
+        // nQueries × nProbe directories read instead of the store.
+        val nQueries =
+          sys.env.getOrElse("SPARK_GRAFT_IVF_QUERIES", "8").toInt
+        val qDir = s"$warehouse/query_vecs"
+        emb.where(isNew).select(col("vec_id"), col("embedding"))
+          .orderBy("vec_id").limit(nQueries)
+          .write.mode("overwrite").parquet(qDir)
+        val qV = spark.read.parquet(qDir)
+        (store => Similarity.annIvfTopKFromIndex(cents, store, qV,
+            nProbe = nProbe, k = 5)
+          .write.format("noop").mode("overwrite").save(),
+          qV.count())
+      }
+    }
+
+    val layout: StoreKind = kind match {
+      case "signband" => signBandKind
+      case "ivf" => ivfKind
+      case _ => sigKind
+    }
 
     spark.range(1000).selectExpr("sum(id)").count() // JVM warmup
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // one-time store writes (the cost bucketing front-loads)
-    spark.sql("DROP TABLE IF EXISTS store_bench_sig")
-    val plainDir = s"$warehouse/sig_plain"
-    val tWBucketed = timed {
-      graft.io.Bucketing.writeBucketed(layout.refIndex(),
-        "store_bench_sig", layout.keys, buckets = shuffle.toInt)
-    }
-    val tWPlain = timed {
-      // fair control: same file count as the bucketed store (a plain
-      // store written by the same engineer would be compacted too)
-      layout.refIndex()
-        .repartition(shuffle.toInt)
-        .write.mode("overwrite").parquet(plainDir)
-    }
-    val storeRows = spark.table("store_bench_sig").count()
+    // one-time store writes (the cost the layout front-loads)
+    layout.setup()
+    val tWBucketed = timed(layout.writeMain())
+    val tWPlain = timed(layout.writePlain())
+    val storeRows = layout.readMain().count()
 
     // day-N arm: the SAME day-0 rows into a second store, then
     // `days` daily `appendAndMaintain` cycles of day-sized slices
     // (distinct ids — never meeting the increment batch, so the only
     // difference the timer can see on this arm vs day-1 is what
-    // maintenance is supposed to bound: files/bucket and store
-    // volume growth). Appends + compaction run OUTSIDE the timers —
-    // they are the maintenance cost `write_*_sec` style numbers
-    // price, not the per-increment join this harness times.
+    // maintenance is supposed to bound: files-per-bucket/partition
+    // and store volume growth). Appends + compaction run OUTSIDE the
+    // timers — they are the maintenance cost `write_*_sec` style
+    // numbers price, not the per-increment join this harness times.
     val days = sys.env.getOrElse("SPARK_GRAFT_STORE_DAYS", "5").toInt
     val dayMaxFragments =
       sys.env.getOrElse("SPARK_GRAFT_STORE_MAXFRAG", "4").toInt
-    spark.sql("DROP TABLE IF EXISTS store_bench_sig_dayn")
-    graft.io.Bucketing.writeBucketed(layout.refIndex(),
-      "store_bench_sig_dayn", layout.keys, buckets = shuffle.toInt)
+    layout.buildDayN()
     var compactions = 0
     val tAppends = timed {
       (1 to days).foreach { d =>
-        if (graft.io.Bucketing.appendAndMaintain(layout.dayIndex(d),
-            "store_bench_sig_dayn", layout.keys,
-            buckets = shuffle.toInt, maxFragments = dayMaxFragments))
-          compactions += 1
+        if (layout.appendDay(d, dayMaxFragments)) compactions += 1
       }
     }
-    val dayNFragMax = graft.io.Bucketing
-      .filesPerBucket(spark, "store_bench_sig_dayn")
-      .values.maxOption.getOrElse(0)
-    val dayNRows = spark.table("store_bench_sig_dayn").count()
+    val dayNFragMax = layout.dayNFragMax()
+    val dayNRows = layout.readDayN().count()
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -272,9 +361,9 @@ object StoreBench {
     for (r <- 0 until runs) {
       val s0 = StallProbe.totalSec
       val arms: Seq[(String, () => Double)] = Seq(
-        "bucketed" -> (() => timed(increment(spark.table("store_bench_sig")))),
-        "dayN" -> (() => timed(increment(spark.table("store_bench_sig_dayn")))),
-        "plain" -> (() => timed(increment(spark.read.parquet(plainDir)))))
+        "bucketed" -> (() => timed(increment(layout.readMain()))),
+        "dayN" -> (() => timed(increment(layout.readDayN()))),
+        "plain" -> (() => timed(increment(layout.readPlain()))))
       val order = if (r % 2 == 0) arms else arms.reverse
       val got = order.map { case (n, f) =>
         val t = f(); sweep(); n -> t }.toMap
@@ -286,8 +375,7 @@ object StoreBench {
         f"plain=${got("plain")}%.2f s stall=${stalls.last}%.2f s")
     }
     val loadAfter = loadavg
-    spark.sql("DROP TABLE IF EXISTS store_bench_sig")
-    spark.sql("DROP TABLE IF EXISTS store_bench_sig_dayn")
+    layout.cleanup()
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -313,6 +401,7 @@ object StoreBench {
         s""","write_plain_sec":${math.round(tWPlain * 100) / 100.0}""" +
         s""","store_rows":$storeRows,"batch_rows":$batchRows""" +
         s""","store_scale":$storeScale,"buckets":$shuffle""" +
+        layout.extraJson +
         s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
         s""","cpus":"$cpus","sf":"$sfDir"}"""
     println(json)
