@@ -118,15 +118,40 @@ object QualityModel {
             dim: Int, epochs: Int = 30, lr: Double = 1.0,
             l2: Double = 0.0,
             hashKey: Column => Column = xxhash64(_),
-            batchDenom: Int = 1): Array[Int] = {
+            batchDenom: Int = 1): Array[Int] =
+    quantize(trainRaw(df, id, text, labelCol, dim, epochs, lr, l2,
+      hashKey, batchDenom))
+
+  /** [[train]] without the final quantization: the UNQUANTIZED
+    * weights a daily re-fit pipeline persists and feeds back as
+    * `initWeights` tomorrow (warm start — quantized weights lose the
+    * magnitude GD needs to continue from). Full-batch training is
+    * deterministic, so continuing for e₂ epochs from an e₁-epoch
+    * result IS the e₁+e₂ straight-through result, element for
+    * element — the spec asserts exact equality, which is what makes
+    * daily warm starts trustworthy rather than approximately-right.
+    * (With `batchDenom` > 1 the stratum schedule restarts at epoch
+    * 0 on each call, so continuation visits strata in a different
+    * order than straight-through — same fixed point, not the same
+    * trajectory.) */
+  def trainRaw(df: DataFrame, id: Column, text: Column, labelCol: Column,
+               dim: Int, epochs: Int = 30, lr: Double = 1.0,
+               l2: Double = 0.0,
+               hashKey: Column => Column = xxhash64(_),
+               batchDenom: Int = 1,
+               initWeights: Array[Double] = Array.empty): Array[Double] = {
     require(dim >= 1, "feature dimension must be positive")
     require(epochs >= 1, "epochs must be positive")
     require(batchDenom >= 1, "batchDenom must be positive")
+    require(initWeights.isEmpty || initWeights.length == dim,
+      s"initWeights length ${initWeights.length} != dim $dim")
     val feats = featureBuckets(df, id, text, dim, hashKey)
       .join(df.select(id.as("id"), labelCol.cast("double").as("y")), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val w = Array.fill(dim)(0.0)
+      val w =
+        if (initWeights.isEmpty) Array.fill(dim)(0.0)
+        else initWeights.clone()
       for (e <- 0 until epochs) {
         // mini-batch gate: epoch e sees the 1/batchDenom stratum
         // whose doc-hash residue is e mod batchDenom — deterministic
@@ -163,7 +188,7 @@ object QualityModel {
       }
       require(w.exists(_ != 0.0) || epochs == 0,
         "training saw no scoreable labeled documents")
-      quantize(w)
+      w
     } finally feats.unpersist()
   }
 

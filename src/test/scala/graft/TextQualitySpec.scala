@@ -166,6 +166,31 @@ class TextQualitySpec extends GraftSuite {
       .where(col("label") === col("y")).count().toDouble /
       holdout.count()
     assert(accMb >= 0.9, s"mini-batch held-out accuracy $accMb")
+    // warm start: full-batch GD is deterministic, so continuing 10
+    // epochs from the 15-epoch raw weights IS the straight-through
+    // 25-epoch result, element for element — the property that makes
+    // a daily re-fit from yesterday's persisted weights trustworthy
+    val w15 = graft.operators.QualityModel.trainRaw(trainSet,
+      col("doc_id"), col("text"), col("y"), dim = 256, epochs = 15,
+      lr = 2.0)
+    val w25resumed = graft.operators.QualityModel.trainRaw(trainSet,
+      col("doc_id"), col("text"), col("y"), dim = 256, epochs = 10,
+      lr = 2.0, initWeights = w15)
+    val w25straight = graft.operators.QualityModel.trainRaw(trainSet,
+      col("doc_id"), col("text"), col("y"), dim = 256, epochs = 25,
+      lr = 2.0)
+    // double sums merge in shuffle-arrival order, so cross-run bit
+    // equality is not guaranteed — assert a tight bound on the raw
+    // weights and EXACT equality after quantization
+    val scale = w25straight.iterator.map(math.abs).max
+    val maxDiff = w25resumed.zip(w25straight)
+      .iterator.map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 1e-9 * scale,
+      s"warm-start continuation diverged: maxDiff=$maxDiff scale=$scale")
+    assert(graft.operators.QualityModel.quantize(w25resumed).sameElements(
+      graft.operators.QualityModel.quantize(w25straight)))
+    assert(graft.operators.QualityModel.quantize(w25straight)
+      .sameElements(w))
   }
 
   test("quality model: fold margin == declarative explode replay, both hash families") {
