@@ -419,6 +419,68 @@ object Multimodal {
     }
   }
 
+  /** Annex-B machinery shared by the H.264 and H.265 SPS walks: the
+    * MSB-first Exp-Golomb bit reader (identical in both specs, §9.1 /
+    * §9.2), the 00 00 03 emulation-prevention unescape, and the
+    * start-code NAL scan. Each codec reads its own NAL header off the
+    * raw span ([[H264Sps]]: one byte, type = `b & 0x1f`; [[H265Sps]]:
+    * two bytes, type = `(b >> 1) & 0x3f`). */
+  private object AnnexB {
+    /** MSB-first bit reader with Exp-Golomb. */
+    final class Bits(b: Array[Byte]) {
+      private var pos = 0
+      def more: Boolean = pos < b.length * 8
+      def u1(): Int = {
+        val r = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; r }
+      def u(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+      def ue(): Int = {
+        var zeros = 0
+        while (more && u1() == 0) zeros += 1
+        ((1L << zeros) - 1 + u(zeros)).toInt }
+      def se(): Int = {
+        val k = ue(); if (k % 2 == 0) -(k / 2) else (k + 1) / 2 }
+    }
+
+    def unescape(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(until - from)
+      var i = from
+      while (i < until) {
+        if (i + 2 < until && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 3) {
+          out.write(0); out.write(0); i += 3 // drop the 03
+        } else { out.write(b(i)); i += 1 }
+      }
+      out.toByteArray
+    }
+
+    /** The byte-stream gate both codecs share: a start code at
+      * offset 0 (0x000001 or 0x00000001). */
+    def atZero(payload: Array[Byte]): Boolean =
+      payload != null && payload.length >= 8 &&
+        payload(0) == 0 && payload(1) == 0 &&
+        (payload(2) == 1 || (payload(2) == 0 && payload(3) == 1))
+
+    /** Raw NAL spans (start, end) — `start` points at the first
+      * NAL-HEADER byte; the next start code's 00 00 (00) prefix is
+      * trimmed off `end` as separator, not payload. */
+    def units(b: Array[Byte]): Vector[(Int, Int)] = {
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i + 2 < b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+          starts += i + 3; i += 3
+        } else i += 1
+      }
+      starts.iterator.zipAll(starts.iterator.drop(1), -1, b.length)
+        .collect { case (s, e) if s >= 0 && s < b.length =>
+          var end = if (e == b.length) e else e - 3
+          while (end > s && b(end - 1) == 0) end -= 1
+          (s, end)
+        }.toVector
+    }
+  }
+
   /** H.264 Annex-B SPS header metadata — [[Mp3Frames]]'s pattern for
     * raw video elementary streams (ITU-T H.264 §7.3.2.1, a published
     * spec): walk NAL units by their 0x000001/0x00000001 start codes,
@@ -438,52 +500,11 @@ object Multimodal {
     * contain an SPS NAL (type 7) — arbitrary bytes, and the other
     * containers' magic, fall through to None. */
   private object H264Sps {
-    /** MSB-first bit reader with Exp-Golomb (§9.1). */
-    private final class Bits(b: Array[Byte]) {
-      private var pos = 0
-      def more: Boolean = pos < b.length * 8
-      def u1(): Int = {
-        val r = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; r }
-      def u(n: Int): Long = {
-        var v = 0L; var i = 0
-        while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
-      def ue(): Int = {
-        var zeros = 0
-        while (more && u1() == 0) zeros += 1
-        ((1L << zeros) - 1 + u(zeros)).toInt }
-      def se(): Int = {
-        val k = ue(); if (k % 2 == 0) -(k / 2) else (k + 1) / 2 }
-    }
-
-    private def unescape(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream(until - from)
-      var i = from
-      while (i < until) {
-        if (i + 2 < until && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 3) {
-          out.write(0); out.write(0); i += 3 // drop the 03
-        } else { out.write(b(i)); i += 1 }
-      }
-      out.toByteArray
-    }
+    import AnnexB.{Bits, unescape}
 
     /** NAL unit offsets: (payloadStart, payloadEnd, type). */
-    private def nals(b: Array[Byte]): Vector[(Int, Int, Int)] = {
-      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var i = 0
-      while (i + 2 < b.length) {
-        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
-          starts += i + 3; i += 3
-        } else i += 1
-      }
-      starts.iterator.zipAll(starts.iterator.drop(1), -1, b.length)
-        .collect { case (s, e) if s >= 0 && s < b.length =>
-          // the next start code's 00 00 (or 00 00 00) prefix belongs
-          // to the separator, not this NAL's payload
-          var end = if (e == b.length) e else e - 3
-          while (end > s && b(end - 1) == 0) end -= 1
-          (s + 1, end, b(s) & 0x1f)
-        }.toVector
-    }
+    private def nals(b: Array[Byte]): Vector[(Int, Int, Int)] =
+      AnnexB.units(b).map { case (s, e) => (s + 1, e, b(s) & 0x1f) }
 
     /** §7.3.2.1 parse of one unescaped SPS payload:
       * (width, height, fps — 0.0 when the VUI has no timing). */
@@ -562,10 +583,7 @@ object Multimodal {
     /** (width, height, durationSec) — duration from coded-slice NAL
       * count / VUI fps, -1.0 when the stream declares no timing. */
     def decode(payload: Array[Byte]): Option[(Int, Int, Double)] = {
-      if (payload == null || payload.length < 8) return None
-      val atZero = payload(0) == 0 && payload(1) == 0 &&
-        (payload(2) == 1 || (payload(2) == 0 && payload(3) == 1))
-      if (!atZero) return None
+      if (!AnnexB.atZero(payload)) return None
       val units = nals(payload)
       units.find(_._3 == 7).flatMap { case (s, e, _) =>
         try parseSps(unescape(payload, s, e)) catch {
@@ -579,11 +597,198 @@ object Multimodal {
     }
   }
 
+  /** H.265/HEVC Annex-B SPS header metadata — [[H264Sps]]'s pattern
+    * over the H.265 NAL layout (ITU-T H.265 §7.3.2.2, a published
+    * spec): two-byte NAL headers (type = `(b >> 1) & 0x3f`, SPS = 33),
+    * the profile_tier_level block skipped at its fixed bit widths,
+    * `pic_width/height_in_luma_samples` with the conformance window
+    * applied at the chroma-format crop units, and — parsing THROUGH
+    * the scaling-list / short-term-RPS / long-term sections, each at
+    * its published layout — the VUI `vui_time_scale /
+    * vui_num_units_in_tick` frame rate (HEVC counts frames, not
+    * H.264's field pairs, so no factor of 2). Duration multiplies
+    * that by the stream's picture count: VCL NALs (types 0–21) whose
+    * first slice-header bit, `first_slice_segment_in_pic_flag`, is
+    * set — so multi-slice pictures count once. HEADER-only: slice
+    * payloads are never entropy-decoded (CABAC frame decode stays
+    * the declared stub surface).
+    *
+    * Recognition gate: start code at offset 0 plus an SPS NAL (type
+    * 33) at nuh_layer_id 0 that parses to positive dimensions.
+    * [[decodeVideo]] tries [[H264Sps]] first; the gates are disjoint
+    * on real streams (an H.264 SPS byte 0x67 reads as HEVC type 51,
+    * an HEVC SPS byte 0x42 as H.264 type 2 — neither passes the
+    * other's SPS-type gate). */
+  private object H265Sps {
+    import AnnexB.{Bits, unescape}
+
+    /** NAL spans with the 2-byte header read: (payloadStart,
+      * payloadEnd, type, nuhLayerId). `payloadStart` points past the
+      * header; spans shorter than the header are dropped. */
+    private def nals(b: Array[Byte]): Vector[(Int, Int, Int, Int)] =
+      AnnexB.units(b).collect { case (s, e) if e - s >= 2 =>
+        val tpe = (b(s) >> 1) & 0x3f
+        val layer = ((b(s) & 1) << 5) | ((b(s + 1) >> 3) & 0x1f)
+        (s + 2, e, tpe, layer)
+      }
+
+    /** §7.3.3 profile_tier_level(1, maxSubLayersMinus1): fixed-width
+      * throughout — 88 general bits + 8 level bits, then the
+      * per-sub-layer presence flags, byte alignment, and flagged
+      * 88/8-bit sub-layer blocks. */
+    private def skipProfileTierLevel(r: Bits, maxSubLayersMinus1: Int): Unit = {
+      r.u(88); r.u(8)
+      if (maxSubLayersMinus1 > 0) {
+        val profPresent = new Array[Boolean](maxSubLayersMinus1)
+        val levelPresent = new Array[Boolean](maxSubLayersMinus1)
+        for (i <- 0 until maxSubLayersMinus1) {
+          profPresent(i) = r.u1() == 1
+          levelPresent(i) = r.u1() == 1
+        }
+        for (_ <- maxSubLayersMinus1 until 8) r.u(2) // reserved_zero_2bits
+        for (i <- 0 until maxSubLayersMinus1) {
+          if (profPresent(i)) r.u(88)
+          if (levelPresent(i)) r.u(8)
+        }
+      }
+    }
+
+    /** §7.3.4 scaling_list_data(): sizeId 0–3 × matrixId 0–5 (step 3
+      * at sizeId 3), each either a ue reference delta or an explicit
+      * coefficient run. */
+    private def skipScalingListData(r: Bits): Unit =
+      for (sizeId <- 0 to 3) {
+        var matrixId = 0
+        while (matrixId < 6) {
+          if (r.u1() == 0) r.ue() // scaling_list_pred_matrix_id_delta
+          else {
+            val coefNum = math.min(64, 1 << (4 + (sizeId << 1)))
+            if (sizeId > 1) r.se() // scaling_list_dc_coef_minus8
+            for (_ <- 0 until coefNum) r.se()
+          }
+          matrixId += (if (sizeId == 3) 3 else 1)
+        }
+      }
+
+    /** §7.3.7 st_ref_pic_set(idx): returns NumDeltaPocs[idx] — the
+      * inter-predicted form needs the PREVIOUS set's count, so the
+      * caller threads the array through. In an SPS, RefRpsIdx is
+      * always idx-1 (delta_idx_minus1 appears only in slice
+      * headers). */
+    private def skipStRefPicSet(r: Bits, idx: Int,
+                                numDeltaPocs: Array[Int]): Int = {
+      val interPred = if (idx != 0) r.u1() == 1 else false
+      if (interPred) {
+        r.u1(); r.ue() // delta_rps_sign, abs_delta_rps_minus1
+        var kept = 0
+        for (_ <- 0 to numDeltaPocs(idx - 1)) {
+          val used = r.u1() == 1
+          val useDelta = if (!used) r.u1() == 1 else true
+          if (used || useDelta) kept += 1
+        }
+        kept
+      } else {
+        val neg = r.ue(); val pos = r.ue()
+        for (_ <- 0 until neg + pos) { r.ue(); r.u1() }
+        neg + pos
+      }
+    }
+
+    /** §7.3.2.2.1 parse of one unescaped SPS payload:
+      * (width, height, fps — 0.0 when the VUI has no timing). */
+    private def parseSps(rbsp: Array[Byte]): Option[(Int, Int, Double)] = {
+      val r = new Bits(rbsp)
+      r.u(4) // sps_video_parameter_set_id
+      val maxSubLayersMinus1 = r.u(3).toInt
+      r.u1() // sps_temporal_id_nesting_flag
+      skipProfileTierLevel(r, maxSubLayersMinus1)
+      r.ue() // sps_seq_parameter_set_id
+      val chromaFormat = r.ue()
+      if (chromaFormat == 3) r.u1() // separate_colour_plane_flag
+      var w = r.ue() // pic_width_in_luma_samples
+      var h = r.ue()
+      if (r.u1() == 1) { // conformance_window_flag
+        val (cl, cr, ct, cb) = (r.ue(), r.ue(), r.ue(), r.ue())
+        // §6.2 crop units: SubWidthC 2 for 4:2:0/4:2:2, SubHeightC 2
+        // for 4:2:0 only
+        val cw = if (chromaFormat == 1 || chromaFormat == 2) 2 else 1
+        val ch0 = if (chromaFormat == 1) 2 else 1
+        w -= (cl + cr) * cw
+        h -= (ct + cb) * ch0
+      }
+      r.ue(); r.ue() // bit_depth_luma/chroma_minus8
+      val log2MaxPocLsb = r.ue() + 4
+      val orderingInfoPresent = r.u1()
+      val from = if (orderingInfoPresent == 1) 0 else maxSubLayersMinus1
+      for (_ <- from to maxSubLayersMinus1) { r.ue(); r.ue(); r.ue() }
+      r.ue(); r.ue(); r.ue(); r.ue() // min/max CB + TB log2 sizes
+      r.ue(); r.ue() // max_transform_hierarchy_depth inter/intra
+      if (r.u1() == 1 && r.u1() == 1) // scaling list enabled + present
+        skipScalingListData(r)
+      r.u1(); r.u1() // amp_enabled, sample_adaptive_offset
+      if (r.u1() == 1) { // pcm_enabled
+        r.u(8); r.ue(); r.ue(); r.u1() // bit depths, CB sizes, filter
+      }
+      val numStRps = r.ue()
+      if (numStRps > 64) return None // §7.4.3.2.1 bound — bad parse
+      val numDeltaPocs = new Array[Int](math.max(numStRps, 1))
+      for (i <- 0 until numStRps)
+        numDeltaPocs(i) = skipStRefPicSet(r, i, numDeltaPocs)
+      if (r.u1() == 1) { // long_term_ref_pics_present
+        val n = r.ue()
+        for (_ <- 0 until n) { r.u(log2MaxPocLsb); r.u1() }
+      }
+      r.u1(); r.u1() // temporal_mvp, strong_intra_smoothing
+      var fps = 0.0
+      if (r.u1() == 1) { // vui_parameters_present (E.2.1)
+        if (r.u1() == 1) { // aspect_ratio_info_present
+          if (r.u(8) == 255L) r.u(32) // extended SAR w+h
+        }
+        if (r.u1() == 1) r.u1() // overscan
+        if (r.u1() == 1) { // video_signal_type
+          r.u(4)
+          if (r.u1() == 1) r.u(24)
+        }
+        if (r.u1() == 1) { r.ue(); r.ue() } // chroma_sample_loc
+        r.u1(); r.u1(); r.u1() // neutral_chroma, field_seq, frame_field
+        if (r.u1() == 1) { r.ue(); r.ue(); r.ue(); r.ue() } // display win
+        if (r.u1() == 1) { // vui_timing_info_present
+          val numUnits = r.u(32)
+          val timeScale = r.u(32)
+          if (numUnits > 0) fps = timeScale.toDouble / numUnits
+        }
+      }
+      if (w > 0 && h > 0) Some((w, h, fps)) else None
+    }
+
+    /** (width, height, durationSec) — duration from the picture count
+      * (VCL NALs with first_slice_segment_in_pic_flag) / VUI fps,
+      * -1.0 when the stream declares no timing. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+      if (!AnnexB.atZero(payload)) return None
+      val units = nals(payload)
+      units.find(u => u._3 == 33 && u._4 == 0).flatMap {
+        case (s, e, _, _) =>
+          try parseSps(unescape(payload, s, e)) catch {
+            case _: ArrayIndexOutOfBoundsException => None
+          }
+      }.map { case (w, h, fps) =>
+        val pics = units.count { case (s, _, tpe, layer) =>
+          tpe <= 21 && layer == 0 && s < payload.length &&
+            ((payload(s) >> 7) & 1) == 1 // first_slice_segment_in_pic
+        }
+        val dur = if (fps > 0 && pics > 0) pics / fps else -1.0
+        (w, h, dur)
+      }
+    }
+  }
+
   /** Decode video payloads partition-wise through the real
     * [[VideoHeaderDecoder]] (ISO-BMFF), falling back to the RIFF/AVI
     * `avih` main header (r7, [[AviFrames.header]] — the container
     * [[extractFrameFeatures]] decodes frames from), then to the
-    * [[H264Sps]] Annex-B SPS walk (r8, decoder "h264sps") for raw
+    * [[H264Sps]] Annex-B SPS walk (r8, decoder "h264sps") and the
+    * [[H265Sps]] HEVC walk (r8, decoder "h265sps") for raw
     * elementary streams; unrecognized payloads report ok = false
     * with zeroed fields (decoder "none") rather than faking numbers
     * — video, like audio, is a typed path, not a stub. */
@@ -601,7 +806,8 @@ object Multimodal {
               VideoMeta(id, n, w, h, dur, ok = true, decoder = "isobmff")
             case None => AviFrames.header(payload)
               .map(r => (r, "riff-avi"))
-              .orElse(H264Sps.decode(payload).map(r => (r, "h264sps"))) match {
+              .orElse(H264Sps.decode(payload).map(r => (r, "h264sps")))
+              .orElse(H265Sps.decode(payload).map(r => (r, "h265sps"))) match {
               case Some(((w, h, dur), d)) =>
                 VideoMeta(id, n, w, h, dur, ok = true, decoder = d)
               case None =>

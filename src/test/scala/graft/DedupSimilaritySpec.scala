@@ -1157,6 +1157,150 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!m(3L).ok && m(3L).decoder == "none")
   }
 
+  test("H.265 SPS walk: width/height/fps from generated HEVC streams") {
+    implicit val s = spark
+    import spark.implicits._
+    // the same independent Exp-Golomb WRITER discipline as the H.264
+    // spec: streams are encoded forward from §7.3.2.2, never by the
+    // parser under test
+    class BitW {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var cur = 0; private var nb = 0
+      def u1(v: Int): Unit = {
+        cur = (cur << 1) | (v & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 } }
+      def u(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => u1(((v >> i) & 1).toInt))
+      def ue(v: Int): Unit = {
+        val k = v + 1
+        val bits = 32 - Integer.numberOfLeadingZeros(k)
+        (0 until bits - 1).foreach(_ => u1(0)); u(k.toLong, bits) }
+      def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+      def done(): Array[Byte] = { u1(1); while (nb != 0) u1(0); buf.toArray }
+    }
+    def escape(b: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      b.foreach { x =>
+        if (out.length >= 2 && out(out.length - 1) == 0 &&
+            out(out.length - 2) == 0 && (x & 0xff) <= 3)
+          out += 3
+        out += x
+      }
+      out.toArray
+    }
+    // profile_tier_level(1, 0): 88 fixed bits + level_idc
+    def ptl(w: BitW): Unit = {
+      w.u(0, 2); w.u1(0); w.u(1, 5)  // space, tier, Main profile
+      w.u(0, 32)                      // compatibility flags
+      w.u(0, 4); w.u(0, 43); w.u1(0)  // source flags + reserved
+      w.u(93, 8)                      // level 3.1
+    }
+    // minimal main-profile 64x48, 4:2:0, no conformance window, no
+    // VUI -> duration unknown
+    val w1 = new BitW
+    w1.u(0, 4); w1.u(0, 3); w1.u1(1)   // vps_id, max_sub_layers, nesting
+    ptl(w1)
+    w1.ue(0); w1.ue(1)                 // sps_id, chroma 4:2:0
+    w1.ue(64); w1.ue(48); w1.u1(0)     // width, height, no conf window
+    w1.ue(0); w1.ue(0); w1.ue(0)       // bit depths, log2_max_poc_lsb
+    w1.u1(1); w1.ue(0); w1.ue(0); w1.ue(0) // ordering info, sub-layer 0
+    w1.ue(0); w1.ue(2); w1.ue(0); w1.ue(2) // CB/TB log2 sizes
+    w1.ue(0); w1.ue(0)                 // transform hierarchy depths
+    w1.u1(0)                           // scaling_list_enabled
+    w1.u1(0); w1.u1(0); w1.u1(0)       // amp, sao, pcm
+    w1.ue(0)                           // num_short_term_ref_pic_sets
+    w1.u1(0); w1.u1(0); w1.u1(0)       // long_term, tmvp, smoothing
+    w1.u1(0)                           // vui_parameters_present
+    // 1080p coded as 1920x1088 with a bottom conformance offset of 4
+    // chroma units (x2 = 8 luma rows), parsed THROUGH every optional
+    // section: full scaling-list data, two short-term RPS (the second
+    // inter-predicted from the first), long-term pics, and a VUI with
+    // extended SAR, signal type, chroma loc, display window, and
+    // 25 fps timing; time_scale=25 writes 00 00 00 19 into the SPS so
+    // the escape/unescape path is exercised by construction
+    val w2 = new BitW
+    w2.u(0, 4); w2.u(0, 3); w2.u1(1)
+    ptl(w2)
+    w2.ue(0); w2.ue(1)
+    w2.ue(1920); w2.ue(1088)
+    w2.u1(1); w2.ue(0); w2.ue(0); w2.ue(0); w2.ue(4) // conf: bottom 4
+    w2.ue(0); w2.ue(0); w2.ue(2)       // bit depths, poc_lsb_minus4=2
+    w2.u1(1); w2.ue(1); w2.ue(0); w2.ue(0)
+    w2.ue(0); w2.ue(2); w2.ue(0); w2.ue(2)
+    w2.ue(1); w2.ue(1)                 // transform hierarchy depths
+    w2.u1(1); w2.u1(1)                 // scaling list enabled+present
+    // scaling_list_data: sizeId 0-2 x 6 matrices + sizeId 3 x {0,3};
+    // alternate ue reference deltas with explicit coefficient runs
+    for (sizeId <- 0 to 3) {
+      var matrixId = 0
+      while (matrixId < 6) {
+        if (matrixId % 2 == 0) { w2.u1(0); w2.ue(0) } // predicted
+        else {
+          w2.u1(1)
+          if (sizeId > 1) w2.se(-2)    // dc coef
+          val coefNum = math.min(64, 1 << (4 + (sizeId << 1)))
+          (0 until coefNum).foreach(j => w2.se(if (j % 3 == 0) 1 else -1))
+        }
+        matrixId += (if (sizeId == 3) 3 else 1)
+      }
+    }
+    w2.u1(0); w2.u1(1)                 // amp, sao
+    w2.u1(1)                           // pcm_enabled
+    w2.u(7, 4); w2.u(7, 4)             // pcm bit depths
+    w2.ue(0); w2.ue(2); w2.u1(1)       // pcm CB sizes + loop filter
+    w2.ue(2)                           // num_short_term_ref_pic_sets
+    w2.ue(1); w2.ue(1)                 // set 0: explicit, 1 neg + 1 pos
+    w2.ue(0); w2.u1(1)
+    w2.ue(3); w2.u1(0)
+    w2.u1(1)                           // set 1: inter-predicted
+    w2.u1(0); w2.ue(0)                 // delta_rps sign + abs
+    w2.u1(1)                           // j=0 used
+    w2.u1(0); w2.u1(1)                 // j=1 unused but use_delta
+    w2.u1(1)                           // j=2 used
+    w2.u1(1); w2.ue(1)                 // long-term present, 1 pic
+    w2.u(5, 6); w2.u1(1)               // poc lsb at width 4+2, used
+    w2.u1(1); w2.u1(1)                 // tmvp, smoothing
+    w2.u1(1)                           // vui_parameters_present
+    w2.u1(1); w2.u(255, 8); w2.u(16, 16); w2.u(9, 16) // extended SAR
+    w2.u1(1); w2.u1(0)                 // overscan + appropriate
+    w2.u1(1); w2.u(5, 3); w2.u1(1)     // signal type: format, range
+    w2.u1(1); w2.u(0x010203, 24)       // colour description
+    w2.u1(1); w2.ue(0); w2.ue(1)       // chroma sample loc
+    w2.u1(0); w2.u1(0); w2.u1(0)       // neutral, field_seq, frame_field
+    w2.u1(1); w2.ue(1); w2.ue(1); w2.ue(1); w2.ue(1) // display window
+    w2.u1(1); w2.u(1, 32); w2.u(25, 32) // timing: 25 fps
+    val sc4 = Array[Byte](0, 0, 0, 1)
+    val sc3 = Array[Byte](0, 0, 1)
+    def hdr(tpe: Int): Array[Byte] =
+      Array(((tpe << 1) & 0x7e).toByte, 0x01.toByte)
+    // a picture = one leading slice (first_slice_segment_in_pic_flag
+    // set, IDR_W_RADL) + one continuation slice (TRAIL_R, flag clear)
+    // that must NOT count toward the duration
+    def pic(): Array[Byte] =
+      sc3 ++ hdr(19) ++ Array(0xAF.toByte, 0x11.toByte) ++
+        sc3 ++ hdr(1) ++ Array(0x2F.toByte, 0x11.toByte)
+    // real streams lead with a VPS (type 32) — the walk must find the
+    // SPS past it
+    def stream(sps: Array[Byte], pics: Int): Array[Byte] =
+      sc4 ++ hdr(32) ++ Array(0x0c.toByte, 0x01.toByte, 0xff.toByte) ++
+        sc4 ++ hdr(33) ++ escape(sps) ++
+        (0 until pics).flatMap(_ => pic()).toArray
+    val payloads = Seq(
+      (1L, stream(w1.done(), 0)),
+      (2L, stream(w2.done(), 50)),              // 50 pics @25 -> 2 s
+      (3L, Array[Byte](1, 0, 0, 1) ++ stream(w1.done(), 0)) // gate
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeVideo(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(m(1L).ok && m(1L).decoder == "h265sps")
+    assert(m(1L).width == 64 && m(1L).height == 48)
+    assert(m(1L).duration_sec == -1.0) // no VUI timing declared
+    assert(m(2L).ok && m(2L).decoder == "h265sps")
+    assert(m(2L).width == 1920 && m(2L).height == 1080)
+    assert(math.abs(m(2L).duration_sec - 2.0) < 1e-9)
+    assert(!m(3L).ok && m(3L).decoder == "none")
+  }
+
   test("ISO-BMFF box walk decodes real MP4 headers into video features") {
     implicit val s = spark
     import spark.implicits._

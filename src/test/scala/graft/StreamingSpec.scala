@@ -240,6 +240,80 @@ class StreamingSpec extends GraftSuite {
     assert(want.size == 4 && got == want)
   }
 
+  test("media header decode runs unchanged on a stream, equal to batch") {
+    // decodeAudio/decodeVideo are mapPartitions scan algebra — per-
+    // record decode, no state, no shuffle — so the daily media-ingest
+    // batch and its streaming form are the SAME operator, exactly like
+    // the quality gate above: nothing to re-prove per round, the spec
+    // pins it once. Payloads are real containers (javax.sound WAV/
+    // AIFF, a hand-built ISO-BMFF moov), not stub bytes.
+    implicit val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    def audioBytes(tpe: AudioFileFormat.Type, rate: Float,
+                   channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(
+          new Array[Byte](frames * fmt.getFrameSize)), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512)) ++
+      box("moov",
+        box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++
+          u32(1800) ++ new Array[Byte](80)) ++
+        box("trak", box("tkhd", new Array[Byte](76) ++
+          u32(640L << 16) ++ u32(360L << 16))))
+    val audio = Seq(
+      (1L, audioBytes(AudioFileFormat.Type.WAVE, 8000f, 1, 16000)),
+      (2L, audioBytes(AudioFileFormat.Type.AIFF, 44100f, 2, 44100)),
+      (3L, "not audio at all, honestly".getBytes("UTF-8")))
+    val video = Seq(
+      (1L, mp4),
+      (2L, "and this is not a video either".getBytes("UTF-8")))
+
+    val audioBatch = graft.operators.Multimodal
+      .decodeAudio(audio.toDF("doc_id", "payload"))
+    val videoBatch = graft.operators.Multimodal
+      .decodeVideo(video.toDF("doc_id", "payload"))
+    // the property that makes stream == batch nearly free: zero
+    // Exchange in the executed batch plan
+    audioBatch.collect(); videoBatch.collect()
+    assert(!audioBatch.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+    assert(!videoBatch.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+
+    val memA = MemoryStream[(Long, Array[Byte])]
+    memA.addData(audio.take(2)); memA.addData(audio.drop(2))
+    val qa = graft.operators.Multimodal
+      .decodeAudio(memA.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("audio_stream")
+      .outputMode("append").start()
+    try qa.processAllAvailable() finally qa.stop()
+    assert(s.table("audio_stream")
+        .as[graft.operators.Multimodal.AudioMeta].collect().toSet ==
+      audioBatch.collect().toSet)
+
+    val memV = MemoryStream[(Long, Array[Byte])]
+    memV.addData(video)
+    val qv = graft.operators.Multimodal
+      .decodeVideo(memV.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("video_stream")
+      .outputMode("append").start()
+    try qv.processAllAvailable() finally qv.stop()
+    assert(s.table("video_stream")
+        .as[graft.operators.Multimodal.VideoMeta].collect().toSet ==
+      videoBatch.collect().toSet)
+  }
+
   test("stateless IVF assignment == batch max_by form, zero Exchange, stream-ready") {
     // ivfAssignStateless binds the frozen centroid layout into the
     // plan (planeDots matrix + two literals) so daily-vector streams
