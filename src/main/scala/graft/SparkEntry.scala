@@ -409,6 +409,32 @@ object SparkEntry {
         emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
     }),
 
+    // rows-only (Lloyd float means): the scheduled-maintenance half
+    // of the incremental IVF story — the day-1 layout above drifts as
+    // batches accumulate, so refresh re-trains centroids FROM THE
+    // STORE'S OWN ROWS (it carries every vector) and re-assigns.
+    // IvfStoreSpec pins the warm-start identity EXACTLY (store(a
+    // iters) + b more == straight-through a+b — decimal-sum M-step,
+    // so means are order-independent) and the successor-directory
+    // store roundtrip; q_ann_ivf_incremental is the oracle-green twin
+    // for everything up to the refresh itself.
+    "q_ann_ivf_refresh" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      val ref = emb.where(col("vec_id") % 3 === 0)
+      val batch = emb.where(col("vec_id") % 3 =!= 0)
+      val cents = Similarity.ivfCentroids(ref, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val store = Similarity.ivfAssignments(ref, cents)
+        .unionByName(Similarity.ivfAssignments(batch, cents))
+      val cents2 = Similarity.ivfRefreshCentroids(store, lloydIters = 1)
+      val vecs = store.select(col("n_id").as("vec_id"),
+        col("ec").as("embedding"))
+      Similarity.annIvfTopKFromIndex(cents2,
+        Similarity.ivfAssignments(vecs, cents2),
+        emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
+    }),
+
     // rows-only: end-to-end corpus prep composing the verified stages
     "q_training_prep" -> ((s, dir) =>
       TrainingPipeline.prepare(Tables(s, dir).documents,

@@ -39,7 +39,20 @@ object PartitionedStore {
     * t × |values| fragments. Hash-repartitioning on the key first
     * sends each value to one task, so each directory receives exactly
     * one file per write (`writeParallelism` tasks' worth when a
-    * single value outgrows one task's write). */
+    * single value outgrows one task's write).
+    *
+    * An input plan that READS `path` must not Overwrite `path` in
+    * place: parquet deletes the old files before the lazy input scan
+    * finishes reading them (FAILED_READ_FILE mid-write). A
+    * maintenance rewrite whose input derives from the store — the
+    * IVF refresh ([[graft.operators.Similarity.ivfRefreshCentroids]])
+    * is the canonical case — writes a SUCCESSOR directory and swaps
+    * readers over, [[graft.etl.VersionStore]]'s discipline; that also
+    * keeps in-flight readers of the old layout isolated during a
+    * corpus-sized rewrite. ([[compactIfFragmented]] is exempt: its
+    * dynamic partition overwrite stages output in `_temporary` and
+    * the slice is read fully into the shuffle before any commit
+    * replaces a directory.) */
   def write(df: DataFrame, path: String, partCol: String,
             mode: SaveMode = SaveMode.Overwrite,
             writeParallelism: Int = 1): Unit = {

@@ -265,16 +265,83 @@ object Similarity {
       val asg = assignTo(prev)(corpus, idCol, vecCol, keep = 1)
         .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
           "__id")
-      cents = withCentNorm(asg
-        .select(col("c_id"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy("c_id", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("c_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv")))
+      cents = lloydMeanStep(asg.select(col("c_id"), col("__v")))
         .localCheckpoint(true)
       // checkpointed blocks are invisible to Dataset.unpersist /
       // the CacheManager — free the prior iteration through the RDD
+      org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
+    }
+    cents
+  }
+
+  /** One Lloyd M-step over `(c_id, __v)` member rows: per-cluster
+    * per-dimension mean, re-folded into centroid arrays with norms.
+    * The mean is an EXACT decimal sum divided in double at the end —
+    * order-independent, unlike a double `avg` whose partial-sum order
+    * floats with partitioning — so the same member set yields
+    * bit-identical centroids from ANY plan that produces it. That is
+    * the property [[ivfRefreshCentroids]]'s warm-start identity
+    * rests on: continuing Lloyd from a STORED layout must equal the
+    * straight-through run, not approximate it. (decimal(38,20) holds
+    * sums of ~1e18 unit-scale components; the float→decimal cast
+    * rounds at 20 places, far below embedding precision.) */
+  private def lloydMeanStep(members: DataFrame): DataFrame =
+    withCentNorm(members
+      .select(col("c_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy("c_id", "pos")
+      .agg((sum(col("x").cast("decimal(38,20)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("c_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv")))
+
+  /** Lloyd REFRESH for a stored IVF layout — the periodic re-train +
+    * full re-assign maintenance that complements the frozen-centroid
+    * daily path ([[ivfAssignments]] appends). The store drifts as
+    * batches accumulate: centroids trained on day-1 data quantize
+    * day-N vectors poorly, probe recall decays. This operator
+    * re-derives centroids from the STORE'S OWN rows — the inverted
+    * file carries every vector (`ec`), so refresh never rereads the
+    * source corpus: the first M-step is the per-cluster mean of the
+    * stored assignment, further `lloydIters-1` rounds re-assign and
+    * re-average, exactly [[ivfCentroids]]'s loop warm-started from
+    * the stored layout.
+    *
+    * The contract (spec-asserted exactly, not approximately):
+    * refreshing a store written after `a` Lloyd iterations by `b`
+    * more yields BIT-IDENTICAL centroids to a straight-through
+    * `ivfCentroids(corpus, k, a + b)` — the k-means analog of
+    * [[graft.operators.QualityModel.trainRaw]]'s warm-start
+    * identity, and what makes scheduled refreshes trustworthy: the
+    * maintained store is a cache of the full computation, never a
+    * fork of it. Holds because assignment is pointwise over the same
+    * centroid doubles and the M-step mean is order-independent
+    * ([[lloydMeanStep]]'s decimal sums).
+    *
+    * Cost shape: `lloydIters` store-sized passes + (k × dim)-row
+    * aggregates — run it like compaction, on a schedule, when probe
+    * recall or cluster balance drifts; then re-assign with
+    * [[ivfAssignments]] over the store's vectors and write a
+    * SUCCESSOR directory via [[graft.io.PartitionedStore.write]] —
+    * never overwrite the store its own plan reads (see that method's
+    * in-place-rewrite warning); the store-sized write is why refresh
+    * is periodic where append is daily. Returned frame is
+    * localCheckpoint'ed like [[ivfCentroids]]'s. */
+  def ivfRefreshCentroids(assignments: DataFrame,
+                          lloydIters: Int = 1): DataFrame = {
+    require(lloydIters >= 1, "a refresh must run at least one M-step")
+    val vecs = assignments.select(col("n_id"), col("ec"))
+    var cents = lloydMeanStep(
+        assignments.select(col("c_id"), col("ec").as("__v")))
+      .localCheckpoint(true)
+    (1 until lloydIters).foreach { _ =>
+      val prev = cents
+      val asg = assignTo(prev)(vecs, "n_id", "ec", keep = 1)
+        .join(vecs.select(col("n_id").as("__id"), col("ec").as("__v")),
+          "__id")
+      cents = lloydMeanStep(asg.select(col("c_id"), col("__v")))
+        .localCheckpoint(true)
       org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
     }
     cents

@@ -108,6 +108,62 @@ class IvfStoreSpec extends GraftSuite {
       "store scan lost its partition filter")
   }
 
+  test("refresh warm-start identity: store(a iters) + b more == straight-through a+b") {
+    // the k-means analog of QualityModel.trainRaw's warm-start spec:
+    // refreshing a layout stored after `a` Lloyd iterations by `b`
+    // more yields BIT-IDENTICAL centroids to ivfCentroids(corpus,
+    // a+b) — exact equality, which only holds because the M-step
+    // mean is an order-independent decimal sum (a double avg drifts
+    // with partial-aggregation order between the two plans)
+    val cents1 = Similarity.ivfCentroids(emb, 16, lloydIters = 1)
+    val store = Similarity.ivfAssignments(emb, cents1)
+    val refreshed = Similarity.ivfRefreshCentroids(store, lloydIters = 2)
+    val straight = Similarity.ivfCentroids(emb, 16, lloydIters = 3)
+    def centRows(df: DataFrame): Seq[(Long, Seq[Double], Double)] =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(centRows(refreshed).nonEmpty &&
+      centRows(refreshed) == centRows(straight))
+  }
+
+  test("refresh maintains a REAL store: roundtrip rewrite probes like the fresh layout") {
+    val path = s"$storeRoot/refresh"
+    // day 1: train on the reference slice, store, freeze
+    val ref = emb.where(col("vec_id") % 3 === 0)
+    val batch = emb.where(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.ivfCentroids(ref, 16, lloydIters = 1)
+    PartitionedStore.write(Similarity.ivfAssignments(ref, cents),
+      path, "c_id")
+    // day 2: frozen-centroid append (the daily path)
+    PartitionedStore.appendAndMaintain(
+      Similarity.ivfAssignments(batch, cents), path, "c_id")
+    // scheduled maintenance: refresh centroids FROM THE STORE (it
+    // carries every vector), re-assign, and write a SUCCESSOR
+    // directory — VersionStore's discipline. Overwriting `path` in
+    // place would delete the very files the refreshed layout's lazy
+    // plan still reads (FAILED_READ_FILE mid-write — measured here
+    // before this test took its current form); successor-and-swap is
+    // also the only shape that leaves day-N readers isolated during
+    // a corpus-sized rewrite.
+    val stored = spark.read.parquet(path)
+    val cents2 = Similarity.ivfRefreshCentroids(stored, lloydIters = 1)
+    val vecs = stored.select(col("n_id").as("vec_id"),
+      col("ec").as("embedding"))
+    val next = s"$path.v2"
+    PartitionedStore.write(Similarity.ivfAssignments(vecs, cents2),
+      next, "c_id")
+    cents2.write.mode("overwrite").parquet(s"${next}__centroids")
+    // the refreshed store probes exactly like the in-memory refresh
+    // of the same layout — maintenance is a cache, not a fork
+    val queries = emb.where(col("vec_id") < 8)
+    val fromStore = Similarity.annIvfTopKFromIndex(
+      spark.read.parquet(s"${next}__centroids"),
+      spark.read.parquet(next), queries, nProbe = 4, k = 5)
+    val inMemory = Similarity.annIvfTopKFromIndex(cents2,
+      Similarity.ivfAssignments(vecs, cents2), queries, nProbe = 4, k = 5)
+    assert(rows(fromStore).nonEmpty && rows(fromStore) == rows(inMemory))
+  }
+
   test("appends fragment boundedly; compaction rewrites only fragmented directories") {
     val path = s"$storeRoot/frag"
     val cents = Similarity.ivfCentroids(emb, 8, lloydIters = 0)
