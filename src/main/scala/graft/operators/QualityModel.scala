@@ -118,9 +118,9 @@ object QualityModel {
             dim: Int, epochs: Int = 30, lr: Double = 1.0,
             l2: Double = 0.0,
             hashKey: Column => Column = xxhash64(_),
-            batchDenom: Int = 1): Array[Int] =
+            batchDenom: Int = 1, historySize: Int = 0): Array[Int] =
     quantize(trainRaw(df, id, text, labelCol, dim, epochs, lr, l2,
-      hashKey, batchDenom))
+      hashKey, batchDenom, historySize = historySize))
 
   /** [[train]] without the final quantization: the UNQUANTIZED
     * weights a daily re-fit pipeline persists and feeds back as
@@ -133,22 +133,46 @@ object QualityModel {
     * (With `batchDenom` > 1 the stratum schedule restarts at epoch
     * 0 on each call, so continuation visits strata in a different
     * order than straight-through — same fixed point, not the same
-    * trajectory.) */
+    * trajectory.)
+    *
+    * `historySize` > 0 switches the update from plain GD to an
+    * L-BFGS history fold: the last `historySize` (step, gradient-
+    * change) pairs approximate curvature through the standard
+    * two-loop recursion, and each epoch takes one Armijo-backtracked
+    * step along the resulting direction. The DISTRIBUTED work per
+    * epoch stays DataFrame aggregates over the same persisted
+    * feature frame — one gradient pass plus one loss pass per
+    * line-search trial (≤ 5); the history fold itself is
+    * O(historySize · dim) driver arithmetic on the weight array the
+    * driver already holds for the typedLit. Requires full-batch
+    * gradients (`batchDenom` == 1): curvature pairs from different
+    * strata approximate different functions and corrupt the fold.
+    * Worth the extra passes when plain GD needs many epochs — the
+    * spec measures the planted-signal corpus converging in a quarter
+    * of the epochs; each epoch's passes scan the labeled-set-sized
+    * frame, never the scoring corpus. */
   def trainRaw(df: DataFrame, id: Column, text: Column, labelCol: Column,
                dim: Int, epochs: Int = 30, lr: Double = 1.0,
                l2: Double = 0.0,
                hashKey: Column => Column = xxhash64(_),
                batchDenom: Int = 1,
-               initWeights: Array[Double] = Array.empty): Array[Double] = {
+               initWeights: Array[Double] = Array.empty,
+               historySize: Int = 0): Array[Double] = {
     require(dim >= 1, "feature dimension must be positive")
     require(epochs >= 1, "epochs must be positive")
     require(batchDenom >= 1, "batchDenom must be positive")
+    require(historySize >= 0, "historySize must be non-negative")
+    require(historySize == 0 || batchDenom == 1,
+      "the L-BFGS history fold needs full-batch gradients (batchDenom == 1)")
     require(initWeights.isEmpty || initWeights.length == dim,
       s"initWeights length ${initWeights.length} != dim $dim")
     val feats = featureBuckets(df, id, text, dim, hashKey)
       .join(df.select(id.as("id"), labelCol.cast("double").as("y")), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (historySize > 0)
+        return trainLbfgs(feats, dim, epochs, lr, l2, historySize,
+          initWeights)
       val w =
         if (initWeights.isEmpty) Array.fill(dim)(0.0)
         else initWeights.clone()
@@ -190,6 +214,105 @@ object QualityModel {
         "training saw no scoreable labeled documents")
       w
     } finally feats.unpersist()
+  }
+
+  /** The L-BFGS epoch loop behind [[trainRaw]]'s `historySize`:
+    * standard two-loop recursion over the last `m` curvature pairs,
+    * one Armijo-backtracked step per epoch (c₁ = 1e-4, halving from
+    * `lr`, ≤ 5 trials — an exhausted search takes the smallest trial,
+    * progress over stall; a pair enters the history only past the
+    * `sᵀy > 0` curvature guard). Distributed work = the gradient
+    * pass + one loss pass per trial, all over the SAME persisted
+    * feature frame; the recursion is O(m·dim) driver arithmetic.
+    * One deliberate difference from the GD branch: the gradient is
+    * DENSE — `l2·w(b)` applies to every bucket, not only buckets the
+    * epoch's documents touch — because the curvature pairs assume
+    * the true full gradient of the regularized objective. */
+  private def trainLbfgs(feats: DataFrame, dim: Int, epochs: Int,
+                         lr: Double, l2: Double, m: Int,
+                         initWeights: Array[Double]): Array[Double] = {
+    val nDocs = feats.select(col("id")).distinct().count().toDouble
+    require(nDocs > 0, "training saw no scoreable labeled documents")
+    def margins(w: Array[Double]): DataFrame = {
+      val warr = typedLit(w.toSeq)
+      feats.groupBy("id", "y", "n")
+        .agg(sum(col("cnt") *
+          element_at(warr, (col("b") + 1L).cast("int"))).as("m"))
+    }
+    // mean logistic loss + L2, numerically stable softplus:
+    // ln(1+e^u) = max(u,0) + ln1p(e^-|u|)
+    def lossAt(w: Array[Double]): Double = {
+      val u = -(col("y") * 2d - 1d) * (col("m") / col("n"))
+      val s = margins(w)
+        .select((greatest(u, lit(0.0)) + log1p(exp(-abs(u)))).as("l"))
+        .agg(sum(col("l"))).head().getDouble(0)
+      s / nDocs + 0.5 * l2 * w.iterator.map(x => x * x).sum
+    }
+    def gradAt(w: Array[Double]): Array[Double] = {
+      val p = margins(w).select(col("id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("m") / col("n")))).as("p"))
+      val g = Array.fill(dim)(0.0)
+      feats.join(p, "id").groupBy("b")
+        .agg(sum((col("p") - col("y")) * col("cnt") / col("n")).as("g"))
+        .collect().foreach { r =>
+          g(r.getLong(0).toInt) = r.getDouble(1) / nDocs }
+      var b = 0
+      while (b < dim) { g(b) += l2 * w(b); b += 1 }
+      g
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val sH = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val yH = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var w =
+      if (initWeights.isEmpty) Array.fill(dim)(0.0)
+      else initWeights.clone()
+    var g = gradAt(w)
+    var loss = lossAt(w)
+    for (_ <- 0 until epochs) {
+      val q = g.clone()
+      val alpha = new Array[Double](sH.length)
+      for (i <- sH.length - 1 to 0 by -1) {
+        val rho = 1.0 / dot(yH(i), sH(i))
+        alpha(i) = rho * dot(sH(i), q)
+        var j = 0; while (j < dim) { q(j) -= alpha(i) * yH(i)(j); j += 1 }
+      }
+      if (sH.nonEmpty) {
+        val gamma = dot(sH.last, yH.last) / dot(yH.last, yH.last)
+        var j = 0; while (j < dim) { q(j) *= gamma; j += 1 }
+      }
+      for (i <- sH.indices) {
+        val rho = 1.0 / dot(yH(i), sH(i))
+        val beta = rho * dot(yH(i), q)
+        var j = 0
+        while (j < dim) { q(j) += (alpha(i) - beta) * sH(i)(j); j += 1 }
+      }
+      val gTd = -dot(g, q) // g·d for the Armijo bound (d = -q)
+      var t = lr
+      var wNew: Array[Double] = null
+      var lNew = 0.0
+      var tries = 0
+      var accepted = false
+      while (!accepted && tries < 5) {
+        wNew = Array.tabulate(dim)(j => w(j) - t * q(j))
+        lNew = lossAt(wNew)
+        if (lNew <= loss + 1e-4 * t * gTd) accepted = true
+        else { t /= 2; tries += 1 }
+      }
+      val gNew = gradAt(wNew)
+      val sv = Array.tabulate(dim)(j => wNew(j) - w(j))
+      val yv = Array.tabulate(dim)(j => gNew(j) - g(j))
+      if (dot(sv, yv) > 1e-12) {
+        sH += sv; yH += yv
+        if (sH.length > m) { sH.remove(0); yH.remove(0) }
+      }
+      w = wNew; g = gNew; loss = lNew
+    }
+    require(w.exists(_ != 0.0),
+      "training saw no scoreable labeled documents")
+    w
   }
 
   /** Positive-scale quantization to [[scoreWithWeights]]'s integer

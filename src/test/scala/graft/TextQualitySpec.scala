@@ -115,18 +115,18 @@ class TextQualitySpec extends GraftSuite {
       .contains("Exchange"))
   }
 
-  test("train: planted signal recovered on held-out docs; scoring plan unchanged") {
+  // planted signal: positives draw half their tokens from a "good"
+  // vocabulary, negatives from a "bad" one, both mixed with shared
+  // noise — the signal lives in the hashed unigrams/bigrams the
+  // trainer must weight, not in any column it can see directly
+  private def plantedQualityDocs: org.apache.spark.sql.DataFrame = {
     val s = spark; import s.implicits._
-    // planted signal: positives draw half their tokens from a "good"
-    // vocabulary, negatives from a "bad" one, both mixed with shared
-    // noise — the signal lives in the hashed unigrams/bigrams the
-    // trainer must weight, not in any column it can see directly
     val goodV = Vector("crisp", "lucid", "cogent", "precise", "thorough")
     val badV = Vector("soggy", "garbled", "rambling", "vacuous", "turgid")
     val noise = Vector("the", "of", "report", "data", "table", "with",
       "notes", "entry", "file", "update")
     val rng = new scala.util.Random(7)
-    val docs = (0 until 300).map { i =>
+    (0 until 300).map { i =>
       val pos = i % 2 == 0
       val vocab = if (pos) goodV else badV
       val words = (0 until 12 + rng.nextInt(8)).map { _ =>
@@ -135,6 +135,11 @@ class TextQualitySpec extends GraftSuite {
       }
       (i.toLong, words.mkString(" "), if (pos) 1 else 0)
     }.toDF("doc_id", "text", "y")
+  }
+
+  test("train: planted signal recovered on held-out docs; scoring plan unchanged") {
+    val s = spark; import s.implicits._
+    val docs = plantedQualityDocs
     val holdout = docs.where(col("doc_id") % 5 === 0)
     val trainSet = docs.where(col("doc_id") % 5 =!= 0)
     val w = graft.operators.QualityModel.train(trainSet, col("doc_id"),
@@ -191,6 +196,47 @@ class TextQualitySpec extends GraftSuite {
       graft.operators.QualityModel.quantize(w25straight)))
     assert(graft.operators.QualityModel.quantize(w25straight)
       .sameElements(w))
+  }
+
+  test("train: the L-BFGS history fold converges in a quarter of GD's epochs") {
+    val s = spark; import s.implicits._
+    val docs = plantedQualityDocs
+    val holdout = docs.where(col("doc_id") % 5 === 0)
+    val trainSet = docs.where(col("doc_id") % 5 =!= 0)
+    def heldOutAcc(w: Array[Int]): Double = {
+      val scored = graft.operators.QualityModel.scoreWithWeights(
+        holdout, col("doc_id"), col("text"), w)
+      val joined = scored.select(col("id"), col("label"))
+        .join(holdout.select(col("doc_id").as("id"), col("y")), "id")
+      joined.where(col("label") === col("y")).count().toDouble /
+        joined.count()
+    }
+    // 6 epochs where the GD test needs 25: the curvature history
+    // earns its extra loss passes
+    val w = graft.operators.QualityModel.train(trainSet, col("doc_id"),
+      col("text"), col("y"), dim = 256, epochs = 6, lr = 2.0,
+      historySize = 5)
+    val acc = heldOutAcc(w)
+    assert(acc >= 0.9, s"L-BFGS held-out accuracy $acc at 6 epochs")
+    // plain GD at the same 6-epoch budget has not separated yet —
+    // the comparison that justifies the fold's existence
+    val accGd = heldOutAcc(graft.operators.QualityModel.train(trainSet,
+      col("doc_id"), col("text"), col("y"), dim = 256, epochs = 6,
+      lr = 2.0))
+    assert(acc > accGd,
+      s"history fold ($acc) must beat plain GD ($accGd) at equal epochs")
+    // deterministic: a replay quantizes identically
+    val w2 = graft.operators.QualityModel.train(trainSet, col("doc_id"),
+      col("text"), col("y"), dim = 256, epochs = 6, lr = 2.0,
+      historySize = 5)
+    assert(w.sameElements(w2))
+    // curvature pairs from different mini-batch strata would corrupt
+    // the fold — the trainer refuses the combination
+    intercept[IllegalArgumentException] {
+      graft.operators.QualityModel.train(trainSet, col("doc_id"),
+        col("text"), col("y"), dim = 256, epochs = 6, lr = 2.0,
+        batchDenom = 4, historySize = 5)
+    }
   }
 
   test("quality model: fold margin == declarative explode replay, both hash families") {
