@@ -281,6 +281,45 @@ object Multimodal {
     * JDK providers don't read; payloads none recognizes report
     * ok = false with zeroed fields (decoder "none") rather than
     * faking numbers — audio is a typed path, not a stub. */
+  /** FLAC STREAMINFO header metadata ([[Mp3Frames]]'s pattern for
+    * the other ubiquitous audio container; the FLAC format spec —
+    * RFC 9639 — is published): after the `fLaC` magic, the FIRST
+    * metadata block is required to be STREAMINFO (type 0) — 1-byte
+    * block header, 3-byte big-endian length, then the fixed 34-byte
+    * layout carrying the 20-bit sample rate, 3-bit channels-1 and
+    * 36-bit total inter-channel samples this parser reads. Duration
+    * is exact (`total / rate`), not estimated — lossless FLAC
+    * declares its sample count; a zero sample-count field is legal
+    * ("unknown") and reports -1.0. HEADER-only: no frame is ever
+    * decoded (FLAC sample decode would be pure-JDK-feasible rice
+    * coding, but it is out of metadata scope the same way PCM sample
+    * decode lives in [[SampleDecoder]], not here).
+    *
+    * Recognition gate: the magic plus a type-0 first block with a
+    * plausible length and a non-zero sample rate (zero is invalid
+    * per spec). */
+  private object FlacHeader {
+    def decode(payload: Array[Byte]): Option[(Float, Int, Double)] = {
+      if (payload == null || payload.length < 4 + 4 + 34) return None
+      if (payload(0) != 'f' || payload(1) != 'L' ||
+          payload(2) != 'a' || payload(3) != 'C') return None
+      if ((payload(4) & 0x7f) != 0) return None // STREAMINFO first
+      val len = ((payload(5) & 0xff) << 16) | ((payload(6) & 0xff) << 8) |
+        (payload(7) & 0xff)
+      if (len < 34) return None
+      def b(o: Int): Int = payload(8 + o) & 0xff
+      // bytes 10..17 pack sr[19:0] ch[2:0] bps[4:0] total[35:0]
+      val sr = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+      if (sr <= 0) return None
+      val ch = ((b(12) >> 1) & 7) + 1
+      val total = ((b(13).toLong & 0x0f) << 32) |
+        (b(14).toLong << 24) | (b(15).toLong << 16) |
+        (b(16).toLong << 8) | b(17).toLong
+      val dur = if (total > 0) total.toDouble / sr else -1.0
+      Some((sr.toFloat, ch, dur))
+    }
+  }
+
   def decodeAudio(payloads: DataFrame)
                  (implicit spark: SparkSession): Dataset[AudioMeta] = {
     import spark.implicits._
@@ -293,7 +332,8 @@ object Multimodal {
           dec.decode(payload)
             .map(r => (r, "sound"))
             .orElse(Mp3Frames.decode(payload).map(r => (r, "mp3hdr")))
-            .orElse(AdtsFrames.decode(payload).map(r => (r, "aachdr"))) match {
+            .orElse(AdtsFrames.decode(payload).map(r => (r, "aachdr")))
+            .orElse(FlacHeader.decode(payload).map(r => (r, "flachdr"))) match {
             case Some(((sr, ch, dur), d)) =>
               AudioMeta(id, n, sr, ch, dur, ok = true, decoder = d)
             case None =>

@@ -1084,6 +1084,50 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!m(4L).ok && m(4L).decoder == "none")
   }
 
+  test("FLAC STREAMINFO parse: exact duration from the declared sample count") {
+    implicit val s = spark
+    import spark.implicits._
+    // STREAMINFO bit-packed by hand per RFC 9639 §8.2: sr[19:0]
+    // ch-1[2:0] bps-1[4:0] total[35:0] across bytes 10..17
+    def flac(sr: Int, ch: Int, bps: Int, total: Long,
+             lastBlock: Boolean = true): Array[Byte] = {
+      val si = new Array[Byte](34)
+      si(0) = 0x10; si(1) = 0x00 // min blocksize 4096
+      si(2) = 0x10; si(3) = 0x00 // max blocksize
+      si(10) = ((sr >> 12) & 0xff).toByte
+      si(11) = ((sr >> 4) & 0xff).toByte
+      si(12) = (((sr & 0xf) << 4) | (((ch - 1) & 7) << 1) |
+        (((bps - 1) >> 4) & 1)).toByte
+      si(13) = ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
+      si(14) = ((total >> 24) & 0xff).toByte
+      si(15) = ((total >> 16) & 0xff).toByte
+      si(16) = ((total >> 8) & 0xff).toByte
+      si(17) = (total & 0xff).toByte
+      val hdr = (if (lastBlock) 0x80 else 0x00).toByte
+      "fLaC".getBytes("US-ASCII") ++
+        Array(hdr, 0.toByte, 0.toByte, 34.toByte) ++ si
+    }
+    val payloads = Seq(
+      (1L, flac(44100, 2, 16, 88200L)),       // 2.0 s stereo CD rate
+      (2L, flac(96000, 6, 24, 0L)),           // legal unknown length
+      (3L, flac(44100, 2, 16, 88200L).updated(3, 'c'.toByte)), // bad magic
+      (4L, "fLaC".getBytes("US-ASCII") ++
+        Array[Byte](0x84.toByte, 0, 0, 10) ++ new Array[Byte](10))
+        // first block type 4 (VORBIS_COMMENT): spec says STREAMINFO
+        // must come first — gate refuses rather than hunting
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudio(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(m(1L).ok && m(1L).decoder == "flachdr")
+    assert(m(1L).sample_rate == 44100f && m(1L).channels == 2)
+    assert(math.abs(m(1L).duration_sec - 2.0) < 1e-9)
+    assert(m(2L).ok && m(2L).decoder == "flachdr")
+    assert(m(2L).sample_rate == 96000f && m(2L).channels == 6)
+    assert(m(2L).duration_sec == -1.0)
+    assert(!m(3L).ok && m(3L).decoder == "none")
+    assert(!m(4L).ok && m(4L).decoder == "none")
+  }
+
   test("H.264 SPS walk: width/height/fps from generated Annex-B streams") {
     implicit val s = spark
     import spark.implicits._
