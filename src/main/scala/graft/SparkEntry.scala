@@ -409,6 +409,52 @@ object SparkEntry {
         emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
     }),
 
+    // oracle-checked PQ encode: md5-seeded codebooks (hash-sampled
+    // codewords, no Lloyd — the q41 discipline), codes exploded to
+    // (vec_id, sub, c) INTEGER rows so the hash compare never
+    // touches a float. DuckDB replays sample → slice → argmin margin
+    // (2·dot − |c|², ties to the larger code) bit-for-bit; the fused
+    // planeDots fold and list_inner_product sum in the same order.
+    "q_pq_encode_seeded" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val books = Pq.pqCodebooks(emb, numSub = 8, numCodewords = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      Pq.pqEncode(emb, books)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "c")))
+    }),
+
+    // rows-only (Lloyd float means): brute ADC ranking over the
+    // coded corpus — PqSpec ties the distance to the decoded
+    // reconstruction exactly and prices the 14x store compression;
+    // q_pq_encode_seeded is the oracle-green twin for the encode.
+    "q_ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val books = Pq.pqCodebooks(emb, numSub = 8, numCodewords = 32,
+        lloydIters = 2)
+      Pq.pqAdcTopK(books, Pq.pqEncode(emb, books),
+        emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+    // rows-only: the IVF-PQ serving shape — cosine coarse routing
+    // with static partition pruning (q73's probe) over a coded store
+    // (~numSub small ints per vector instead of dim floats; the two
+    // read-suppression rungs multiply). PqSpec pins nProbe=all ==
+    // brute ADC through a real partitionBy store.
+    "q_ann_ivfpq_probe" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      val cents = Similarity.ivfCentroids(emb, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val books = Pq.pqCodebooks(emb, numSub = 8, numCodewords = 32,
+        lloydIters = 2)
+      val store = Similarity.ivfAssignments(emb, cents)
+        .select("c_id", "n_id")
+        .join(Pq.pqEncode(emb, books).withColumnRenamed("vec_id", "n_id"),
+          "n_id")
+      Pq.annIvfPqTopKFromIndex(cents, store, books,
+        emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
+    }),
+
     // rows-only (Lloyd float means): the scheduled-maintenance half
     // of the incremental IVF story — the day-1 layout above drifts as
     // batches accumulate, so refresh re-trains centroids FROM THE
@@ -1373,6 +1419,33 @@ object SparkEntry {
         |                                   ORDER BY score DESC, n_id) rn
         |      FROM sc)
         |WHERE rn <= 5""".stripMargin,
+
+    // PQ encode replay: the same md5-ordered 16-vector sample
+    // supplies every subspace's codewords; argmin-L2 as the margin
+    // 2·dot − |c|² (|v_m|² cancels within a subspace), ties to the
+    // larger code on both engines. Output is pure integers.
+    "q_pq_encode_seeded" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev
+        |           FROM embeddings),
+        |cw AS (SELECT rn - 1 AS c, ev FROM (
+        |         SELECT ev, row_number() OVER (
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rn
+        |         FROM v)
+        |       WHERE rn <= 16),
+        |subs AS (SELECT vec_id, sub, ev[sub*8+1 : sub*8+8] AS sv
+        |         FROM v, LATERAL (SELECT unnest(generate_series(0, 7)) sub)),
+        |cws AS (SELECT c, sub, ev[sub*8+1 : sub*8+8] AS cv
+        |        FROM cw, LATERAL (SELECT unnest(generate_series(0, 7)) sub)),
+        |sc AS (SELECT s.vec_id, s.sub, w.c,
+        |              2*list_inner_product(s.sv, w.cv) -
+        |                list_inner_product(w.cv, w.cv) AS margin
+        |       FROM subs s JOIN cws w ON s.sub = w.sub)
+        |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(c AS INT) AS c
+        |FROM (SELECT vec_id, sub, c,
+        |             row_number() OVER (PARTITION BY vec_id, sub
+        |                                ORDER BY margin DESC, c DESC) rn
+        |      FROM sc)
+        |WHERE rn = 1""".stripMargin,
 
     "q_ann_topk_cosine" ->
       """WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) eq

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Product quantization for the embedding store — the read-
+  * suppression rung BELOW the sign-band/IVF layouts: instead of
+  * storing every vector's `dim` floats, split each vector into
+  * `numSub` contiguous subvectors, k-means each subspace into
+  * `numCodewords` codewords, and store one small integer per
+  * subspace. A 64-float (256-byte) embedding becomes 8 codes — the
+  * classic ~16–32× store compression (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011, a
+  * published method) — and queries rank candidates by ASYMMETRIC
+  * distance (exact query vs reconstructed codeword), so search cost
+  * and store bytes both drop by the compression factor while recall
+  * degrades gracefully with codebook size.
+  *
+  * Scale contract, piece by piece:
+  *  - [[pqCodebooks]] trains on a SAMPLE (like every trainer here:
+  *    codebooks are (numSub × numCodewords × dsub) doubles — KB; the
+  *    100 TB corpus is what gets ENCODED, never what trains);
+  *    k-means runs all subspaces in ONE frame (group keys carry
+  *    `sub`), means are order-independent decimal sums (the
+  *    [[Similarity.ivfRefreshCentroids]] lesson), and codeword ids
+  *    re-rank densely at the end so codes address codebook literals
+  *    positionally even after empty clusters drop.
+  *  - [[pqEncode]] is ZERO-Exchange scan algebra: the codebook rides
+  *    once per plan as [[graft.plans.PlaneExpressions.planeDots]]
+  *    codegen references (one per subspace — the hyperplane-hoisting
+  *    lesson), argmin is `array_max` over `struct(2·dot − |c|², c)`
+  *    — the margin form of min L2 distance, |v_m|² being constant
+  *    within a subspace — with ties to the larger code on both the
+  *    fused and declarative paths.
+  *  - [[pqAdcTopK]] broadcasts the query batch against the coded
+  *    corpus; per row the distance is Σ_m (|q_m|² + |c|² − 2·q_m·c)
+  *    looked up through ONE nested codebook literal. Ranking is
+  *    [[TopK.perGroup]] — never a single-partition window.
+  *  - [[annIvfPqTopKFromIndex]] composes with the stored IVF layout:
+  *    coarse cosine routing (the layout's own metric) + static
+  *    partition pruning exactly as [[Similarity.annIvfTopKFromIndex]],
+  *    then ADC instead of exact cosine over the probed clusters —
+  *    IVF-PQ, the shape a 10⁹-vector corpus actually serves.
+  *
+  * Caller contract shared with every ANN operator here: filter
+  * null/zero-norm vectors first. Vector length must be a multiple of
+  * `numSub`.
+  */
+object Pq {
+
+  /** Collected codebook: per subspace, the dense-id codeword
+    * matrices + derived norms the scan-algebra operators bind into
+    * plans. */
+  private final case class Book(planes: Seq[Seq[Seq[Double]]],
+                                norm2: Seq[Seq[Double]]) {
+    def numSub: Int = planes.length
+    def dsub: Int = planes.head.head.length
+  }
+
+  private def collectBook(codebooks: DataFrame): Book = {
+    val rows = codebooks.select(col("sub").cast("int"),
+        col("c").cast("int"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    require(rows.nonEmpty, "empty codebook")
+    val bySub = rows.groupBy(_._1)
+    val subs = bySub.keys.toSeq.sorted
+    require(subs == (0 until subs.length),
+      s"codebook subspace ids must be dense 0..n-1, got $subs")
+    val planes = subs.map(m => bySub(m).map(_._3.toSeq).toSeq)
+    // left-fold square sums, matching the declarative replay exactly
+    val norm2 = planes.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    Book(planes, norm2)
+  }
+
+  /** One row per (vector, subspace): `(id, sub, sv)` with `sv` the
+    * m-th contiguous `dsub`-slice. The train-side shape — encode
+    * never explodes. */
+  private def subvectors(vecs: DataFrame, idCol: String, vecCol: String,
+                         numSub: Int, dsub: Int): DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), explode(transform(
+        sequence(lit(0), lit(numSub - 1)),
+        m => struct(m.as("sub"),
+          slice(col("v"), m * lit(dsub) + 1, lit(dsub)).as("sv")))).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Lloyd M-step over `(sub, c, sv)` members — the (sub, c)-keyed
+    * twin of Similarity's: exact decimal sums, so the same member
+    * sets give bit-identical codewords from any plan. */
+  private def meanStep(members: DataFrame): DataFrame =
+    members
+      .select(col("sub"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "c", "pos")
+      .agg((sum(col("x").cast("decimal(38,20)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("sub", "c")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+  /** Train-side assignment: each `(id, sub)` to its min-L2 codeword
+    * of that subspace, ties to the larger code — a broadcast of the
+    * KB-sized codebook, never a corpus shuffle beyond the per-key
+    * max_by. */
+  private def assignSubs(cb: DataFrame)(subs: DataFrame): DataFrame =
+    subs.join(broadcast(cb.select(col("sub"), col("c"), col("cv"))), "sub")
+      .withColumn("__d2", aggregate(
+        zip_with(col("sv"), col("cv"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy("id", "sub")
+      .agg(max_by(col("c"), struct((-col("__d2")).as("s"), col("c")))
+        .as("c"))
+
+  /** Per-subspace codebooks `(sub, c, cv)` with DENSE codeword ids
+    * 0..k'-1 per subspace (k' ≤ numCodewords after empty clusters
+    * drop): a deterministic hash-sample of the corpus' subvectors
+    * (same sampled VECTORS in every subspace — the order key is the
+    * id) refined by `lloydIters` k-means steps, all subspaces in one
+    * frame per pass. Train on a sample at scale; the returned frame
+    * is localCheckpoint'ed (KB) for its downstream encode/probe
+    * collects. */
+  def pqCodebooks(corpus: DataFrame, numSub: Int, numCodewords: Int = 256,
+                  lloydIters: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  seedKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(numSub >= 1 && numCodewords >= 1 && lloydIters >= 0)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % numSub == 0,
+      s"vector length $dim is not a multiple of numSub=$numSub")
+    val dsub = dim / numSub
+    val subs = subvectors(corpus, idCol, vecCol, numSub, dsub)
+    var cb = TopK.perGroup(
+        subs.withColumn("__h", seedKey(col("id"))),
+        groups = Seq(col("sub")), order = Seq(col("__h"), col("id")),
+        k = numCodewords)
+      .select(col("sub"), (col("rnk") - 1).cast("int").as("c"),
+        transform(col("sv"), x => x.cast("double")).as("cv"))
+      .localCheckpoint(true)
+    (0 until lloydIters).foreach { _ =>
+      val prev = cb
+      val asg = assignSubs(prev)(subs)
+        .join(subs.withColumnRenamed("sv", "sv2"), Seq("id", "sub"))
+        .select(col("sub"), col("c"), col("sv2").as("sv"))
+      cb = meanStep(asg).localCheckpoint(true)
+      org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
+    }
+    // dense re-id: Lloyd may drop empty codewords, and every scan-
+    // algebra consumer addresses the codebook positionally
+    val dense = TopK.perGroup(cb, groups = Seq(col("sub")),
+        order = Seq(col("c")), k = numCodewords)
+      .select(col("sub"), (col("rnk") - 1).cast("int").as("c"), col("cv"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.CheckpointBridge.unpersist(cb)
+    dense
+  }
+
+  /** Encode every vector to its `numSub` codes — `(idCol, code)`
+    * with `code(m)` the dense id of subspace m's nearest codeword
+    * (min L2, ties to the larger id). ZERO Exchange: one
+    * [[graft.plans.PlaneExpressions.planeDots]] reference per
+    * subspace carries that subspace's codeword matrix, and argmin is
+    * the `2·dot − |c|²` margin (|v_m|² is constant within a
+    * subspace, so it cancels from the comparison). Runs unchanged on
+    * a stream, like every scan-algebra gate here. */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val book = collectBook(codebooks)
+    val dsub = book.dsub
+    val codeCols = (0 until book.numSub).map { m =>
+      val cn2 = typedLit(book.norm2(m))
+      val dots = graft.plans.PlaneExpressions.planeDots(
+        slice(col(vecCol), m * dsub + 1, dsub), book.planes(m))
+      array_max(transform(dots, (d, j) =>
+        struct((d * 2 - element_at(cn2, j + 1)).as("s"), j.as("c"))))
+        .getField("c")
+    }
+    vecs.select(col(idCol), array(codeCols: _*).as("code"))
+  }
+
+  /** Reconstruct coded vectors — `(idCol, vec array<double>)`, the
+    * concatenation of each code's codeword. The decode half of the
+    * [[pqEncode]] pair; specs replay ADC distances through it. */
+  def pqDecode(codes: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id"): DataFrame = {
+    val book = collectBook(codebooks)
+    val cb3 = typedLit(book.planes)
+    codes.select(col(idCol),
+      flatten(transform(col("code"), (c, m) =>
+        element_at(element_at(cb3, m + 1), c + 1))).as("vec"))
+  }
+
+  /** Asymmetric-distance top-k: each query (exact floats) against
+    * the coded corpus. `dist` is the FULL squared L2 distance to the
+    * reconstruction (|q_m|² included via |q|²), ranked ascending
+    * with `n_id` ties, through the two-phase [[TopK.perGroup]].
+    * Query side broadcasts — the serving contract, as
+    * [[Similarity.annIvfTopKFromIndex]]. Self-matches (same id) are
+    * excluded. */
+  def pqAdcTopK(codebooks: DataFrame, codes: DataFrame,
+                queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val rows = codes
+      .select(col(idCol).as("n_id"), col("code"))
+      .crossJoin(broadcast(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("eq"))))
+    val scored = adcScore(collectBook(codebooks), rows)
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("dist").asc, col("n_id").asc), k)
+      .select("q_id", "rnk", "n_id", "dist")
+  }
+
+  /** The ADC scoring body shared by [[pqAdcTopK]] and the IVF-PQ
+    * probe: `rows` carries already-paired `(n_id, code, q_id, eq)`;
+    * the distance is looked up through one nested codebook literal.
+    * Self-matches are excluded here, once. */
+  private def adcScore(book: Book, rows: DataFrame): DataFrame = {
+    val dsub = book.dsub
+    val cb3 = typedLit(book.planes)
+    val cn2 = typedLit(book.norm2)
+    rows
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("__qn2", VectorFns.dot(col("eq"), col("eq")))
+      .withColumn("dist",
+        col("__qn2") + aggregate(
+          transform(col("code"), (c, m) =>
+            element_at(element_at(cn2, m + 1), c + 1) -
+              lit(2.0) * aggregate(
+                sequence(lit(0), lit(dsub - 1)), lit(0.0),
+                (acc, p) => acc +
+                  element_at(col("eq"), m * dsub + p + 1).cast("double") *
+                  element_at(element_at(element_at(cb3, m + 1), c + 1),
+                    p + 1))),
+          lit(0.0), (acc, v) => acc + v))
+      .select(col("q_id"), col("n_id"), col("dist"))
+  }
+
+  /** IVF-PQ probe over a STORED coded layout: queries route to their
+    * `nProbe` nearest coarse centroids (cosine — the IVF layout's
+    * own metric, [[Similarity.annIvfTopKFromIndex]]'s exact routing
+    * including the static `isin` partition pruning), then rank the
+    * probed clusters' rows by ADC. `codedAssignments` is an
+    * [[Similarity.ivfAssignments]] frame whose `(ec, nc)` payload
+    * was replaced by [[pqEncode]] codes — |corpus|·nProbe/k rows
+    * read at ~numSub bytes each instead of dim floats: the two
+    * read-suppression rungs multiply. For unit-normalized
+    * embeddings cosine routing and the ADC's L2 ranking order agree;
+    * mixed-norm corpora should normalize before encoding (standard
+    * PQ practice). */
+  def annIvfPqTopKFromIndex(coarseCentroids: DataFrame,
+                            codedAssignments: DataFrame,
+                            codebooks: DataFrame,
+                            queries: DataFrame, nProbe: Int, k: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1, "nProbe must be positive")
+    val storeKeyType = codedAssignments.schema("c_id").dataType
+    val queryProbes = Similarity.assignTo(coarseCentroids)(
+        queries, idCol, vecCol, keep = nProbe)
+      .join(queries.select(col(idCol).as("__id"), col(vecCol).as("eq")),
+        "__id")
+      .select(col("__id").as("q_id"),
+        col("c_id").cast(storeKeyType).as("c_id"), col("eq"))
+    val probedIds = queryProbes.select(col("c_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    // a stored vector lives in exactly ONE cluster directory and a
+    // query probes distinct clusters, so (q_id, n_id) pairs never
+    // duplicate — no dedup pass, unlike multi-table LSH probing
+    val scored = adcScore(collectBook(codebooks),
+      codedAssignments.select("c_id", "n_id", "code")
+        .where(col("c_id").isin(probedIds: _*))
+        .join(broadcast(queryProbes), Seq("c_id"))
+        .select(col("n_id"), col("code"), col("q_id"), col("eq")))
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("dist").asc, col("n_id").asc), k)
+      .select("q_id", "rnk", "n_id", "dist")
+  }
+}

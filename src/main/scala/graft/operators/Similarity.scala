@@ -202,8 +202,8 @@ object Similarity {
   private def withCentNorm(c: DataFrame): DataFrame =
     c.withColumn("cn", VectorFns.l2Norm(col("cv")))
 
-  private def assignTo(cents: DataFrame)(side: DataFrame, id: String,
-                                         vec: String, keep: Int): DataFrame = {
+  private[operators] def assignTo(cents: DataFrame)(side: DataFrame,
+      id: String, vec: String, keep: Int): DataFrame = {
     val scored = side
       .select(col(id).as("__id"), col(vec).as("__v"))
       .withColumn("__n", VectorFns.l2Norm(col("__v")))

@@ -49,6 +49,18 @@ def main():
                   f"higher rung than the static (8,8) oracle")
             fail += 1
             del oracles["q_dedup_embedding_strict"]
+    # q_pq_encode_seeded's oracle slices 8 subvectors of 8 dims each:
+    # true only while embeddings are 64-dim (Spark's side derives
+    # dsub = dim/8, so a dim change silently shifts BOTH sides apart).
+    # Guard loudly, RUNG!-style.
+    if "q_pq_encode_seeded" in oracles:
+        dim = con.sql(
+            "SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()[0]
+        if dim != 64:
+            print(f"DIM!     q_pq_encode_seeded: embeddings are {dim}-dim, "
+                  f"the 8x8 subspace oracle assumes 64")
+            fail += 1
+            del oracles["q_pq_encode_seeded"]
     # q_multimodal_bytefold's oracle equates ord(char) with the utf-8
     # BYTE and length(chars) with length(bytes) — true only on an
     # all-ASCII corpus. Guard loudly (the RUNG! pattern) so a future
