@@ -455,6 +455,51 @@ object SparkEntry {
         emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
     }),
 
+    // oracle-checked RESIDUAL PQ encode (IVFADC's encode layer,
+    // Jégou et al. 2011 §IV): coarse assignment → residual
+    // subtraction → per-subspace argmin, all md5-seeded and replayed
+    // bit-for-bit in DuckDB over pure-integer output rows. The
+    // codebook sample hashes id+1000000: hashing the bare id would
+    // re-pick exactly the 16 coarse-seed vectors, whose residuals
+    // are all-zero (each assigns to its own centroid — cosine 1), a
+    // degenerate all-ties codebook (found by running the oracle).
+    "q_pq_residual_seeded" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      val cents = Similarity.ivfCentroids(emb, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val asg = Similarity.ivfAssignments(emb, cents)
+      val books = Pq.pqCodebooks(Pq.residualAssignments(asg, cents),
+        numSub = 8, numCodewords = 16, lloydIters = 0,
+        idCol = "n_id", vecCol = "rv",
+        seedKey = c => md5((c + 1000000L).cast("string")))
+      Pq.pqEncodeResiduals(asg, cents, books)
+        .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("c_id"),
+          posexplode(col("code")).as(Seq("sub", "c")))
+    }),
+
+    // rows-only (Lloyd float means): the residual IVF-PQ probe —
+    // IVFADC proper, the quality rung above raw-vector PQ (the
+    // centroid explains the cluster mean, so the same codebook
+    // budget quantizes a lower-energy field). PqSpec pins
+    // nProbe=all == exact L2 to the centroid+codeword
+    // reconstruction through a real partitionBy store, and measures
+    // the reconstruction-error drop vs raw PQ at the same budget;
+    // q_pq_residual_seeded is the oracle-green twin for the encode.
+    "q_ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      val cents = Similarity.ivfCentroids(emb, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val asg = Similarity.ivfAssignments(emb, cents)
+      val books = Pq.pqCodebooks(Pq.residualAssignments(asg, cents),
+        numSub = 8, numCodewords = 32, lloydIters = 2,
+        idCol = "n_id", vecCol = "rv")
+      Pq.annIvfPqResidualTopKFromIndex(cents,
+        Pq.pqEncodeResiduals(asg, cents, books), books,
+        emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
+    }),
+
     // rows-only (Lloyd float means): the scheduled-maintenance half
     // of the incremental IVF story — the day-1 layout above drifts as
     // batches accumulate, so refresh re-trains centroids FROM THE
@@ -1443,6 +1488,52 @@ object SparkEntry {
         |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(c AS INT) AS c
         |FROM (SELECT vec_id, sub, c,
         |             row_number() OVER (PARTITION BY vec_id, sub
+        |                                ORDER BY margin DESC, c DESC) rn
+        |      FROM sc)
+        |WHERE rn = 1""".stripMargin,
+
+    // Residual-PQ encode replay: q73's coarse assignment (seed →
+    // cosine argmax, ties c_id DESC) → residual subtraction (double
+    // arithmetic, identical operand order) → q76's argmin-margin
+    // encode over residual slices. The codebook sample orders by
+    // md5(id + 1000000) — see the query comment for why the bare id
+    // is degenerate. Output is pure integers.
+    "q_pq_residual_seeded" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e,
+        |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                          CAST(embedding AS DOUBLE[]))) n
+        |           FROM embeddings
+        |           WHERE list_inner_product(embedding, embedding) > 0),
+        |seed AS (SELECT id AS c_id, e AS cv, n AS cn FROM v
+        |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |ca AS (SELECT id, c_id FROM (
+        |         SELECT v.id, s.c_id,
+        |                row_number() OVER (PARTITION BY v.id
+        |                  ORDER BY list_inner_product(v.e, s.cv)/(v.n*s.cn) DESC,
+        |                           s.c_id DESC) rn
+        |         FROM v CROSS JOIN seed s)
+        |       WHERE rn = 1),
+        |resid AS (SELECT ca.id, ca.c_id,
+        |                 list_transform(generate_series(1, 64),
+        |                   i -> v.e[i] - s.cv[i]) AS rv
+        |          FROM ca JOIN v ON v.id = ca.id JOIN seed s ON s.c_id = ca.c_id),
+        |cw AS (SELECT rn - 1 AS c, rv FROM (
+        |         SELECT rv, row_number() OVER (
+        |           ORDER BY md5(CAST(id + 1000000 AS VARCHAR)), id) rn
+        |         FROM resid)
+        |       WHERE rn <= 16),
+        |subs AS (SELECT id, c_id, sub, rv[sub*8+1 : sub*8+8] AS sv
+        |         FROM resid, LATERAL (SELECT unnest(generate_series(0, 7)) sub)),
+        |cws AS (SELECT c, sub, rv[sub*8+1 : sub*8+8] AS cv
+        |        FROM cw, LATERAL (SELECT unnest(generate_series(0, 7)) sub)),
+        |sc AS (SELECT s.id, s.c_id, s.sub, w.c,
+        |              2*list_inner_product(s.sv, w.cv) -
+        |                list_inner_product(w.cv, w.cv) AS margin
+        |       FROM subs s JOIN cws w ON s.sub = w.sub)
+        |SELECT id AS vec_id, CAST(c_id AS BIGINT) AS c_id,
+        |       CAST(sub AS INT) AS sub, CAST(c AS INT) AS c
+        |FROM (SELECT id, c_id, sub, c,
+        |             row_number() OVER (PARTITION BY id, sub
         |                                ORDER BY margin DESC, c DESC) rn
         |      FROM sc)
         |WHERE rn = 1""".stripMargin,

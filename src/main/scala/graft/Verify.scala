@@ -24,7 +24,15 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional dev filter: SPARK_GRAFT_ONLY=q_a,q_b dumps just those
+    // queries (the driver never sets it; full runs stay the default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // pre-delete: a query that throws before its write must not
       // leave a stale previous-run dir for the gate to validate
       deleteRec(new java.io.File(s"$outDir/$name"))
@@ -43,7 +51,7 @@ object Verify {
     // rows-only query whose output is missing (no oracle ⇒ no other
     // record of its existence)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted
+      selected.keys.toSeq.sorted
         .mkString("[\"", "\", \"", "\"]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -58,6 +66,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -159,29 +159,72 @@ object Pq {
     dense
   }
 
-  /** Encode every vector to its `numSub` codes — `(idCol, code)`
-    * with `code(m)` the dense id of subspace m's nearest codeword
-    * (min L2, ties to the larger id). ZERO Exchange: one
+  /** The code array for one vector column — the scan-algebra body
+    * shared by [[pqEncode]] and [[pqEncodeResiduals]]: one
     * [[graft.plans.PlaneExpressions.planeDots]] reference per
     * subspace carries that subspace's codeword matrix, and argmin is
     * the `2·dot − |c|²` margin (|v_m|² is constant within a
-    * subspace, so it cancels from the comparison). Runs unchanged on
-    * a stream, like every scan-algebra gate here. */
-  def pqEncode(vecs: DataFrame, codebooks: DataFrame,
-               idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
-    val book = collectBook(codebooks)
+    * subspace, so it cancels from the comparison). */
+  private def codeExpr(book: Book, vec: Column): Column = {
     val dsub = book.dsub
-    val codeCols = (0 until book.numSub).map { m =>
+    array((0 until book.numSub).map { m =>
       val cn2 = typedLit(book.norm2(m))
       val dots = graft.plans.PlaneExpressions.planeDots(
-        slice(col(vecCol), m * dsub + 1, dsub), book.planes(m))
+        slice(vec, m * dsub + 1, dsub), book.planes(m))
       array_max(transform(dots, (d, j) =>
         struct((d * 2 - element_at(cn2, j + 1)).as("s"), j.as("c"))))
         .getField("c")
-    }
-    vecs.select(col(idCol), array(codeCols: _*).as("code"))
+    }: _*)
   }
+
+  /** Encode every vector to its `numSub` codes — `(idCol, code)`
+    * with `code(m)` the dense id of subspace m's nearest codeword
+    * (min L2, ties to the larger id). ZERO Exchange ([[codeExpr]]).
+    * Runs unchanged on a stream, like every scan-algebra gate
+    * here. */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    vecs.select(col(idCol), codeExpr(collectBook(codebooks), col(vecCol))
+      .as("code"))
+
+  /** Residual rows of an inverted file: `(c_id, n_id, rv)` with
+    * `rv = ec − centroid(c_id)` — what RESIDUAL PQ quantizes.
+    * After coarse assignment the per-cluster mean is already
+    * explained by the centroid, so the residual field has strictly
+    * less energy than the raw vectors and the SAME codebook budget
+    * buys a finer quantization (Jégou et al. 2011 §IV: IVFADC
+    * encodes residuals, not raw vectors). The centroid frame is
+    * KB-sized and broadcasts; the subtraction is one `zip_with`
+    * projection — no data-sized movement beyond the scan. The
+    * centroid side is cast to the store's `c_id` type so a
+    * partitionBy-read store (int directory values) joins without
+    * widening the store column. */
+  def residualAssignments(assignments: DataFrame,
+                          coarseCentroids: DataFrame): DataFrame = {
+    val storeKeyType = assignments.schema("c_id").dataType
+    assignments.select(col("c_id"), col("n_id"), col("ec"))
+      .join(broadcast(coarseCentroids.select(
+        col("c_id").cast(storeKeyType).as("c_id"), col("cv"))), "c_id")
+      .select(col("c_id"), col("n_id"),
+        zip_with(col("ec"), col("cv"),
+          (a, b) => a.cast("double") - b).as("rv"))
+  }
+
+  /** Residual-encode an inverted file: `(c_id, n_id, code)` with
+    * `code` the PQ codes of `ec − centroid(c_id)` under `codebooks`
+    * (trained on [[residualAssignments]] rows). The coded store an
+    * IVF-PQ serving layout actually persists — reconstruction is
+    * `centroid + codeword concat`, so the coarse and fine layers
+    * SHARE the bit budget instead of the fine layer re-spending bits
+    * on cluster means. Same scan-algebra plan as [[pqEncode]] plus
+    * one broadcast of the KB-sized centroids: zero shuffle, runs
+    * unchanged on a stream. */
+  def pqEncodeResiduals(assignments: DataFrame, coarseCentroids: DataFrame,
+                        codebooks: DataFrame): DataFrame =
+    residualAssignments(assignments, coarseCentroids)
+      .select(col("c_id"), col("n_id"),
+        codeExpr(collectBook(codebooks), col("rv")).as("code"))
 
   /** Reconstruct coded vectors — `(idCol, vec array<double>)`, the
     * concatenation of each code's codeword. The decode half of the
@@ -272,6 +315,50 @@ object Pq {
     // a stored vector lives in exactly ONE cluster directory and a
     // query probes distinct clusters, so (q_id, n_id) pairs never
     // duplicate — no dedup pass, unlike multi-table LSH probing
+    val scored = adcScore(collectBook(codebooks),
+      codedAssignments.select("c_id", "n_id", "code")
+        .where(col("c_id").isin(probedIds: _*))
+        .join(broadcast(queryProbes), Seq("c_id"))
+        .select(col("n_id"), col("code"), col("q_id"), col("eq")))
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("dist").asc, col("n_id").asc), k)
+      .select("q_id", "rnk", "n_id", "dist")
+  }
+
+  /** IVF-PQ probe over a RESIDUAL-coded store (IVFADC proper, Jégou
+    * et al. 2011 §IV): routing and static partition pruning exactly
+    * as [[annIvfPqTopKFromIndex]], but `codedAssignments` carries
+    * [[pqEncodeResiduals]] codes, so the ADC "query vector" inside a
+    * probed cluster is the query RESIDUAL `q − centroid(c)` — the
+    * distance is |q − (centroid + codeword concat)|², the exact L2
+    * to the two-layer reconstruction. The residual varies per
+    * (query, probed cluster), which is why it's computed at probe
+    * time from the broadcast centroid frame (numerically free: one
+    * `zip_with` over an nProbe×|queries|-row broadcast side) — the
+    * stored side still reads ~numSub small ints per vector. Same
+    * serving contract: query batch broadcasts, store never
+    * shuffles. */
+  def annIvfPqResidualTopKFromIndex(coarseCentroids: DataFrame,
+                                    codedAssignments: DataFrame,
+                                    codebooks: DataFrame,
+                                    queries: DataFrame, nProbe: Int, k: Int,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding")
+      : DataFrame = {
+    require(nProbe >= 1, "nProbe must be positive")
+    val storeKeyType = codedAssignments.schema("c_id").dataType
+    val queryProbes = Similarity.assignTo(coarseCentroids)(
+        queries, idCol, vecCol, keep = nProbe)
+      .join(queries.select(col(idCol).as("__id"), col(vecCol).as("eq")),
+        "__id")
+      .join(broadcast(coarseCentroids.select(col("c_id"), col("cv"))),
+        "c_id")
+      .select(col("__id").as("q_id"),
+        col("c_id").cast(storeKeyType).as("c_id"),
+        zip_with(col("eq"), col("cv"),
+          (a, b) => a.cast("double") - b).as("eq"))
+    val probedIds = queryProbes.select(col("c_id")).distinct()
+      .collect().map(_.get(0)).toSeq
     val scored = adcScore(collectBook(codebooks),
       codedAssignments.select("c_id", "n_id", "code")
         .where(col("c_id").isin(probedIds: _*))
