@@ -823,13 +823,157 @@ object Multimodal {
     }
   }
 
+  /** Matroska/WebM header metadata (r8) — an EBML walk over the
+    * public bit layout (RFC 8794 variable-length framing; element
+    * ids from the Matroska registry, which WebM subsets):
+    * `Segment → Info` carries TimecodeScale (ns per tick, default
+    * 1,000,000) and a float Duration in ticks — seconds =
+    * duration · scale / 10⁹; `Segment → Tracks → TrackEntry → Video`
+    * carries PixelWidth/PixelHeight. The same three gotchas every
+    * real muxer output exercises are handled: element ids keep their
+    * length-marker bits (compared as tagged values, 1–4 bytes) while
+    * sizes strip them (1–8 bytes); an all-ones size VINT means
+    * UNKNOWN (streamed/live Segments — the element then runs to its
+    * parent's end and is necessarily last); and a size pointing past
+    * the parent is corruption, which stops the walk rather than
+    * reading past the buffer. The byte gate (the EBML header id
+    * 0x1A45DFA3) is disjoint from every other video gate (`ftyp`,
+    * `RIFF`, Annex-B start codes), so decoder order is immaterial. */
+  private object EbmlHeader {
+    private val SegmentId = 0x18538067L
+    private val InfoId = 0x1549A966L
+    private val TimecodeScaleId = 0x2AD7B1L
+    private val DurationId = 0x4489L
+    private val TracksId = 0x1654AE6BL
+    private val TrackEntryId = 0xAEL
+    private val VideoId = 0xE0L
+    private val PixelWidthId = 0xB0L
+    private val PixelHeightId = 0xBAL
+    private val Unknown = -1L
+
+    private final case class El(id: Long, dataStart: Int, dataEnd: Int)
+
+    /** Element id at `o`: (tagged value incl. marker bits, length). */
+    private def readId(b: Array[Byte], o: Int): Option[(Long, Int)] = {
+      if (o >= b.length) return None
+      val first = b(o) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 23
+      if (len > 4 || o + len > b.length) return None
+      var v = first.toLong
+      var i = 1
+      while (i < len) { v = v << 8 | (b(o + i) & 0xff); i += 1 }
+      Some((v, len))
+    }
+
+    /** Size VINT at `o`: (size, length), [[Unknown]] when all value
+      * bits are set. */
+    private def readSize(b: Array[Byte], o: Int): Option[(Long, Int)] = {
+      if (o >= b.length) return None
+      val first = b(o) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 23
+      if (o + len > b.length) return None
+      var v = (first & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = v << 8 | (b(o + i) & 0xff); i += 1 }
+      Some((if (v == (1L << (7 * len)) - 1) Unknown else v, len))
+    }
+
+    /** Child elements of the span [from, limit) in order; a
+      * malformed or over-running element ends the walk (truncation
+      * tolerance, as [[AviFrames]]). */
+    private def children(b: Array[Byte], from: Int, limit: Int)
+        : Vector[El] = {
+      val out = Vector.newBuilder[El]
+      var o = from
+      var stop = false
+      while (!stop && o < limit) {
+        val parsed = for {
+          (id, il) <- readId(b, o)
+          (sz, sl) <- readSize(b, o + il)
+        } yield (id, sz, o + il + sl)
+        parsed match {
+          case Some((id, Unknown, ds)) =>
+            out += El(id, ds, limit); stop = true
+          case Some((id, sz, ds)) if ds.toLong + sz <= limit =>
+            out += El(id, ds, (ds + sz).toInt); o = (ds + sz).toInt
+          case _ => stop = true
+        }
+      }
+      out.result()
+    }
+
+    private def uint(b: Array[Byte], e: El): Long = {
+      var v = 0L
+      var i = e.dataStart
+      while (i < e.dataEnd && i - e.dataStart < 8) {
+        v = v << 8 | (b(i) & 0xff); i += 1
+      }
+      v
+    }
+
+    private def float(b: Array[Byte], e: El): Option[Double] = {
+      def be(n: Int): Long = {
+        var v = 0L
+        (0 until n).foreach(i => v = v << 8 | (b(e.dataStart + i) & 0xffL))
+        v
+      }
+      e.dataEnd - e.dataStart match {
+        case 4 => Some(java.lang.Float.intBitsToFloat(be(4).toInt).toDouble)
+        case 8 => Some(java.lang.Double.longBitsToDouble(be(8)))
+        case _ => None
+      }
+    }
+
+    /** (width, height, durationSec); duration −1 when the Segment
+      * declares none; None when the payload isn't EBML or carries no
+      * video track. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+      if (payload == null || payload.length < 8) return None
+      if ((payload(0) & 0xff) != 0x1A || (payload(1) & 0xff) != 0x45 ||
+          (payload(2) & 0xff) != 0xDF || (payload(3) & 0xff) != 0xA3)
+        return None
+      val top = children(payload, 0, payload.length)
+      top.find(_.id == SegmentId).flatMap { seg =>
+        val segKids = children(payload, seg.dataStart, seg.dataEnd)
+        var scale = 1000000L
+        var durTicks: Option[Double] = None
+        segKids.find(_.id == InfoId).foreach { info =>
+          val kids = children(payload, info.dataStart, info.dataEnd)
+          kids.find(_.id == TimecodeScaleId)
+            .foreach(e => scale = uint(payload, e))
+          durTicks = kids.find(_.id == DurationId)
+            .flatMap(e => float(payload, e))
+        }
+        segKids.find(_.id == TracksId).toVector
+          .flatMap(t => children(payload, t.dataStart, t.dataEnd))
+          .filter(_.id == TrackEntryId)
+          .flatMap(te => children(payload, te.dataStart, te.dataEnd)
+            .find(_.id == VideoId))
+          .headOption
+          .map { v =>
+            val vk = children(payload, v.dataStart, v.dataEnd)
+            val w = vk.find(_.id == PixelWidthId)
+              .map(uint(payload, _)).getOrElse(0L).toInt
+            val h = vk.find(_.id == PixelHeightId)
+              .map(uint(payload, _)).getOrElse(0L).toInt
+            val dur = durTicks.filter(_ => scale > 0)
+              .map(_ * scale / 1e9).getOrElse(-1.0)
+            (w, h, dur)
+          }
+      }
+    }
+  }
+
   /** Decode video payloads partition-wise through the real
     * [[VideoHeaderDecoder]] (ISO-BMFF), falling back to the RIFF/AVI
     * `avih` main header (r7, [[AviFrames.header]] — the container
     * [[extractFrameFeatures]] decodes frames from), then to the
     * [[H264Sps]] Annex-B SPS walk (r8, decoder "h264sps") and the
     * [[H265Sps]] HEVC walk (r8, decoder "h265sps") for raw
-    * elementary streams; unrecognized payloads report ok = false
+    * elementary streams, then to the [[EbmlHeader]] Matroska/WebM
+    * walk (r8, decoder "ebml"); unrecognized payloads report ok = false
     * with zeroed fields (decoder "none") rather than faking numbers
     * — video, like audio, is a typed path, not a stub. */
   def decodeVideo(payloads: DataFrame)
@@ -847,7 +991,8 @@ object Multimodal {
             case None => AviFrames.header(payload)
               .map(r => (r, "riff-avi"))
               .orElse(H264Sps.decode(payload).map(r => (r, "h264sps")))
-              .orElse(H265Sps.decode(payload).map(r => (r, "h265sps"))) match {
+              .orElse(H265Sps.decode(payload).map(r => (r, "h265sps")))
+              .orElse(EbmlHeader.decode(payload).map(r => (r, "ebml"))) match {
               case Some(((w, h, dur), d)) =>
                 VideoMeta(id, n, w, h, dur, ok = true, decoder = d)
               case None =>

@@ -1405,6 +1405,83 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(routed(2L).decoder == "stub")
   }
 
+  test("EBML walk decodes Matroska/WebM headers into video features") {
+    implicit val s = spark
+    import spark.implicits._
+    // independent EBML writer, straight off RFC 8794: ids are
+    // emitted as their tagged bytes, sizes as minimal-length VINTs
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (n - 1 to 0 by -1).map(i => ((id >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def sizeVint(v: Long, len: Int): Array[Byte] = {
+      val marked = v | (1L << (7 * len))
+      (len - 1 to 0 by -1).map(i => ((marked >> (8 * i)) & 0xff).toByte)
+        .toArray
+    }
+    def el(id: Long, body: Array[Byte], sizeLen: Int = 1): Array[Byte] =
+      idBytes(id) ++ sizeVint(body.length, sizeLen) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def f64(v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (7 to 0 by -1).map(i => ((bits >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def f32(v: Float): Array[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      (3 to 0 by -1).map(i => ((bits >> (8 * i)) & 0xff).toByte).toArray
+    }
+    val ebmlHead = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("US-ASCII")))
+    def video(w: Int, h: Int): Array[Byte] =
+      el(0xE0L, el(0xB0L, uintBody(w)) ++ el(0xBAL, uintBody(h)))
+    def audioTrack: Array[Byte] = // TrackEntry with an Audio child only
+      el(0xAEL, el(0xE1L, el(0xB5L, f64(48000.0))))
+    def info(scale: Option[Long], dur: Option[Array[Byte]]): Array[Byte] =
+      el(0x1549A966L,
+        scale.map(sc => el(0x2AD7B1L, uintBody(sc))).getOrElse(Array.empty) ++
+          dur.map(d => el(0x4489L, d)).getOrElse(Array.empty))
+    // webm-shaped: Info (scale 1e6, f64 duration in ticks) + an audio
+    // track FIRST (the walk must skip to the video TrackEntry);
+    // 2-byte size VINT on the Segment exercises multi-byte lengths
+    val seg1 = el(0x18538067L,
+      info(Some(1000000L), Some(f64(12345.0))) ++
+        el(0x1654AE6BL, audioTrack ++ el(0xAEL, video(640, 360))),
+      sizeLen = 2)
+    val mkv1 = ebmlHead ++ seg1
+    // UNKNOWN-size Segment (all-ones VINT, streamed/live shape) +
+    // f32 duration + non-default timecode scale
+    val seg2body = info(Some(2000000L), Some(f32(500.0f))) ++
+      el(0x1654AE6BL, el(0xAEL, video(1920, 1080)))
+    val mkv2 = ebmlHead ++ idBytes(0x18538067L) ++
+      Array(0xFF.toByte) ++ seg2body
+    // no Duration declared -> -1; default TimecodeScale (Info absent)
+    val mkv3 = ebmlHead ++ el(0x18538067L,
+      el(0x1654AE6BL, el(0xAEL, video(320, 240))))
+    // audio-only Segment: EBML but no video track -> not a video hit
+    val mkvAudio = ebmlHead ++ el(0x18538067L,
+      info(None, Some(f64(8.0))) ++ el(0x1654AE6BL, audioTrack))
+    val payloads = Seq(
+      (1L, mkv1), (2L, mkv2), (3L, mkv3), (4L, mkvAudio),
+      (5L, mkv1.take(ebmlHead.length + 6)), // truncated mid-Segment
+      (6L, "not an ebml stream at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeVideo(payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(m(1L).ok && m(1L).decoder == "ebml")
+    assert((m(1L).width, m(1L).height) == (640, 360))
+    assert(math.abs(m(1L).duration_sec - 12.345) < 1e-9) // 12345·1e6/1e9
+    assert(m(2L).ok && m(2L).decoder == "ebml")
+    assert((m(2L).width, m(2L).height) == (1920, 1080))
+    assert(math.abs(m(2L).duration_sec - 1.0) < 1e-9) // 500·2e6/1e9
+    assert(m(3L).ok && (m(3L).width, m(3L).height) == (320, 240))
+    assert(m(3L).duration_sec == -1.0)
+    assert(!m(4L).ok && m(4L).decoder == "none")
+    assert(!m(5L).ok && m(5L).decoder == "none")
+    assert(!m(6L).ok && m(6L).decoder == "none")
+  }
+
   test("multimodal decode plumbing preserves rows and is deterministic") {
     implicit val s = spark
     val decoded = Multimodal.decode(Multimodal.asPayload(t.documents))
