@@ -315,6 +315,105 @@ object QualityModel {
     w
   }
 
+  /** Platt calibration (Platt 1999, "Probabilistic Outputs for
+    * Support Vector Machines…" — the published method): fit
+    * `P(y=1 | f) = 1 / (1 + exp(A·f + B))` over a labeled scored
+    * frame, so the model's raw margin-per-feature score becomes a
+    * PROBABILITY a downstream mixing policy can threshold or weight
+    * by. Returns `(A, B)`; [[withProbability]] applies them.
+    *
+    * Fitting is Newton's method on the 2-parameter negative
+    * log-likelihood with Platt's smoothed targets
+    * (`t⁺ = (N⁺+1)/(N⁺+2)`, `t⁻ = 1/(N⁻+2)` — the out-of-sample
+    * correction that keeps A finite on separable data): each
+    * iteration is ONE distributed pass producing the five
+    * sufficient sums (gradient + Hessian of a 2-parameter convex
+    * objective), a 2×2 driver solve, and an Armijo-backtracked step
+    * (≤ 5 loss passes, the [[trainRaw]] L-BFGS discipline). All
+    * sums fold through decimal(38,20) — order-independent, so a
+    * re-fit returns bit-identical coefficients from any partition
+    * layout (the Lloyd M-step lesson). The pass cost is
+    * labeled-set-sized: calibration, like training, runs on the
+    * curated sample; the 100 TB corpus only ever evaluates the
+    * closed-form sigmoid. */
+  def calibrate(scored: DataFrame, scoreCol: Column, labelCol: Column,
+                iters: Int = 25): (Double, Double) = {
+    require(iters >= 1, "iters must be positive")
+    val base = scored
+      .select(scoreCol.cast("double").as("f"), labelCol.cast("int").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = base.agg(sum(col("y").cast("long")).as("np"),
+        count(lit(1)).as("n")).head()
+      val nPos = cnt.getLong(0)
+      val nNeg = cnt.getLong(1) - nPos
+      require(nPos > 0 && nNeg > 0,
+        "calibration needs both classes in the labeled frame")
+      val tPos = (nPos + 1.0) / (nPos + 2.0)
+      val tNeg = 1.0 / (nNeg + 2.0)
+      val withT = base.select(col("f"),
+        when(col("y") === 1, lit(tPos)).otherwise(lit(tNeg)).as("t"))
+      def dsum(c: Column) = sum(c.cast("decimal(38,20)")).cast("double")
+      // NLL_i = t·softplus(u) + (1−t)·softplus(−u), u = A·f + B —
+      // the stable softplus form the L-BFGS loss pass uses
+      def lossAt(a: Double, b: Double): Double = {
+        val u = lit(a) * col("f") + lit(b)
+        val sp = (uu: Column) => greatest(uu, lit(0.0)) + log1p(exp(-abs(uu)))
+        withT.agg(dsum(col("t") * sp(u) +
+          (lit(1.0) - col("t")) * sp(-u))).head().getDouble(0)
+      }
+      var a = 0.0
+      var b = math.log((nNeg + 1.0) / (nPos + 1.0)) // Platt's init
+      var loss = lossAt(a, b)
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        val q = lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("f") + lit(b))))
+        val d = q - (lit(1.0) - col("t")) // ∂NLL/∂u per row
+        val wgt = q * (lit(1.0) - q)
+        val r = withT.agg(
+          dsum(d * col("f")).as("ga"), dsum(d).as("gb"),
+          dsum(wgt * col("f") * col("f")).as("haa"),
+          dsum(wgt * col("f")).as("hab"), dsum(wgt).as("hbb")).head()
+        val (ga, gb) = (r.getDouble(0), r.getDouble(1))
+        val (haa, hab, hbb) =
+          (r.getDouble(2) + 1e-12, r.getDouble(3), r.getDouble(4) + 1e-12)
+        if (math.abs(ga) < 1e-10 && math.abs(gb) < 1e-10) converged = true
+        else {
+          val det = haa * hbb - hab * hab
+          val da = (ga * hbb - gb * hab) / det
+          val db = (gb * haa - ga * hab) / det
+          val gTd = -(ga * da + gb * db) // g·direction for Armijo
+          var t = 1.0
+          var tries = 0
+          var accepted = false
+          var bestA = a - da
+          var bestB = b - db
+          var bestL = lossAt(bestA, bestB)
+          while (!accepted && tries < 5) {
+            if (bestL <= loss + 1e-4 * t * gTd) accepted = true
+            else {
+              t /= 2; tries += 1
+              bestA = a - t * da; bestB = b - t * db
+              bestL = lossAt(bestA, bestB)
+            }
+          }
+          a = bestA; b = bestB; loss = bestL
+        }
+        it += 1
+      }
+      (a, b)
+    } finally base.unpersist()
+  }
+
+  /** Apply [[calibrate]]d coefficients: appends
+    * `prob = 1 / (1 + exp(A·score + B))` to a scored frame — one
+    * column expression, so the zero-shuffle scoring plan is
+    * untouched and the same call gates a stream. */
+  def withProbability(scored: DataFrame, a: Double, b: Double): DataFrame =
+    scored.withColumn("prob",
+      lit(1.0) / (lit(1.0) + exp(lit(a) * col("score") + lit(b))))
+
   /** Positive-scale quantization to [[scoreWithWeights]]'s integer
     * range: sign (and so every predicted label) is preserved. */
   def quantize(w: Array[Double]): Array[Int] = {

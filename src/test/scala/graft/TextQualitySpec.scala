@@ -239,6 +239,67 @@ class TextQualitySpec extends GraftSuite {
     }
   }
 
+  test("Platt calibration turns margins into probabilities; beats the naive sigmoid on held-out log-loss") {
+    val s = spark; import s.implicits._
+    val docs = plantedQualityDocs
+    val holdout = docs.where(col("doc_id") % 5 === 0)
+    val trainSet = docs.where(col("doc_id") % 5 =!= 0)
+    val w = graft.operators.QualityModel.train(trainSet, col("doc_id"),
+      col("text"), col("y"), dim = 256, epochs = 25, lr = 2.0)
+    def scoredWithY(part: org.apache.spark.sql.DataFrame) =
+      graft.operators.QualityModel
+        .scoreWithWeights(part, col("doc_id"), col("text"), w)
+        .join(part.select(col("doc_id").as("id"), col("y")), "id")
+    val trainScored = scoredWithY(trainSet)
+    val (a, b) = graft.operators.QualityModel.calibrate(
+      trainScored, col("score"), col("y"))
+    // higher score must mean MORE likely positive: A < 0 in
+    // 1/(1+exp(A·f+B)) is monotone-increasing in f
+    assert(a < 0, s"calibration slope A=$a not negative")
+    // the fit is the NLL stationary point: mean predicted prob ==
+    // mean smoothed target (the gB=0 optimality condition)
+    val probs = graft.operators.QualityModel
+      .withProbability(trainScored, a, b)
+      .select(col("prob"), col("y")).as[(Double, Int)].collect()
+    assert(probs.forall { case (p, _) => p > 0.0 && p < 1.0 })
+    val nPos = probs.count(_._2 == 1).toDouble
+    val nNeg = probs.length - nPos
+    val tBar = (nPos * (nPos + 1.0) / (nPos + 2.0) +
+      nNeg * (1.0 / (nNeg + 2.0))) / probs.length
+    val pBar = probs.iterator.map(_._1).sum / probs.length
+    assert(math.abs(pBar - tBar) < 1e-6,
+      s"calibration not converged: mean prob $pBar vs mean target $tBar")
+    // held-out log-loss: calibrated probabilities must beat the
+    // naive uncalibrated sigmoid(score) mapping
+    val ho = graft.operators.QualityModel
+      .withProbability(scoredWithY(holdout), a, b)
+      .select(col("score"), col("prob"), col("y"))
+      .as[(Double, Double, Int)].collect()
+    def nll(pairs: Seq[(Double, Int)]): Double =
+      -pairs.iterator.map { case (p, y) =>
+        if (y == 1) math.log(p) else math.log(1 - p)
+      }.sum / pairs.length
+    val calibrated = nll(ho.map(r => (r._2, r._3)).toSeq)
+    val naive = nll(ho.map(r =>
+      (1.0 / (1.0 + math.exp(-r._1)), r._3)).toSeq)
+    System.err.println(
+      f"[platt] held-out log-loss: calibrated=$calibrated%.4f naive=$naive%.4f")
+    assert(calibrated < naive,
+      s"calibrated NLL $calibrated did not beat naive sigmoid $naive")
+    // decimal-folded sums: a re-fit is bit-identical from any layout
+    val (a2, b2) = graft.operators.QualityModel.calibrate(
+      trainScored.repartition(7), col("score"), col("y"))
+    assert(a == a2 && b == b2,
+      s"calibration not deterministic: ($a,$b) vs ($a2,$b2)")
+    // the probability column does not change the scoring plan: the
+    // whole gate is still zero-Exchange scan algebra
+    val gated = graft.operators.QualityModel.withProbability(
+      graft.operators.QualityModel.scoreWithWeights(
+        holdout, col("doc_id"), col("text"), w), a, b)
+    gated.write.format("noop").mode("overwrite").save()
+    assert(!gated.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("quality model: fold margin == declarative explode replay, both hash families") {
     val s = spark; import s.implicits._
     val t = graft.io.Tables(spark, sfDir)
