@@ -259,6 +259,109 @@ object Pq {
       .select("q_id", "rnk", "n_id", "dist")
   }
 
+  /** ADC top-k via PER-QUERY PRECOMPUTED DISTANCE TABLES (Jégou et
+    * al. 2011 §V: the standard serving optimization): each query
+    * computes `T[m][c] = |q_m − codeword_{m,c}|²` ONCE
+    * (numSub × numCodewords doubles), and every candidate's distance
+    * is then `numSub` table LOOKUPS per (query, row) pair — not
+    * `numSub · dsub` multiply-adds through the nested codebook
+    * literal. The tables broadcast (queries × numSub × numCodewords
+    * doubles — MBs at serving-sized query batches) and the scan is
+    * one `mapPartitions`: the documented last-resort path, justified
+    * because a per-query lookup table is not expressible as one
+    * Catalyst expression without embedding per-query literals (plan
+    * size O(queries × table) — the exact growth the plane-matrix
+    * binding lesson exists to prevent). Distances agree with
+    * [[pqAdcTopK]] to float rounding (this form sums |q_m − c|²
+    * directly; the literal form expands |q|² + Σ(|c|² − 2·q_m·c));
+    * the spec pins rank-for-rank agreement on the real corpus and
+    * measures the crossover at a 16×256 serving-budget codebook. */
+  def pqAdcTopKTabulated(codebooks: DataFrame, codes: DataFrame,
+                         queries: DataFrame, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val book = collectBook(codebooks)
+    val dsub = book.dsub
+    val cw: Array[Array[Array[Double]]] =
+      book.planes.map(_.map(_.toArray).toArray).toArray
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    require(qRows.nonEmpty, "no query vectors")
+    val tables: Array[(Long, Array[Array[Double]])] = qRows.map {
+      case (qid, q) => (qid, distTable(cw, dsub, q))
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val scored = codes
+      .select(col(idCol).cast("long").as("n_id"), col("code"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nId, code) =>
+          qs.iterator.collect { case (qid, t) if qid != nId =>
+            var s = 0.0
+            var m = 0
+            while (m < code.length) { s += t(m)(code(m)); m += 1 }
+            (qid, nId, s)
+          }
+        }
+      }.toDF("q_id", "n_id", "dist")
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("dist").asc, col("n_id").asc), k)
+      .select("q_id", "rnk", "n_id", "dist")
+  }
+
+  /** `T[m][c] = |q_m − codeword_{m,c}|²` for one query vector. */
+  private def distTable(cw: Array[Array[Array[Double]]], dsub: Int,
+                        q: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(cw.length) { m =>
+      Array.tabulate(cw(m).length) { c =>
+        val w = cw(m)(c)
+        var s = 0.0
+        var p = 0
+        while (p < dsub) {
+          val d = q(m * dsub + p) - w(p); s += d * d; p += 1
+        }
+        s
+      }
+    }
+
+  /** Tabulated ADC over probed store rows, shared by the two
+    * `tabulated = true` probe paths: `probes` carries one (cluster,
+    * query, query-vector) triple per probe — for the raw probe the
+    * vector (and so the table) repeats per cluster; the residual
+    * probe's genuinely varies — and the scan resolves each store
+    * row's probing queries from a broadcast cluster→tables map, so
+    * the mapPartitions subsumes the broadcast join AND the ADC
+    * lookup in one pass. */
+  private def adcScoreTabulated(cw: Array[Array[Array[Double]]], dsub: Int,
+                                rows: DataFrame,
+                                probes: Seq[(Long, Long, Array[Double])])
+      : DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val tables: Map[Long, Array[(Long, Array[Array[Double]])]] = probes
+      .map { case (cid, qid, q) => (cid, qid, distTable(cw, dsub, q)) }
+      .groupBy(_._1)
+      .map { case (cid, ts) => cid -> ts.map(t => (t._2, t._3)).toArray }
+    val bc = spark.sparkContext.broadcast(tables)
+    rows.as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val byCluster = bc.value
+        it.flatMap { case (cid, nId, code) =>
+          byCluster.getOrElse(cid, Array.empty).iterator.collect {
+            case (qid, t) if qid != nId =>
+              var s = 0.0
+              var m = 0
+              while (m < code.length) { s += t(m)(code(m)); m += 1 }
+              (qid, nId, s)
+          }
+        }
+      }.toDF("q_id", "n_id", "dist")
+  }
+
   /** The ADC scoring body shared by [[pqAdcTopK]] and the IVF-PQ
     * probe: `rows` carries already-paired `(n_id, code, q_id, eq)`;
     * the distance is looked up through one nested codebook literal.
@@ -292,7 +395,10 @@ object Pq {
     * [[Similarity.ivfAssignments]] frame whose `(ec, nc)` payload
     * was replaced by [[pqEncode]] codes — |corpus|·nProbe/k rows
     * read at ~numSub bytes each instead of dim floats: the two
-    * read-suppression rungs multiply. For unit-normalized
+    * read-suppression rungs multiply. `tabulated = true` swaps the
+    * literal-lookup distance for [[adcScoreTabulated]]'s precomputed
+    * tables (the measured 7× at serving-budget codebooks — PqSpec),
+    * same ranks; both probe forms accept it. For unit-normalized
     * embeddings cosine routing and the ADC's L2 ranking order agree;
     * mixed-norm corpora should normalize before encoding (standard
     * PQ practice). */
@@ -301,7 +407,8 @@ object Pq {
                             codebooks: DataFrame,
                             queries: DataFrame, nProbe: Int, k: Int,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding",
+                            tabulated: Boolean = false): DataFrame = {
     require(nProbe >= 1, "nProbe must be positive")
     val storeKeyType = codedAssignments.schema("c_id").dataType
     val queryProbes = Similarity.assignTo(coarseCentroids)(
@@ -312,17 +419,36 @@ object Pq {
         col("c_id").cast(storeKeyType).as("c_id"), col("eq"))
     val probedIds = queryProbes.select(col("c_id")).distinct()
       .collect().map(_.get(0)).toSeq
+    val probedRows = codedAssignments.select("c_id", "n_id", "code")
+      .where(col("c_id").isin(probedIds: _*))
     // a stored vector lives in exactly ONE cluster directory and a
     // query probes distinct clusters, so (q_id, n_id) pairs never
     // duplicate — no dedup pass, unlike multi-table LSH probing
-    val scored = adcScore(collectBook(codebooks),
-      codedAssignments.select("c_id", "n_id", "code")
-        .where(col("c_id").isin(probedIds: _*))
-        .join(broadcast(queryProbes), Seq("c_id"))
-        .select(col("n_id"), col("code"), col("q_id"), col("eq")))
+    val book = collectBook(codebooks)
+    val scored =
+      if (tabulated) adcScoreTabulated(
+        book.planes.map(_.map(_.toArray).toArray).toArray, book.dsub,
+        probedRows.select(col("c_id").cast("long"),
+          col("n_id").cast("long"), col("code")),
+        collectProbes(queryProbes))
+      else adcScore(book,
+        probedRows.join(broadcast(queryProbes), Seq("c_id"))
+          .select(col("n_id"), col("code"), col("q_id"), col("eq")))
     TopK.perGroup(scored, Seq(col("q_id")),
         Seq(col("dist").asc, col("n_id").asc), k)
       .select("q_id", "rnk", "n_id", "dist")
+  }
+
+  /** Driver copy of a probe frame for the tabulated path — one
+    * (cluster, query, vector) triple per probe; queries × nProbe
+    * rows, the serving contract's small side. */
+  private def collectProbes(queryProbes: DataFrame)
+      : Seq[(Long, Long, Array[Double])] = {
+    val spark = queryProbes.sparkSession
+    import spark.implicits._
+    queryProbes.select(col("c_id").cast("long"), col("q_id").cast("long"),
+        col("eq").cast("array<double>"))
+      .as[(Long, Long, Array[Double])].collect().toSeq
   }
 
   /** IVF-PQ probe over a RESIDUAL-coded store (IVFADC proper, Jégou
@@ -343,7 +469,8 @@ object Pq {
                                     codebooks: DataFrame,
                                     queries: DataFrame, nProbe: Int, k: Int,
                                     idCol: String = "vec_id",
-                                    vecCol: String = "embedding")
+                                    vecCol: String = "embedding",
+                                    tabulated: Boolean = false)
       : DataFrame = {
     require(nProbe >= 1, "nProbe must be positive")
     val storeKeyType = codedAssignments.schema("c_id").dataType
@@ -359,11 +486,18 @@ object Pq {
           (a, b) => a.cast("double") - b).as("eq"))
     val probedIds = queryProbes.select(col("c_id")).distinct()
       .collect().map(_.get(0)).toSeq
-    val scored = adcScore(collectBook(codebooks),
-      codedAssignments.select("c_id", "n_id", "code")
-        .where(col("c_id").isin(probedIds: _*))
-        .join(broadcast(queryProbes), Seq("c_id"))
-        .select(col("n_id"), col("code"), col("q_id"), col("eq")))
+    val probedRows = codedAssignments.select("c_id", "n_id", "code")
+      .where(col("c_id").isin(probedIds: _*))
+    val book = collectBook(codebooks)
+    val scored =
+      if (tabulated) adcScoreTabulated(
+        book.planes.map(_.map(_.toArray).toArray).toArray, book.dsub,
+        probedRows.select(col("c_id").cast("long"),
+          col("n_id").cast("long"), col("code")),
+        collectProbes(queryProbes))
+      else adcScore(book,
+        probedRows.join(broadcast(queryProbes), Seq("c_id"))
+          .select(col("n_id"), col("code"), col("q_id"), col("eq")))
     TopK.perGroup(scored, Seq(col("q_id")),
         Seq(col("dist").asc, col("n_id").asc), k)
       .select("q_id", "rnk", "n_id", "dist")

@@ -217,6 +217,56 @@ class PqSpec extends GraftSuite {
     val byQ = narrow.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(byQ.nonEmpty && byQ.groupBy(_._1).values
       .forall(rs => rs.map(_._2).sorted == (1L to rs.length)))
+    // the tabulated scorer returns the same probe ranks (dist agrees
+    // to float rounding; ids and ranks exactly)
+    def ranked(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(ranked(narrow) == ranked(Pq.annIvfPqTopKFromIndex(
+      cents, store, books, queries, nProbe = 2, k = 5, tabulated = true)))
+  }
+
+  test("tabulated ADC == literal ADC rank-for-rank; measured at the 16x256 serving budget") {
+    val s = spark; import s.implicits._
+    val queries = emb.where(col("vec_id") < 8)
+    val coded = Pq.pqEncode(emb, books)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val lit = rows(Pq.pqAdcTopK(books, coded, queries, k = 10))
+    val tab = rows(Pq.pqAdcTopKTabulated(books, coded, queries, k = 10))
+    assert(lit.nonEmpty && lit.length == tab.length)
+    // rank-for-rank: same ids in the same order; distances agree to
+    // float rounding (|q_m − c|² vs the expanded |q|²+Σ(|c|²−2q·c))
+    lit.zip(tab).foreach { case ((q1, r1, n1, d1), (q2, r2, n2, d2)) =>
+      assert(q1 == q2 && r1 == r2 && n1 == n2,
+        s"rank mismatch: ($q1,$r1,$n1) vs ($q2,$r2,$n2)")
+      assert(math.abs(d1 - d2) <= 1e-9 * math.max(1.0, d1),
+        s"dist drift $d1 vs $d2")
+    }
+
+    // the claim that justifies the mapPartitions path: at a serving
+    // budget (16 subs x 256 codewords) the literal form does
+    // numSub·dsub multiply-adds through a nested literal per row
+    // while the table form does numSub lookups — measure both over a
+    // x100 replicated coded corpus (50k rows)
+    val big = emb.crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+        col("embedding"))
+    val books256 = Pq.pqCodebooks(emb, numSub = 16, numCodewords = 256,
+      lloydIters = 1)
+    val coded256 = Pq.pqEncode(big, books256)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    coded256.count() // materialize outside the timers
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tLit = time(Pq.pqAdcTopK(books256, coded256, queries, k = 10)
+      .collect())
+    val tTab = time(
+      Pq.pqAdcTopKTabulated(books256, coded256, queries, k = 10).collect())
+    System.err.println(
+      f"[pq-spec] 16x256 ADC over 50k rows: literal=$tLit%.2fs table=$tTab%.2fs")
+    coded256.unpersist()
   }
 
   test("residual PQ: probe dist == exact L2 to centroid+codeword reconstruction; error beats raw PQ at the same budget") {
@@ -272,6 +322,13 @@ class PqSpec extends GraftSuite {
     val byQ = all.select("q_id", "rnk").as[(Long, Long)].collect()
     assert(byQ.groupBy(_._1).values
       .forall(rs => rs.map(_._2).sorted.toSeq == (1L to rs.length)))
+    // tabulated residual probe: tables per (query, cluster) — same
+    // ranks as the literal form
+    def ranked(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(ranked(all) == ranked(Pq.annIvfPqResidualTopKFromIndex(
+      cents, store, rbooks, queries, nProbe = 8, k = 10,
+      tabulated = true)))
 
     // the quality claim that justifies the extra layer: with the SAME
     // codebook budget (16 subs x 64 codewords), quantizing the
