@@ -548,6 +548,20 @@ object SparkEntry {
         key = col("doc_id"), stratum = col("source"),
         rates = sampleRates, defaultRate = sampleDefaultRate)),
 
+    // oracle-checked temperature mixing (α = 1/2, the multilingual
+    // flattening rule): per-lang budgets ∝ ⌊√count⌋ normalized to
+    // 250 target rows — the head lang (en, 44% of the corpus)
+    // flattens to ~31% — realized as the first budget_d docs per
+    // lang in md5 order with EXACT counts (q68's argument applied to
+    // mixing, where q39's hash-gate only hits rates in expectation).
+    // Integer-exact end to end: ⌊√c⌋ is IEEE-identical in both
+    // engines below 2^50, the budget is a decimal-widened integral
+    // div (the q54 ppm discipline), ranks replay the md5 idiom.
+    "q_domain_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+        domain = col("lang"), id = col("doc_id"), nTarget = 250)),
+
     // concat-and-chunk packing: docs → ~2048-token packs, two-phase
     // partition-offset cumsum (no global-order funnel), integer-exact
     "q_pack_sequences" -> ((s, dir) =>
@@ -727,6 +741,27 @@ object SparkEntry {
       Dedup.intraDocDedup(Tables(s, dir).documents, col("doc_id"),
           col("text"), k = 8)
         .withColumnRenamed("id", "doc_id")),
+
+    // oracle-checked winnowing fingerprints (Schleimer et al. 2003,
+    // the MOSS algorithm): every window of w=4 consecutive token
+    // 5-gram hashes keeps its rightmost minimum — any shared run of
+    // ≥ 8 tokens shares a fingerprint at ANY alignment, the
+    // non-aligned complement to q53's aligned windows. In-row scan
+    // algebra; the md5-prefix hash replays in DuckDB.
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables(s, dir).documents,
+          col("doc_id"), col("text"), k = 5, w = 4,
+          hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")),
+
+    // oracle-checked winnowing candidate pairs: docs sharing a
+    // fingerprint meet in an fp-keyed equi-join (the LSH candidate
+    // shape — never a cartesian), hot boilerplate fingerprints
+    // capped at df ≤ 64 like jaccardPairs' maxShingleDf.
+    "q_dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowCandidatePairs(Tables(s, dir).documents,
+        col("doc_id"), col("text"), k = 5, w = 4,
+        hashKey = QualityModel.seededKey, maxFpDf = Some(64))),
 
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
@@ -1214,6 +1249,24 @@ object SparkEntry {
     // of truth for the thresholds.
     "q_sample_stratified" -> sampleOracleSql,
 
+    // Temperature mixing replay: ⌊√count⌋ weights (IEEE sqrt of an
+    // integer floors identically in both engines below 2^50),
+    // integral-div budgets (DuckDB `//` == Spark `div`), md5-ordered
+    // per-lang ranks gated at the budget.
+    "q_domain_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) wt
+        |      FROM c),
+        |t AS (SELECT sum(wt) tot FROM w),
+        |b AS (SELECT lang, wt * 250 // tot AS budget FROM w, t),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(rn AS BIGINT) AS rnk
+        |FROM r JOIN b ON r.lang = b.lang
+        |WHERE budget >= 1 AND rn <= budget""".stripMargin,
+
     // stride = 200 - 40 = 160; chunk i = chars [i*160+1, i*160+200];
     // last index = max(0, floor((len-41)/160.0)) — a chunk exists only
     // if it adds characters past the previous chunk's overlap
@@ -1694,6 +1747,52 @@ object SparkEntry {
         |       b.n_passages,
         |       b.n_passages - coalesce(agg.n_kept, 0) AS n_dropped
         |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
+
+    // Winnowing replay: k-gram hashes via the md5-prefix identity,
+    // per-window rightmost-min via (h ASC, pos DESC) ranking; the
+    // DISTINCT mirrors array_distinct over the selected structs.
+    "q_fingerprint_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 8),
+        |hs AS (SELECT doc_id, i,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+5], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 5)) i)),
+        |wins AS (SELECT doc_id, i
+        |         FROM g, LATERAL (SELECT unnest(generate_series(0, n - 8)) i)),
+        |sel AS (SELECT DISTINCT doc_id, pos, fp FROM (
+        |          SELECT s.doc_id, s.i wi, hh.h fp, hh.i pos,
+        |                 row_number() OVER (PARTITION BY s.doc_id, s.i
+        |                   ORDER BY hh.h ASC, hh.i DESC) rn
+        |          FROM wins s JOIN hs hh
+        |            ON hh.doc_id = s.doc_id
+        |           AND hh.i >= s.i AND hh.i < s.i + 4)
+        |        WHERE rn = 1)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, fp FROM sel""".stripMargin,
+
+    "q_dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 8),
+        |hs AS (SELECT doc_id, i,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+5], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 5)) i)),
+        |wins AS (SELECT doc_id, i
+        |         FROM g, LATERAL (SELECT unnest(generate_series(0, n - 8)) i)),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM (
+        |          SELECT s.doc_id, hh.h fp,
+        |                 row_number() OVER (PARTITION BY s.doc_id, s.i
+        |                   ORDER BY hh.h ASC, hh.i DESC) rn
+        |          FROM wins s JOIN hs hh
+        |            ON hh.doc_id = s.doc_id
+        |           AND hh.i >= s.i AND hh.i < s.i + 4)
+        |        WHERE rn = 1),
+        |kept AS (SELECT doc_id, fp FROM sel
+        |         QUALIFY count(*) OVER (PARTITION BY fp) <= 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_passage" ->
       """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') w

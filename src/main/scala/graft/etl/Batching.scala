@@ -193,6 +193,36 @@ object Batching {
                          weight: Column, budget: Long, partitions: Int,
                          cumOut: String = "cum_weight"): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
+    cumWeightPerKey(df, key, order, weight, partitions, cumOut)
+      .where(col(cumOut) <= budget)
+      .drop("__k")
+  }
+
+  /** [[takeByBudgetPerKey]] with PER-KEY budgets: `budgets` is a
+    * two-column (key, budget) frame — key-cardinality-sized, so it
+    * broadcasts into the final gate — and everything else (range
+    * shuffle only, partition-offset cumsum, caching contract) is the
+    * single-budget form verbatim. Keys ABSENT from `budgets` are
+    * dropped (budget 0), which is what a mixing policy means by not
+    * listing a domain. Backbone of `Sampling.temperatureMix`. */
+  def takeByBudgetsPerKey(df: DataFrame, key: Column, order: Column,
+                          weight: Column, budgets: DataFrame,
+                          partitions: Int,
+                          cumOut: String = "cum_weight"): DataFrame = {
+    val b = budgets.toDF("__bk", "__budget")
+    cumWeightPerKey(df, key, order, weight, partitions, cumOut)
+      .join(broadcast(b), col("__k") <=> col("__bk"))
+      .where(col(cumOut) <= col("__budget").cast("long"))
+      .drop("__k", "__bk", "__budget")
+  }
+
+  /** The shared per-key running-weight machinery behind the two
+    * budget gates: the returned frame carries `cumOut` and retains
+    * the internal `__k` key column for the caller's gate to consume
+    * (and drop). */
+  private def cumWeightPerKey(df: DataFrame, key: Column, order: Column,
+                              weight: Column, partitions: Int,
+                              cumOut: String): DataFrame = {
     val ranged = df.withColumn("__k", key)
       .repartitionByRange(partitions, col("__k"), order)
       .sortWithinPartitions(col("__k"), order)
@@ -233,8 +263,7 @@ object Batching {
     local.join(broadcast(offsets),
         col("__pid") === col("__opid") && col("__k") <=> col("__ok"))
       .withColumn(cumOut, col("__off") + col("__cum"))
-      .where(col(cumOut) <= budget)
-      .drop("__k", "__w", "__pid", "__cum", "__opid", "__ok", "__off")
+      .drop("__w", "__pid", "__cum", "__opid", "__ok", "__off")
   }
 
   def packByWeight(df: DataFrame, order: Column, weight: Column,

@@ -835,4 +835,85 @@ object Dedup {
         col("n_passages"),
         (col("n_passages") - size(col("__kept"))).as("n_dropped"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm; a published method): hash
+    * every token k-gram, slide a window over `w` consecutive hashes,
+    * and keep each window's RIGHTMOST MINIMUM (the robust-winnowing
+    * tie-break) — the selected `(pos, fp)` set is the document's
+    * fingerprint. Returns one row per selected `(id, pos, fp)`.
+    *
+    * The guarantee that makes this the NON-ALIGNED complement to
+    * [[passageDedup]]'s aligned windows: any shared token run of
+    * length ≥ w + k − 1 shares at least one fingerprint — at ANY
+    * alignment — while no run shorter than k can collide. Aligned
+    * 8-token windows structurally miss a duplicated passage that
+    * starts mid-window in one document; winnowing cannot.
+    *
+    * Scale shape: the whole selection is IN-ROW scan algebra
+    * (O(n·w) array ops per doc, zero shuffle until the caller
+    * aggregates), and expected fingerprint density is 2/(w+1) of the
+    * k-gram count — `w` is the read-suppression knob. Docs with
+    * fewer than k + w − 1 tokens have no full window and yield no
+    * rows (document the cutoff, don't invent one). The md5 key
+    * replays hash-identically in DuckDB; xxhash64 is the cheaper
+    * scale default. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+                         k: Int = 5, w: Int = 4,
+                         hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__t"))
+      .where(size(col("__t")) >= k + w - 1)
+      .select(col("id"), transform(
+        sequence(lit(0), size(col("__t")) - k),
+        i => hashKey(array_join(slice(col("__t"), i + 1, lit(k)), " ")))
+        .as("__h"))
+      .select(col("id"), array_distinct(transform(
+        sequence(lit(0), size(col("__h")) - w),
+        i => array_min(transform(slice(col("__h"), i + 1, lit(w)),
+          (h, j) => struct(h.as("fp"),
+            (-(i + j)).cast("long").as("np")))))).as("__sel"))
+      .select(col("id"), explode(col("__sel")).as("__s"))
+      .select(col("id"), (-col("__s.np")).cast("int").as("pos"),
+        col("__s.fp").as("fp"))
+  }
+
+  /** Cross-document near-dup CANDIDATE pairs from shared winnowing
+    * fingerprints — the non-aligned passage-overlap detector:
+    * `(id_a < id_b, n_shared)` for every pair sharing ≥ 1 distinct
+    * fingerprint value, `n_shared` counting them. By the winnowing
+    * guarantee, any pair sharing a token run of ≥ w + k − 1 tokens
+    * appears here regardless of alignment; pairs sharing no k-gram
+    * cannot.
+    *
+    * The join is the LSH candidate shape: equi-join on `fp` (docs
+    * sharing a fingerprint meet in its bucket), never a cartesian.
+    * `maxFpDf` drops fingerprints shared by more than that many
+    * documents before pairing — boilerplate k-grams (license
+    * headers, navigation chrome) otherwise create the same
+    * quadratic hot buckets `maxShingleDf` caps in
+    * [[jaccardPairs]]. */
+  def winnowCandidatePairs(df: DataFrame, id: Column, text: Column,
+                           k: Int = 5, w: Int = 4,
+                           hashKey: Column => Column = xxhash64(_),
+                           maxFpDf: Option[Int] = None): DataFrame = {
+    val fps = winnowFingerprints(df, id, text, k, w, hashKey)
+      .select(col("id"), col("fp")).distinct()
+    val kept = maxFpDf match {
+      case None => fps
+      case Some(cap) =>
+        require(cap >= 2, "maxFpDf must be at least 2")
+        fps.join(
+          fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= cap).select("fp"),
+          "fp")
+    }
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

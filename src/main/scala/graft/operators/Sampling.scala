@@ -60,4 +60,60 @@ object Sampling {
     }
     df.where(gate(key) < thr)
   }
+
+  /** Temperature-flattened domain mixture (α-sampling — the mixing
+    * rule multilingual/multi-source pretraining uses to keep head
+    * domains from drowning tail ones; published practice, e.g. the
+    * α = 0.5 exponent of the multilingual-BERT/XLM-R recipes):
+    * per-domain budgets ∝ `weightOf(count)` normalized to `nTarget`
+    * total rows, realized as the FIRST `budget_d` documents of each
+    * domain in deterministic `orderKey` hash order, each kept row
+    * carrying its in-domain rank in `rnk`.
+    *
+    * Where [[stratified]] needs the caller to hand it rates and only
+    * hits them in expectation (hash-gate, binomial noise), this
+    * derives the rates FROM the corpus and hits the budgets exactly
+    * (`Batching.takeByBudgetsPerKey` — the q68 exact-count argument
+    * applied to mixing).
+    *
+    * Integer-exact end to end, so the whole policy replays in any
+    * engine: the default weight `⌊√count⌋` is exact in IEEE double
+    * for counts < 2⁵⁰ (an integer's sqrt is ≥ 1/(2√c) away from the
+    * nearest other integer — far beyond one ulp), the budget is one
+    * decimal-widened multiply and an integral `div` (the q54 ppm
+    * overflow discipline), and the order key is the md5 idiom. Any
+    * integer-valued `weightOf` keeps the exactness; fractional
+    * temperatures (count^α) ride on `pow`, whose last-ulp behavior
+    * is libm-specific — such mixes stay spec-tested rather than
+    * hash-compared, like every ln/exp surface here.
+    *
+    * Scale shape: one domain-cardinality count aggregate, a one-row
+    * total broadcast, and the budget gate's range shuffle — the only
+    * data-sized movement, identical to q48's. */
+  def temperatureMix(df: DataFrame, domain: Column, id: Column,
+                     nTarget: Long, partitions: Int = 32,
+                     weightOf: Column => Column =
+                       c => floor(sqrt(c)).cast("long"),
+                     orderKey: Column => Column =
+                       c => md5(c.cast("string"))): DataFrame = {
+    require(nTarget >= 1, "nTarget must be positive")
+    val counts = df.groupBy(domain.as("__bk"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__bk"), weightOf(col("__c")).cast("long").as("__wt"))
+    val tot = counts.agg(sum(col("__wt")).as("__tot"))
+    // integral `div` on a decimal-widened numerator — the q54 ppm
+    // discipline: exact, overflow-proof, and == DuckDB's `//`
+    val budgets = counts.crossJoin(broadcast(tot))
+      .select(col("__bk"),
+        call_function("div",
+          col("__wt").cast(org.apache.spark.sql.types.DecimalType(30, 0))
+            * lit(nTarget),
+          col("__tot").cast(org.apache.spark.sql.types.DecimalType(30, 0)))
+          .cast("long").as("__budget"))
+      .where(col("__budget") >= 1)
+    graft.etl.Batching.takeByBudgetsPerKey(df,
+      key = domain, order = struct(orderKey(id), id),
+      weight = lit(1L), budgets = budgets, partitions = partitions,
+      cumOut = "rnk")
+  }
 }

@@ -492,6 +492,69 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(twice.agg(sum(col("n_dropped"))).head().getLong(0) == 0L)
   }
 
+  test("winnowing: catches shared runs at ANY alignment (where aligned windows miss); coverage invariant holds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    def noise(n: Int) = Vector.fill(n)(vocab(rng.nextInt(vocab.size)))
+    // a 10-token passage (≥ w + k − 1 = 8) planted at offset 3 in A
+    // and offset 7 in B — different residues mod 8, so q53's aligned
+    // 8-token windows see no identical window between them
+    val passage = Vector("the", "quick", "brown", "fox", "jumps",
+      "over", "the2", "lazy", "dog", "tonight")
+    val a = (noise(3) ++ passage ++ noise(9)).mkString(" ")
+    val b = (noise(7) ++ passage ++ noise(5)).mkString(" ")
+    val c = noise(22).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // winnowing finds the pair under BOTH hash families
+    for (key <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        xxhash64(_), graft.operators.QualityModel.seededKey)) {
+      val pairs = Dedup.winnowCandidatePairs(docs, col("doc_id"),
+          col("text"), k = 5, w = 4, hashKey = key)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"winnowing missed the pair: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        "no shared k-gram, yet a candidate pair")
+    }
+    // the aligned-window mode structurally cannot see it: nothing to
+    // drop between A and B (the contrast that justifies winnowing)
+    val aligned = Dedup.passageDedup(docs.where(col("doc_id") < 3L),
+      col("doc_id"), col("text"), k = 8)
+    assert(aligned.agg(sum(col("n_dropped"))).head().getLong(0) == 0L)
+
+    // winnowing coverage invariant on the real corpus: within each
+    // doc, consecutive selected positions are at most w apart, the
+    // first is within the first window and the last within the last
+    // — i.e., every w-window of k-gram hashes contains a selection
+    val fps = Dedup.winnowFingerprints(t.documents, col("doc_id"),
+      col("text"), k = 5, w = 4)
+    val byDoc = fps.select("id", "pos").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(byDoc.nonEmpty)
+    val nTokens = t.documents
+      .select(col("doc_id"),
+        size(split(graft.io.Cleanser.normalized(col("text")), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (id, ps) =>
+      val lastGram = nTokens(id) - 5 // n - k
+      assert(ps.head <= 3, s"doc $id first selection ${ps.head} past window 0")
+      assert(ps.last >= lastGram - 3,
+        s"doc $id last selection ${ps.last} misses the final window")
+      ps.sliding(2).foreach {
+        case Vector(p1, p2) =>
+          assert(p2 - p1 <= 4, s"doc $id selection gap $p1 -> $p2 exceeds w")
+        case _ =>
+      }
+    }
+    // determinism
+    val again = Dedup.winnowFingerprints(t.documents, col("doc_id"),
+      col("text"), k = 5, w = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == fps.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
   test("passageDedup on the corpus: token conservation and idempotence") {
     val docs = t.documents
     val out = Dedup.passageDedup(docs, col("doc_id"), col("text"), k = 8)

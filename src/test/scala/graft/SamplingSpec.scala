@@ -52,4 +52,48 @@ class SamplingSpec extends GraftSuite {
     assert(math.abs(out("s1") - 1000L) < 150)       // rate 0.5
     assert(math.abs(out.getOrElse("s3", 0L) - 500L) < 120) // default 0.25
   }
+
+  test("temperatureMix: exact isqrt-weighted budgets, head domain flattened, deterministic") {
+    val docs = graft.io.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"))
+    val sel = Sampling.temperatureMix(docs, domain = col("lang"),
+      id = col("doc_id"), nTarget = 250)
+    val taken = sel.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // expected budgets computed independently from the counts
+    val counts = docs.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val wts = counts.view.mapValues(c => math.floor(math.sqrt(c.toDouble))
+      .toLong).toMap
+    val tot = wts.values.sum
+    val want = wts.view.mapValues(w => w * 250L / tot)
+      .filter(_._2 >= 1).toMap
+    assert(taken == want.filter { case (l, b) => b.min(counts(l)) > 0 }
+      .map { case (l, b) => l -> b.min(counts(l)) },
+      s"taken $taken vs budgets $want")
+    // exact counts, not in-expectation: every domain hits its budget
+    // precisely (counts here all exceed their budgets)
+    assert(taken.values.sum == want.values.sum)
+    // the flattening claim: the head domain's selected share is
+    // strictly below its corpus share
+    val headLang = counts.maxBy(_._2)._1
+    val corpusShare = counts(headLang).toDouble / counts.values.sum
+    val mixShare = taken(headLang).toDouble / taken.values.sum
+    assert(mixShare < corpusShare,
+      s"head $headLang not flattened: $mixShare vs $corpusShare")
+    // per-domain ranks are dense 1..budget
+    val ranks = sel.select(col("lang"), col("rnk"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    ranks.foreach { case (l, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length),
+        s"ranks not dense for $l")
+    }
+    // deterministic under a different partitioning
+    val again = Sampling.temperatureMix(docs.repartition(13),
+        domain = col("lang"), id = col("doc_id"), nTarget = 250)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == sel.select(col("doc_id"), col("lang"), col("rnk"))
+      .as[(Long, String, Long)].collect().toSet)
+  }
 }
