@@ -763,6 +763,24 @@ object SparkEntry {
         col("doc_id"), col("text"), k = 5, w = 4,
         hashKey = QualityModel.seededKey, maxFpDf = Some(64))),
 
+    // oracle-checked incremental winnowing: the daily-ingest shape
+    // for the non-aligned detector — the reference corpus enters as
+    // its stored (id, fp) fingerprint frame, only the batch winnows
+    // fresh, candidates are new×ref ∪ new×new (ref×ref never
+    // enumerates), id_b always the new doc at risk. Completes the
+    // incremental family: jaccard q56, MinHash q57, embeddings q71,
+    // winnow here.
+    "q_dedup_winnow_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val refFps = Dedup.winnowFingerprints(
+          docs.where(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+          k = 5, w = 4, hashKey = QualityModel.seededKey)
+        .select(col("id"), col("fp")).distinct()
+      Dedup.incrementalWinnowPairs(docs.where(col("doc_id") % 3 =!= 0),
+        col("doc_id"), col("text"), refFps, k = 5, w = 4,
+        hashKey = QualityModel.seededKey, maxFpDf = Some(64))
+    }),
+
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
     // observability half of data mixing (takeByBudgetPerKey is the
@@ -1792,6 +1810,36 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(count(*) AS BIGINT) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Incremental winnow replay: winnowing a doc is independent of
+    // every other doc, so the combined ref ∪ new fingerprint set IS
+    // the full-corpus set; the pair filter encodes the orientation
+    // (id_b new; ref×new in ref-first order, new×new in id order).
+    "q_dedup_winnow_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 8),
+        |hs AS (SELECT doc_id, i,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+5], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 5)) i)),
+        |wins AS (SELECT doc_id, i
+        |         FROM g, LATERAL (SELECT unnest(generate_series(0, n - 8)) i)),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM (
+        |          SELECT s.doc_id, hh.h fp,
+        |                 row_number() OVER (PARTITION BY s.doc_id, s.i
+        |                   ORDER BY hh.h ASC, hh.i DESC) rn
+        |          FROM wins s JOIN hs hh
+        |            ON hh.doc_id = s.doc_id
+        |           AND hh.i >= s.i AND hh.i < s.i + 4)
+        |        WHERE rn = 1),
+        |kept AS (SELECT doc_id, fp FROM sel
+        |         QUALIFY count(*) OVER (PARTITION BY fp) <= 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp
+        |WHERE b.doc_id % 3 <> 0
+        |  AND (a.doc_id % 3 = 0 OR a.doc_id < b.doc_id)
         |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_passage" ->

@@ -916,4 +916,55 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Incremental winnowing pairs — the daily-ingest shape for the
+    * non-aligned detector, completing the incremental family
+    * (jaccard [[incrementalJaccardPairs]], MinHash
+    * [[incrementalLshPairsFromIndex]], embeddings
+    * `Similarity.incrementalNearDupPairsFromIndex`): the reference
+    * corpus enters as its STORED distinct `(id, fp)` fingerprint
+    * frame — ~2n/(w+1) longs per doc, no reference text ever
+    * re-read or re-winnowed — and only the new batch fingerprints
+    * fresh. Candidates are new×ref ∪ new×new; ref×ref never
+    * enumerates, so output scales with batch × overlap, never
+    * corpus². `id_b` is always the NEW doc at risk (both-new pairs
+    * keep id_a < id_b), matching the q56 drop-policy orientation.
+    *
+    * `maxFpDf` caps fingerprint document-frequency over the
+    * COMBINED (ref ∪ new) frame — the same cap the one-shot
+    * [[winnowCandidatePairs]] would apply to the full corpus, so
+    * the incremental run equals the full run restricted to pairs
+    * touching a new doc (spec-asserted). The cap's fp-keyed
+    * aggregate — and the candidate equi-join — run exchange-free
+    * against a store written `Bucketing.writeBucketed(…, Seq("fp"))`
+    * (plan spec mirrors the signature store's).
+    *
+    * Caller contract: ref and batch doc ids disjoint; `refFps`
+    * rows distinct on (id, fp) — [[winnowFingerprints]] output
+    * projected and deduped, which is what the store holds. */
+  def incrementalWinnowPairs(batch: DataFrame, id: Column, text: Column,
+                             refFps: DataFrame, k: Int = 5, w: Int = 4,
+                             hashKey: Column => Column = xxhash64(_),
+                             maxFpDf: Option[Int] = None): DataFrame = {
+    val newFps = winnowFingerprints(batch, id, text, k, w, hashKey)
+      .select(col("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = refFps.select(col("id"), col("fp"))
+    val dfOk = maxFpDf.map { cap =>
+      require(cap >= 2, "maxFpDf must be at least 2")
+      ref.unionByName(newFps)
+        .groupBy("fp").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= cap).select("fp")
+    }
+    def capped(s: DataFrame) = dfOk.fold(s)(ok => s.join(ok, "fp"))
+    val keptNew = capped(newFps)
+    val cross = capped(ref).select(col("fp"), col("id").as("id_a"))
+      .join(keptNew.select(col("fp"), col("id").as("id_b")), "fp")
+    val within = keptNew.select(col("fp"), col("id").as("id_a"))
+      .join(keptNew.select(col("fp"), col("id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+    cross.unionByName(within)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

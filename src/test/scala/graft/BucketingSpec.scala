@@ -123,6 +123,44 @@ class BucketingSpec extends GraftSuite {
     }
   }
 
+  test("winnowing fingerprint store: bucketed by fp, the increment joins with fewer exchanges") {
+    import graft.operators.Dedup
+    dropTables("bs_winnowstore")
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+    def fpsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowFingerprints(d, col("doc_id"), col("text"), k = 5, w = 4)
+        .select(col("id"), col("fp")).distinct()
+    Bucketing.writeBucketed(fpsOf(ref), "bs_winnowstore", Seq("fp"),
+      buckets = 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def inc(refFps: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalWinnowPairs(batch, col("doc_id"), col("text"),
+          refFps, k = 5, w = 4, maxFpDf = Some(64))
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val fromStore = inc(spark.table("bs_winnowstore"))
+      val fromFresh = inc(fpsOf(ref))
+      val got = pairs(fromStore)
+      assert(got.nonEmpty && got == pairs(fromFresh),
+        "bucketed fp store diverges from a fresh fingerprint frame")
+      assert(exchanges(fromStore) < exchanges(fromFresh),
+        s"bucketed store still shuffles: ${exchanges(fromStore)} vs " +
+          s"${exchanges(fromFresh)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      dropTables("bs_winnowstore")
+    }
+  }
+
   test("aggregation on the bucket key skips the exchange") {
     dropTables("bs_agg")
     val facts = spark.range(0, 2000).select(

@@ -555,6 +555,33 @@ class DedupSimilaritySpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("incremental winnowing == full-corpus pairs touching a new doc, reoriented") {
+    import spark.implicits._
+    val docs = t.documents
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+    val refFps = Dedup.winnowFingerprints(ref, col("doc_id"), col("text"),
+        k = 5, w = 4)
+      .select(col("id"), col("fp")).distinct()
+    val inc = Dedup.incrementalWinnowPairs(batch, col("doc_id"),
+        col("text"), refFps, k = 5, w = 4, maxFpDf = Some(64))
+      .as[(Long, Long, Long)].collect().toSet
+    // the full one-shot run, restricted to pairs touching a new doc
+    // and reoriented (ref id first; both-new keep id order)
+    def isNew(id: Long) = id % 3 != 0
+    val full = Dedup.winnowCandidatePairs(docs, col("doc_id"),
+        col("text"), k = 5, w = 4, maxFpDf = Some(64))
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => isNew(a) || isNew(b) }
+      .map { case (a, b, n) =>
+        if (isNew(a) && !isNew(b)) (b, a, n) else (a, b, n)
+      }.toSet
+    assert(inc.nonEmpty && inc == full,
+      s"incremental diverged: ${inc.size} vs ${full.size} pairs")
+    // orientation: id_b is always a new doc
+    assert(inc.forall { case (_, b, _) => isNew(b) })
+  }
+
   test("passageDedup on the corpus: token conservation and idempotence") {
     val docs = t.documents
     val out = Dedup.passageDedup(docs, col("doc_id"), col("text"), k = 8)
