@@ -864,18 +864,29 @@ object Dedup {
                          hashKey: Column => Column = xxhash64(_))
       : DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__t"))
-      .where(size(col("__t")) >= k + w - 1)
-      .select(col("id"), transform(
-        sequence(lit(0), size(col("__t")) - k),
-        i => hashKey(array_join(slice(col("__t"), i + 1, lit(k)), " ")))
-        .as("__h"))
-      .select(col("id"), array_distinct(transform(
-        sequence(lit(0), size(col("__h")) - w),
-        i => array_min(transform(slice(col("__h"), i + 1, lit(w)),
-          (h, j) => struct(h.as("fp"),
-            (-(i + j)).cast("long").as("np")))))).as("__sel"))
-      .select(col("id"), explode(col("__sel")).as("__s"))
+    // Each stage's array is LET-BOUND through a one-element-array
+    // transform so it reaches the next stage as a lambda VARIABLE.
+    // Referencing a derived column (`col("__h")`) inside a transform
+    // lambda instead would let CollapseProject inline the producing
+    // expression INTO the lambda body — re-splitting the document
+    // per k-gram and re-hashing the whole k-gram array per window
+    // element, O(n²·|text|) per doc (measured: a jstack of the sf0.1
+    // audit showed StringSplit evaluating under ArrayTransform).
+    def let(bound: Column, body: Column => Column): Column =
+      element_at(transform(array(bound), body), 1)
+    def sel(txt: Column): Column =
+      let(split(Cleanser.normalized(txt), " "), t =>
+        let(transform(sequence(lit(0), size(t) - k),
+          i => hashKey(array_join(slice(t, i + 1, lit(k)), " "))), h =>
+          array_distinct(transform(
+            sequence(lit(0), size(h) - w),
+            i => array_min(transform(slice(h, i + 1, lit(w)),
+              (x, j) => struct(x.as("fp"),
+                (-(i + j)).cast("long").as("np"))))))))
+    df.select(id.as("id"), text.as("__txt"))
+      .where(size(split(Cleanser.normalized(col("__txt")), " "))
+        >= k + w - 1)
+      .select(col("id"), explode(sel(col("__txt"))).as("__s"))
       .select(col("id"), (-col("__s.np")).cast("int").as("pos"),
         col("__s.fp").as("fp"))
   }
