@@ -240,6 +240,40 @@ class StreamingSpec extends GraftSuite {
     assert(want.size == 4 && got == want)
   }
 
+  test("Platt-calibrated probability gate runs unchanged on a stream, equal to batch") {
+    // withProbability is one column expression over the zero-shuffle
+    // scoring plan, so calibrated-probability gating needs no
+    // streaming-specific code either
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "completely different words here"),
+      (3L, "the the the the"), (4L, "x"))
+    val (a, b) = (-2.5, 0.3) // fitted upstream; any coefficients
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = graft.operators.QualityModel.withProbability(
+        graft.operators.QualityModel.score(
+          mem.toDF().toDF("doc_id", "text"),
+          col("doc_id"), col("text"), dim = 512), a, b)
+      .select(col("id"), col("score"), col("prob"))
+      .writeStream.format("memory").queryName("qm_prob_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("qm_prob_stream")
+      .as[(Long, Double, Double)].collect().toSet
+    val want = graft.operators.QualityModel.withProbability(
+        graft.operators.QualityModel.score(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          dim = 512), a, b)
+      .select(col("id"), col("score"), col("prob"))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(want.size == 4 && got == want)
+    // derived-weight margins saturate the sigmoid (scores reach
+    // ±1000), so probabilities may sit exactly at the closed ends
+    assert(want.forall { case (_, _, p) => p >= 0.0 && p <= 1.0 })
+  }
+
   test("media header decode runs unchanged on a stream, equal to batch") {
     // decodeAudio/decodeVideo are mapPartitions scan algebra — per-
     // record decode, no state, no shuffle — so the daily media-ingest
