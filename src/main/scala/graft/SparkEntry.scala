@@ -430,7 +430,7 @@ object SparkEntry {
     "q_ann_pq_topk" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       val books = Pq.pqCodebooks(emb, numSub = 8, numCodewords = 32,
-        lloydIters = 2)
+        lloydIters = 1)
       Pq.pqAdcTopK(books, Pq.pqEncode(emb, books),
         emb.where(col("vec_id") < 8), k = 5)
     }),
@@ -446,13 +446,14 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(emb, numCentroids = 16,
         lloydIters = 0, seedKey = c => md5(c.cast("string")))
       val books = Pq.pqCodebooks(emb, numSub = 8, numCodewords = 32,
-        lloydIters = 2)
+        lloydIters = 1)
       val store = Similarity.ivfAssignments(emb, cents)
         .select("c_id", "n_id")
         .join(Pq.pqEncode(emb, books).withColumnRenamed("vec_id", "n_id"),
           "n_id")
       Pq.annIvfPqTopKFromIndex(cents, store, books,
-        emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
+        emb.where(col("vec_id") < 8), nProbe = 4, k = 5,
+        tabulated = true)
     }),
 
     // oracle-checked RESIDUAL PQ encode (IVFADC's encode layer,
@@ -493,11 +494,31 @@ object SparkEntry {
         lloydIters = 0, seedKey = c => md5(c.cast("string")))
       val asg = Similarity.ivfAssignments(emb, cents)
       val books = Pq.pqCodebooks(Pq.residualAssignments(asg, cents),
-        numSub = 8, numCodewords = 32, lloydIters = 2,
+        numSub = 8, numCodewords = 32, lloydIters = 1,
         idCol = "n_id", vecCol = "rv")
       Pq.annIvfPqResidualTopKFromIndex(cents,
         Pq.pqEncodeResiduals(asg, cents, books), books,
-        emb.where(col("vec_id") < 8), nProbe = 4, k = 5)
+        emb.where(col("vec_id") < 8), nProbe = 4, k = 5,
+        tabulated = true)
+    }),
+
+    // rows-only (Lloyd + SVD floats): OPQ — a learned orthogonal
+    // rotation before PQ (Ge et al. CVPR 2013), parametric
+    // eigenvalue-allocation init refined non-parametrically by the
+    // Procrustes alternation. Trains on a 1-in-16 hash-gated sample
+    // (the trainer contract), encodes the full corpus; PqSpec pins
+    // orthogonality, norm preservation, determinism, and the
+    // quality win over raw PQ on an anisotropic corpus;
+    // q_pq_encode_seeded is the oracle-green twin for the encode
+    // scan algebra itself.
+    "q_pq_opq_encode" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val sample = emb.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val (rot, books) = Pq.opqTrain(sample, numSub = 8,
+        numCodewords = 16, opqIters = 2, lloydIters = 1,
+        initRotation = Some(Pq.eigenAllocationInit(sample, numSub = 8)))
+      Pq.opqEncode(emb, rot, books)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "c")))
     }),
 
     // rows-only (Lloyd float means): the scheduled-maintenance half
@@ -781,6 +802,17 @@ object SparkEntry {
         hashKey = QualityModel.seededKey, maxFpDf = Some(64))
     }),
 
+    // oracle-checked winnow-VERIFIED pairs: candidates from shared
+    // winnowing fingerprints, then each pair's actual longest shared
+    // token run measured exactly via the diagonal/islands identity
+    // (a run of L tokens = L-k+1 consecutive k-gram matches on one
+    // i-j diagonal) — never an O(|a|*|b|) LCS per pair. Complete for
+    // runs >= w + k - 1 = 8 by the winnowing guarantee.
+    "q_dedup_winnow_verified" -> ((s, dir) =>
+      Dedup.winnowVerifiedPairs(Tables(s, dir).documents,
+        col("doc_id"), col("text"), k = 5, w = 4,
+        hashKey = QualityModel.seededKey, maxFpDf = Some(64))),
+
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
     // observability half of data mixing (takeByBudgetPerKey is the
@@ -924,6 +956,79 @@ object SparkEntry {
       QualityModel.score(Tables(s, dir).documents,
           col("doc_id"), col("text"), dim = 4096, QualityModel.seededKey)
         .withColumnRenamed("id", "doc_id")),
+
+    // oracle-checked Gopher rule battery (Rae et al. 2021 App. A):
+    // word-count/word-length/symbol/bullet/ellipsis/alpha/stopword
+    // checks as pure in-row scan algebra; every ratio evaluated by
+    // integer cross-multiplication (the q54 ppm discipline), so the
+    // whole battery replays hash-exactly in DuckDB.
+    "q_quality_gopher" -> ((s, dir) =>
+      QualityRules.gopherRules(Tables(s, dir).documents,
+          col("doc_id"), col("text"), minWords = 30, minStopHits = 1)
+        .withColumnRenamed("id", "doc_id")),
+
+    // oracle-checked n-gram LM scoring core (CCNet's structure,
+    // Wenzek et al. 2020): bigram/unigram counts trained on the
+    // doc_id % 5 == 0 reference slice, the rest of the corpus
+    // join-scored per document — integer count mass only, the
+    // engine-portable core of the perplexity surface below.
+    "q_lm_score_counts" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      LanguageModel.scoreCounts(docs.where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"),
+          LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.unigramCounts(ref, col("doc_id"), col("text")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // rows-only (ln): add-α bigram perplexity over the exact same
+    // joined frame as q_lm_score_counts (its oracle-green twin) —
+    // CCNet's keep-the-low-perplexity-head quality filter.
+    "q_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      LanguageModel.perplexity(docs.where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"),
+          LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.unigramCounts(ref, col("doc_id"), col("text")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // oracle-checked BPE round-0 pair counts (Sennrich et al. 2016):
+    // adjacent symbol pairs over the character-split word vocabulary,
+    // weighted by corpus word count — the E-step every merge round
+    // repeats, replayed exactly in DuckDB. The ONE corpus-sized pass
+    // is the word count; the pair table is vocabulary-sized.
+    "q_bpe_pair_counts" -> ((s, dir) => {
+      val vocab = Bpe.wordCounts(Tables(s, dir).documents, col("text"))
+      Bpe.pairCounts(vocab.select(col("w"), col("c"),
+        concat(split(col("w"), ""), array(lit(Bpe.EndOfWord))).as("syms")))
+    }),
+
+    // rows-only (driver argmax loop): the learned merge list after 16
+    // rounds — deterministic from the word counts (lexicographic
+    // tie-break), spec-equal to a straight-line reference BPE;
+    // q_bpe_pair_counts is the oracle-green twin of each round's
+    // count step.
+    "q_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val model = Bpe.train(Tables(s, dir).documents, col("text"),
+        numMerges = 16)
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "a", "b")
+    }),
+
+    // rows-only: corpus encoded through the trained segmentation —
+    // two vocabulary-keyed equi-joins, never a per-row merge replay;
+    // OOV words fall back to the character split, flagged.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val model = Bpe.train(docs, col("text"), numMerges = 16)
+      Bpe.encode(docs, col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+    }),
 
     // Full pipeline with the decontamination gate: gates → exact
     // dedup → jaccard near-dup removal → drop docs overlapping the
@@ -1812,6 +1917,52 @@ object SparkEntry {
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
+    // Winnow-verified replay: the candidate CTEs above, then every
+    // candidate pair's k-gram hash matches grouped by diagonal
+    // (i - j) and islanded (i - row_number) — longest_run =
+    // max island + k - 1. Hash collisions affect both engines
+    // identically (same md5-prefix family).
+    "q_dedup_winnow_verified" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 8),
+        |hs AS (SELECT doc_id, i,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+5], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 5)) i)),
+        |wins AS (SELECT doc_id, i
+        |         FROM g, LATERAL (SELECT unnest(generate_series(0, n - 8)) i)),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM (
+        |          SELECT s.doc_id, hh.h fp,
+        |                 row_number() OVER (PARTITION BY s.doc_id, s.i
+        |                   ORDER BY hh.h ASC, hh.i DESC) rn
+        |          FROM wins s JOIN hs hh
+        |            ON hh.doc_id = s.doc_id
+        |           AND hh.i >= s.i AND hh.i < s.i + 4)
+        |        WHERE rn = 1),
+        |kept AS (SELECT doc_id, fp FROM sel
+        |         QUALIFY count(*) OVER (PARTITION BY fp) <= 64),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |m AS (SELECT c.id_a, c.id_b, c.n_shared, ha.i AS i,
+        |             ha.i - hb.i AS d
+        |      FROM cand c
+        |      JOIN hs ha ON ha.doc_id = c.id_a
+        |      JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h),
+        |runs AS (SELECT id_a, id_b, n_shared, d,
+        |                i - row_number() OVER (
+        |                  PARTITION BY id_a, id_b, d ORDER BY i) grp
+        |         FROM m),
+        |best AS (SELECT id_a, id_b, n_shared,
+        |                CAST(max(cnt) + 4 AS INT) AS longest_run
+        |         FROM (SELECT id_a, id_b, n_shared, d, grp,
+        |                      count(*) cnt
+        |               FROM runs GROUP BY 1, 2, 3, 4, 5)
+        |         GROUP BY 1, 2, 3)
+        |SELECT id_a, id_b, n_shared, longest_run
+        |FROM best WHERE longest_run >= 8""".stripMargin,
+
     // Incremental winnow replay: winnowing a doc is independent of
     // every other doc, so the combined ref ∪ new fingerprint set IS
     // the full-corpus set; the pair filter encodes the orientation
@@ -1959,6 +2110,102 @@ object SparkEntry {
         |       CAST(sum(w) AS DOUBLE) / count(*) AS score,
         |       CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS INT) AS label
         |FROM wts GROUP BY doc_id""".stripMargin,
+
+    // Gopher battery replay: integer counters + cross-multiplied
+    // rule flags — no float ratio anywhere, so the hash compare is
+    // exact by construction. Line rules look at the RAW text
+    // (normalization flattens line breaks).
+    "q_quality_gopher" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') raw FROM documents),
+        |c AS (SELECT doc_id, raw,
+        |        list_filter(string_split(${normSql.replace("text", "raw")},
+        |          ' '), w -> len(w) > 0) ws,
+        |        list_filter(string_split(raw, chr(10)),
+        |          l -> len(trim(l)) > 0) ls
+        |      FROM d),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ws) AS BIGINT) n_words,
+        |        CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |          AS BIGINT) sum_word_len,
+        |        CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |          AS BIGINT) n_alpha_words,
+        |        CAST((length(raw) - length(replace(raw, '...', ''))) // 3
+        |           + (length(raw) - length(replace(raw, '…', '')))
+        |          AS BIGINT) n_ellipsis,
+        |        CAST(length(raw) - length(replace(raw, '#', ''))
+        |          AS BIGINT) n_hash,
+        |        CAST(len(ls) AS BIGINT) n_lines,
+        |        CAST(len(list_filter(ls,
+        |            l -> regexp_matches(trim(l), '^[-*•]')))
+        |          AS BIGINT) n_bullet,
+        |        CAST(len(list_filter(ls,
+        |            l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+        |          AS BIGINT) n_ell_lines,
+        |        CAST(${QualityRules.stopwords.map(sw =>
+                  s"(CASE WHEN list_contains(ws, '$sw') THEN 1 ELSE 0 END)")
+                  .mkString(" + ")} AS BIGINT) stop_hits
+        |      FROM c)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_ellipsis,
+        |       n_lines, n_bullet, n_ell_lines, stop_hits,
+        |       n_hash + n_ellipsis AS n_symbols,
+        |       (n_words >= 30 AND n_words <= 100000) AS ok_words,
+        |       (3 * n_words <= sum_word_len AND
+        |        sum_word_len <= 10 * n_words) AS ok_word_len,
+        |       (10 * (n_hash + n_ellipsis) < n_words) AS ok_symbol,
+        |       (10 * n_bullet <= n_lines) AS ok_bullet,
+        |       (10 * n_ell_lines <= 3 * n_lines) AS ok_ellipsis,
+        |       (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
+        |       (stop_hits >= 1) AS ok_stop,
+        |       ((n_words >= 30 AND n_words <= 100000) AND
+        |        (3 * n_words <= sum_word_len AND
+        |         sum_word_len <= 10 * n_words) AND
+        |        (10 * (n_hash + n_ellipsis) < n_words) AND
+        |        (10 * n_bullet <= n_lines) AND
+        |        (10 * n_ell_lines <= 3 * n_lines) AND
+        |        (5 * n_alpha_words >= 4 * n_words) AND
+        |        (stop_hits >= 1)) AS keep
+        |FROM m""".stripMargin,
+
+    // BPE round-0 replay: character symbols + the </w> marker per
+    // vocabulary word, adjacent pairs weighted by word count.
+    "q_bpe_pair_counts" ->
+      s"""WITH t AS (SELECT string_split($normSql, ' ') ws FROM documents),
+        |w0 AS (SELECT unnest(ws) w FROM t),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM w0
+        |       WHERE len(w) > 0 GROUP BY 1),
+        |syms AS (SELECT w, c, list_concat(
+        |           list_transform(generate_series(1, length(w)),
+        |             i -> substr(w, i, 1)), ['</w>']) s
+        |         FROM wc),
+        |p AS (SELECT c, s[i+1] a, s[i+2] b
+        |      FROM syms, LATERAL (
+        |        SELECT unnest(generate_series(0, len(s) - 2)) i))
+        |SELECT a, b, CAST(sum(c) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // n-gram LM scoring-core replay: the reference slice's bigram /
+    // unigram count tables left-joined under every scored doc's
+    // bigram stream — CCNet's train-then-join-score structure in
+    // pure integer count mass.
+    "q_lm_score_counts" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, w[i+1] w1, w[i+2] w2
+        |      FROM g, LATERAL (SELECT unnest(generate_series(0, n - 2)) i)),
+        |rb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c FROM b
+        |       WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |ru AS (SELECT w1, CAST(count(*) AS BIGINT) c FROM b
+        |       WHERE doc_id % 5 = 0 GROUP BY 1),
+        |db AS (SELECT doc_id, w1, w2 FROM b WHERE doc_id % 5 <> 0)
+        |SELECT db.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN rb.c IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS hits,
+        |       CAST(sum(coalesce(rb.c, 0)) AS BIGINT) AS sum_cb,
+        |       CAST(sum(coalesce(ru.c, 0)) AS BIGINT) AS sum_cu
+        |FROM db LEFT JOIN rb ON db.w1 = rb.w1 AND db.w2 = rb.w2
+        |        LEFT JOIN ru ON db.w1 = ru.w1
+        |GROUP BY db.doc_id""".stripMargin,
 
     "q_quality_rarity" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),

@@ -133,6 +133,11 @@ object StoreBench {
       def prepIncrement(): (DataFrame => Unit, Long)
       /** Extra kind-specific JSON fields (must start with ","). */
       def extraJson: String = ""
+      /** Maintenance-write pricing hook: kinds with a scheduled
+        * refresh (the IVF Lloyd re-train) time one cycle over the
+        * day-N store and report it; None = no refresh concept. Runs
+        * once, outside the increment timers. */
+      def refreshDayN(): Option[Double] = None
       def writeMain(): Unit = graft.io.Bucketing.writeBucketed(
         refIndex(), "store_bench_main", keys, buckets = shuffle.toInt)
       def readMain(): DataFrame = spark.table("store_bench_main")
@@ -303,11 +308,118 @@ object StoreBench {
           .write.format("noop").mode("overwrite").save(),
           qV.count())
       }
+      override def refreshDayN(): Option[Double] = {
+        // one scheduled-maintenance cycle priced end to end: Lloyd
+        // re-train FROM THE STORE'S OWN ROWS (it carries every
+        // vector), re-assign, and land the rewrite in a SUCCESSOR
+        // directory (the PartitionedStore.write discipline — an
+        // in-place overwrite loses files under a lazy reader)
+        val succ = s"$warehouse/ivf_dayn_refreshed"
+        val t0 = System.nanoTime()
+        val store = readDayN()
+        val cents2 = Similarity.ivfRefreshCentroids(store, lloydIters = 1)
+        val vecs = store.select(col("n_id").as("vec_id"),
+          col("ec").as("embedding"))
+        graft.io.PartitionedStore.write(
+          Similarity.ivfAssignments(vecs, cents2), succ, "c_id")
+        Some((System.nanoTime() - t0) / 1e9)
+      }
+    }
+
+    // pq kind: the IVF-PQ CODED store vs the full-vector store on an
+    // IDENTICAL cluster layout — both arms are directory-partitioned
+    // by c_id and probed with the same routing + static pruning, so
+    // the only difference the timer sees is what PQ claims: ~numSub
+    // small ints read (and ADC'd) per stored vector instead of dim
+    // floats (and exact cosine). The shared probe body dispatches on
+    // the store's schema (code ⇒ ADC, ec ⇒ cosine).
+    val pqKind = new StoreKind {
+      import graft.operators.{Pq, Similarity}
+      private val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      private val numCentroids =
+        sys.env.getOrElse("SPARK_GRAFT_IVF_CENTROIDS", "64").toInt
+      private val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_PROBE", "4").toInt
+      private val numSub = sys.env.getOrElse("SPARK_GRAFT_PQ_NUMSUB", "16").toInt
+      private val numCodewords =
+        sys.env.getOrElse("SPARK_GRAFT_PQ_CODEWORDS", "64").toInt
+      // tabulated ADC is the serving default (the measured 7–12× at
+      // serving-budget codebooks); the literal path stays reachable
+      private val tabulated =
+        sys.env.getOrElse("SPARK_GRAFT_PQ_TABULATED", "true").toBoolean
+      private val isNew = pmod(xxhash64(col("vec_id")), lit(20)) === 0
+      // layout + codebooks trained once on the unscaled slice
+      // (distinct-id copies share vectors; the ivf kind's argument)
+      private lazy val cents = Similarity.ivfCentroids(emb.where(!isNew),
+        numCentroids, lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      private lazy val books = Pq.pqCodebooks(emb.where(!isNew),
+        numSub, numCodewords, lloydIters = 1)
+      private def refVecs: DataFrame =
+        (0 until storeScale).map(i =>
+            emb.where(!isNew).select(
+              (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionByName _)
+      private def codedOf(vecs: DataFrame): DataFrame =
+        Similarity.ivfAssignments(vecs, cents).select("c_id", "n_id")
+          .join(Pq.pqEncode(vecs, books).withColumnRenamed("vec_id", "n_id"),
+            "n_id")
+      private val mainPath = s"$warehouse/pq_main"
+      private val dayNPath = s"$warehouse/pq_dayn"
+      private val fullPath = s"$warehouse/pq_full_ctl"
+      def keys: Seq[String] = Seq("c_id")
+      def refIndex(): DataFrame = codedOf(refVecs)
+      def dayIndex(d: Int): DataFrame = codedOf(
+        emb.where(pmod(xxhash64(col("vec_id")), lit(20)) === d)
+          .select((col("vec_id") + lit(900000000L + d * 10000000L))
+            .as("vec_id"), col("embedding")))
+      override def extraJson: String =
+        s""","num_centroids":$numCentroids,"n_probe":$nProbe""" +
+          s""","pq_num_sub":$numSub,"pq_codewords":$numCodewords""" +
+          s""","pq_tabulated":$tabulated""" +
+          s""","n_queries":${sys.env.getOrElse("SPARK_GRAFT_IVF_QUERIES", "8")}"""
+      override def writeMain(): Unit =
+        graft.io.PartitionedStore.write(refIndex(), mainPath, "c_id")
+      override def readMain(): DataFrame = spark.read.parquet(mainPath)
+      override def buildDayN(): Unit =
+        graft.io.PartitionedStore.write(refIndex(), dayNPath, "c_id")
+      override def appendDay(d: Int, maxFragments: Int): Boolean =
+        graft.io.PartitionedStore.appendAndMaintain(dayIndex(d),
+          dayNPath, "c_id", maxFragments = maxFragments).nonEmpty
+      override def readDayN(): DataFrame = spark.read.parquet(dayNPath)
+      override def dayNFragMax(): Int = graft.io.PartitionedStore
+        .filesPerPartition(spark, dayNPath, "c_id")
+        .values.maxOption.getOrElse(0)
+      // "plain" control = the FULL-VECTOR inverted file, same
+      // partitioning: not an unbucketed copy of the same rows (the
+      // sig/signband control) but the same layout carrying fat rows
+      override def writePlain(): Unit = graft.io.PartitionedStore.write(
+        Similarity.ivfAssignments(refVecs, cents), fullPath, "c_id")
+      override def readPlain(): DataFrame = spark.read.parquet(fullPath)
+      def prepIncrement(): (DataFrame => Unit, Long) = {
+        val nQueries =
+          sys.env.getOrElse("SPARK_GRAFT_IVF_QUERIES", "8").toInt
+        val qDir = s"$warehouse/pq_query_vecs"
+        emb.where(isNew).select(col("vec_id"), col("embedding"))
+          .orderBy("vec_id").limit(nQueries)
+          .write.mode("overwrite").parquet(qDir)
+        val qV = spark.read.parquet(qDir)
+        (store => {
+          val out =
+            if (store.columns.contains("code"))
+              Pq.annIvfPqTopKFromIndex(cents, store, books, qV,
+                nProbe = nProbe, k = 5, tabulated = tabulated)
+            else Similarity.annIvfTopKFromIndex(cents, store, qV,
+              nProbe = nProbe, k = 5)
+          out.write.format("noop").mode("overwrite").save()
+        }, qV.count())
+      }
     }
 
     val layout: StoreKind = kind match {
       case "signband" => signBandKind
       case "ivf" => ivfKind
+      case "pq" => pqKind
       case _ => sigKind
     }
 
@@ -342,6 +454,7 @@ object StoreBench {
     }
     val dayNFragMax = layout.dayNFragMax()
     val dayNRows = layout.readDayN().count()
+    val refreshSec = layout.refreshDayN()
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -396,6 +509,8 @@ object StoreBench {
         s""","days":$days,"day_appends_sec":${math.round(tAppends * 100) / 100.0}""" +
         s""","day_compactions":$compactions,"dayn_frag_max":$dayNFragMax""" +
         s""","dayn_rows":$dayNRows""" +
+        refreshSec.map(r =>
+          s""","refresh_sec":${math.round(r * 100) / 100.0}""").getOrElse("") +
         s""","stall_sec":${jarr(stalls.toSeq)}""" +
         s""","write_bucketed_sec":${math.round(tWBucketed * 100) / 100.0}""" +
         s""","write_plain_sec":${math.round(tWPlain * 100) / 100.0}""" +

@@ -928,6 +928,80 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Token k-gram hashes `(id, pos, h)` at EVERY position — the
+    * verification-side frame for [[winnowVerifiedPairs]]: winnowing
+    * keeps a 2/(w+1) sample of these for candidate generation; the
+    * verifier needs all of them to measure the actual shared run.
+    * Same let-binding discipline as [[winnowFingerprints]] (the
+    * split must reach the transform as a lambda variable or
+    * CollapseProject re-splits the document per k-gram). */
+  private[graft] def kgramHashes(df: DataFrame, id: Column, text: Column,
+                                 k: Int, hashKey: Column => Column)
+      : DataFrame = {
+    def let(bound: Column, body: Column => Column): Column =
+      element_at(transform(array(bound), body), 1)
+    df.select(id.as("id"), text.as("__txt"))
+      .where(size(split(Cleanser.normalized(col("__txt")), " ")) >= k)
+      .select(col("id"), posexplode(
+        let(split(Cleanser.normalized(col("__txt")), " "),
+          t => transform(sequence(lit(0), size(t) - k),
+            i => hashKey(array_join(slice(t, i + 1, lit(k)), " ")))))
+        .as(Seq("pos", "h")))
+  }
+
+  /** Winnow-VERIFIED passage near-dup: candidates from
+    * [[winnowCandidatePairs]], then each pair's actual longest
+    * shared token run measured exactly — `(id_a, id_b, n_shared,
+    * longest_run)` for pairs whose longest shared run is ≥ `minRun`
+    * tokens (default w + k − 1, the winnowing guarantee's floor, so
+    * the verified set is COMPLETE for runs at or above it: every
+    * such pair is a candidate, and every candidate's run length is
+    * measured exactly).
+    *
+    * The verifier never runs an O(|a|·|b|) LCS per pair. A shared
+    * token run of length L is, in k-gram space, a chain of L − k + 1
+    * matching k-grams at CONSECUTIVE positions on one DIAGONAL
+    * (i − j constant), so longest_run = (longest consecutive-i
+    * island within any (pair, diagonal) group) + k − 1 — a hash
+    * equi-join plus a gaps-and-islands window, both keyed by pair:
+    * fully distributed, partitioned by (id_a, id_b, diagonal),
+    * never a single-partition window. Matches are by k-gram HASH;
+    * a collision could only ever lengthen a run (same in the
+    * replayed oracle, which uses the same hash family).
+    *
+    * Scale shape: candidates ≪ corpus² (the winnowing equi-join
+    * bounds them), and the k-gram frames join THROUGH the candidate
+    * pair list, so the verify cost is Σ_pairs |a|·(matches), not
+    * corpus-sized. `maxFpDf` caps boilerplate fingerprints exactly
+    * as in [[winnowCandidatePairs]]. */
+  def winnowVerifiedPairs(df: DataFrame, id: Column, text: Column,
+                          k: Int = 5, w: Int = 4,
+                          hashKey: Column => Column = xxhash64(_),
+                          maxFpDf: Option[Int] = None,
+                          minRun: Option[Int] = None): DataFrame = {
+    val runFloor = minRun.getOrElse(w + k - 1)
+    require(runFloor >= k,
+      s"minRun must be at least k=$k (shorter runs share no k-gram)")
+    val cands = winnowCandidatePairs(df, id, text, k, w, hashKey, maxFpDf)
+    val kg = kgramHashes(df, id, text, k, hashKey)
+    val matched = cands
+      .join(kg.select(col("id").as("id_a"), col("pos").as("__i"), col("h")),
+        "id_a")
+      .join(kg.select(col("id").as("id_b"), col("pos").as("__j"), col("h")),
+        Seq("id_b", "h"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "__d").orderBy("__i")
+    matched
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("__i"),
+        (col("__i") - col("__j")).as("__d"))
+      .withColumn("__grp", col("__i") - row_number().over(byDiag))
+      .groupBy("id_a", "id_b", "n_shared", "__d", "__grp")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("id_a", "id_b", "n_shared")
+      .agg((max(col("__len")) + (k - 1)).cast("int").as("longest_run"))
+      .where(col("longest_run") >= runFloor)
+  }
+
   /** Incremental winnowing pairs — the daily-ingest shape for the
     * non-aligned detector, completing the incremental family
     * (jaccard [[incrementalJaccardPairs]], MinHash

@@ -555,6 +555,78 @@ class DedupSimilaritySpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("winnow-verified pairs: longest_run is exact (DP replay), complete at the guarantee floor, a subset of candidates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    def noise(n: Int) = Vector.fill(n)(vocab(rng.nextInt(vocab.size)))
+    // a 10-token passage at offsets 3 and 7 — non-aligned, run 10
+    val passage = Vector("the", "quick", "brown", "fox", "jumps",
+      "over", "the2", "lazy", "dog", "tonight")
+    val a = (noise(3) ++ passage ++ noise(9)).mkString(" ")
+    val b = (noise(7) ++ passage ++ noise(5)).mkString(" ")
+    val c = noise(22).mkString(" ")
+    val planted = Seq((900001L, a), (900002L, b), (900003L, c))
+      .toDF("doc_id", "text")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val verified = Dedup.winnowVerifiedPairs(docs, col("doc_id"),
+        col("text"), k = 5, w = 4, maxFpDf = Some(64))
+      .as[(Long, Long, Long, Int)].collect()
+    val byPair = verified.map(v => ((v._1, v._2), v._4)).toMap
+    // the planted pair verifies at AT LEAST the passage length (a
+    // noise token at a boundary can extend the true run past 10 —
+    // the DP replay below pins exactness)
+    assert(byPair.get((900001L, 900002L)).exists(_ >= 10),
+      s"planted pair: ${byPair.get((900001L, 900002L))}")
+    assert(!verified.exists(v => v._1 == 900003L || v._2 == 900003L))
+    // every verified pair is a candidate, at the candidate's n_shared
+    val cands = Dedup.winnowCandidatePairs(docs, col("doc_id"),
+        col("text"), k = 5, w = 4, maxFpDf = Some(64))
+      .as[(Long, Long, Long)].collect()
+      .map(v => ((v._1, v._2), v._3)).toMap
+    verified.foreach { case (ia, ib, n, _) =>
+      assert(cands.get((ia, ib)).contains(n), s"($ia,$ib) not a candidate")
+    }
+    // exactness: replay each verified pair's longest shared token run
+    // with a driver-side DP over the two normalized token arrays
+    val ids = (verified.flatMap(v => Seq(v._1, v._2)) ++
+      cands.keys.flatMap(p => Seq(p._1, p._2))).distinct.toSeq
+    val toks = docs.where(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"),
+        split(graft.io.Cleanser.normalized(col("text")), " "))
+      .as[(Long, Seq[String])].collect().toMap
+    def longestRun(x: Seq[String], y: Seq[String]): Int = {
+      val prev = Array.fill(y.length + 1)(0)
+      var best = 0
+      for (i <- 1 to x.length) {
+        var diag = 0
+        for (j <- 1 to y.length) {
+          val keep = prev(j)
+          prev(j) = if (x(i - 1) == y(j - 1)) diag + 1 else 0
+          if (prev(j) > best) best = prev(j)
+          diag = keep
+        }
+      }
+      best
+    }
+    assert(verified.nonEmpty)
+    verified.foreach { case (ia, ib, _, run) =>
+      assert(longestRun(toks(ia), toks(ib)) == run,
+        s"pair ($ia,$ib): DP ${longestRun(toks(ia), toks(ib))} vs $run")
+    }
+    // completeness floor: every candidate with a DP run ≥ w + k − 1
+    // is in the verified set (winnowing guarantees candidacy; the
+    // verifier must then keep it)
+    cands.keys.foreach { case (ia, ib) =>
+      val dp = longestRun(toks.getOrElse(ia, Seq.empty),
+        toks.getOrElse(ib, Seq.empty))
+      if (toks.contains(ia) && toks.contains(ib) && dp >= 8)
+        assert(byPair.contains((ia, ib)), s"($ia,$ib) run $dp dropped")
+    }
+  }
+
   test("incremental winnowing == full-corpus pairs touching a new doc, reoriented") {
     import spark.implicits._
     val docs = t.documents

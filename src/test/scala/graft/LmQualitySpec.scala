@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.{LanguageModel, QualityRules}
+
+/** Gopher rule battery + n-gram LM perplexity filtering — the two
+  * pre-model quality gates of the CCNet/Gopher-style ladder. */
+class LmQualitySpec extends GraftSuite {
+
+  test("gopherRules: hand-checked counters and verdicts; zero Exchange") {
+    val s = spark; import s.implicits._
+    val good = ("the data " * 20).trim // 40 words, stopword 'the'
+    val short = "the and of tiny"
+    val bullets = "the data pipeline runs with and that\n- one\n- two\n- three"
+    val symbols = ("the " * 30) + ("# " * 10) + "and be"
+    val ellipsisDoc = ("the and " * 20) + "\nline one...\nline two…\nplain"
+    val docs = Seq(
+      (1L, good), (2L, short), (3L, bullets), (4L, symbols),
+      (5L, ellipsisDoc), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = QualityRules.gopherRules(docs, col("doc_id"), col("text"),
+      minWords = 30)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 40 words, all length 3-4, 'the' only stopword → fails
+    // ok_stop (needs 2 distinct), everything else passes
+    val r1 = rows(1L)
+    assert(r1.getLong(r1.fieldIndex("n_words")) == 40L)
+    assert(r1.getLong(r1.fieldIndex("sum_word_len")) == 20 * 3 + 20 * 4)
+    assert(r1.getLong(r1.fieldIndex("stop_hits")) == 1L)
+    assert(r1.getBoolean(r1.fieldIndex("ok_words")))
+    assert(r1.getBoolean(r1.fieldIndex("ok_word_len")))
+    assert(!r1.getBoolean(r1.fieldIndex("ok_stop")))
+    assert(!r1.getBoolean(r1.fieldIndex("keep")))
+    // doc 2: word-count floor
+    assert(!rows(2L).getBoolean(rows(2L).fieldIndex("ok_words")))
+    // doc 3: 3 bullet lines of 4 → bullet rule fails
+    val r3 = rows(3L)
+    assert(r3.getLong(r3.fieldIndex("n_lines")) == 4L)
+    assert(r3.getLong(r3.fieldIndex("n_bullet")) == 3L)
+    assert(!r3.getBoolean(r3.fieldIndex("ok_bullet")))
+    // doc 4: 10 '#' over 42 words → symbol ratio ≥ 0.1 fails
+    val r4 = rows(4L)
+    assert(r4.getLong(r4.fieldIndex("n_symbols")) == 10L)
+    assert(r4.getLong(r4.fieldIndex("n_words")) == 42L)
+    assert(!r4.getBoolean(r4.fieldIndex("ok_symbol")))
+    // doc 5: 2 of 4 non-empty lines end in an ellipsis (both
+    // spellings) → ellipsis rule fails; counters see both forms
+    val r5 = rows(5L)
+    assert(r5.getLong(r5.fieldIndex("n_ell_lines")) == 2L)
+    assert(!r5.getBoolean(r5.fieldIndex("ok_ellipsis")))
+    // doc 6: null text → zero counters, keep = false
+    val r6 = rows(6L)
+    assert(r6.getLong(r6.fieldIndex("n_words")) == 0L)
+    assert(r6.getLong(r6.fieldIndex("n_lines")) == 0L)
+    assert(!r6.getBoolean(r6.fieldIndex("keep")))
+    // the battery is pure in-row scan algebra
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopher battery shuffled")
+    // on the real corpus: rules discriminate (both verdicts occur;
+    // the synthetic vocabulary carries only 'the' of the battery, so
+    // the stopword floor tunes to 1 — the query surface's setting)
+    val corpus = QualityRules.gopherRules(Tables(spark, sfDir).documents,
+      col("doc_id"), col("text"), minWords = 30, minStopHits = 1)
+    val verdicts = corpus.groupBy("keep").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(verdicts.keySet == Set(true, false),
+      s"degenerate rule battery: $verdicts")
+  }
+
+  test("LM counts: hand-checked bigram/unigram tables; marginal identity on the corpus") {
+    val s = spark; import s.implicits._
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val bg = LanguageModel.bigramCounts(ref, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(bg == Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+    val ug = LanguageModel.unigramCounts(ref, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ug == Set(("a", 2L), ("b", 2L)))
+    // score "a b c d": hits ab(2), bc(1); cd OOV; sum_cu over w1 ∈
+    // {a, b, c} = 2 + 2 + 0
+    val scored = LanguageModel.scoreCounts(
+      Seq((10L, "a b c d")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"),
+      LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+      LanguageModel.unigramCounts(ref, col("doc_id"), col("text")))
+      .collect()
+    assert(scored.length == 1)
+    val sc = scored.head
+    assert(sc.getLong(sc.fieldIndex("n_bigrams")) == 3L)
+    assert(sc.getLong(sc.fieldIndex("hits")) == 2L)
+    assert(sc.getLong(sc.fieldIndex("sum_cb")) == 3L)
+    assert(sc.getLong(sc.fieldIndex("sum_cu")) == 4L)
+    // the conditional's books balance: Σ_w2 c(w1, w2) == c(w1),
+    // exactly, on the real corpus (the denominator counts the same
+    // event stream as the numerators)
+    val docs = Tables(spark, sfDir).documents
+    val fromBg = LanguageModel.bigramCounts(docs, col("doc_id"), col("text"))
+      .groupBy("w1").agg(sum("c").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = LanguageModel.unigramCounts(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fromBg == direct, "bigram marginals diverged from unigram counts")
+  }
+
+  test("perplexity: analytic value on a hand example; reference-like docs rank below scrambled ones; OOV stays finite") {
+    val s = spark; import s.implicits._
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val bg = LanguageModel.bigramCounts(ref, col("doc_id"), col("text"))
+    val ug = LanguageModel.unigramCounts(ref, col("doc_id"), col("text"))
+    // doc "a b", α = 0.5, V = 3 bigram types:
+    // P(b|a) = (2 + 0.5) / (2 + 0.5·3) = 2.5/3.5 → ppl = 3.5/2.5
+    val one = LanguageModel.perplexity(
+      Seq((10L, "a b")).toDF("doc_id", "text"), col("doc_id"),
+      col("text"), bg, ug, alpha = 0.5).collect().head
+    assert(math.abs(one.getDouble(one.fieldIndex("ppl")) - 3.5 / 2.5) < 1e-12)
+    // all-OOV doc: finite perplexity under smoothing
+    val oov = LanguageModel.perplexity(
+      Seq((11L, "x y z")).toDF("doc_id", "text"), col("doc_id"),
+      col("text"), bg, ug, alpha = 0.5).collect().head
+    val oovPpl = oov.getDouble(oov.fieldIndex("ppl"))
+    assert(!oovPpl.isNaN && !oovPpl.isInfinite && oovPpl > 3.5 / 2.5)
+    // CCNet's ranking claim on the real corpus: train on the % 5
+    // slice, then a verbatim reference-slice doc must sit below a
+    // token-scrambled rare-word doc
+    val docs = Tables(spark, sfDir).documents
+    val refSlice = docs.where(col("doc_id") % 5 === 0)
+    val b2 = LanguageModel.bigramCounts(refSlice, col("doc_id"), col("text"))
+    val u2 = LanguageModel.unigramCounts(refSlice, col("doc_id"), col("text"))
+    val likeRef = refSlice.orderBy("doc_id").select("text").as[String]
+      .head()
+    val probes = Seq((900L, likeRef), (901L, "zq wv xk jy qp zq wv xk jy qp"))
+      .toDF("doc_id", "text")
+    val ppl = LanguageModel.perplexity(probes, col("doc_id"), col("text"),
+        b2, u2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("ppl"))).toMap
+    assert(ppl(900L) < ppl(901L),
+      s"reference-like doc did not rank below rare-token doc: $ppl")
+  }
+}

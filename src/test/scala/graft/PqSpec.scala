@@ -353,4 +353,67 @@ class PqSpec extends GraftSuite {
     assert(residErr < rawErr,
       s"residual PQ ($residErr) did not beat raw PQ ($rawErr) at equal budget")
   }
+
+  test("OPQ: rotation orthogonal + norm-preserving; eigen-init + Procrustes beat raw PQ on an anisotropic corpus; deterministic") {
+    val s = spark; import s.implicits._
+    // anisotropic corpus: axis-aligned variance 0.78^d — the natural
+    // subspace slicing concentrates nearly all energy in subspace 0,
+    // so equal per-subspace codeword budgets are maximally wasted:
+    // raw PQ's worst case and eigenvalue allocation's motivating one
+    // (Ge et al. 2013 §4.2)
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val data = (0 until 1200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        rng.nextGaussian() * math.pow(0.78, d)))
+    }
+    val vecs = data.toDF("vec_id", "embedding")
+    val init = Pq.eigenAllocationInit(vecs, numSub = 4)
+    val (rot, obooks) = Pq.opqTrain(vecs, numSub = 4, numCodewords = 8,
+      opqIters = 3, lloydIters = 1, initRotation = Some(init))
+    // R is a true rotation: R·Rᵀ == I to float tolerance
+    assert(rot.length == dim && rot.forall(_.length == dim))
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(p => rot(i)(p) * rot(j)(p)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"R·Rᵀ[$i][$j] = $dot")
+    }
+    // norm preservation — orthogonality made observable where it
+    // matters: rotated-space distances ARE original-space distances,
+    // so every ADC/IVF-PQ path applies unchanged after the rotate
+    val norms = vecs
+      .join(Pq.rotate(vecs, rot).select(col("vec_id"),
+        graft.functions.VectorFns.l2Norm(col("embedding")).as("nb")),
+        "vec_id")
+      .select(graft.functions.VectorFns.l2Norm(col("embedding")).as("na"),
+        col("nb"))
+      .as[(Double, Double)].collect()
+    norms.foreach { case (na, nb) =>
+      assert(math.abs(na - nb) <= 1e-9 * math.max(1.0, na), s"$na vs $nb")
+    }
+    // quality: mean |R·x − decode(code)|² (== original-space error,
+    // R orthogonal) beats raw PQ at the same codebook budget
+    def err(vhat: DataFrame, ref: DataFrame): Double =
+      ref.join(vhat, "vec_id")
+        .withColumn("e2", aggregate(
+          zip_with(col("embedding"), col("vec"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, v) => acc + v))
+        .agg(avg("e2")).head().getDouble(0)
+    val rx = Pq.rotate(vecs, rot)
+    val opqErr = err(Pq.pqDecode(Pq.opqEncode(vecs, rot, obooks), obooks), rx)
+    val rbooks = Pq.pqCodebooks(vecs, numSub = 4, numCodewords = 8,
+      lloydIters = 1)
+    val pqErr = err(Pq.pqDecode(Pq.pqEncode(vecs, rbooks), rbooks), vecs)
+    System.err.println(
+      f"[pq-spec] anisotropic mean err: raw=$pqErr%.5f opq=$opqErr%.5f")
+    assert(opqErr < 0.9 * pqErr,
+      s"OPQ ($opqErr) did not clearly beat raw PQ ($pqErr)")
+    // decimal-sum moments + driver Jacobi: the whole training is
+    // bit-identical on retrain
+    val (rot2, _) = Pq.opqTrain(vecs, numSub = 4, numCodewords = 8,
+      opqIters = 3, lloydIters = 1,
+      initRotation = Some(Pq.eigenAllocationInit(vecs, numSub = 4)))
+    assert(rot == rot2, "OPQ retrain diverged")
+  }
 }
