@@ -995,6 +995,40 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked DSIR integer core (Xie et al., NeurIPS 2023):
+    // per raw doc, hashed-feature count plus target/raw bucket count
+    // mass — the sufficient statistics behind the importance weights,
+    // in pure longs over the quality model's exact featurization
+    // (unigrams + bigrams → md5-prefix buckets, replayed in DuckDB).
+    // Target = the doc_id % 7 == 0 slice.
+    "q_dsir_counts" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val target = docs.where(col("doc_id") % 7 === 0)
+      val raw = docs.where(col("doc_id") % 7 =!= 0)
+      Dsir.scoreCounts(raw, col("doc_id"), col("text"),
+          Dsir.bucketCounts(target, col("doc_id"), col("text"), 4096,
+            QualityModel.seededKey),
+          Dsir.bucketCounts(raw, col("doc_id"), col("text"), 4096,
+            QualityModel.seededKey),
+          4096, QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // rows-only (log-ratio floats + Gumbel keys): the DSIR resample
+    // proper — importance weights from the same counts (q_dsir_counts
+    // is the oracle-green twin of the statistic), zero-Exchange
+    // log-importance scan, deterministic Gumbel-top-k draw of 100
+    // docs without replacement.
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val target = docs.where(col("doc_id") % 7 === 0)
+      val raw = docs.where(col("doc_id") % 7 =!= 0)
+      val w = Dsir.importanceWeights(target, raw, col("doc_id"),
+        col("text"), dim = 4096)
+      Dsir.resample(raw, col("doc_id"), col("text"), w, k = 100)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // oracle-checked BPE round-0 pair counts (Sennrich et al. 2016):
     // adjacent symbol pairs over the character-split word vocabulary,
     // weighted by corpus word count — the E-step every merge round
@@ -2165,6 +2199,33 @@ object SparkEntry {
         |        (5 * n_alpha_words >= 4 * n_words) AND
         |        (stop_hits >= 1)) AS keep
         |FROM m""".stripMargin,
+
+    // DSIR count-core replay: the quality model's featurization
+    // (tokens + bigrams → md5-prefix mod 4096) with target/raw count
+    // tables joined under every raw doc's feature stream.
+    "q_dsir_counts" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, list_concat(w, CASE WHEN len(w) >= 2
+        |         THEN list_transform(generate_series(1, len(w) - 1),
+        |                             i -> w[i] || ' ' || w[i + 1])
+        |         ELSE [] END) f
+        |      FROM t WHERE len(w) >= 1 AND len(w[1]) > 0),
+        |feats AS (SELECT doc_id,
+        |            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+        |              % 4096 b
+        |          FROM (SELECT doc_id, unnest(f) tok FROM g)),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) c FROM feats
+        |       WHERE doc_id % 7 = 0 GROUP BY 1),
+        |rc AS (SELECT b, CAST(count(*) AS BIGINT) c FROM feats
+        |       WHERE doc_id % 7 <> 0 GROUP BY 1),
+        |db AS (SELECT doc_id, b FROM feats WHERE doc_id % 7 <> 0)
+        |SELECT db.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_feats,
+        |       CAST(sum(coalesce(tc.c, 0)) AS BIGINT) AS sum_ct,
+        |       CAST(sum(coalesce(rc.c, 0)) AS BIGINT) AS sum_cr
+        |FROM db LEFT JOIN tc ON db.b = tc.b
+        |        LEFT JOIN rc ON db.b = rc.b
+        |GROUP BY db.doc_id""".stripMargin,
 
     // BPE round-0 replay: character symbols + the </w> marker per
     // vocabulary word, adjacent pairs weighted by word count.

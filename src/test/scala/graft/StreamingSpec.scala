@@ -240,6 +240,64 @@ class StreamingSpec extends GraftSuite {
     assert(want.size == 4 && got == want)
   }
 
+  test("gopher rule battery runs unchanged on a stream, equal to batch") {
+    // gopherRules is zero-Exchange in-row scan algebra (plan-asserted
+    // in LmQualitySpec), so the same battery gates a stream with no
+    // stateful operators
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Seq(
+      (1L, ("the data " * 20).trim),
+      (2L, "too short"),
+      (3L, "the and " + ("# " * 40)),
+      (4L, null.asInstanceOf[String]))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = graft.operators.QualityRules.gopherRules(
+        mem.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), minWords = 30, minStopHits = 1)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val want = graft.operators.QualityRules.gopherRules(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      minWords = 30, minStopHits = 1)
+    assert(canon(s.table("gopher_stream")) == canon(want))
+    assert(want.count() == 4)
+  }
+
+  test("LM scoring gates a stream through a static count table (stream-static join), equal to batch") {
+    // the n-gram LM's scoring join is stream-static: the count
+    // tables are a bounded trained artifact, the document stream is
+    // unbounded — Structured Streaming's supported shape, so CCNet
+    // perplexity filtering runs on an ingest stream unchanged
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val bg = graft.operators.LanguageModel.bigramCounts(
+      ref, col("doc_id"), col("text")).localCheckpoint(true)
+    val ug = graft.operators.LanguageModel.unigramCounts(
+      ref, col("doc_id"), col("text")).localCheckpoint(true)
+    val docs = Seq((10L, "a b c d"), (11L, "x y z"), (12L, "a b a b"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.take(2): _*)
+    mem.addData(docs.drop(2): _*)
+    val q = graft.operators.LanguageModel.scoreCounts(
+        mem.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+        bg, ug)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("lm_stream")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.LanguageModel.scoreCounts(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"), bg, ug)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.size == 3 && got == want)
+  }
+
   test("Platt-calibrated probability gate runs unchanged on a stream, equal to batch") {
     // withProbability is one column expression over the zero-shuffle
     // scoring plan, so calibrated-probability gating needs no
