@@ -995,6 +995,33 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked COMPOSED quality-filter ladder (the q72
+    // curriculum pattern applied to filtering): Gopher rule battery
+    // → strict LM gate (every bigram known to the reference slice —
+    // 363/400 pass at sf0.01, genuinely discriminative) → per-source
+    // token-budget take over the partition-offset cumsum. Three
+    // operators, one DuckDB replay, all integer-exact.
+    "q_filter_ladder" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val gopherKeep = QualityRules.gopherRules(docs, col("doc_id"),
+          col("text"), minWords = 30, minStopHits = 1)
+        .where(col("keep")).select(col("id").as("doc_id"))
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      val lmKeep = LanguageModel.scoreCounts(
+          docs.where(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"),
+          LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.unigramCounts(ref, col("doc_id"), col("text")))
+        .where(col("hits") === col("n_bigrams"))
+        .select(col("id").as("doc_id"))
+      val survivors = docs.join(gopherKeep, "doc_id").join(lmKeep, "doc_id")
+        .withColumn("n_tokens",
+          size(split(Cleanser.normalized(col("text")), " ")).cast("long"))
+      Batching.takeByBudgetPerKey(survivors, key = col("source"),
+          order = col("doc_id"), weight = col("n_tokens"), budget = 500,
+          partitions = 32)
+        .select("doc_id", "source", "n_tokens", "cum_weight")
+    }),
+
     // oracle-checked DSIR integer core (Xie et al., NeurIPS 2023):
     // per raw doc, hashed-feature count plus target/raw bucket count
     // mass — the sufficient statistics behind the importance weights,
@@ -2199,6 +2226,60 @@ object SparkEntry {
         |        (5 * n_alpha_words >= 4 * n_words) AND
         |        (stop_hits >= 1)) AS keep
         |FROM m""".stripMargin,
+
+    // Composed ladder replay: gopher keep predicate + all-bigrams-
+    // known LM gate + per-source running-token-sum budget, one SQL.
+    "q_filter_ladder" ->
+      s"""WITH g0 AS (SELECT doc_id, coalesce(text, '') raw FROM documents),
+        |g1 AS (SELECT doc_id, raw,
+        |        list_filter(string_split(${normSql.replace("text", "raw")},
+        |          ' '), w -> len(w) > 0) ws,
+        |        list_filter(string_split(raw, chr(10)),
+        |          l -> len(trim(l)) > 0) ls
+        |      FROM g0),
+        |gk AS (SELECT doc_id FROM g1 WHERE
+        |        len(ws) BETWEEN 30 AND 100000
+        |        AND 3 * len(ws) <=
+        |            list_sum(list_transform(ws, w -> len(w)))
+        |        AND list_sum(list_transform(ws, w -> len(w)))
+        |            <= 10 * len(ws)
+        |        AND 10 * ((length(raw) - length(replace(raw, '...', ''))) // 3
+        |             + (length(raw) - length(replace(raw, '…', '')))
+        |             + length(raw) - length(replace(raw, '#', '')))
+        |            < len(ws)
+        |        AND 10 * len(list_filter(ls,
+        |              l -> regexp_matches(trim(l), '^[-*•]'))) <= len(ls)
+        |        AND 10 * len(list_filter(ls,
+        |              l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+        |            <= 3 * len(ls)
+        |        AND 5 * len(list_filter(ws,
+        |              w -> regexp_matches(w, '[a-z]'))) >= 4 * len(ws)
+        |        AND ${QualityRules.stopwords.map(sw =>
+                  s"(CASE WHEN list_contains(ws, '$sw') THEN 1 ELSE 0 END)")
+                  .mkString(" + ")} >= 1),
+        |t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, w[i+1] w1, w[i+2] w2
+        |      FROM g, LATERAL (SELECT unnest(generate_series(0, n - 2)) i)),
+        |rb AS (SELECT w1, w2 FROM b WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |lk AS (SELECT doc_id FROM (
+        |         SELECT db.doc_id, count(*) nb,
+        |                sum(CASE WHEN rb.w1 IS NOT NULL THEN 1 ELSE 0 END) h
+        |         FROM (SELECT doc_id, w1, w2 FROM b WHERE doc_id % 5 <> 0) db
+        |         LEFT JOIN rb ON db.w1 = rb.w1 AND db.w2 = rb.w2
+        |         GROUP BY 1)
+        |       WHERE h = nb),
+        |surv AS (SELECT d.doc_id, d.source,
+        |           CAST(len(string_split($normSql, ' ')) AS BIGINT) n_tokens
+        |         FROM documents d
+        |         JOIN gk ON d.doc_id = gk.doc_id
+        |         JOIN lk ON d.doc_id = lk.doc_id)
+        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_weight
+        |FROM (SELECT doc_id, source, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY source
+        |               ORDER BY doc_id) cum
+        |      FROM surv)
+        |WHERE cum <= 500""".stripMargin,
 
     // DSIR count-core replay: the quality model's featurization
     // (tokens + bigrams → md5-prefix mod 4096) with target/raw count
