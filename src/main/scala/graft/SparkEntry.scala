@@ -521,6 +521,30 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "c")))
     }),
 
+    // rows-only: OPQ served end-to-end — rotate the corpus AND the
+    // queries through the learned R (one PlaneDots projection each;
+    // orthogonality keeps every metric), then the standard IVF-PQ
+    // probe over codes trained in the rotated space. PqSpec pins
+    // nProbe=all == brute ADC on the rotated corpus.
+    "q_ann_opq_probe" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      val sample = emb.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val (rot, books) = Pq.opqTrain(sample, numSub = 8,
+        numCodewords = 16, opqIters = 2, lloydIters = 1,
+        initRotation = Some(Pq.eigenAllocationInit(sample, numSub = 8)))
+      val rx = Pq.rotate(emb, rot)
+      val cents = Similarity.ivfCentroids(rx, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val store = Similarity.ivfAssignments(rx, cents)
+        .select("c_id", "n_id")
+        .join(Pq.pqEncode(rx, books).withColumnRenamed("vec_id", "n_id"),
+          "n_id")
+      Pq.annIvfPqTopKFromIndex(cents, store, books,
+        Pq.rotate(emb.where(col("vec_id") < 8), rot),
+        nProbe = 4, k = 5, tabulated = true)
+    }),
+
     // rows-only (Lloyd float means): the scheduled-maintenance half
     // of the incremental IVF story — the day-1 layout above drifts as
     // batches accumulate, so refresh re-trains centroids FROM THE
@@ -979,6 +1003,36 @@ object SparkEntry {
           col("doc_id"), col("text"),
           LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
           LanguageModel.unigramCounts(ref, col("doc_id"), col("text")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // oracle-checked trigram-backoff integer core: each trigram
+    // event of a scored doc resolved at its highest order known to
+    // the reference slice (trigram > bigram > unigram > OOV),
+    // mutually exclusive counts in pure longs.
+    "q_lm_backoff_counts" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      LanguageModel.backoffCounts(docs.where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"),
+          LanguageModel.trigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.tokenCounts(ref, col("doc_id"), col("text")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // rows-only (ln): stupid-backoff scoring (Brants et al. 2007 —
+    // the web-scale scheme that skips backoff normalization) over
+    // the same resolution ladder; q_lm_backoff_counts is the
+    // oracle-green integer twin.
+    "q_lm_stupid_backoff" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      LanguageModel.stupidBackoff(docs.where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"),
+          LanguageModel.trigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.tokenCounts(ref, col("doc_id"), col("text")))
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -2226,6 +2280,39 @@ object SparkEntry {
         |        (5 * n_alpha_words >= 4 * n_words) AND
         |        (stop_hits >= 1)) AS keep
         |FROM m""".stripMargin,
+
+    // Trigram-backoff core replay: trigram/bigram/token count tables
+    // from the reference slice; each scored trigram event classified
+    // at its highest known order.
+    "q_lm_backoff_counts" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g3 AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 3),
+        |tri AS (SELECT doc_id, w[i+1] w1, w[i+2] w2, w[i+3] w3
+        |        FROM g3, LATERAL (SELECT unnest(generate_series(0, n - 3)) i)),
+        |g2 AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 2),
+        |bi AS (SELECT doc_id, w[i+1] w1, w[i+2] w2
+        |       FROM g2, LATERAL (SELECT unnest(generate_series(0, n - 2)) i)),
+        |tok AS (SELECT doc_id, unnest(w) tk FROM t),
+        |rt AS (SELECT w1, w2, w3 FROM tri WHERE doc_id % 5 = 0
+        |       GROUP BY 1, 2, 3),
+        |rbi AS (SELECT w1, w2 FROM bi WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |rtk AS (SELECT tk FROM tok WHERE doc_id % 5 = 0 AND len(tk) > 0
+        |        GROUP BY 1),
+        |dt AS (SELECT doc_id, w1, w2, w3 FROM tri WHERE doc_id % 5 <> 0)
+        |SELECT dt.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN rt.w1 IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS hit3,
+        |       CAST(sum(CASE WHEN rt.w1 IS NULL AND rbi.w1 IS NOT NULL
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS hit2,
+        |       CAST(sum(CASE WHEN rt.w1 IS NULL AND rbi.w1 IS NULL
+        |         AND rtk.tk IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS hit1
+        |FROM dt
+        |LEFT JOIN rt ON dt.w1 = rt.w1 AND dt.w2 = rt.w2 AND dt.w3 = rt.w3
+        |LEFT JOIN rbi ON dt.w2 = rbi.w1 AND dt.w3 = rbi.w2
+        |LEFT JOIN rtk ON dt.w3 = rtk.tk
+        |GROUP BY dt.doc_id""".stripMargin,
 
     // Composed ladder replay: gopher keep predicate + all-bigrams-
     // known LM gate + per-source running-token-sum budget, one SQL.

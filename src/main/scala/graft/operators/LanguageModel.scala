@@ -89,6 +89,102 @@ object LanguageModel {
         sum(coalesce(col("__cb"), lit(0L))).as("sum_cb"),
         sum(coalesce(col("__cu"), lit(0L))).as("sum_cu"))
 
+  /** All-token counts `(w, c)` — the backoff chain's unigram table
+    * (raw occurrences, unlike [[unigramCounts]] which counts bigram
+    * CONDITIONING events; stupid backoff wants raw frequencies at
+    * every order). */
+  def tokenCounts(ref: DataFrame, id: Column, text: Column): DataFrame =
+    ref.select(explode(split(Cleanser.normalized(coalesce(text, lit(""))),
+        " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Exploded trigram stream `(id, w1, w2, w3)` — docs with ≥ 3
+    * tokens. */
+  private[graft] def trigramStream(df: DataFrame, id: Column, text: Column)
+      : DataFrame =
+    df.select(id.as("id"), text.as("__t"))
+      .where(size(wordsOf(col("__t"))) >= 3)
+      .select(col("id"), explode(
+        let(wordsOf(col("__t")), ws =>
+          transform(sequence(lit(0), size(ws) - 3), i =>
+            struct(element_at(ws, i + 1).as("w1"),
+              element_at(ws, i + 2).as("w2"),
+              element_at(ws, i + 3).as("w3"))))).as("__b"))
+      .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"),
+        col("__b.w3").as("w3"))
+
+  /** Trigram counts `(w1, w2, w3, c)` over the reference corpus. */
+  def trigramCounts(ref: DataFrame, id: Column, text: Column): DataFrame =
+    trigramStream(ref, id, text)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c"))
+
+  /** The trigram-backoff integer core `(id, n_events, hit3, hit2,
+    * hit1)`: per document, each trigram event resolved at its
+    * HIGHEST known order — trigram hit, else (w2,w3) bigram hit,
+    * else w3 unigram hit (the residue is OOV: n_events − hit3 −
+    * hit2 − hit1). Mutually exclusive levels, pure longs — the
+    * oracle-checked twin of [[stupidBackoff]], which walks the same
+    * resolution ladder with scores attached. */
+  def backoffCounts(docs: DataFrame, id: Column, text: Column,
+                    trigrams: DataFrame, bigrams: DataFrame,
+                    tokens: DataFrame): DataFrame =
+    trigramStream(docs, id, text)
+      .join(trigrams.withColumnRenamed("c", "__c3"),
+        Seq("w1", "w2", "w3"), "left")
+      .join(bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c").as("__c23")), Seq("w2", "w3"), "left")
+      .join(tokens.select(col("w").as("w3"), col("c").as("__ct3")),
+        Seq("w3"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__c3").isNotNull.cast("long")).as("hit3"),
+        sum((col("__c3").isNull && col("__c23").isNotNull).cast("long"))
+          .as("hit2"),
+        sum((col("__c3").isNull && col("__c23").isNull &&
+          col("__ct3").isNotNull).cast("long")).as("hit1"))
+
+  /** Stupid backoff scoring (Brants et al., "Large Language Models
+    * in Machine Translation", EMNLP 2007 — the web-scale scheme that
+    * skips backoff normalization entirely):
+    * `S(w3|w1,w2) = c(w1w2w3)/c(w1w2)` when the trigram is known,
+    * else `λ·c(w2w3)/c(w2)`, else `λ²·c(w3)/N`, else `λ²·α/N` (a
+    * floor so OOV stays finite). Returns `(id, n_events, avg_logs)`
+    * with `avg_logs` the mean log score — higher = more
+    * reference-like. Five vocabulary-sized broadcast joins + the
+    * one-row N broadcast over the same stream as [[backoffCounts]]
+    * (its oracle-green integer twin). */
+  def stupidBackoff(docs: DataFrame, id: Column, text: Column,
+                    trigrams: DataFrame, bigrams: DataFrame,
+                    tokens: DataFrame, lambda: Double = 0.4,
+                    alpha: Double = 0.1): DataFrame = {
+    require(lambda > 0 && alpha > 0)
+    val n = tokens.agg(sum(col("c")).cast("double").as("__n"))
+    trigramStream(docs, id, text)
+      .join(trigrams.withColumnRenamed("c", "__c3"),
+        Seq("w1", "w2", "w3"), "left")
+      .join(bigrams.select(col("w1"), col("w2"), col("c").as("__c12")),
+        Seq("w1", "w2"), "left")
+      .join(bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c").as("__c23")), Seq("w2", "w3"), "left")
+      .join(tokens.select(col("w").as("w2"), col("c").as("__ct2")),
+        Seq("w2"), "left")
+      .join(tokens.select(col("w").as("w3"), col("c").as("__ct3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("__s",
+        when(col("__c3").isNotNull,
+          col("__c3").cast("double") / col("__c12"))
+          .when(col("__c23").isNotNull,
+            lit(lambda) * col("__c23").cast("double") / col("__ct2"))
+          .when(col("__ct3").isNotNull,
+            lit(lambda * lambda) * col("__ct3").cast("double") / col("__n"))
+          .otherwise(lit(lambda * lambda) * lit(alpha) / col("__n")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_events"),
+        avg(log(col("__s"))).as("avg_logs"))
+  }
+
   /** Per-document perplexity `(id, n_bigrams, ppl)` under add-α
     * smoothing: P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V) with V
     * the reference bigram-type count (so unseen events get a proper

@@ -105,6 +105,61 @@ class LmQualitySpec extends GraftSuite {
     assert(fromBg == direct, "bigram marginals diverged from unigram counts")
   }
 
+  test("stupid backoff: hand-checked resolution ladder and scores; reference-like docs rank higher") {
+    val s = spark; import s.implicits._
+    val ref = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val tri = LanguageModel.trigramCounts(ref, col("doc_id"), col("text"))
+    val bi = LanguageModel.bigramCounts(ref, col("doc_id"), col("text"))
+    val tok = LanguageModel.tokenCounts(ref, col("doc_id"), col("text"))
+    // counts core: each event at its highest known order
+    val probes = Seq(
+      (10L, "b c a b"),  // (b,c,a) hit3, (c,a,b) hit3
+      (11L, "x a b"),    // trigram unknown, (a,b) bigram known → hit2
+      (12L, "x y c"),    // only token c known → hit1
+      (13L, "x y z"))    // OOV
+      .toDF("doc_id", "text")
+    val counts = LanguageModel.backoffCounts(probes, col("doc_id"),
+        col("text"), tri, bi, tok)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(counts(10L) == ((2L, 2L, 0L, 0L)))
+    assert(counts(11L) == ((1L, 0L, 1L, 0L)))
+    assert(counts(12L) == ((1L, 0L, 0L, 1L)))
+    assert(counts(13L) == ((1L, 0L, 0L, 0L)))
+    // scores: S(c|a,b) = c(abc)/c(ab) = 1/2; S(b|c,a) = c(cab)/c(ca)
+    // = 1/1; OOV floor = λ²·α/N with N = 6
+    val scores = LanguageModel.stupidBackoff(
+        Seq((20L, "a b c"), (21L, "c a b"), (22L, "x y z"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), tri, bi, tok,
+        lambda = 0.4, alpha = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(scores(20L) - math.log(0.5)) < 1e-12)
+    assert(math.abs(scores(21L) - 0.0) < 1e-12)
+    assert(math.abs(scores(22L) - math.log(0.16 * 0.1 / 6.0)) < 1e-12)
+    // bigram-level backoff: "x a b" event (x,a,b) → λ·c(ab)/c(a)
+    // = 0.4·2/2
+    val s2 = LanguageModel.stupidBackoff(
+        Seq((23L, "x a b")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), tri, bi, tok).collect().head
+    assert(math.abs(s2.getDouble(2) - math.log(0.4)) < 1e-12)
+    // on the real corpus: a verbatim reference doc outranks a
+    // rare-token scramble
+    val docs = Tables(spark, sfDir).documents
+    val refSlice = docs.where(col("doc_id") % 5 === 0)
+    val t2 = LanguageModel.trigramCounts(refSlice, col("doc_id"), col("text"))
+    val b2 = LanguageModel.bigramCounts(refSlice, col("doc_id"), col("text"))
+    val k2 = LanguageModel.tokenCounts(refSlice, col("doc_id"), col("text"))
+    val likeRef = refSlice.orderBy("doc_id").select("text").as[String].head()
+    val got = LanguageModel.stupidBackoff(
+        Seq((900L, likeRef), (901L, "zq wv xk jy qp zq wv xk jy qp"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), t2, b2, k2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(900L) > got(901L), s"backoff did not rank ref-like doc: $got")
+  }
+
   test("perplexity: analytic value on a hand example; reference-like docs rank below scrambled ones; OOV stays finite") {
     val s = spark; import s.implicits._
     val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")

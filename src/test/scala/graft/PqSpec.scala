@@ -415,5 +415,24 @@ class PqSpec extends GraftSuite {
       opqIters = 3, lloydIters = 1,
       initRotation = Some(Pq.eigenAllocationInit(vecs, numSub = 4)))
     assert(rot == rot2, "OPQ retrain diverged")
+    // served end-to-end: the rotated IVF-PQ probe with nProbe=all
+    // equals brute ADC over the rotated corpus (the q78 identity,
+    // here through the rotation)
+    val rxAll = Pq.rotate(vecs, rot)
+    val cents = Similarity.ivfCentroids(rxAll, numCentroids = 4,
+      lloydIters = 0)
+    val store = Similarity.ivfAssignments(rxAll, cents)
+      .select("c_id", "n_id")
+      .join(Pq.pqEncode(rxAll, obooks).withColumnRenamed("vec_id", "n_id"),
+        "n_id")
+    val queries = Pq.rotate(vecs.where(col("vec_id") < 4), rot)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "n_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(ranked(Pq.annIvfPqTopKFromIndex(cents, store, obooks,
+        queries, nProbe = 4, k = 5)) ==
+      ranked(Pq.pqAdcTopK(obooks, Pq.pqEncode(rxAll, obooks),
+        queries, k = 5)),
+      "rotated IVF-PQ probe with nProbe=all diverged from brute ADC")
   }
 }
