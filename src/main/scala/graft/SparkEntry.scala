@@ -524,14 +524,18 @@ object SparkEntry {
     // rows-only: OPQ served end-to-end — rotate the corpus AND the
     // queries through the learned R (one PlaneDots projection each;
     // orthogonality keeps every metric), then the standard IVF-PQ
-    // probe over codes trained in the rotated space. PqSpec pins
-    // nProbe=all == brute ADC on the rotated corpus.
+    // probe over codes trained in the rotated space. The PARAMETRIC
+    // variant (eigen allocation, opqIters = 1 → no Procrustes pass —
+    // Ge et al.'s closed form for Gaussian-like data) keeps the
+    // serving surface light; q_pq_opq_encode carries the
+    // non-parametric refinement. PqSpec pins nProbe=all == brute ADC
+    // on the rotated corpus.
     "q_ann_opq_probe" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
         .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
       val sample = emb.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
       val (rot, books) = Pq.opqTrain(sample, numSub = 8,
-        numCodewords = 16, opqIters = 2, lloydIters = 1,
+        numCodewords = 16, opqIters = 1, lloydIters = 1,
         initRotation = Some(Pq.eigenAllocationInit(sample, numSub = 8)))
       val rx = Pq.rotate(emb, rot)
       val cents = Similarity.ivfCentroids(rx, numCentroids = 16,

@@ -364,9 +364,28 @@ object Pq {
 
   /** The ADC scoring body shared by [[pqAdcTopK]] and the IVF-PQ
     * probe: `rows` carries already-paired `(n_id, code, q_id, eq)`;
-    * the distance is looked up through one nested codebook literal.
-    * Self-matches are excluded here, once. */
-  private def adcScore(book: Book, rows: DataFrame): DataFrame = {
+    * the distance runs through the FUSED [[graft.plans.AdcSum]]
+    * kernel (codebook + norms as codegen reference objects — the
+    * declarative HOF chain evaluates interpreted and measured 1.9×
+    * the full-vector probe it exists to beat,
+    * bench_store_sf1_pq_x40.json; the fused form is the PlaneDots
+    * discipline applied to ADC). Self-matches are excluded here,
+    * once. [[adcScoreHof]] keeps the declarative chain as the
+    * bit-identical spec reference. */
+  private def adcScore(book: Book, rows: DataFrame): DataFrame =
+    rows
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("__qn2", VectorFns.dot(col("eq"), col("eq")))
+      .withColumn("dist",
+        col("__qn2") + graft.plans.AdcExpressions.adcSum(
+          col("eq"), col("code"), book.planes, book.norm2))
+      .select(col("q_id"), col("n_id"), col("dist"))
+
+  /** The declarative ADC chain — `aggregate`/`transform` over one
+    * nested codebook literal — retained as the raw-bits spec
+    * reference for [[adcScore]]'s fused kernel (the `dotHof`
+    * role). */
+  private[graft] def adcScoreHof(book: Book, rows: DataFrame): DataFrame = {
     val dsub = book.dsub
     val cb3 = typedLit(book.planes)
     val cn2 = typedLit(book.norm2)
@@ -385,6 +404,23 @@ object Pq {
                     p + 1))),
           lit(0.0), (acc, v) => acc + v))
       .select(col("q_id"), col("n_id"), col("dist"))
+  }
+
+  /** Spec seam: brute ADC through the declarative chain, same
+    * surface as [[pqAdcTopK]]. */
+  private[graft] def pqAdcTopKHof(codebooks: DataFrame, codes: DataFrame,
+                                  queries: DataFrame, k: Int,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding")
+      : DataFrame = {
+    val rows = codes
+      .select(col(idCol).as("n_id"), col("code"))
+      .crossJoin(broadcast(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("eq"))))
+    val scored = adcScoreHof(collectBook(codebooks), rows)
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("dist").asc, col("n_id").asc), k)
+      .select("q_id", "rnk", "n_id", "dist")
   }
 
   /** IVF-PQ probe over a STORED coded layout: queries route to their

@@ -354,6 +354,26 @@ class PqSpec extends GraftSuite {
       s"residual PQ ($residErr) did not beat raw PQ ($rawErr) at equal budget")
   }
 
+  test("fused AdcSum kernel == declarative HOF ADC, raw bits, every pair") {
+    val s = spark; import s.implicits._
+    // the full corpus as queries × codes — every (query, neighbor)
+    // pair's distance compared BITWISE between the codegen kernel
+    // and the interpreted HOF chain it replaced
+    val queries = emb.where(col("vec_id") < 16)
+    val codes = Pq.pqEncode(emb, books)
+    def bits(df: DataFrame) = df
+      .select(col("q_id"), col("n_id"), col("dist"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, d) => (q, n, java.lang.Double.doubleToRawLongBits(d)) }
+      .toSet
+    val fused = bits(Pq.pqAdcTopK(books, codes, queries,
+      k = Int.MaxValue / 2))
+    val hof = bits(Pq.pqAdcTopKHof(books, codes, queries,
+      k = Int.MaxValue / 2))
+    assert(fused.nonEmpty && fused == hof,
+      s"fused/HOF ADC diverged: ${fused.size} vs ${hof.size} pairs")
+  }
+
   test("OPQ: rotation orthogonal + norm-preserving; eigen-init + Procrustes beat raw PQ on an anisotropic corpus; deterministic") {
     val s = spark; import s.implicits._
     // anisotropic corpus: axis-aligned variance 0.78^d — the natural
