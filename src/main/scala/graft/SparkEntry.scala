@@ -830,6 +830,35 @@ object SparkEntry {
         hashKey = QualityModel.seededKey, maxFpDf = Some(64))
     }),
 
+    // oracle-checked content-defined chunking dedup: boundaries
+    // where the md5-prefix hash of the trailing 3-gram ≡ 0 (mod 16)
+    // — a function of content, not position, so one inserted token
+    // shifts nothing after the edit point (the aligned q53 windows'
+    // blind spot). Same output shape and canonical-occurrence
+    // aggregate as q_dedup_passage.
+    "q_dedup_cdc" -> ((s, dir) =>
+      Dedup.cdcDedup(Tables(s, dir).documents, col("doc_id"),
+          col("text"), k = 3, divisor = 16,
+          hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")),
+
+    // oracle-checked incremental CDC: the daily-ingest chunk-dedup
+    // shape — ref enters as its stored distinct eligible chunk
+    // texts (always canonical: ref was deduped when it landed),
+    // only the batch chunks fresh; left-anti against the store ∪
+    // first-occurrence within batch.
+    "q_dedup_cdc_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val refChunks = Dedup.cdcChunks(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), k = 3, divisor = 16,
+          hashKey = QualityModel.seededKey)
+        .where(col("eligible")).select("ctext").distinct()
+      Dedup.incrementalCdcDedup(docs.where(col("doc_id") % 3 =!= 0),
+          col("doc_id"), col("text"), refChunks, k = 3, divisor = 16,
+          hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // oracle-checked winnow-VERIFIED pairs: candidates from shared
     // winnowing fingerprints, then each pair's actual longest shared
     // token run measured exactly via the diagonal/islands identity
@@ -1989,6 +2018,89 @@ object SparkEntry {
         |       b.n_passages,
         |       b.n_passages - coalesce(agg.n_kept, 0) AS n_dropped
         |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
+
+    // CDC replay: boundary = md5-prefix of the trailing 3-gram mod
+    // 16 == 0; chunks between boundaries; first-occurrence keep on
+    // eligible (>= 3 token) chunks; reassembly by chunk order.
+    "q_dedup_cdc" ->
+      """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w, len(w) n FROM t),
+        |bd AS (SELECT doc_id, w, n,
+        |         CASE WHEN n - 1 >= 3 THEN list_filter(
+        |           generate_series(3, n - 1),
+        |           i -> CAST(concat('0x', substr(md5(
+        |             array_to_string(w[i-2:i], ' ')), 1, 15)) AS BIGINT)
+        |             % 16 = 0)
+        |         ELSE [] END bnds FROM b),
+        |st AS (SELECT doc_id, w, n,
+        |         list_concat([1], list_transform(bnds, x -> x + 1)) starts,
+        |         list_concat(bnds, [n]) ends FROM bd),
+        |seg AS (SELECT doc_id, CAST(j - 1 AS BIGINT) chunk_id,
+        |          array_to_string(w[starts[j]:ends[j]], ' ') ctext,
+        |          ends[j] - starts[j] + 1 AS n_tok
+        |        FROM st, LATERAL (
+        |          SELECT unnest(generate_series(1, len(starts))) j)),
+        |keep AS (
+        |  SELECT doc_id, chunk_id, ctext FROM (
+        |    SELECT doc_id, chunk_id, ctext,
+        |           row_number() OVER (PARTITION BY ctext
+        |                              ORDER BY doc_id, chunk_id) rn
+        |    FROM seg WHERE n_tok >= 3) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, chunk_id, ctext FROM seg WHERE n_tok < 3),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_kept,
+        |               string_agg(ctext, ' ' ORDER BY chunk_id) text_clean
+        |        FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(starts) AS BIGINT) n_chunks FROM st)
+        |SELECT tot.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+        |       tot.n_chunks,
+        |       tot.n_chunks - coalesce(agg.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
+
+    // Incremental CDC replay: chunk the batch docs, drop eligible
+    // chunks present in the ref slice's chunk-text set or repeated
+    // earlier within the batch.
+    "q_dedup_cdc_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w, len(w) n FROM t),
+        |bd AS (SELECT doc_id, w, n,
+        |         CASE WHEN n - 1 >= 3 THEN list_filter(
+        |           generate_series(3, n - 1),
+        |           i -> CAST(concat('0x', substr(md5(
+        |             array_to_string(w[i-2:i], ' ')), 1, 15)) AS BIGINT)
+        |             % 16 = 0)
+        |         ELSE [] END bnds FROM b),
+        |st AS (SELECT doc_id, w, n,
+        |         list_concat([1], list_transform(bnds, x -> x + 1)) starts,
+        |         list_concat(bnds, [n]) ends FROM bd),
+        |seg AS (SELECT doc_id, CAST(j - 1 AS BIGINT) chunk_id,
+        |          array_to_string(w[starts[j]:ends[j]], ' ') ctext,
+        |          ends[j] - starts[j] + 1 AS n_tok
+        |        FROM st, LATERAL (
+        |          SELECT unnest(generate_series(1, len(starts))) j)),
+        |refc AS (SELECT DISTINCT ctext FROM seg
+        |         WHERE doc_id % 3 = 0 AND n_tok >= 3),
+        |bseg AS (SELECT * FROM seg WHERE doc_id % 3 <> 0),
+        |keep AS (
+        |  SELECT doc_id, chunk_id, ctext FROM (
+        |    SELECT s.doc_id, s.chunk_id, s.ctext,
+        |           row_number() OVER (PARTITION BY s.ctext
+        |                              ORDER BY s.doc_id, s.chunk_id) rn
+        |    FROM bseg s LEFT JOIN refc ON s.ctext = refc.ctext
+        |    WHERE s.n_tok >= 3 AND refc.ctext IS NULL) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, chunk_id, ctext FROM bseg WHERE n_tok < 3),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_kept,
+        |               string_agg(ctext, ' ' ORDER BY chunk_id) text_clean
+        |        FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(starts) AS BIGINT) n_chunks
+        |        FROM st WHERE doc_id % 3 <> 0)
+        |SELECT tot.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+        |       tot.n_chunks,
+        |       tot.n_chunks - coalesce(agg.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
 
     // Winnowing replay: k-gram hashes via the md5-prefix identity,
     // per-window rightmost-min via (h ASC, pos DESC) ranking; the

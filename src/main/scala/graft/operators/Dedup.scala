@@ -792,6 +792,148 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** CONTENT-DEFINED chunking dedup — the insertion-robust member of
+    * the passage family (the CDC principle of LBFS/rsync-class
+    * systems, Muthitacharoen et al., SOSP 2001, applied to token
+    * streams): a chunk boundary falls AFTER token `i` exactly when
+    * the hash of the k-gram ending at `i` is ≡ 0 (mod `divisor`), so
+    * boundaries are a function of LOCAL CONTENT, not position —
+    * inserting one token at the head of a document shifts every
+    * aligned window ([[passageDedup]] then sees nothing) but leaves
+    * every boundary after the edit point exactly where it was, and
+    * the shared chunks dedup. Expected chunk length ≈ `divisor`
+    * tokens; `k` is the boundary context width.
+    *
+    * Output shape is [[passageDedup]]'s: `(id, text_clean, n_chunks,
+    * n_dropped)`, one row per input doc, canonical occurrence = the
+    * lexicographically smallest (id, chunk_id), reassembly from
+    * surviving chunks in order. Chunks shorter than `minChunk`
+    * (default k) always survive — a few stray tokens between two
+    * close boundaries are not evidence of duplication. Same scale
+    * shape as passageDedup: boundary detection and chunking are
+    * IN-ROW scan algebra; the canonical-occurrence aggregate is the
+    * survivor set (xxhash64-prefix + exact-text key — the
+    * candidates-then-verify discipline fused into one aggregate);
+    * two content shuffles total. NOT idempotent by construction:
+    * removing a chunk changes its neighbors' context k-grams, so a
+    * second pass may re-chunk differently (document, don't hide —
+    * aligned passageDedup is the idempotent sibling).
+    *
+    * Raw space-delimited tokens, as passageDedup (byte-exact
+    * reassembly); normalize upstream for fuzzier matching. */
+  /** The CDC chunk list of one text column: `[(ctext, n_tok)]` —
+    * boundaries, starts, ends, slices, all let-bound (the
+    * CollapseProject lesson). */
+  private def cdcChunkList(txt: Column, k: Int, divisor: Int,
+                           hashKey: Column => Column): Column = {
+    def let(bound: Column, body: Column => Column): Column =
+      element_at(transform(array(bound), body), 1)
+    let(split(coalesce(txt, lit("")), " "), t =>
+      let(when(size(t) - 1 >= k,
+          filter(sequence(lit(k), size(t) - 1), i =>
+            pmod(hashKey(array_join(slice(t, i - (k - 1), lit(k)), " ")),
+              lit(divisor.toLong)) === 0))
+        .otherwise(array().cast("array<int>")), bnds =>
+        let(concat(array(lit(1)), transform(bnds, b => b + 1)), starts =>
+          let(concat(bnds, array(size(t))), ends =>
+            transform(sequence(lit(0), size(starts) - 1), j =>
+              struct(
+                array_join(slice(t, element_at(starts, j + 1),
+                  element_at(ends, j + 1) -
+                    element_at(starts, j + 1) + 1), " ").as("ctext"),
+                (element_at(ends, j + 1) -
+                  element_at(starts, j + 1) + 1).as("n_tok")))))))
+  }
+
+  /** Exploded CDC chunk rows `(id, chunk_id, ctext, eligible)` — the
+    * per-doc chunk frame [[cdcDedup]] aggregates and the store
+    * builder for [[incrementalCdcDedup]] (persist
+    * `where(eligible).select(ctext).distinct()`, bucketed by a
+    * ctext hash, as the other incremental stores). */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+                k: Int = 3, divisor: Int = 16,
+                hashKey: Column => Column = xxhash64(_),
+                minChunk: Option[Int] = None): DataFrame = {
+    require(k >= 1 && divisor >= 2, "need k >= 1 and divisor >= 2")
+    val floor = minChunk.getOrElse(k)
+    df.select(id.as("id"), text.as("__txt"))
+      .select(col("id"),
+        posexplode(cdcChunkList(col("__txt"), k, divisor, hashKey))
+          .as(Seq("chunk_id", "__c")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.ctext").as("ctext"),
+        (col("__c.n_tok") >= floor).as("eligible"))
+  }
+
+  def cdcDedup(df: DataFrame, id: Column, text: Column,
+               k: Int = 3, divisor: Int = 16,
+               hashKey: Column => Column = xxhash64(_),
+               minChunk: Option[Int] = None): DataFrame = {
+    val base = df.select(id.as("id"), text.as("__txt"))
+    val seg = cdcChunks(df, id, text, k, divisor, hashKey, minChunk)
+    val keptEligible = seg.where(col("eligible"))
+      .groupBy(xxhash64(col("ctext")).as("__h"), col("ctext"))
+      .agg(min(struct(col("id"), col("chunk_id"))).as("__min"))
+      .select(col("__min.id").as("id"),
+        col("__min.chunk_id").as("chunk_id"), col("ctext"))
+    val survivors = keptEligible.unionByName(
+      seg.where(!col("eligible")).select("id", "chunk_id", "ctext"))
+    cdcReassemble(base, survivors, k, divisor, hashKey)
+  }
+
+  /** Incremental CDC dedup — the daily-ingest shape for chunk-level
+    * dedup, completing the incremental family (jaccard q56, MinHash
+    * q57, embeddings q71, winnowing q84): the reference corpus
+    * enters as its STORED distinct eligible-chunk texts (`refChunks`,
+    * one `ctext` column — what [[cdcChunks]] persists), only the
+    * batch chunks fresh, and a batch chunk drops when the reference
+    * already carries it (the store is ALWAYS canonical — ref docs
+    * were deduped when they landed) or an earlier batch occurrence
+    * does. Output is [[cdcDedup]]'s shape over the batch docs only;
+    * ref text is never re-read or re-chunked. The ref test is a
+    * LEFT ANTI join keyed by chunk text (hash-prefix-keyed aggregate
+    * on the batch side) — exchange-free against a store bucketed on
+    * the ctext hash. */
+  def incrementalCdcDedup(batch: DataFrame, id: Column, text: Column,
+                          refChunks: DataFrame,
+                          k: Int = 3, divisor: Int = 16,
+                          hashKey: Column => Column = xxhash64(_),
+                          minChunk: Option[Int] = None): DataFrame = {
+    val base = batch.select(id.as("id"), text.as("__txt"))
+    val seg = cdcChunks(batch, id, text, k, divisor, hashKey, minChunk)
+    val keptEligible = seg.where(col("eligible"))
+      .join(refChunks.select(col("ctext")), Seq("ctext"), "left_anti")
+      .groupBy(xxhash64(col("ctext")).as("__h"), col("ctext"))
+      .agg(min(struct(col("id"), col("chunk_id"))).as("__min"))
+      .select(col("__min.id").as("id"),
+        col("__min.chunk_id").as("chunk_id"), col("ctext"))
+    val survivors = keptEligible.unionByName(
+      seg.where(!col("eligible")).select("id", "chunk_id", "ctext"))
+    cdcReassemble(base, survivors, k, divisor, hashKey)
+  }
+
+  /** Shared reassembly tail of the two CDC modes: survivors back to
+    * per-doc `(id, text_clean, n_chunks, n_dropped)`. */
+  private def cdcReassemble(base: DataFrame, survivors: DataFrame,
+                            k: Int, divisor: Int,
+                            hashKey: Column => Column): DataFrame = {
+    val rebuilt = survivors.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("ctext")))),
+          s => s.getField("ctext")), " ").as("__text"))
+    base
+      .select(col("id"),
+        size(cdcChunkList(col("__txt"), k, divisor, hashKey)).cast("long")
+          .as("n_chunks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__text"), lit("")).as("text_clean"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** INTRA-document repeated-window removal (Gopher-style repetition
     * pruning): within each doc, an aligned `k`-token window that
     * already appeared EARLIER IN THE SAME DOC is dropped — the

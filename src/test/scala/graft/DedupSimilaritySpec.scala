@@ -654,6 +654,83 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(inc.forall { case (_, b, _) => isNew(b) })
   }
 
+  test("cdcDedup: insertion-robust where aligned windows are blind; reassembly exact; chunk length tracks divisor") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    val aToks = Vector.fill(200)(vocab(rng.nextInt(vocab.size)))
+    val a = aToks.mkString(" ")
+    val b = ("inserted " + a) // one token at the head
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // aligned 8-token windows: every window of B is shifted — the
+    // passage mode structurally sees nothing between A and B
+    val aligned = Dedup.passageDedup(docs, col("doc_id"), col("text"),
+      k = 8)
+    assert(aligned.agg(sum(col("n_dropped"))).head().getLong(0) == 0L)
+    // CDC: boundaries are content-local, so every chunk after B's
+    // first boundary equals an A chunk and dedups away
+    val cdc = Dedup.cdcDedup(docs, col("doc_id"), col("text"),
+      k = 3, divisor = 16)
+    val rows = cdc.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val (cleanA, nA, dropA) = rows(1L)
+    val (cleanB, nB, dropB) = rows(2L)
+    assert(dropA == 0L && cleanA == a,
+      "doc A (all-unique chunks) must reassemble byte-exactly")
+    assert(dropB > 0L,
+      s"CDC saw no shared chunks after a head insertion (nB=$nB)")
+    // every eligible (≥ minChunk-token) B chunk except the
+    // boundary-crossing head one equals an A chunk and drops; only
+    // the head chunk and the always-surviving tiny chunks remain
+    // (seed 41: 16 of 20 chunks drop)
+    assert(dropB > nB / 2,
+      s"shared chunks did not dominate the drops: $dropB of $nB")
+    // the A-side canonical text is untouched and B keeps its head
+    assert(cleanB.startsWith("inserted"))
+    // mean chunk length tracks the divisor on the real corpus
+    val corpus = Dedup.cdcDedup(t.documents, col("doc_id"), col("text"),
+      k = 3, divisor = 16)
+    val tokens = t.documents
+      .select(sum(size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long"))).head().getLong(0)
+    val chunks = corpus.agg(sum(col("n_chunks"))).head().getLong(0)
+    val mean = tokens.toDouble / chunks
+    assert(mean > 16.0 / 3 && mean < 16.0 * 3,
+      s"mean chunk length $mean far from divisor 16")
+    // determinism
+    assert(corpus.collect().map(_.toSeq).toSet ==
+      Dedup.cdcDedup(t.documents, col("doc_id"), col("text"),
+        k = 3, divisor = 16).collect().map(_.toSeq).toSet)
+  }
+
+  test("incremental CDC == full-corpus run restricted to batch docs when ref ids sort first") {
+    import spark.implicits._
+    val docs = t.documents
+    // ref-ids-sort-first split: canonical occurrences in the full
+    // run land on the ref side exactly when ref ids are smaller, so
+    // the ref-always-wins incremental semantics coincide
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.4)"))
+      .head().get(0).toString.toDouble.toLong
+    val ref = docs.where(col("doc_id") <= cut)
+    val batch = docs.where(col("doc_id") > cut)
+    val refChunks = Dedup.cdcChunks(ref, col("doc_id"), col("text"),
+        k = 3, divisor = 16)
+      .where(col("eligible")).select("ctext").distinct()
+    val inc = Dedup.incrementalCdcDedup(batch, col("doc_id"),
+        col("text"), refChunks, k = 3, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val full = Dedup.cdcDedup(docs, col("doc_id"), col("text"),
+        k = 3, divisor = 16)
+      .where(col("id") > cut)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(inc.nonEmpty && inc == full,
+      s"incremental CDC diverged: ${inc.size} vs ${full.size} docs")
+  }
+
   test("passageDedup on the corpus: token conservation and idempotence") {
     val docs = t.documents
     val out = Dedup.passageDedup(docs, col("doc_id"), col("text"), k = 8)
