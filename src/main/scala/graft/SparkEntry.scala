@@ -521,6 +521,18 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "c")))
     }),
 
+    // oracle-checked SemDeDup (Abbas et al. 2023): coarse seeded
+    // clustering, then within each cluster drop every vector with a
+    // smaller-id cosine-near-duplicate — keep-one-per-neighborhood,
+    // candidate pairs bounded by Σ cluster², never corpus². The
+    // md5-seeded centroids replay in DuckDB (the q73 machinery);
+    // threshold 0.4 matches the q25 family's organic-pair regime.
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables(s, dir).embeddings
+          .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0),
+        numCentroids = 16, threshold = 0.4, lloydIters = 0,
+        seedKey = c => md5(c.cast("string")))),
+
     // rows-only: OPQ served end-to-end — rotate the corpus AND the
     // queries through the learned R (one PlaneDots projection each;
     // orthogonality keeps every metric), then the standard IVF-PQ
@@ -1753,6 +1765,33 @@ object SparkEntry {
     // assignment being pointwise, the union of ref and batch
     // assignments over the frozen centroids needs no special form in
     // SQL; it IS the assignment of every vector.
+    // SemDeDup replay: seeded centroids over ALL vectors, hard
+    // assignment (ties to larger c_id, as max_by), within-cluster
+    // smaller-id cosine test.
+    "q_semdedup" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e,
+        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[]))) n
+        |  FROM embeddings
+        |  WHERE list_inner_product(embedding, embedding) > 0),
+        |seed AS (SELECT id AS c_id, e AS cv, n AS cn FROM v
+        |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |ca AS (SELECT id, c_id FROM (
+        |         SELECT v.id, s.c_id,
+        |                row_number() OVER (PARTITION BY v.id
+        |                  ORDER BY list_inner_product(v.e, s.cv)/(v.n*s.cn) DESC,
+        |                           s.c_id DESC) rn
+        |         FROM v CROSS JOIN seed s)
+        |       WHERE rn = 1),
+        |dr AS (SELECT DISTINCT a.id FROM ca a
+        |       JOIN ca b ON a.c_id = b.c_id AND a.id > b.id
+        |       JOIN v va ON va.id = a.id
+        |       JOIN v vb ON vb.id = b.id
+        |       WHERE list_inner_product(va.e, vb.e)/(va.n*vb.n) >= 0.4)
+        |SELECT ca.id AS vec_id, ca.c_id, (dr.id IS NULL) AS keep
+        |FROM ca LEFT JOIN dr ON ca.id = dr.id""".stripMargin,
+
     "q_ann_ivf_incremental" ->
       """WITH v AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) e,

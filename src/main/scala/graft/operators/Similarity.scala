@@ -696,4 +696,46 @@ object Similarity {
         idCol, vecCol)
       .groupBy(col("doc_id").as("id"))
       .agg(count(lit(1)).as("n_matched"), max(col("cosine")).as("max_cosine"))
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023 — a published
+    * method): cluster the embedding space coarsely, then WITHIN each
+    * cluster drop every vector that has a semantic near-duplicate
+    * (cosine ≥ `threshold`) with a SMALLER id in the same cluster —
+    * the keep-one-per-neighborhood greedy, made deterministic by the
+    * id order. The clustering is what makes it scale: candidate
+    * pairs are Σ clusterSize², never corpus², and each cluster's
+    * pair set is an equi-join on `c_id` — the paper's exact
+    * cost-bounding trick, identical in shape to this library's LSH
+    * candidate joins.
+    *
+    * Output `(vec_id, c_id, keep)` — one row per input vector.
+    * Cross-cluster near-duplicates are MISSED by construction (the
+    * paper accepts this; more centroids trade recall for cost). Use
+    * seeded centroids (`seedKey = md5`) for the engine-portable
+    * oracle twin; `nearDupPairs`-family operators remain the
+    * alignment-free alternative. Caller contract as every ANN op:
+    * filter zero-norm vectors first. */
+  def semDedup(vecs: DataFrame, numCentroids: Int, threshold: Double,
+               lloydIters: Int = 0,
+               seedKey: Column => Column = xxhash64(_),
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val cents = ivfCentroids(vecs, numCentroids, lloydIters, idCol,
+      vecCol, seedKey)
+    val asg = ivfAssignments(vecs, cents, idCol, vecCol)
+    val dropped = asg.select(col("c_id"), col("n_id").as("__a"),
+        col("ec").as("__ea"), col("nc").as("__na"))
+      .join(asg.select(col("c_id"), col("n_id").as("__b"),
+        col("ec").as("__eb"), col("nc").as("__nb")), "c_id")
+      .where(col("__a") > col("__b") &&
+        graft.functions.VectorFns.cosinePre(col("__ea"), col("__eb"),
+          col("__na"), col("__nb")) >= threshold)
+      .select(col("__a").as("n_id")).distinct()
+    asg.select(col("c_id"), col("n_id"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("n_id"), "left")
+      .select(col("n_id").as(idCol), col("c_id"),
+        coalesce(!col("__drop"), lit(true)).as("keep"))
+  }
 }

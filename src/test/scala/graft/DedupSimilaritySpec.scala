@@ -705,6 +705,53 @@ class DedupSimilaritySpec extends GraftSuite {
         k = 3, divisor = 16).collect().map(_.toSeq).toSet)
   }
 
+  test("semDedup: planted copies drop, cluster minima survive, every drop has an in-cluster witness") {
+    val s = spark; import s.implicits._
+    val emb = Tables(spark, sfDir).embeddings
+      .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      .select("vec_id", "embedding")
+    // plant exact copies of three vectors under higher ids — cosine
+    // 1.0 with their originals, same hard assignment by construction
+    val copies = emb.where(col("vec_id").isin(3L, 7L, 11L))
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val vecs = emb.unionByName(copies)
+    val out = Similarity.semDedup(vecs, numCentroids = 8,
+      threshold = 0.4, lloydIters = 0)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == vecs.count().toInt) // one verdict per vector
+    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(900003L, 900007L, 900011L).foreach { cp =>
+      assert(!byId(cp)._2, s"planted copy $cp survived")
+      assert(byId(cp)._1 == byId(cp - 900000L)._1,
+        "copy assigned to a different cluster than its original")
+    }
+    // the smallest id of every cluster can never drop
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      val minId = rs.map(_._1).min
+      assert(rs.find(_._1 == minId).get._3, s"cluster $c minimum dropped")
+    }
+    // witness check: every dropped vector has a smaller-id
+    // same-cluster neighbor at >= threshold (driver replay)
+    val vecsById = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = rows.groupBy(_._2)
+    rows.filter(!_._3).foreach { case (id, c, _) =>
+      val witnesses = byCluster(c).filter(o => o._1 < id &&
+        cos(vecsById(o._1), vecsById(id)) >= 0.4)
+      assert(witnesses.nonEmpty, s"dropped $id has no in-cluster witness")
+    }
+    assert(rows.count(!_._3) >= 3) // at least the planted copies drop
+  }
+
   test("incremental CDC == full-corpus run restricted to batch docs when ref ids sort first") {
     import spark.implicits._
     val docs = t.documents
