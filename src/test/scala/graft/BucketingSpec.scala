@@ -161,6 +161,44 @@ class BucketingSpec extends GraftSuite {
     }
   }
 
+  test("CDC chunk store: bucketed by ctext, the incremental anti-join reads it without a store-side exchange") {
+    import graft.operators.Dedup
+    dropTables("bs_cdcstore")
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+    def chunksOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.cdcChunks(d, col("doc_id"), col("text"), k = 3, divisor = 16)
+        .where(col("eligible")).select("ctext").distinct()
+    Bucketing.writeBucketed(chunksOf(ref), "bs_cdcstore", Seq("ctext"),
+      buckets = 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def inc(refChunks: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalCdcDedup(batch, col("doc_id"), col("text"),
+          refChunks, k = 3, divisor = 16)
+      def outOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq).toSet
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val fromStore = inc(spark.table("bs_cdcstore"))
+      val fromFresh = inc(chunksOf(ref))
+      val got = outOf(fromStore)
+      assert(got.nonEmpty && got == outOf(fromFresh),
+        "bucketed chunk store diverges from a fresh chunk frame")
+      assert(exchanges(fromStore) < exchanges(fromFresh),
+        s"bucketed store still shuffles: ${exchanges(fromStore)} vs " +
+          s"${exchanges(fromFresh)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      dropTables("bs_cdcstore")
+    }
+  }
+
   test("aggregation on the bucket key skips the exchange") {
     dropTables("bs_agg")
     val facts = spark.range(0, 2000).select(
