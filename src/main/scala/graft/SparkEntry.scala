@@ -1081,6 +1081,37 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked Kneser–Ney integer core: per-doc sums of every
+    // quantity the interpolated score combines — bigram counts,
+    // conditioning counts, left (continuation) and right
+    // (discount-mass) diversities — in pure longs.
+    "q_lm_kn_counts" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      LanguageModel.knCounts(docs.where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"),
+          LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.unigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.leftDiversity(ref, col("doc_id"), col("text")),
+          LanguageModel.rightDiversity(ref, col("doc_id"), col("text")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // rows-only (ln): interpolated Kneser–Ney — the standard n-gram
+    // smoothing (absolute discount + continuation-count backoff);
+    // q_lm_kn_counts is the oracle-green integer twin.
+    "q_lm_kneser_ney" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      LanguageModel.kneserNey(docs.where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"),
+          LanguageModel.bigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.unigramCounts(ref, col("doc_id"), col("text")),
+          LanguageModel.leftDiversity(ref, col("doc_id"), col("text")),
+          LanguageModel.rightDiversity(ref, col("doc_id"), col("text")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // rows-only (ln): add-α bigram perplexity over the exact same
     // joined frame as q_lm_score_counts (its oracle-green twin) —
     // CCNet's keep-the-low-perplexity-head quality filter.
@@ -2435,6 +2466,32 @@ object SparkEntry {
         |        (5 * n_alpha_words >= 4 * n_words) AND
         |        (stop_hits >= 1)) AS keep
         |FROM m""".stripMargin,
+
+    // Kneser–Ney core replay: bigram/conditioning counts plus
+    // left/right diversities of the reference's bigram TYPE set.
+    "q_lm_kn_counts" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, w[i+1] w1, w[i+2] w2
+        |      FROM g, LATERAL (SELECT unnest(generate_series(0, n - 2)) i)),
+        |rb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c FROM b
+        |       WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |ru AS (SELECT w1, CAST(count(*) AS BIGINT) c FROM b
+        |       WHERE doc_id % 5 = 0 GROUP BY 1),
+        |ld AS (SELECT w2, CAST(count(*) AS BIGINT) l FROM rb GROUP BY 1),
+        |rd AS (SELECT w1, CAST(count(*) AS BIGINT) r FROM rb GROUP BY 1),
+        |db AS (SELECT doc_id, w1, w2 FROM b WHERE doc_id % 5 <> 0)
+        |SELECT db.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(coalesce(rb.c, 0)) AS BIGINT) AS sum_c12,
+        |       CAST(sum(coalesce(ru.c, 0)) AS BIGINT) AS sum_c1,
+        |       CAST(sum(coalesce(ld.l, 0)) AS BIGINT) AS sum_l,
+        |       CAST(sum(coalesce(rd.r, 0)) AS BIGINT) AS sum_r
+        |FROM db LEFT JOIN rb ON db.w1 = rb.w1 AND db.w2 = rb.w2
+        |        LEFT JOIN ru ON db.w1 = ru.w1
+        |        LEFT JOIN ld ON db.w2 = ld.w2
+        |        LEFT JOIN rd ON db.w1 = rd.w1
+        |GROUP BY db.doc_id""".stripMargin,
 
     // Trigram-backoff core replay: trigram/bigram/token count tables
     // from the reference slice; each scored trigram event classified

@@ -185,6 +185,84 @@ object LanguageModel {
         avg(log(col("__s"))).as("avg_logs"))
   }
 
+  /** Left-context diversity `(w2, l)` — in how many DISTINCT left
+    * contexts each word appears (`N1+(·, w2)`): Kneser–Ney's
+    * continuation count, the insight that "Francisco" is frequent
+    * but continues almost nothing. One distinct + count aggregate
+    * over the bigram TYPE set (vocabulary-sized). */
+  def leftDiversity(ref: DataFrame, id: Column, text: Column): DataFrame =
+    bigramStream(ref, id, text).select("w1", "w2").distinct()
+      .groupBy("w2").agg(count(lit(1)).as("l"))
+
+  /** Right-context diversity `(w1, r)` — `N1+(w1, ·)`, the discount
+    * mass normalizer of the Kneser–Ney interpolation. */
+  def rightDiversity(ref: DataFrame, id: Column, text: Column): DataFrame =
+    bigramStream(ref, id, text).select("w1", "w2").distinct()
+      .groupBy("w1").agg(count(lit(1)).as("r"))
+
+  /** The Kneser–Ney integer core `(id, n_events, sum_c12, sum_c1,
+    * sum_l, sum_r)`: per document, the summed bigram counts,
+    * conditioning counts, and left/right diversities of its events —
+    * every quantity the interpolated score combines, in pure longs
+    * (the oracle-checked twin of [[kneserNey]]). */
+  def knCounts(docs: DataFrame, id: Column, text: Column,
+               bigrams: DataFrame, unigrams: DataFrame,
+               leftDiv: DataFrame, rightDiv: DataFrame): DataFrame =
+    bigramStream(docs, id, text)
+      .join(bigrams.withColumnRenamed("c", "__cb"), Seq("w1", "w2"), "left")
+      .join(unigrams.withColumnRenamed("c", "__cu"), Seq("w1"), "left")
+      .join(leftDiv.withColumnRenamed("l", "__l"), Seq("w2"), "left")
+      .join(rightDiv.withColumnRenamed("r", "__r"), Seq("w1"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(coalesce(col("__cb"), lit(0L))).as("sum_c12"),
+        sum(coalesce(col("__cu"), lit(0L))).as("sum_c1"),
+        sum(coalesce(col("__l"), lit(0L))).as("sum_l"),
+        sum(coalesce(col("__r"), lit(0L))).as("sum_r"))
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP
+    * 1995; the Chen & Goodman 1999 interpolated form — the standard
+    * n-gram smoothing):
+    * `P(w2|w1) = max(c12 − D, 0)/c1 + D·R(w1)/c1 · L(w2)/T`
+    * with `D` the absolute discount, `R` the right diversity (how
+    * much mass w1 discounts), `L` the continuation count and `T`
+    * the bigram type total — unseen-context events (`c1 = 0`) fall
+    * back to the continuation distribution `(L(w2) + α)/(T + α·V₂)`
+    * so everything stays finite. Returns `(id, n_events,
+    * avg_logp)`, higher = more reference-like. Same join plan as
+    * [[knCounts]] (its oracle-green integer twin) plus the one-row
+    * (T, V₂) broadcast. */
+  def kneserNey(docs: DataFrame, id: Column, text: Column,
+                bigrams: DataFrame, unigrams: DataFrame,
+                leftDiv: DataFrame, rightDiv: DataFrame,
+                discount: Double = 0.75, alpha: Double = 0.1)
+      : DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0, 1)")
+    require(alpha > 0, "alpha must be positive")
+    val tot = broadcast(bigrams.agg(
+      count(lit(1)).cast("double").as("__t"),
+      countDistinct(col("w2")).cast("double").as("__v2")))
+    bigramStream(docs, id, text)
+      .join(bigrams.withColumnRenamed("c", "__cb"), Seq("w1", "w2"), "left")
+      .join(unigrams.withColumnRenamed("c", "__cu"), Seq("w1"), "left")
+      .join(leftDiv.withColumnRenamed("l", "__l"), Seq("w2"), "left")
+      .join(rightDiv.withColumnRenamed("r", "__r"), Seq("w1"), "left")
+      .crossJoin(tot)
+      .withColumn("__pcont",
+        (coalesce(col("__l"), lit(0L)) + alpha) /
+          (col("__t") + lit(alpha) * col("__v2")))
+      .withColumn("__p",
+        when(col("__cu").isNotNull,
+          greatest(coalesce(col("__cb"), lit(0L)).cast("double") - discount,
+            lit(0.0)) / col("__cu") +
+            lit(discount) * coalesce(col("__r"), lit(0L)) / col("__cu") *
+            col("__pcont"))
+          .otherwise(col("__pcont")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_events"),
+        avg(log(col("__p"))).as("avg_logp"))
+  }
+
   /** Per-document perplexity `(id, n_bigrams, ppl)` under add-α
     * smoothing: P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V) with V
     * the reference bigram-type count (so unseen events get a proper

@@ -160,6 +160,68 @@ class LmQualitySpec extends GraftSuite {
     assert(got(900L) > got(901L), s"backoff did not rank ref-like doc: $got")
   }
 
+  test("Kneser–Ney: hand-checked interpolated probabilities; diversities and counts exact; ref-like docs rank higher") {
+    val s = spark; import s.implicits._
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val bg = LanguageModel.bigramCounts(ref, col("doc_id"), col("text"))
+    val ug = LanguageModel.unigramCounts(ref, col("doc_id"), col("text"))
+    val ld = LanguageModel.leftDiversity(ref, col("doc_id"), col("text"))
+    val rd = LanguageModel.rightDiversity(ref, col("doc_id"), col("text"))
+    // type set {(a,b),(b,a),(b,c)}: L(b)=1 (only a precedes), L(a)=1,
+    // L(c)=1; R(a)=1, R(b)=2
+    assert(ld.as[(String, Long)].collect().toSet ==
+      Set(("b", 1L), ("a", 1L), ("c", 1L)))
+    assert(rd.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L)))
+    // hand values (D=0.75, α=0.1, T=3, V2=3, Pcont = (L+0.1)/3.3):
+    //   "a b": (2−D)/2 + D·R(a)/2·Pcont(b) = 0.625 + 0.375·(1.1/3.3)
+    //   "b c": (1−D)/2 + D·R(b)/2·Pcont(c) = 0.125 + 0.75·(1.1/3.3)
+    //   "x y": unseen context → Pcont(y) = 0.1/3.3
+    val got = LanguageModel.kneserNey(
+        Seq((10L, "a b"), (11L, "b c"), (12L, "x y"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), bg, ug, ld, rd,
+        discount = 0.75, alpha = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val pcB = 1.1 / 3.3
+    assert(math.abs(got(10L) - math.log(0.625 + 0.375 * pcB)) < 1e-12)
+    assert(math.abs(got(11L) - math.log(0.125 + 0.75 * pcB)) < 1e-12)
+    assert(math.abs(got(12L) - math.log(0.1 / 3.3)) < 1e-12)
+    // the continuation insight is observable: after a ref where
+    // "common" follows MANY contexts and "franc" is frequent but
+    // follows only one, an unseen-context event prefers "common"
+    // "franc" appears 3 times but always after "san" (L = 1);
+    // "common" appears 3 times after 3 distinct words (L = 3)
+    val ref2 = Seq((1L, "san franc east san franc west san franc " +
+      "p common q common r common")).toDF("doc_id", "text")
+    val args2 = (
+      LanguageModel.bigramCounts(ref2, col("doc_id"), col("text")),
+      LanguageModel.unigramCounts(ref2, col("doc_id"), col("text")),
+      LanguageModel.leftDiversity(ref2, col("doc_id"), col("text")),
+      LanguageModel.rightDiversity(ref2, col("doc_id"), col("text")))
+    val kn2 = LanguageModel.kneserNey(
+        Seq((20L, "zz common"), (21L, "zz franc")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), args2._1, args2._2, args2._3, args2._4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(kn2(20L) > kn2(21L),
+      s"continuation counts did not prefer the diverse word: $kn2")
+    // corpus ranking: verbatim ref doc above a rare-token scramble
+    val docs = Tables(spark, sfDir).documents
+    val refSlice = docs.where(col("doc_id") % 5 === 0)
+    val a2 = (
+      LanguageModel.bigramCounts(refSlice, col("doc_id"), col("text")),
+      LanguageModel.unigramCounts(refSlice, col("doc_id"), col("text")),
+      LanguageModel.leftDiversity(refSlice, col("doc_id"), col("text")),
+      LanguageModel.rightDiversity(refSlice, col("doc_id"), col("text")))
+    val likeRef = refSlice.orderBy("doc_id").select("text").as[String].head()
+    val ranks = LanguageModel.kneserNey(
+        Seq((900L, likeRef), (901L, "zq wv xk jy qp zq wv xk jy qp"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), a2._1, a2._2, a2._3, a2._4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(ranks(900L) > ranks(901L), s"KN did not rank ref-like doc: $ranks")
+  }
+
   test("perplexity: analytic value on a hand example; reference-like docs rank below scrambled ones; OOV stays finite") {
     val s = spark; import s.implicits._
     val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
