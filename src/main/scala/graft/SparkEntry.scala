@@ -876,7 +876,10 @@ object SparkEntry {
     // token run measured exactly via the diagonal/islands identity
     // (a run of L tokens = L-k+1 consecutive k-gram matches on one
     // i-j diagonal) — never an O(|a|*|b|) LCS per pair. Complete for
-    // runs >= w + k - 1 = 8 by the winnowing guarantee.
+    // runs >= w + k - 1 = 8 by the winnowing guarantee. The default
+    // maxHashPerDoc = 64 (mirrored in the hv CTE) bounds the verify
+    // join on hyper-repetitive text: first 64 positions per
+    // (doc, hash) kept, so spam pairs still verify, conservatively.
     "q_dedup_winnow_verified" -> ((s, dir) =>
       Dedup.winnowVerifiedPairs(Tables(s, dir).documents,
         col("doc_id"), col("text"), k = 5, w = 4,
@@ -2222,7 +2225,10 @@ object SparkEntry {
     // candidate pair's k-gram hash matches grouped by diagonal
     // (i - j) and islanded (i - row_number) — longest_run =
     // max island + k - 1. Hash collisions affect both engines
-    // identically (same md5-prefix family).
+    // identically (same md5-prefix family). hv mirrors the Spark
+    // side's maxHashPerDoc = 64 verify-side cap (hashes repeating
+    // within one doc past the cap are dropped before the match
+    // join — the repetitive-text guard).
     "q_dedup_winnow_verified" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
         |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 8),
@@ -2246,11 +2252,14 @@ object SparkEntry {
         |                CAST(count(*) AS BIGINT) AS n_shared
         |         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |         GROUP BY 1, 2),
+        |hv AS (SELECT doc_id, i, h FROM hs
+        |       QUALIFY row_number() OVER (
+        |         PARTITION BY doc_id, h ORDER BY i) <= 64),
         |m AS (SELECT c.id_a, c.id_b, c.n_shared, ha.i AS i,
         |             ha.i - hb.i AS d
         |      FROM cand c
-        |      JOIN hs ha ON ha.doc_id = c.id_a
-        |      JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h),
+        |      JOIN hv ha ON ha.doc_id = c.id_a
+        |      JOIN hv hb ON hb.doc_id = c.id_b AND hb.h = ha.h),
         |runs AS (SELECT id_a, id_b, n_shared, d,
         |                i - row_number() OVER (
         |                  PARTITION BY id_a, id_b, d ORDER BY i) grp
@@ -2428,7 +2437,7 @@ object SparkEntry {
         |        CAST(len(ws) AS BIGINT) n_words,
         |        CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
         |          AS BIGINT) sum_word_len,
-        |        CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |        CAST(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}')))
         |          AS BIGINT) n_alpha_words,
         |        CAST((length(raw) - length(replace(raw, '...', ''))) // 3
         |           + (length(raw) - length(replace(raw, '…', '')))
@@ -2552,7 +2561,7 @@ object SparkEntry {
         |              l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
         |            <= 3 * len(ls)
         |        AND 5 * len(list_filter(ws,
-        |              w -> regexp_matches(w, '[a-z]'))) >= 4 * len(ws)
+        |              w -> regexp_matches(w, '\\p{L}'))) >= 4 * len(ws)
         |        AND ${QualityRules.stopwords.map(sw =>
                   s"(CASE WHEN list_contains(ws, '$sw') THEN 1 ELSE 0 END)")
                   .mkString(" + ")} >= 1),

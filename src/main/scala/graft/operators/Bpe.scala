@@ -82,13 +82,31 @@ object Bpe {
   /** Train `numMerges` BPE merges over the corpus' word counts.
     * Deterministic: the argmax tie-breaks lexicographically on
     * (count desc, a, b), so the same corpus always yields the same
-    * merge list from any partitioning. Each round localCheckpoints
-    * the re-segmented vocabulary (vocabulary-sized — KBs to MBs) to
-    * keep lineage flat across rounds. Stops early when no pair
-    * repeats (fully merged). */
-  def train(df: DataFrame, text: Column, numMerges: Int): Model = {
+    * merge list from any partitioning.
+    *
+    * Execution shape: the distributed path runs ONE sequential Spark
+    * job (pair-count aggregate + driver argmax + localCheckpoint)
+    * per merge — fine at query-surface merge counts, but a realistic
+    * 32k-merge vocabulary would mean 32k sequential driver
+    * round-trips at ~0.1–1 s each (hours of pure scheduling). So
+    * when the word vocabulary fits the driver
+    * (`localFinishMaxVocab` rows — it is VOCABULARY-sized, never
+    * corpus-sized: one corpus pass counts it, and merges don't grow
+    * it), training collects `(w, c)` ONCE and replays every round
+    * locally — bit-identical merges and segmentation (the local
+    * argmax compares symbols by UTF-8 bytes, exactly Spark's string
+    * ordering; spec-pinned against the distributed rounds). Pass
+    * `localFinishMaxVocab = 0` to force the distributed path — the
+    * fallback when the vocabulary itself is data-sized. Stops early
+    * when no pair repeats (fully merged). */
+  def train(df: DataFrame, text: Column, numMerges: Int,
+            localFinishMaxVocab: Long = 4000000L): Model = {
     require(numMerges >= 1, "at least one merge")
-    var vocab = wordCounts(df, text)
+    val wc = wordCounts(df, text)
+    val lim = math.min(localFinishMaxVocab, Int.MaxValue - 1L).toInt
+    if (lim > 0 && wc.limit(lim + 1).count() <= lim)
+      return trainLocal(df.sparkSession, wc, numMerges)
+    var vocab = wc
       .select(col("w"), col("c"), symbolsOf(col("w")).as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -109,6 +127,82 @@ object Bpe {
       }
     }
     Model(merges.toSeq, vocab)
+  }
+
+  /** Driver-local merge replay — the [[train]] fast path once the
+    * vocabulary is collected: Spark computes the initial character
+    * segmentation (so the split semantics are literally the same
+    * expression), then every round's pair count / argmax / merge
+    * runs in-process. Parity points, each load-bearing:
+    *  - the argmax tie-break compares symbols by UNSIGNED UTF-8
+    *    BYTES — Spark's binary string ordering, not Java's UTF-16
+    *    `compareTo` (they disagree above U+FFFF);
+    *  - the merge pass replays [[mergeOnce]]'s left fold exactly
+    *    (leftmost first, merged symbol immediately eligible as the
+    *    next pair's left half);
+    *  - a top pair with count < 2 exhausts training, as the
+    *    distributed round does. */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+                         wc: DataFrame, numMerges: Int): Model = {
+    import spark.implicits._
+    def utf8Lt(x: String, y: String): Boolean = {
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      xb.length < yb.length
+    }
+    var entries: Array[(String, Long, Array[String])] = wc
+      .select(col("w"), col("c"), symbolsOf(col("w")).as("syms"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      entries.foreach { case (_, c, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      var best: Option[((String, String), Long)] = None
+      counts.foreach { case (p, n) =>
+        val better = best match {
+          case None => true
+          case Some((bp, bn)) =>
+            n > bn || (n == bn && (utf8Lt(p._1, bp._1) ||
+              (p._1 == bp._1 && utf8Lt(p._2, bp._2))))
+        }
+        if (better) best = Some((p, n))
+      }
+      best match {
+        case Some(((a, b), n)) if n >= 2 =>
+          merges += ((a, b))
+          entries = entries.map { case (w, c, syms) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = a + b
+              else out += x
+            }
+            (w, c, out.toArray)
+          }
+        case _ => exhausted = true
+      }
+    }
+    val vocabDf = entries.toSeq
+      .map { case (w, c, syms) => (w, c, syms.toSeq) }
+      .toDF("w", "c", "syms")
+    Model(merges.toSeq, vocabDf)
   }
 
   /** Encode documents through the trained segmentation: `(id, word_pos,

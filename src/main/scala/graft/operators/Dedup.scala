@@ -1076,19 +1076,46 @@ object Dedup {
     * verifier needs all of them to measure the actual shared run.
     * Same let-binding discipline as [[winnowFingerprints]] (the
     * split must reach the transform as a lambda variable or
-    * CollapseProject re-splits the document per k-gram). */
+    * CollapseProject re-splits the document per k-gram).
+    *
+    * `maxHashPerDoc` keeps only the FIRST `cap` positions of every
+    * (doc, hash) group — the verify-side twin of `maxFpDf`'s
+    * cross-doc cap: a token repeated n times yields n−k+1 identical
+    * k-gram hashes, and a candidate pair of two such docs would
+    * otherwise meet in O(n_a·n_b) matched rows in the verify join
+    * (which `maxFpDf` does NOT guard — it caps candidate generation
+    * only; exactly the spam/boilerplate inputs dedup corpora
+    * contain). With the cap, matched rows per (pair, hash) are
+    * ≤ cap², independent of document length — and because the first
+    * `cap` occurrences are KEPT (not the group dropped), a genuinely
+    * duplicated repetitive pair still verifies, with its run through
+    * the repeated region measured conservatively (≥ cap + k − 1 when
+    * the true run is longer). One (id, h)-keyed window — map-side
+    * volume is exactly the repetitive rows the cap exists to
+    * bound. */
   private[graft] def kgramHashes(df: DataFrame, id: Column, text: Column,
-                                 k: Int, hashKey: Column => Column)
+                                 k: Int, hashKey: Column => Column,
+                                 maxHashPerDoc: Option[Int] = None)
       : DataFrame = {
     def let(bound: Column, body: Column => Column): Column =
       element_at(transform(array(bound), body), 1)
-    df.select(id.as("id"), text.as("__txt"))
+    val all = df.select(id.as("id"), text.as("__txt"))
       .where(size(split(Cleanser.normalized(col("__txt")), " ")) >= k)
       .select(col("id"), posexplode(
         let(split(Cleanser.normalized(col("__txt")), " "),
           t => transform(sequence(lit(0), size(t) - k),
             i => hashKey(array_join(slice(t, i + 1, lit(k)), " ")))))
         .as(Seq("pos", "h")))
+    maxHashPerDoc match {
+      case None => all
+      case Some(cap) =>
+        require(cap >= 1, "maxHashPerDoc must be at least 1")
+        val byDocHash = org.apache.spark.sql.expressions.Window
+          .partitionBy("id", "h").orderBy("pos")
+        all.withColumn("__rn", row_number().over(byDocHash))
+          .where(col("__rn") <= cap)
+          .drop("__rn")
+    }
   }
 
   /** Winnow-VERIFIED passage near-dup: candidates from
@@ -1115,17 +1142,26 @@ object Dedup {
     * bounds them), and the k-gram frames join THROUGH the candidate
     * pair list, so the verify cost is Σ_pairs |a|·(matches), not
     * corpus-sized. `maxFpDf` caps boilerplate fingerprints exactly
-    * as in [[winnowCandidatePairs]]. */
+    * as in [[winnowCandidatePairs]]; `maxHashPerDoc` caps the
+    * VERIFY join against hyper-repetitive text ([[kgramHashes]]:
+    * two spam docs of one repeated token would otherwise match in
+    * O(n_a·n_b) rows before the islands window). The first `cap`
+    * positions per (doc, hash) are kept, so a genuinely duplicated
+    * repetitive pair still verifies — its run through the repeated
+    * region just measures CONSERVATIVELY (≥ cap + k − 1 when the
+    * true run is longer); `None` restores the exact measurement. */
   def winnowVerifiedPairs(df: DataFrame, id: Column, text: Column,
                           k: Int = 5, w: Int = 4,
                           hashKey: Column => Column = xxhash64(_),
                           maxFpDf: Option[Int] = None,
-                          minRun: Option[Int] = None): DataFrame = {
+                          minRun: Option[Int] = None,
+                          maxHashPerDoc: Option[Int] = Some(64))
+      : DataFrame = {
     val runFloor = minRun.getOrElse(w + k - 1)
     require(runFloor >= k,
       s"minRun must be at least k=$k (shorter runs share no k-gram)")
     val cands = winnowCandidatePairs(df, id, text, k, w, hashKey, maxFpDf)
-    val kg = kgramHashes(df, id, text, k, hashKey)
+    val kg = kgramHashes(df, id, text, k, hashKey, maxHashPerDoc)
     val matched = cands
       .join(kg.select(col("id").as("id_a"), col("pos").as("__i"), col("h")),
         "id_a")

@@ -244,7 +244,11 @@ object Pq {
     * with `n_id` ties, through the two-phase [[TopK.perGroup]].
     * Query side broadcasts — the serving contract, as
     * [[Similarity.annIvfTopKFromIndex]]. Self-matches (same id) are
-    * excluded. */
+    * excluded. A code array whose length differs from the codebook
+    * count scores NULL (all three ADC paths agree), and ascending
+    * rank puts NULLS FIRST — store corruption surfaces as a
+    * null-distance rank-1 row, loud at the top of the result,
+    * never as a spuriously-near plausible neighbor (spec-pinned). */
   def pqAdcTopK(codebooks: DataFrame, codes: DataFrame,
                 queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding")
@@ -301,10 +305,15 @@ object Pq {
         val qs = bc.value
         it.flatMap { case (nId, code) =>
           qs.iterator.collect { case (qid, t) if qid != nId =>
-            var s = 0.0
-            var m = 0
-            while (m < code.length) { s += t(m)(code(m)); m += 1 }
-            (qid, nId, s)
+            // the AdcSum length guard, mirrored: a truncated or
+            // over-long code is a null distance, never a partial sum
+            if (code.length != t.length) (qid, nId, Option.empty[Double])
+            else {
+              var s = 0.0
+              var m = 0
+              while (m < code.length) { s += t(m)(code(m)); m += 1 }
+              (qid, nId, Some(s))
+            }
           }
         }
       }.toDF("q_id", "n_id", "dist")
@@ -353,10 +362,13 @@ object Pq {
         it.flatMap { case (cid, nId, code) =>
           byCluster.getOrElse(cid, Array.empty).iterator.collect {
             case (qid, t) if qid != nId =>
-              var s = 0.0
-              var m = 0
-              while (m < code.length) { s += t(m)(code(m)); m += 1 }
-              (qid, nId, s)
+              if (code.length != t.length) (qid, nId, Option.empty[Double])
+              else {
+                var s = 0.0
+                var m = 0
+                while (m < code.length) { s += t(m)(code(m)); m += 1 }
+                (qid, nId, Some(s))
+              }
           }
         }
       }.toDF("q_id", "n_id", "dist")
@@ -384,7 +396,9 @@ object Pq {
   /** The declarative ADC chain — `aggregate`/`transform` over one
     * nested codebook literal — retained as the raw-bits spec
     * reference for [[adcScore]]'s fused kernel (the `dotHof`
-    * role). */
+    * role). Mirrors the fused kernel's length guard: a code array
+    * whose length differs from the codebook count nulls the
+    * distance (a partial Σ would rank spuriously near). */
   private[graft] def adcScoreHof(book: Book, rows: DataFrame): DataFrame = {
     val dsub = book.dsub
     val cb3 = typedLit(book.planes)
@@ -392,7 +406,7 @@ object Pq {
     rows
       .where(col("n_id") =!= col("q_id"))
       .withColumn("__qn2", VectorFns.dot(col("eq"), col("eq")))
-      .withColumn("dist",
+      .withColumn("dist", when(size(col("code")) === book.numSub,
         col("__qn2") + aggregate(
           transform(col("code"), (c, m) =>
             element_at(element_at(cn2, m + 1), c + 1) -
@@ -402,7 +416,7 @@ object Pq {
                   element_at(col("eq"), m * dsub + p + 1).cast("double") *
                   element_at(element_at(element_at(cb3, m + 1), c + 1),
                     p + 1))),
-          lit(0.0), (acc, v) => acc + v))
+          lit(0.0), (acc, v) => acc + v)))
       .select(col("q_id"), col("n_id"), col("dist"))
   }
 
@@ -643,13 +657,18 @@ object Pq {
   def eigenAllocationInit(corpus: DataFrame, numSub: Int,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): Seq[Seq[Double]] = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dimProbe = corpus.select(size(col(vecCol))).head(1)
+    require(dimProbe.nonEmpty,
+      "eigenAllocationInit: empty training corpus (no vectors to " +
+        "estimate a covariance from)")
+    val dim = dimProbe.head.getInt(0)
     require(dim % numSub == 0,
       s"vector length $dim is not a multiple of numSub=$numSub")
     val dsub = dim / numSub
     val base = corpus.select(
       transform(col(vecCol), x => x.cast("double")).as("x"))
     val n = base.count().toDouble
+    require(n > 0, "eigenAllocationInit: empty training corpus")
     val meanRows = base
       .select(posexplode(col("x")).as(Seq("i", "xi")))
       .groupBy("i")

@@ -66,7 +66,12 @@ object QualityRules {
         ls => struct(
           size(ws).cast("long").as("n_words"),
           aggregate(ws, lit(0L), (a, w) => a + length(w)).as("sum_word_len"),
-          size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+          // \p{L}, not [a-z]: an ASCII-only letter class would count
+          // every accented or non-Latin word as non-alphabetic and
+          // mass-fail the 80% rule on any non-English corpus (the
+          // DuckDB replays use the same Unicode class — RE2 and Java
+          // agree on the L category)
+          size(filter(ws, w => w.rlike("\\p{L}"))).cast("long")
             .as("n_alpha_words"),
           (length(raw) - length(regexp_replace(raw, "#", "")))
             .cast("long").as("n_hash"),

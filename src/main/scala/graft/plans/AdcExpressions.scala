@@ -28,8 +28,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * Null semantics mirror the HOF form exactly (spec-asserted raw-bit
   * equality): a null query vector or code array nulls the sum; an
   * out-of-range code (element_at past the codebook), a query shorter
-  * than the codebook's dimension, or a null query element null it
-  * too. Accumulation order is the HOF's strict ascending left fold
+  * than the codebook's dimension, a null query element, or a code
+  * array whose LENGTH differs from the codebook count null it too —
+  * a truncated code must fail loudly, not sum fewer subspaces and
+  * rank spuriously near (a partial Σ is a smaller distance).
+  * Accumulation order is the HOF's strict ascending left fold
   * from +0.0 at both levels, with float query elements promoted to
   * double before the multiply.
   */
@@ -75,12 +78,13 @@ case class AdcSum(left: Expression, right: Expression,
     if (q == null || codes == null) return null
     val qa = q.asInstanceOf[ArrayData]
     val ca = codes.asInstanceOf[ArrayData]
+    if (ca.numElements() != cw.length) return null
     val isFloat = qElemIsFloat
     val d = dsub
     var acc = 0.0
     var m = 0
     while (m < ca.numElements()) {
-      if (m >= cw.length || ca.isNullAt(m)) return null
+      if (ca.isNullAt(m)) return null
       val c = ca.getInt(m)
       if (c < 0 || c >= cw(m).length) return null
       val w = cw(m)(c)
@@ -126,9 +130,10 @@ case class AdcSum(left: Expression, right: Expression,
          |if (!${ev.isNull}) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $qa = ${qGen.value};
          |  org.apache.spark.sql.catalyst.util.ArrayData $ca = ${cGen.value};
+         |  if ($ca.numElements() != $cwRef.length) ${ev.isNull} = true;
          |  double $acc = 0.0;
          |  for (int $m = 0; $m < $ca.numElements() && !${ev.isNull}; $m++) {
-         |    if ($m >= $cwRef.length || $ca.isNullAt($m)) {
+         |    if ($ca.isNullAt($m)) {
          |      ${ev.isNull} = true; break;
          |    }
          |    int $c = $ca.getInt($m);

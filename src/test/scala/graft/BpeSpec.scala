@@ -88,6 +88,40 @@ class BpeSpec extends GraftSuite {
     assert(again.merges == model.merges)
   }
 
+  test("driver-local merge replay == distributed rounds (merges and segmentation)") {
+    val s = spark; import s.implicits._
+    val docs = Tables(spark, sfDir).documents
+    // the default path collects the vocabulary once and replays the
+    // merge loop locally — zero Spark jobs per round; forcing
+    // localFinishMaxVocab = 0 runs the per-round distributed jobs.
+    // Both must produce the identical model (the local argmax
+    // compares symbols by UTF-8 bytes, Spark's binary ordering).
+    val local = Bpe.train(docs, col("text"), numMerges = 10)
+    val dist = Bpe.train(docs, col("text"), numMerges = 10,
+      localFinishMaxVocab = 0L)
+    assert(local.merges == dist.merges,
+      s"local vs distributed merges:\n  ${local.merges}\n  ${dist.merges}")
+    def seg(m: Bpe.Model) = m.vocab.select("w", "syms")
+      .as[(String, Seq[String])].collect()
+      .map { case (w, ss) => w -> ss.toVector }.toMap
+    assert(seg(local) == seg(dist), "segmentations diverged")
+    // non-ASCII tie-break parity: symbols above U+007F (and a
+    // surrogate-pair emoji above U+FFFF, where UTF-16 compareTo and
+    // UTF-8 byte order genuinely disagree) forced into argmax ties
+    // � vs 😀 is the discriminating tie: UTF-16 compareTo says
+    // � (0xFFFD) > the surrogate lead (0xD83D) while UTF-8
+    // bytes say � (0xEF…) < U+1F600 (0xF0…) — a Java-compareTo
+    // local argmax would pick the other winner
+    val tricky = Seq((1L, "ZZé ZZé ZZ😀 ZZ😀 ZZ� ZZ� ZZa ZZa"))
+      .toDF("doc_id", "text")
+    val lt = Bpe.train(tricky, col("text"), numMerges = 4)
+    val dt = Bpe.train(tricky, col("text"), numMerges = 4,
+      localFinishMaxVocab = 0L)
+    assert(lt.merges == dt.merges,
+      s"tie-break diverged on non-ASCII: ${lt.merges} vs ${dt.merges}")
+    assert(seg(lt) == seg(dt))
+  }
+
   test("pairCounts round 0 is exactly the weighted character-bigram table") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "ab ab ba"), (2L, "ab")).toDF("doc_id", "text")

@@ -627,6 +627,46 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
+    import spark.implicits._
+    // two spam docs of one repeated token: every k-gram hashes
+    // identically, so the UNGUARDED verify join would match them in
+    // (n-k+1)² rows — ~120k for 350 tokens, quadratic in doc length;
+    // exactly the input class the cap exists for
+    val spam = Vector.fill(350)("spam").mkString(" ")
+    val docs = Seq((800001L, spam), (800002L, spam),
+      (800003L, Vector.fill(30)("clean").mkString(" ") + " tail one two"))
+      .toDF("doc_id", "text")
+    // the capped verify-side frame holds exactly cap rows per
+    // (doc, hash) — the matched join is bounded at cap² per pair
+    val kg = Dedup.kgramHashes(docs, col("doc_id"), col("text"),
+      k = 5, hashKey = xxhash64(_), maxHashPerDoc = Some(64))
+    val perDoc = kg.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc(800001L) == 64L && perDoc(800002L) == 64L,
+      s"cap not applied: $perDoc")
+    // and they are the FIRST cap positions, so runs measure from the
+    // region's start
+    val pos = kg.where(col("id") === 800001L).select("pos")
+      .as[Int].collect().sorted.toVector
+    assert(pos == (0 until 64).toVector, s"not the first 64: $pos")
+    // the spam pair still VERIFIES (kept, not dropped) — run
+    // measured conservatively as exactly cap + k − 1
+    val verified = Dedup.winnowVerifiedPairs(docs, col("doc_id"),
+        col("text"), k = 5, w = 4, maxFpDf = Some(64))
+      .as[(Long, Long, Long, Int)].collect()
+    val spamRun = verified.collectFirst {
+      case (800001L, 800002L, _, run) => run }
+    assert(spamRun.contains(64 + 5 - 1),
+      s"spam pair run: $spamRun, want Some(68)")
+    // on the organic corpus (no within-doc k-gram repeats past 64)
+    // the cap is a NO-OP: capped == uncapped, row for row
+    def runs(cap: Option[Int]) = Dedup.winnowVerifiedPairs(t.documents,
+        col("doc_id"), col("text"), k = 5, w = 4, maxFpDf = Some(64),
+        maxHashPerDoc = cap)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(runs(Some(64)) == runs(None))
+  }
+
   test("incremental winnowing == full-corpus pairs touching a new doc, reoriented") {
     import spark.implicits._
     val docs = t.documents

@@ -374,6 +374,48 @@ class PqSpec extends GraftSuite {
       s"fused/HOF ADC diverged: ${fused.size} vs ${hof.size} pairs")
   }
 
+  test("malformed code length is a NULL distance on all three ADC paths, surfacing loud at rank 1") {
+    val s = spark; import s.implicits._
+    // a store with one truncated and one over-long code among valid
+    // rows: a partial Σ is a SMALLER distance, so a silent partial
+    // sum would rank corruption as a spuriously-near neighbor
+    val queries = emb.where(col("vec_id") < 2)
+    val valid = Pq.pqEncode(emb.where(col("vec_id") < 40), books)
+    val numSub = valid.select(size(col("code"))).head().getInt(0)
+    val broken = valid
+      .withColumn("code", when(col("vec_id") === 20L,
+          slice(col("code"), 1, numSub - 1))
+        .when(col("vec_id") === 21L,
+          concat(col("code"), array(lit(0))))
+        .otherwise(col("code")))
+    def nullIds(df: DataFrame): Set[Long] = df
+      .where(col("dist").isNull).select("n_id")
+      .as[Long].collect().toSet
+    val lit0 = Pq.pqAdcTopK(books, broken, queries, k = 5)
+    val tab = Pq.pqAdcTopKTabulated(books, broken, queries, k = 5)
+    val hof = Pq.pqAdcTopKHof(books, broken, queries, k = 5)
+    for ((name, df) <- Seq(("fused", lit0), ("tabulated", tab),
+        ("hof", hof))) {
+      assert(nullIds(df) == Set(20L, 21L),
+        s"$name: null dists on ${nullIds(df)}, want {20, 21}")
+      // loud, not lost: the malformed rows hold the TOP ranks of
+      // every query (ASC is NULLS FIRST), so corruption is the
+      // first thing a reader of the result sees
+      val topRanks = df.where(col("dist").isNull)
+        .select(col("rnk").cast("long")).as[Long].collect()
+      assert(topRanks.nonEmpty && topRanks.forall(_ <= 2),
+        s"$name: malformed rows not at the top: ${topRanks.toSeq}")
+    }
+    // valid rows' distances are untouched by the guard (bitwise)
+    def validBits(df: DataFrame) = df
+      .where(col("dist").isNotNull && !col("n_id").isin(20L, 21L))
+      .select(col("q_id"), col("n_id"), col("dist"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, d) =>
+        (q, n, java.lang.Double.doubleToRawLongBits(d)) }.toSet
+    assert(validBits(lit0) == validBits(hof))
+  }
+
   test("OPQ: rotation orthogonal + norm-preserving; eigen-init + Procrustes beat raw PQ on an anisotropic corpus; deterministic") {
     val s = spark; import s.implicits._
     // anisotropic corpus: axis-aligned variance 0.78^d — the natural
