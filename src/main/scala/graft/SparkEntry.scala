@@ -561,6 +561,47 @@ object SparkEntry {
         nProbe = 4, k = 5, tabulated = true)
     }),
 
+    // rows-only: OPQ IVF-PQ served from a PERSISTED index — the
+    // store-backed twin of q_ann_opq_probe (identical parameters,
+    // bit-identical output, spec-pinned): rotation + codebooks +
+    // centroids + partitioned codes land in a PqIndexStore artifact
+    // on first call; every later call LOADS and probes, so serving
+    // cost is KBs of artifact + the probed partitions, never the
+    // trainer's corpus pass (the measured reason the in-surface
+    // probes scale ~3x at sf1). The artifact path carries a content
+    // fingerprint of the embeddings table — a regenerated table can
+    // never serve a stale index.
+    "q_ann_opq_store" -> ((s, dir) => {
+      val idx = opqServingIndex(s, dir)
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      Pq.annTopKFromStoredIndex(idx, emb.where(col("vec_id") < 8),
+        nProbe = 4, k = 5, tabulated = true)
+    }),
+
+    // rows-only (Lloyd + SVD floats): OPQ rotation MAINTENANCE — the
+    // ivfRefreshCentroids analog for the learned rotation: re-fit R
+    // from the STORED index's decoded codes against the current
+    // corpus (M = Σ y·xᵀ absorbs the old rotation entirely, so the
+    // refit needs only the store + the vectors), retrain codebooks
+    // in the refreshed space, re-encode. Output is pure integer code
+    // rows; q_pq_encode_seeded is the oracle-green twin for the
+    // encode algebra, PqSpec pins the warm-start identity (refit
+    // from a store == one more opqTrain alternation, bitwise).
+    "q_opq_refresh" -> ((s, dir) => {
+      val idx = opqServingIndex(s, dir)
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      val storedCodes = idx.codes.select(col("n_id").as("vec_id"),
+        col("code"))
+      val rot2 = Pq.opqRefreshRotation(emb, storedCodes, idx.codebooks)
+      val sample = emb.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val books2 = Pq.pqCodebooks(Pq.rotate(sample, rot2), numSub = 8,
+        numCodewords = 16, lloydIters = 1)
+      Pq.opqEncode(emb, rot2, books2)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "c")))
+    }),
+
     // rows-only (Lloyd float means): the scheduled-maintenance half
     // of the incremental IVF story — the day-1 layout above drifts as
     // batches accumulate, so refresh re-trains centroids FROM THE
@@ -1251,6 +1292,41 @@ object SparkEntry {
         .select("lang", "doc_id", "n_tokens", "cum_tokens")
     })
   )
+
+  /** The q_ann_opq_store / q_opq_refresh serving artifact: a
+    * committed [[graft.io.PqIndexStore]] index (OPQ rotation,
+    * codebooks, coarse centroids, c_id-partitioned codes) for the
+    * given sf dir's embeddings — trained ONCE (same parameters as
+    * q_ann_opq_probe: parametric eigen-allocation OPQ on a 1-in-16
+    * hash sample, 16 md5-seeded coarse centroids over the rotated
+    * corpus) and re-served from disk on every later call. The
+    * artifact path embeds a content fingerprint (row count ⊕ summed
+    * row hash) so a regenerated embeddings table rebuilds instead of
+    * serving stale codes. */
+  private def opqServingIndex(s: SparkSession, dir: String)
+      : graft.io.PqIndexStore.PqIndex = {
+    val emb = Tables(s, dir).embeddings
+      .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+    val fpRow = emb.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).head()
+    val fp = java.lang.Long.toHexString(fpRow.getLong(0) ^
+      (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
+    val idxDir = s"/tmp/graft_serving_idx/opq1_$fp"
+    graft.io.PqIndexStore.getOrBuild(s, idxDir) {
+      val sample = emb.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val (rot, books) = Pq.opqTrain(sample, numSub = 8,
+        numCodewords = 16, opqIters = 1, lloydIters = 1,
+        initRotation = Some(Pq.eigenAllocationInit(sample, numSub = 8)))
+      val rx = Pq.rotate(emb, rot)
+      val cents = Similarity.ivfCentroids(rx, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val codes = Similarity.ivfAssignments(rx, cents)
+        .select("c_id", "n_id")
+        .join(Pq.pqEncode(rx, books).withColumnRenamed("vec_id", "n_id"),
+          "n_id")
+      (books, codes, Some(rot), Some(cents))
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

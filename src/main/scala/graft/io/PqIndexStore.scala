@@ -1,0 +1,127 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for a trained PQ/OPQ/IVF-PQ serving index — the
+  * artifact that separates TRAINING from SERVING. Every in-surface
+  * probe that retrains its rotation + codebooks per query pays the
+  * trainer's corpus pass on every call (the measured reason the
+  * OPQ/IVF-PQ probes scaled ~3× at sf1 while stored-layout probes
+  * held 1–2×); a real deployment trains once, persists, and serves
+  * from the store. This is that store:
+  *
+  *  - `codebooks/`   (sub, c, cv)           — KBs, plain parquet
+  *  - `rotation/`    (i, row)               — optional (OPQ's R)
+  *  - `centroids/`   (c_id, cv)             — optional (IVF routing)
+  *  - `codes/`       directory-partitioned by c_id when centroids
+  *                   exist ([[PartitionedStore]] — the probe's
+  *                   static-isin pruning needs the directories),
+  *                   plain parquet otherwise
+  *
+  * Doubles round-trip parquet exactly, codes are ints, so a probe
+  * through the loaded index is BIT-IDENTICAL to one through the
+  * in-memory frames it was written from (spec-pinned), and the OPQ
+  * refresh warm-start identity holds through a store round-trip.
+  *
+  * Writes follow the successor-directory discipline at the INDEX
+  * level: the whole index lands under a temp sibling and moves into
+  * place last, with `_INDEX_READY` as the commit marker — a reader
+  * never sees a half-written index (the PartitionedStore mid-write
+  * lesson applied to the composite artifact). */
+object PqIndexStore {
+
+  /** A loaded serving index. `rotation`/`centroids` are present
+    * exactly when the index was written with them. */
+  final case class PqIndex(codebooks: DataFrame,
+                           codes: DataFrame,
+                           rotation: Option[Seq[Seq[Double]]],
+                           centroids: Option[DataFrame])
+
+  private val Marker = "_INDEX_READY"
+
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(dir, Marker))
+
+  /** Persist a trained index. `codes` must carry `c_id` iff
+    * `centroids` is given (the IVF layout contract). */
+  def write(dir: String, codebooks: DataFrame, codes: DataFrame,
+            rotation: Option[Seq[Seq[Double]]] = None,
+            centroids: Option[DataFrame] = None): Unit = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    require(centroids.isEmpty == !codes.columns.contains("c_id"),
+      "codes must carry c_id exactly when centroids are stored")
+    val tmp = dir + ".building"
+    deleteRecursively(tmp)
+    codebooks.select(col("sub").cast("int"), col("c").cast("int"),
+        col("cv").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$tmp/codebooks")
+    rotation.foreach { rot =>
+      rot.zipWithIndex.map { case (row, i) => (i, row) }
+        .toDF("i", "row")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/rotation")
+    }
+    centroids.foreach { c =>
+      require(c.columns.contains("c_id") && c.columns.contains("cv"),
+        "centroids must carry (c_id, cv)")
+      // persisted AS-IS: the routing frame carries derived columns
+      // (the precomputed norm `cn`) that must survive the round-trip
+      c.write.mode("overwrite").parquet(s"$tmp/centroids")
+    }
+    if (centroids.isDefined)
+      PartitionedStore.write(codes, s"$tmp/codes", "c_id")
+    else
+      codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    deleteRecursively(dir)
+    Files.move(Paths.get(tmp), Paths.get(dir))
+    Files.writeString(Paths.get(dir, Marker), "ready\n")
+  }
+
+  /** Load an index written by [[write]]. Fails loudly on a missing
+    * or uncommitted (no marker) directory. */
+  def read(spark: SparkSession, dir: String): PqIndex = {
+    require(exists(dir),
+      s"no committed PQ index at $dir (missing $Marker)")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val rotation =
+      if (Files.exists(Paths.get(dir, "rotation")))
+        Some(spark.read.parquet(s"$dir/rotation")
+          .orderBy("i").collect()
+          .map(r => r.getSeq[Double](1).toSeq).toSeq)
+      else None
+    val centroids =
+      if (Files.exists(Paths.get(dir, "centroids")))
+        Some(spark.read.parquet(s"$dir/centroids"))
+      else None
+    PqIndex(codebooks, spark.read.parquet(s"$dir/codes"),
+      rotation, centroids)
+  }
+
+  /** Read the committed index at `dir`, or build + persist it first.
+    * `build` returns the four components; the write commits before
+    * the re-read, so concurrent readers only ever see a complete
+    * index. The artifact pattern for query surfaces: train on call
+    * one, serve from the store on every later call. */
+  def getOrBuild(spark: SparkSession, dir: String)(
+      build: => (DataFrame, DataFrame, Option[Seq[Seq[Double]]],
+        Option[DataFrame])): PqIndex = {
+    if (!exists(dir)) {
+      val (codebooks, codes, rotation, centroids) = build
+      write(dir, codebooks, codes, rotation, centroids)
+    }
+    read(spark, dir)
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try it.forEach(f => Files.delete(f))
+      finally it.close()
+    }
+  }
+}

@@ -553,6 +553,73 @@ object Pq {
       .select("q_id", "rnk", "n_id", "dist")
   }
 
+  /** Serve top-k from a PERSISTED index ([[graft.io.PqIndexStore]]):
+    * rotate the query batch through the stored R (when the index is
+    * OPQ), route through the stored coarse centroids (when it is
+    * IVF-laid-out, with the same static partition pruning as
+    * [[annIvfPqTopKFromIndex]]), and ADC-rank the probed codes —
+    * TRAINING NEVER RUNS HERE. This is the serving contract the
+    * in-surface probes only approximate: their per-call retraining
+    * is a corpus pass that grows with volume (the measured ~3×
+    * sf1 scaling of the OPQ/IVF-PQ probe surfaces), while this path
+    * reads KBs of artifact plus the probed partitions. Results are
+    * bit-identical to the in-memory probe over the frames the index
+    * was written from (doubles round-trip parquet exactly;
+    * spec-pinned through a real store). */
+  def annTopKFromStoredIndex(index: graft.io.PqIndexStore.PqIndex,
+                             queries: DataFrame, nProbe: Int, k: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             tabulated: Boolean = false): DataFrame = {
+    val q = index.rotation match {
+      case Some(rot) => rotate(queries, rot, idCol, vecCol)
+      case None => queries
+    }
+    index.centroids match {
+      case Some(cents) =>
+        annIvfPqTopKFromIndex(cents, index.codes, index.codebooks,
+          q, nProbe, k, idCol, vecCol, tabulated)
+      case None =>
+        if (tabulated)
+          pqAdcTopKTabulated(index.codebooks, index.codes, q, k,
+            idCol, vecCol)
+        else pqAdcTopK(index.codebooks, index.codes, q, k, idCol, vecCol)
+    }
+  }
+
+  /** OPQ rotation MAINTENANCE — the [[Similarity.ivfRefreshCentroids]]
+    * analog for the learned rotation: as batches accumulate in a
+    * coded store, the R that was optimal for the training snapshot
+    * drifts off the corpus it now serves. Re-fit it FROM THE STORE'S
+    * OWN CODES: decode each stored code to its reconstruction y (in
+    * the rotated space), take `M = Σ y·xᵀ` against the current
+    * original vectors x, and Procrustes M — exactly the alternation
+    * step [[opqTrain]] runs, with the stored codes standing in for
+    * the in-flight encode. Because M absorbs the old rotation
+    * entirely (y lives in rotated space, x in the original), the
+    * refit needs no access to the R being replaced.
+    *
+    * Warm-start identity (spec-pinned through a store round-trip):
+    * refitting from a day-1 store equals the rotation one more
+    * [[opqTrain]] alternation would have produced — integer codes +
+    * exact-decimal M + deterministic Jacobi SVD leave no float
+    * divergence surface. Cost: one corpus-pass [[crossCorrelation]]
+    * (d×d buffer per partition) + a driver d×d SVD; the re-encode
+    * under the new R is the caller's [[opqEncode]] call, priced by
+    * the StoreBench opq arm. */
+  def opqRefreshRotation(corpus: DataFrame, codes: DataFrame,
+                         codebooks: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding")
+      : Seq[Seq[Double]] = {
+    val dimProbe = corpus.select(size(col(vecCol))).head(1)
+    require(dimProbe.nonEmpty, "opqRefreshRotation: empty corpus")
+    val dim = dimProbe.head.getInt(0)
+    val recon = pqDecode(codes, codebooks, idCol)
+    val m = crossCorrelation(corpus, recon, dim, idCol, vecCol)
+    procrustes(m).map(_.toSeq).toSeq
+  }
+
   // -----------------------------------------------------------------
   // Optimized Product Quantization (Ge et al., "Optimized Product
   // Quantization for Approximate Nearest Neighbor Search", CVPR 2013
@@ -593,11 +660,13 @@ object Pq {
     * (rotation + codebooks are KBs; the corpus is what gets encoded).
     * Per alternation the only data-sized work is one codebook
     * training pass and one reconstruction-correlation aggregate
-    * `M = Σ y·xᵀ` — computed as a posexplode → (i, j)-keyed partial
-    * aggregate with DECIMAL sums, so M (and hence the whole training)
-    * is bit-identical under any partitioning. The d×d SVD runs on the
-    * driver (d ≤ a few hundred for embedding columns — microseconds;
-    * the distributed half is the corpus pass, never the SVD). */
+    * `M = Σ y·xᵀ` — one [[graft.plans.OuterProductSum]] d×d buffer
+    * per partition with exact DECIMAL terms, so M (and hence the
+    * whole training) is bit-identical under any partitioning and the
+    * scan never materializes corpus × d² rows. The d×d SVD runs on
+    * the driver (d ≤ a few hundred for embedding columns —
+    * microseconds; the distributed half is the corpus pass, never
+    * the SVD). */
   def opqTrain(corpus: DataFrame, numSub: Int, numCodewords: Int = 256,
                opqIters: Int = 3, lloydIters: Int = 1,
                idCol: String = "vec_id", vecCol: String = "embedding",
@@ -648,10 +717,11 @@ object Pq {
     * dims (M = Σ y·xᵀ comes out symmetric positive → Procrustes
     * returns I) — the exact case where raw PQ is worst.
     *
-    * Distributed work is one second-moment pass (posexplode →
-    * (i,j)-keyed decimal sums, like the Procrustes cross-
-    * correlation); the d×d symmetric eigendecomposition runs on the
-    * driver. Allocation is the paper's greedy balance: eigen-
+    * Distributed work is one second-moment pass through the
+    * [[graft.plans.OuterProductSum]] buffer (one exact-decimal d×d
+    * buffer per partition, like the Procrustes cross-correlation —
+    * never corpus × d² exploded rows); the d×d symmetric
+    * eigendecomposition runs on the driver. Allocation is the paper's greedy balance: eigen-
     * directions in descending-variance order, each to the unfilled
     * subspace with the smallest log-variance product. */
   def eigenAllocationInit(corpus: DataFrame, numSub: Int,
@@ -677,18 +747,19 @@ object Pq {
       .collect()
     val mean = Array.ofDim[Double](dim)
     meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
-    val momRows = base
-      .select(posexplode(col("x")).as(Seq("i", "xi")), col("x"))
-      .select(col("i"), posexplode(
-        transform(col("x"), xj => col("xi") * xj)).as(Seq("j", "p")))
-      .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(38,18)")).cast("double").as("s"))
-      .collect()
+    // second moment Σ x·xᵀ through the buffered outer-product
+    // aggregate (one d×d buffer per partition) — never corpus × d²
+    // exploded rows; same exact-decimal terms as the mean above, so
+    // the covariance is order-independent under any partitioning
+    val mom = base
+      .agg(graft.plans.MomentAggregates
+        .outerProductSum(col("x"), col("x")).as("m"))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    require(mom.length == dim && mom.forall(_.length == dim),
+      s"moment matrix came back ${mom.length}-dim, want $dim")
     val cov = Array.ofDim[Double](dim, dim)
-    momRows.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      cov(i)(j) = r.getDouble(2) / n - mean(i) * mean(j)
-    }
+    for (i <- 0 until dim; j <- 0 until dim)
+      cov(i)(j) = mom(i)(j) / n - mean(i) * mean(j)
     val (vals, vecsM) = symmetricEigen(cov)
     // Balance Σ log λ per subspace (equal variance PRODUCTS — the
     // paper's criterion). The greedy as usually stated ("descending
@@ -772,11 +843,39 @@ object Pq {
   }
 
   /** `M[i][j] = Σ_rows y_i · x_j` — the reconstruction↔original
-    * cross-correlation the Procrustes step decomposes. Decimal sums
-    * keep every entry order-independent (bit-identical M from any
-    * partitioning — the discipline every trainer here follows). */
+    * cross-correlation the Procrustes step decomposes. Runs through
+    * [[graft.plans.OuterProductSum]]: one d×d exact-decimal buffer
+    * per partition and a buffer-sized merge, never the corpus × d²
+    * exploded rows of the (i,j)-keyed formulation (4,096× per vector
+    * at d = 64 — the blow-up that made "train on a SAMPLE" a
+    * numerics contract AND a cost ceiling; now it is only the
+    * former). Exact decimal terms keep every entry order-independent
+    * — bit-identical M from any partitioning, and bit-identical to
+    * the exploded reference ([[crossCorrelationExploded]],
+    * spec-pinned). */
   private def crossCorrelation(corpus: DataFrame, recon: DataFrame,
                                dim: Int, idCol: String, vecCol: String)
+      : Array[Array[Double]] = {
+    val joined = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("x"))
+      .join(recon.select(col(idCol).as("id"), col("vec").as("y")), "id")
+    val m = joined
+      .agg(graft.plans.MomentAggregates
+        .outerProductSum(col("y"), col("x")).as("m"))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    require(m.length == dim && m.forall(_.length == dim),
+      s"cross-correlation came back ${m.length}-dim, want $dim")
+    m.map(_.toArray).toArray
+  }
+
+  /** The exploded (i,j)-keyed decimal formulation of
+    * [[crossCorrelation]] — retained as the bit-identity spec
+    * reference for the buffered aggregate (the `adcScoreHof`
+    * role). */
+  private[graft] def crossCorrelationExploded(corpus: DataFrame,
+                                              recon: DataFrame, dim: Int,
+                                              idCol: String, vecCol: String)
       : Array[Array[Double]] = {
     val joined = corpus
       .select(col(idCol).as("id"),

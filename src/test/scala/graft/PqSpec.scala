@@ -416,6 +416,142 @@ class PqSpec extends GraftSuite {
     assert(validBits(lit0) == validBits(hof))
   }
 
+  test("PqIndexStore: probe through the persisted index == in-memory probe, bitwise; store surface == in-surface twin") {
+    val s = spark; import s.implicits._
+    import graft.io.PqIndexStore
+    val dir = s"$storeRoot/opq_idx"
+    // the q_ann_opq_store build, straight-through: train, lay out,
+    // write, read back — the loaded probe must agree with the probe
+    // over the frames the index was written from, raw bits
+    val all = emb
+    val sample = all.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+    val (rot, obooks) = Pq.opqTrain(sample, numSub = 8, numCodewords = 16,
+      opqIters = 1, lloydIters = 1,
+      initRotation = Some(Pq.eigenAllocationInit(sample, numSub = 8)))
+    val rx = Pq.rotate(all, rot)
+    val cents = Similarity.ivfCentroids(rx, numCentroids = 16,
+      lloydIters = 0, seedKey = c => md5(c.cast("string")))
+    val codes = Similarity.ivfAssignments(rx, cents)
+      .select("c_id", "n_id")
+      .join(Pq.pqEncode(rx, obooks).withColumnRenamed("vec_id", "n_id"),
+        "n_id")
+    PqIndexStore.write(dir, obooks, codes, Some(rot), Some(cents))
+    val idx = PqIndexStore.read(spark, dir)
+    assert(idx.rotation.contains(rot), "rotation did not round-trip")
+    val queries = all.where(col("vec_id") < 8)
+    def bits(df: DataFrame) = df
+      .select(col("q_id"), col("rnk").cast("long"), col("n_id"),
+        col("dist"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, r, n, d) =>
+        (q, r, n, java.lang.Double.doubleToRawLongBits(d)) }.toSet
+    val fromStore = bits(Pq.annTopKFromStoredIndex(idx, queries,
+      nProbe = 4, k = 5, tabulated = true))
+    val inMemory = bits(Pq.annIvfPqTopKFromIndex(cents, codes, obooks,
+      Pq.rotate(queries, rot), nProbe = 4, k = 5, tabulated = true))
+    assert(fromStore.nonEmpty && fromStore == inMemory,
+      s"stored-index probe diverged: ${fromStore.size} vs ${inMemory.size}")
+    // and the two QUERY SURFACES agree row for row: the store-backed
+    // q_ann_opq_store serves exactly what q_ann_opq_probe computes
+    // in-surface (same parameters, training amortized vs repeated)
+    val surfStore = bits(SparkEntry.queries("q_ann_opq_store")(spark, sfDir))
+    val surfProbe = bits(SparkEntry.queries("q_ann_opq_probe")(spark, sfDir))
+    assert(surfStore == surfProbe,
+      "q_ann_opq_store != q_ann_opq_probe on the same corpus")
+  }
+
+  test("opqRefreshRotation from a stored index == one more opqTrain alternation, bitwise; refresh surface deterministic") {
+    val s = spark; import s.implicits._
+    import graft.io.PqIndexStore
+    val dir = s"$storeRoot/opq_refresh_idx"
+    // index built by encoding the TRAINING corpus itself: the refit
+    // from its stored codes must reproduce opqTrain's next rotation
+    // exactly — integer codes + exact-decimal M + deterministic
+    // Jacobi SVD leave no divergence surface
+    val sample = emb.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+    val init = Pq.eigenAllocationInit(sample, numSub = 8)
+    val (rot1, books1) = Pq.opqTrain(sample, numSub = 8,
+      numCodewords = 16, opqIters = 1, lloydIters = 1,
+      initRotation = Some(init))
+    val codes1 = Pq.pqEncode(Pq.rotate(sample, rot1), books1)
+    PqIndexStore.write(dir, books1, codes1, Some(rot1), None)
+    val idx = PqIndexStore.read(spark, dir)
+    val refit = Pq.opqRefreshRotation(sample, idx.codes, idx.codebooks)
+    val (rot2, _) = Pq.opqTrain(sample, numSub = 8, numCodewords = 16,
+      opqIters = 2, lloydIters = 1, initRotation = Some(init))
+    assert(refit.length == rot2.length)
+    for (i <- refit.indices; j <- refit(i).indices)
+      assert(java.lang.Double.doubleToRawLongBits(refit(i)(j)) ==
+        java.lang.Double.doubleToRawLongBits(rot2(i)(j)),
+        s"R[$i][$j]: ${refit(i)(j)} vs ${rot2(i)(j)}")
+    // the maintenance query surface is deterministic across calls
+    // (serving artifact + seeded retrain)
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .as[(Long, Int, Int)].collect().toSet
+    val r1 = rows("q_opq_refresh")
+    assert(r1.nonEmpty && r1 == rows("q_opq_refresh"))
+  }
+
+  test("OuterProductSum buffer == exploded (i,j)-keyed decimal aggregate, raw bits; null and ragged semantics") {
+    val s = spark; import s.implicits._
+    // the Procrustes M on the real corpus: reconstruction vs
+    // original, both via the buffered aggregate (what opqTrain now
+    // runs) and the exploded decimal formulation it replaced —
+    // every entry must agree BITWISE, not to tolerance
+    val sub = emb.where(col("vec_id") < 500)
+    val recon = Pq.pqDecode(Pq.pqEncode(sub, books), books)
+    val dim = sub.select(size(col("embedding"))).head().getInt(0)
+    val exploded = Pq.crossCorrelationExploded(sub, recon, dim,
+      "vec_id", "embedding")
+    val joined = sub
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("x"))
+      .join(recon.select(col("vec_id").as("id"), col("vec").as("y")), "id")
+    val buffered = joined
+      .agg(graft.plans.MomentAggregates
+        .outerProductSum(col("y"), col("x")))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    assert(buffered.length == dim)
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(java.lang.Double.doubleToRawLongBits(buffered(i)(j)) ==
+        java.lang.Double.doubleToRawLongBits(exploded(i)(j)),
+        s"M[$i][$j]: ${buffered(i)(j)} vs ${exploded(i)(j)}")
+    // order independence: 1 partition == 32 partitions, bitwise
+    val one = joined.coalesce(1)
+      .agg(graft.plans.MomentAggregates
+        .outerProductSum(col("y"), col("x")))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(java.lang.Double.doubleToRawLongBits(one(i)(j)) ==
+        java.lang.Double.doubleToRawLongBits(buffered(i)(j)))
+    // null vector rows contribute nothing (the posexplode-of-null
+    // semantics); null ELEMENTS skip exactly their cells
+    val withNulls = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(9.0, 9.0))),
+      (Some(Seq(1.0, 1.0)), None))
+      .toDF("y", "x")
+    val m2 = withNulls
+      .agg(graft.plans.MomentAggregates.outerProductSum(col("y"), col("x")))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    assert(m2.map(_.toSeq) == Seq(Seq(3.0, 4.0), Seq(6.0, 8.0)))
+    // all-null input evaluates to null, not a zero matrix
+    val allNull = Seq((Option.empty[Seq[Double]], Option.empty[Seq[Double]]))
+      .toDF("y", "x")
+      .agg(graft.plans.MomentAggregates.outerProductSum(col("y"), col("x")))
+      .head()
+    assert(allNull.isNullAt(0))
+    // ragged input fails loudly (the exploded path silently
+    // misaligned it)
+    val ragged = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq(1.0), Seq(2.0))).toDF("y", "x")
+    val err = intercept[Exception] {
+      ragged.agg(graft.plans.MomentAggregates
+        .outerProductSum(col("y"), col("x"))).head()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("OPQ: rotation orthogonal + norm-preserving; eigen-init + Procrustes beat raw PQ on an anisotropic corpus; deterministic") {
     val s = spark; import s.implicits._
     // anisotropic corpus: axis-aligned variance 0.78^d — the natural
