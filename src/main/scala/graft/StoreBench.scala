@@ -416,10 +416,192 @@ object StoreBench {
       }
     }
 
+    // opq kind: the OPQ-rotated IVF-PQ store — pqKind's arms (coded
+    // vs full-vector inverted file, identical cluster layout) with a
+    // parametric eigen-allocation rotation in front, PLUS the
+    // rotation-maintenance price: refreshDayN re-fits R FROM THE
+    // STORE'S OWN CODES (decode → M = Σ y·xᵀ vs the current vectors
+    // → Procrustes), retrains codebooks in the refreshed space,
+    // re-encodes, and commits the whole serving artifact through
+    // PqIndexStore — the ivfRefresh analog for the learned rotation,
+    // priced end to end including the artifact write.
+    val opqKind = new StoreKind {
+      import graft.operators.{Pq, Similarity}
+      private val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      private val numCentroids =
+        sys.env.getOrElse("SPARK_GRAFT_IVF_CENTROIDS", "64").toInt
+      private val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_PROBE", "4").toInt
+      private val numSub = sys.env.getOrElse("SPARK_GRAFT_PQ_NUMSUB", "16").toInt
+      private val numCodewords =
+        sys.env.getOrElse("SPARK_GRAFT_PQ_CODEWORDS", "64").toInt
+      private val tabulated =
+        sys.env.getOrElse("SPARK_GRAFT_PQ_TABULATED", "true").toBoolean
+      private val nDays = sys.env.getOrElse("SPARK_GRAFT_STORE_DAYS", "5").toInt
+      private val isNew = pmod(xxhash64(col("vec_id")), lit(20)) === 0
+      // rotation + codebooks + layout trained once on the unscaled
+      // slice (the pq kind's argument: distinct-id copies share
+      // vectors)
+      private lazy val trained: (Seq[Seq[Double]], DataFrame) = {
+        val slice = emb.where(!isNew)
+        Pq.opqTrain(slice, numSub, numCodewords, opqIters = 1,
+          lloydIters = 1,
+          initRotation = Some(Pq.eigenAllocationInit(slice, numSub)))
+      }
+      private lazy val rot = trained._1
+      private lazy val books = trained._2
+      private lazy val cents = Similarity.ivfCentroids(
+        Pq.rotate(emb.where(!isNew), rot), numCentroids,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      private def refVecs: DataFrame =
+        (0 until storeScale).map(i =>
+            emb.where(!isNew).select(
+              (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionByName _)
+      private def dayVecs(d: Int): DataFrame =
+        emb.where(pmod(xxhash64(col("vec_id")), lit(20)) === d)
+          .select((col("vec_id") + lit(900000000L + d * 10000000L))
+            .as("vec_id"), col("embedding"))
+      private def codedOf(vecs: DataFrame): DataFrame = {
+        val rx = Pq.rotate(vecs, rot)
+        Similarity.ivfAssignments(rx, cents).select("c_id", "n_id")
+          .join(Pq.pqEncode(rx, books).withColumnRenamed("vec_id", "n_id"),
+            "n_id")
+      }
+      private val mainPath = s"$warehouse/opq_main"
+      private val dayNPath = s"$warehouse/opq_dayn"
+      private val fullPath = s"$warehouse/opq_full_ctl"
+      def keys: Seq[String] = Seq("c_id")
+      def refIndex(): DataFrame = codedOf(refVecs)
+      def dayIndex(d: Int): DataFrame = codedOf(dayVecs(d))
+      override def extraJson: String =
+        s""","num_centroids":$numCentroids,"n_probe":$nProbe""" +
+          s""","pq_num_sub":$numSub,"pq_codewords":$numCodewords""" +
+          s""","pq_tabulated":$tabulated,"opq_rotated":true""" +
+          s""","n_queries":${sys.env.getOrElse("SPARK_GRAFT_IVF_QUERIES", "8")}"""
+      override def writeMain(): Unit =
+        graft.io.PartitionedStore.write(refIndex(), mainPath, "c_id")
+      override def readMain(): DataFrame = spark.read.parquet(mainPath)
+      override def buildDayN(): Unit =
+        graft.io.PartitionedStore.write(refIndex(), dayNPath, "c_id")
+      override def appendDay(d: Int, maxFragments: Int): Boolean =
+        graft.io.PartitionedStore.appendAndMaintain(dayIndex(d),
+          dayNPath, "c_id", maxFragments = maxFragments).nonEmpty
+      override def readDayN(): DataFrame = spark.read.parquet(dayNPath)
+      override def dayNFragMax(): Int = graft.io.PartitionedStore
+        .filesPerPartition(spark, dayNPath, "c_id")
+        .values.maxOption.getOrElse(0)
+      // control: the full-ROTATED-vector inverted file, same layout
+      // and same routing metric (orthogonal R preserves cosine)
+      override def writePlain(): Unit = graft.io.PartitionedStore.write(
+        Similarity.ivfAssignments(Pq.rotate(refVecs, rot), cents),
+        fullPath, "c_id")
+      override def readPlain(): DataFrame = spark.read.parquet(fullPath)
+      def prepIncrement(): (DataFrame => Unit, Long) = {
+        val nQueries =
+          sys.env.getOrElse("SPARK_GRAFT_IVF_QUERIES", "8").toInt
+        val qDir = s"$warehouse/opq_query_vecs"
+        // queries stored ROTATED: rotation cost is the same tiny
+        // projection on both arms, paid outside the timers
+        Pq.rotate(emb.where(isNew), rot)
+          .select(col("vec_id"), col("embedding"))
+          .orderBy("vec_id").limit(nQueries)
+          .write.mode("overwrite").parquet(qDir)
+        val qV = spark.read.parquet(qDir)
+        (store => {
+          val out =
+            if (store.columns.contains("code"))
+              Pq.annIvfPqTopKFromIndex(cents, store, books, qV,
+                nProbe = nProbe, k = 5, tabulated = tabulated)
+            else Similarity.annIvfTopKFromIndex(cents, store, qV,
+              nProbe = nProbe, k = 5)
+          out.write.format("noop").mode("overwrite").save()
+        }, qV.count())
+      }
+      override def refreshDayN(): Option[Double] = {
+        // one rotation-maintenance cycle, end to end: refit R from
+        // the store's decoded codes vs the CURRENT vectors, retrain
+        // codebooks in the refreshed space, re-encode every stored
+        // vector, and commit the full serving artifact (rotation +
+        // codebooks + centroids + partitioned codes) through
+        // PqIndexStore's ready-marker discipline
+        val succ = s"$warehouse/opq_dayn_refreshed"
+        val allVecs = (Seq(refVecs) ++ (1 to nDays).map(dayVecs))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val store = readDayN()
+        val rot2 = Pq.opqRefreshRotation(allVecs,
+          store.select(col("n_id").as("vec_id"), col("code")), books)
+        val books2 = Pq.pqCodebooks(Pq.rotate(emb.where(!isNew), rot2),
+          numSub, numCodewords, lloydIters = 1)
+        val rx2 = Pq.rotate(allVecs, rot2)
+        val cents2 = Similarity.ivfCentroids(
+          Pq.rotate(emb.where(!isNew), rot2), numCentroids,
+          lloydIters = 0, seedKey = c => md5(c.cast("string")))
+        val coded2 = Similarity.ivfAssignments(rx2, cents2)
+          .select("c_id", "n_id")
+          .join(Pq.pqEncode(rx2, books2)
+            .withColumnRenamed("vec_id", "n_id"), "n_id")
+        graft.io.PqIndexStore.write(succ, books2, coded2,
+          Some(rot2), Some(cents2))
+        Some((System.nanoTime() - t0) / 1e9)
+      }
+    }
+
+    // cdc kind: the q100 chunk store — distinct eligible chunk texts
+    // bucketed by ctext, so the incremental anti-join (new chunks
+    // LEFT ANTI stored chunks) meets the store without a store-side
+    // Exchange (BucketingSpec pins the plan; this arm prices it).
+    // The timed body is the store-interacting stage only — batch
+    // chunking is identical scan algebra on both arms and would
+    // drown the store delta (the sig-kind first-shot lesson).
+    val cdcKind = new StoreKind {
+      private val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      private val isNew = pmod(xxhash64(col("doc_id")), lit(20)) === 0
+      private def chunksOf(d: DataFrame): DataFrame =
+        Dedup.cdcChunks(d, col("doc_id"), col("text"), k = 3,
+          divisor = 16)
+      private def distinctChunks(d: DataFrame): DataFrame =
+        chunksOf(d).where(col("eligible")).select("ctext").distinct()
+      def keys: Seq[String] = Seq("ctext")
+      def refIndex(): DataFrame = distinctChunks(
+        (0 until storeScale).map(i =>
+            docs.where(!isNew).select(
+              (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _))
+      def dayIndex(d: Int): DataFrame = distinctChunks(
+        docs.where(pmod(xxhash64(col("doc_id")), lit(20)) === d)
+          .select((col("doc_id") + lit(900000000L + d * 10000000L))
+            .as("doc_id"), col("text")))
+      def prepIncrement(): (DataFrame => Unit, Long) = {
+        // the batch's eligible chunk rows, materialized once — the
+        // timed body is q100's store-facing stage: LEFT ANTI against
+        // the stored distinct chunks + the canonical-occurrence
+        // aggregate over survivors
+        val dir = s"$warehouse/new_chunks"
+        chunksOf(docs.where(isNew)).where(col("eligible"))
+          .select("id", "chunk_id", "ctext")
+          .write.mode("overwrite").parquet(dir)
+        val newChunks = spark.read.parquet(dir)
+        (store => newChunks
+          .join(store.select(col("ctext")), Seq("ctext"), "left_anti")
+          .groupBy(xxhash64(col("ctext")).as("__h"), col("ctext"))
+          .agg(min(struct(col("id"), col("chunk_id"))).as("__min"))
+          .select(col("__min.id").as("id"),
+            col("__min.chunk_id").as("chunk_id"), col("ctext"))
+          .write.format("noop").mode("overwrite").save(),
+          newChunks.count())
+      }
+    }
+
     val layout: StoreKind = kind match {
       case "signband" => signBandKind
       case "ivf" => ivfKind
       case "pq" => pqKind
+      case "opq" => opqKind
+      case "cdc" => cdcKind
       case _ => sigKind
     }
 
