@@ -29,4 +29,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = driver-only JVM; with 32 executor threads on a
   // 128 GiB box an 8g heap GC-thrashes the dedup shuffles
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Bench sweeps call System.gc() between queries (so one query's
+  // garbage is not the next query's timer); on G1 an explicit gc is
+  // otherwise a FULL STW collection of the whole heap — ~100 of them
+  // per suite run, growing with heap age, and every pause >150 ms
+  // lands in the stall witness. The r9 gc_sec witness measured
+  // 18 s/run of collection time against 2.7 s of probe stall on an
+  // idle host: the "host stall" was substantially the harness GCing
+  // itself. Concurrent explicit GC keeps the hygiene semantics with
+  // initial-mark-sized pauses.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -211,18 +211,35 @@ object Bench {
     // again masquerade as a clean one.
     val stallMax = sys.env.getOrElse("SPARK_GRAFT_STALL_MAX", "5.0").toDouble
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_STALL_RETRIES", "3").toInt
+    // GC-time witness next to the stall witness: the probe counts
+    // EVERY oversleep, and a stop-the-world collection pauses the
+    // probe exactly like a host stall — `gc_sec` (MX-bean collection
+    // time delta per run) splits the attribution. stall ≈ gc → the
+    // JVM did it to itself (fix allocations / heap); stall ≫ gc →
+    // the host did it (retry for a quiet window). Added r9 after a
+    // full-suite stall chase where neither could be ruled out from
+    // the artifact alone.
+    def gcSec: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum / 1e3
+    }
     val attempts = scala.collection.mutable.ArrayBuffer
       .empty[(Map[String, Double], Double)]
+    val gcPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
     var go = true
     while (go) {
       val before = StallProbe.totalSec
+      val gcBefore = gcSec
       val m = headlineNames.map(n => n -> timeOne(n)).toMap
       val stall = StallProbe.totalSec - before
+      val gc = gcSec - gcBefore
       attempts += ((m, stall))
+      gcPerRun += gc
       val quiet = attempts.count(_._2 <= stallMax)
       System.err.println(s"[bench] run ${attempts.size} total=" +
         f"${m.values.filter(_ >= 0).sum}%.1f s loadavg=$loadavg " +
-        f"stall=$stall%.1f s quiet=$quiet/$runs")
+        f"stall=$stall%.1f s gc=$gc%.1f s quiet=$quiet/$runs")
       go = quiet < runs && attempts.size < runs + maxExtra
     }
     val quietIdx = attempts.indices.filter(i => attempts(i)._2 <= stallMax)
@@ -232,13 +249,18 @@ object Bench {
     val stallPoisoned = usedIdx.exists(i => attempts(i)._2 > stallMax)
     // oracle-only twins: one timed sample after the repeat runs
     val oracleTimes = oracleNames.map(n => n -> timeOne(n)).toMap
-    // same-session isolated re-time of the historically divergent
-    // query: its suite-median vs isolated-median gap (same JVM, same
+    // same-session isolated re-times (SPARK_GRAFT_ISOLATE, comma
+    // list; default the historically divergent iterative query): a
+    // query's suite-median vs isolated-median gap (same JVM, same
     // data, minutes apart) isolates in-suite interference from
-    // environment drift
-    val isoName = "q_dedup_clusters_jaccard"
-    val iso = if (SparkEntry.queries.contains(isoName))
-      (1 to runs).map(_ => timeOne(isoName)) else Seq.empty
+    // environment drift — also how a cross-round per-query drift
+    // gets attributed to code vs noise without a bisect
+    val isoNames = sys.env.getOrElse("SPARK_GRAFT_ISOLATE",
+        "q_dedup_clusters_jaccard")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(SparkEntry.queries.contains)
+    val iso: Map[String, Seq[Double]] =
+      isoNames.map(n => n -> (1 to runs).map(_ => timeOne(n))).toMap
     val loadAfter = loadavg
 
     def median(xs: Seq[Double]): Double = {
@@ -279,6 +301,8 @@ object Bench {
         // JVM locales and breaks the JSON
         s""","stall_sec":${stallPerRun.map(s => math.round(s * 100) / 100.0)
           .mkString("[", ",", "]")}""" +
+        s""","gc_sec":${gcPerRun.map(s => math.round(s * 100) / 100.0)
+          .mkString("[", ",", "]")}""" +
         s""","stall_max":$stallMax,"stall_poisoned":$stallPoisoned""" +
         // quiet_runs < runs means retries ran out with a SHORT quiet
         // sample: medians rest on fewer samples than requested even
@@ -290,7 +314,7 @@ object Bench {
         s""","dropped_from_totals":${jarr(dropped)}""" +
         s""","oracle_only":${jarr(oracleOnly.toSeq.sorted)}""" +
         s""","oracle_only_sec":$oracleSec""" +
-        s""","isolated":{"$isoName":${median(iso)}}""" +
+        s""","isolated":${jmap(isoNames.map(n => n -> median(iso(n))).toMap)}""" +
         s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
         s""","errors":$errs,"cpus":"$cpus","shuffle":"$shuffle","sf":"$sfDir"}"""
     // stdout is full of sbt/log4j noise; also write the line to a file
