@@ -579,6 +579,22 @@ object SparkEntry {
         nProbe = 4, k = 5, tabulated = true)
     }),
 
+    // rows-only: residual IVF-PQ (IVFADC proper) served from the
+    // PERSISTED index — the store-backed twin of q_ann_ivfpq_residual
+    // (identical parameters, bit-identical output, spec-pinned). The
+    // residual layout is the artifact's own marker, so the probe
+    // residualizes queries per probed cluster by construction; the
+    // in-surface twin retrains codebooks per call (the family's
+    // worst sf1 scaler, ~15 s), this path loads KBs and reads the
+    // probed partitions.
+    "q_ann_residual_store" -> ((s, dir) => {
+      val idx = residualServingIndex(s, dir)
+      val emb = Tables(s, dir).embeddings
+        .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+      Pq.annTopKFromStoredIndex(idx, emb.where(col("vec_id") < 8),
+        nProbe = 4, k = 5, tabulated = true)
+    }),
+
     // rows-only (Lloyd + SVD floats): OPQ rotation MAINTENANCE — the
     // ivfRefreshCentroids analog for the learned rotation: re-fit R
     // from the STORED index's decoded codes against the current
@@ -1325,6 +1341,32 @@ object SparkEntry {
         .join(Pq.pqEncode(rx, books).withColumnRenamed("vec_id", "n_id"),
           "n_id")
       (books, codes, Some(rot), Some(cents))
+    }
+  }
+
+  /** The q_ann_residual_store serving artifact: a committed
+    * residual-coded (IVFADC) index for the sf dir's embeddings —
+    * q_ann_ivfpq_residual's exact training (16 md5-seeded coarse
+    * centroids, residual codebooks numSub 8 × 32, one Lloyd step),
+    * persisted once and served from disk thereafter. Same
+    * content-fingerprint path discipline as [[opqServingIndex]]. */
+  private def residualServingIndex(s: SparkSession, dir: String)
+      : graft.io.PqIndexStore.PqIndex = {
+    val emb = Tables(s, dir).embeddings
+      .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
+    val fpRow = emb.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).head()
+    val fp = java.lang.Long.toHexString(fpRow.getLong(0) ^
+      (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
+    val idxDir = s"/tmp/graft_serving_idx/res1_$fp"
+    graft.io.PqIndexStore.getOrBuild(s, idxDir, residual = true) {
+      val cents = Similarity.ivfCentroids(emb, numCentroids = 16,
+        lloydIters = 0, seedKey = c => md5(c.cast("string")))
+      val asg = Similarity.ivfAssignments(emb, cents)
+      val books = Pq.pqCodebooks(Pq.residualAssignments(asg, cents),
+        numSub = 8, numCodewords = 32, lloydIters = 1,
+        idCol = "n_id", vecCol = "rv")
+      (books, Pq.pqEncodeResiduals(asg, cents, books), None, Some(cents))
     }
   }
 

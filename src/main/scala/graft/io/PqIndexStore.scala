@@ -34,26 +34,37 @@ import org.apache.spark.sql.functions._
 object PqIndexStore {
 
   /** A loaded serving index. `rotation`/`centroids` are present
-    * exactly when the index was written with them. */
+    * exactly when the index was written with them; `residual` marks
+    * an IVFADC layout (codes quantize `ec − centroid(c_id)`, so the
+    * probe must residualize the query per probed cluster — a decode
+    * against the wrong field would rank garbage silently, which is
+    * why the flag is part of the committed artifact, not a caller
+    * convention). */
   final case class PqIndex(codebooks: DataFrame,
                            codes: DataFrame,
                            rotation: Option[Seq[Seq[Double]]],
-                           centroids: Option[DataFrame])
+                           centroids: Option[DataFrame],
+                           residual: Boolean = false)
 
   private val Marker = "_INDEX_READY"
+  private val ResidualMarker = "_RESIDUAL_CODES"
 
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, Marker))
 
   /** Persist a trained index. `codes` must carry `c_id` iff
-    * `centroids` is given (the IVF layout contract). */
+    * `centroids` is given (the IVF layout contract); `residual`
+    * requires centroids (the field is defined relative to them). */
   def write(dir: String, codebooks: DataFrame, codes: DataFrame,
             rotation: Option[Seq[Seq[Double]]] = None,
-            centroids: Option[DataFrame] = None): Unit = {
+            centroids: Option[DataFrame] = None,
+            residual: Boolean = false): Unit = {
     val spark = codebooks.sparkSession
     import spark.implicits._
     require(centroids.isEmpty == !codes.columns.contains("c_id"),
       "codes must carry c_id exactly when centroids are stored")
+    require(!residual || centroids.isDefined,
+      "residual codes are defined relative to stored centroids")
     val tmp = dir + ".building"
     deleteRecursively(tmp)
     codebooks.select(col("sub").cast("int"), col("c").cast("int"),
@@ -76,6 +87,8 @@ object PqIndexStore {
       PartitionedStore.write(codes, s"$tmp/codes", "c_id")
     else
       codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    if (residual)
+      Files.writeString(Paths.get(tmp, ResidualMarker), "residual\n")
     deleteRecursively(dir)
     Files.move(Paths.get(tmp), Paths.get(dir))
     Files.writeString(Paths.get(dir, Marker), "ready\n")
@@ -98,7 +111,8 @@ object PqIndexStore {
         Some(spark.read.parquet(s"$dir/centroids"))
       else None
     PqIndex(codebooks, spark.read.parquet(s"$dir/codes"),
-      rotation, centroids)
+      rotation, centroids,
+      residual = Files.exists(Paths.get(dir, ResidualMarker)))
   }
 
   /** Read the committed index at `dir`, or build + persist it first.
@@ -106,12 +120,13 @@ object PqIndexStore {
     * the re-read, so concurrent readers only ever see a complete
     * index. The artifact pattern for query surfaces: train on call
     * one, serve from the store on every later call. */
-  def getOrBuild(spark: SparkSession, dir: String)(
+  def getOrBuild(spark: SparkSession, dir: String,
+                 residual: Boolean = false)(
       build: => (DataFrame, DataFrame, Option[Seq[Seq[Double]]],
         Option[DataFrame])): PqIndex = {
     if (!exists(dir)) {
       val (codebooks, codes, rotation, centroids) = build
-      write(dir, codebooks, codes, rotation, centroids)
+      write(dir, codebooks, codes, rotation, centroids, residual)
     }
     read(spark, dir)
   }

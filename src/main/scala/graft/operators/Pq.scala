@@ -557,8 +557,10 @@ object Pq {
     * rotate the query batch through the stored R (when the index is
     * OPQ), route through the stored coarse centroids (when it is
     * IVF-laid-out, with the same static partition pruning as
-    * [[annIvfPqTopKFromIndex]]), and ADC-rank the probed codes —
-    * TRAINING NEVER RUNS HERE. This is the serving contract the
+    * [[annIvfPqTopKFromIndex]]; residual-coded stores dispatch to
+    * the IVFADC probe — the artifact's own `_RESIDUAL_CODES` marker
+    * decides, never a caller convention), and ADC-rank the probed
+    * codes — TRAINING NEVER RUNS HERE. This is the serving contract the
     * in-surface probes only approximate: their per-call retraining
     * is a corpus pass that grows with volume (the measured ~3×
     * sf1 scaling of the OPQ/IVF-PQ probe surfaces), while this path
@@ -576,6 +578,9 @@ object Pq {
       case None => queries
     }
     index.centroids match {
+      case Some(cents) if index.residual =>
+        annIvfPqResidualTopKFromIndex(cents, index.codes, index.codebooks,
+          q, nProbe, k, idCol, vecCol, tabulated)
       case Some(cents) =>
         annIvfPqTopKFromIndex(cents, index.codes, index.codebooks,
           q, nProbe, k, idCol, vecCol, tabulated)

@@ -460,6 +460,57 @@ class PqSpec extends GraftSuite {
       "q_ann_opq_store != q_ann_opq_probe on the same corpus")
   }
 
+  test("residual-coded (IVFADC) index: stored probe == in-memory probe, bitwise; the residual flag rides the artifact") {
+    val s = spark; import s.implicits._
+    import graft.io.PqIndexStore
+    val dir = s"$storeRoot/res_idx"
+    // q_ann_ivfpq_residual's exact training, persisted with the
+    // residual marker — the loaded probe must residualize queries
+    // per probed cluster by the artifact's own flag
+    val all = emb
+    val cents = Similarity.ivfCentroids(all, numCentroids = 16,
+      lloydIters = 0, seedKey = c => md5(c.cast("string")))
+    val asg = Similarity.ivfAssignments(all, cents)
+    val rbooks = Pq.pqCodebooks(Pq.residualAssignments(asg, cents),
+      numSub = 8, numCodewords = 32, lloydIters = 1,
+      idCol = "n_id", vecCol = "rv")
+    val rcodes = Pq.pqEncodeResiduals(asg, cents, rbooks)
+    PqIndexStore.write(dir, rbooks, rcodes, None, Some(cents),
+      residual = true)
+    val idx = PqIndexStore.read(spark, dir)
+    assert(idx.residual, "residual marker lost in the round-trip")
+    val queries = all.where(col("vec_id") < 8)
+    def bits(df: DataFrame) = df
+      .select(col("q_id"), col("rnk").cast("long"), col("n_id"),
+        col("dist"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, r, n, d) =>
+        (q, r, n, java.lang.Double.doubleToRawLongBits(d)) }.toSet
+    val fromStore = bits(Pq.annTopKFromStoredIndex(idx, queries,
+      nProbe = 4, k = 5, tabulated = true))
+    val inMemory = bits(Pq.annIvfPqResidualTopKFromIndex(cents, rcodes,
+      rbooks, queries, nProbe = 4, k = 5, tabulated = true))
+    assert(fromStore.nonEmpty && fromStore == inMemory,
+      s"stored residual probe diverged: ${fromStore.size} vs ${inMemory.size}")
+    // and the two query surfaces agree row for row
+    val surfStore =
+      bits(SparkEntry.queries("q_ann_residual_store")(spark, sfDir))
+    val surfProbe =
+      bits(SparkEntry.queries("q_ann_ivfpq_residual")(spark, sfDir))
+    assert(surfStore == surfProbe,
+      "q_ann_residual_store != q_ann_ivfpq_residual on the same corpus")
+    // a NON-residual store of the same frames must NOT serve the
+    // same distances (the flag is load-bearing, not decorative)
+    val dir2 = s"$storeRoot/res_idx_wrongflag"
+    PqIndexStore.write(dir2, rbooks, rcodes, None, Some(cents),
+      residual = false)
+    val wrong = bits(Pq.annTopKFromStoredIndex(
+      PqIndexStore.read(spark, dir2), queries, nProbe = 4, k = 5,
+      tabulated = true))
+    assert(wrong != fromStore,
+      "residual flag had no effect on the served distances")
+  }
+
   test("opqRefreshRotation from a stored index == one more opqTrain alternation, bitwise; refresh surface deterministic") {
     val s = spark; import s.implicits._
     import graft.io.PqIndexStore
