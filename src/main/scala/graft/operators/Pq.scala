@@ -160,12 +160,23 @@ object Pq {
   }
 
   /** The code array for one vector column — the scan-algebra body
-    * shared by [[pqEncode]] and [[pqEncodeResiduals]]: one
+    * shared by [[pqEncode]] and [[pqEncodeResiduals]]: the fused
+    * [[graft.plans.PqCodes]] kernel (codebook + norms as codegen
+    * reference objects, argmin as the `2·dot − |c|²` margin with
+    * ties to the larger code — |v_m|² is constant within a subspace,
+    * so it cancels from the comparison). The declarative
+    * planeDots/array_max chain it replaced ran the argmax lambdas
+    * INTERPRETED and carried the norm arrays as plan literals;
+    * [[codeExprHof]] keeps it as the raw-codes spec reference. */
+  private def codeExpr(book: Book, vec: Column): Column =
+    graft.plans.AdcExpressions.pqCodes(vec, book.planes, book.norm2)
+
+  /** The declarative encode chain — one
     * [[graft.plans.PlaneExpressions.planeDots]] reference per
-    * subspace carries that subspace's codeword matrix, and argmin is
-    * the `2·dot − |c|²` margin (|v_m|² is constant within a
-    * subspace, so it cancels from the comparison). */
-  private def codeExpr(book: Book, vec: Column): Column = {
+    * subspace, argmin via `transform`/`array_max` — retained as the
+    * bit-identity spec reference for [[codeExpr]]'s fused kernel
+    * (the `adcScoreHof` role), edge cases included. */
+  private[graft] def codeExprHof(book: Book, vec: Column): Column = {
     val dsub = book.dsub
     array((0 until book.numSub).map { m =>
       val cn2 = typedLit(book.norm2(m))
@@ -176,6 +187,13 @@ object Pq {
         .getField("c")
     }: _*)
   }
+
+  /** Spec seam: [[pqEncode]] through the declarative chain. */
+  private[graft] def pqEncodeHof(vecs: DataFrame, codebooks: DataFrame,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol), codeExprHof(collectBook(codebooks), col(vecCol))
+      .as("code"))
 
   /** Encode every vector to its `numSub` codes — `(idCol, code)`
     * with `code(m)` the dense id of subspace m's nearest codeword

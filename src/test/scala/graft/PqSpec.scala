@@ -416,6 +416,67 @@ class PqSpec extends GraftSuite {
     assert(validBits(lit0) == validBits(hof))
   }
 
+  test("fused PqCodes encode == declarative chain, raw codes, organic + adversarial; norms never plan literals") {
+    val s = spark; import s.implicits._
+    def codesOf(df: DataFrame): Map[Long, Seq[Int]] = df
+      .select(col("vec_id").cast("long"), col("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // organic corpus, both codebook budgets (16 and 256 codewords)
+    val books256 = Pq.pqCodebooks(emb, numSub = 16, numCodewords = 256,
+      lloydIters = 1)
+    for (b <- Seq(books, books256)) {
+      val fused = codesOf(Pq.pqEncode(emb, b))
+      val hof = codesOf(Pq.pqEncodeHof(emb, b))
+      assert(fused.nonEmpty && fused == hof,
+        s"fused/declarative encode diverged at ${b.count()} codewords")
+    }
+    // adversarial edges, mirrored exactly: null vector, short
+    // vector, null element, NaN elements — the declarative chain's
+    // struct-max ties these down to numCodewords-1 (null margins)
+    // or NaN-greatest semantics, and the kernel must agree
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, true), true)))
+    val weird = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, null),
+        Row(2L, Seq(1.0, 2.0)),
+        Row(3L, (0 until 64).map(i =>
+          if (i == 5) null else java.lang.Double.valueOf(i / 7.0))),
+        Row(4L, (0 until 64).map(_ => java.lang.Double.valueOf(Double.NaN))),
+        Row(5L, (0 until 64).map(i => java.lang.Double.valueOf(i / 9.0)))),
+      schema)
+    val fusedW = codesOf(Pq.pqEncode(weird, books))
+    val hofW = codesOf(Pq.pqEncodeHof(weird, books))
+    assert(fusedW == hofW,
+      s"edge-case encode diverged:\n  fused $fusedW\n  hof   $hofW")
+    // all-null margins tie down to the LAST codeword id, per the
+    // declarative struct-max (pin the semantic, not just the parity)
+    val k = books.groupBy("sub").count().select(max("count"))
+      .head().getLong(0).toInt
+    assert(fusedW(1L).forall(_ == k - 1))
+    // the codebook rides the plan as a reference object: shape tag
+    // present, no norm-array literal dumps
+    val plan = Pq.pqEncode(emb, books).queryExecution.executedPlan.toString
+    assert(plan.contains("book=16x"), s"missing shape tag:\n$plan")
+    assert(!plan.contains("element_at([")
+      && plan.length < 6000, s"plan carries literals (${plan.length} chars)")
+    // the codegen-vs-interpreted gap at the serving-budget codebook,
+    // measured in-session (the AdcSum discipline applied to encode)
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    Pq.pqEncode(emb, books256).write.format("noop").mode("overwrite").save()
+    val tFused = time(Pq.pqEncode(emb, books256)
+      .write.format("noop").mode("overwrite").save())
+    val tHof = time(Pq.pqEncodeHof(emb, books256)
+      .write.format("noop").mode("overwrite").save())
+    System.err.println(
+      f"[pq-spec] 16x256 encode: fused=$tFused%.2f s declarative=$tHof%.2f s")
+  }
+
   test("PqIndexStore: probe through the persisted index == in-memory probe, bitwise; store surface == in-surface twin") {
     val s = spark; import s.implicits._
     import graft.io.PqIndexStore
