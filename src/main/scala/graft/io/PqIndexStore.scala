@@ -131,6 +131,28 @@ object PqIndexStore {
     read(spark, dir)
   }
 
+  /** Daily maintenance for an IVF-laid-out index: value-aligned
+    * append of freshly coded rows into the `codes/` store +
+    * compaction past `maxFragments` files per cluster directory —
+    * the [[PartitionedStore.appendAndMaintain]] discipline applied
+    * to the serving artifact. Encoding is pointwise under FROZEN
+    * rotation/centroids/codebooks, so an appended index serves
+    * exactly what a rebuilt one would over the union (spec-pinned);
+    * the layout drifts only as the data does, and
+    * [[graft.operators.Pq.opqRefreshRotation]] +
+    * `ivfRefreshCentroids` are the scheduled answer to that. Returns
+    * the compacted cluster values. Use
+    * [[graft.operators.Pq.encodeForIndex]] to code the batch with
+    * the index's own artifacts. */
+  def appendCodes(spark: SparkSession, dir: String, coded: DataFrame,
+                  maxFragments: Int = 4): Seq[String] = {
+    require(exists(dir), s"no committed PQ index at $dir")
+    require(coded.columns.contains("c_id"),
+      "appendCodes needs an IVF-laid-out index (codes carry c_id)")
+    PartitionedStore.appendAndMaintain(coded, s"$dir/codes", "c_id",
+      maxFragments = maxFragments)
+  }
+
   private def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {

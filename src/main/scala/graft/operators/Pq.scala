@@ -610,6 +610,37 @@ object Pq {
     }
   }
 
+  /** Code a fresh batch IN THE INDEX'S OWN LAYOUT — the encode half
+    * of [[graft.io.PqIndexStore.appendCodes]]'s daily-ingest cycle:
+    * rotate through the stored R (if OPQ), route through the stored
+    * centroids (if IVF-laid-out), quantize raw vectors or residuals
+    * per the store's own residual marker. Because every artifact is
+    * FROZEN, encoding is pointwise and an appended store serves
+    * exactly what a rebuilt one would over the union (spec-pinned) —
+    * the q73 incremental-IVF identity lifted to coded stores. */
+  def encodeForIndex(index: graft.io.PqIndexStore.PqIndex,
+                     vecs: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = index.rotation match {
+      case Some(rot) => rotate(vecs, rot, idCol, vecCol)
+      case None => vecs
+    }
+    index.centroids match {
+      case Some(cents) if index.residual =>
+        pqEncodeResiduals(
+          Similarity.ivfAssignments(v, cents, idCol, vecCol),
+          cents, index.codebooks)
+      case Some(cents) =>
+        Similarity.ivfAssignments(v, cents, idCol, vecCol)
+          .select("c_id", "n_id")
+          .join(pqEncode(v, index.codebooks, idCol, vecCol)
+            .withColumnRenamed(idCol, "n_id"), "n_id")
+      case None =>
+        pqEncode(v, index.codebooks, idCol, vecCol)
+    }
+  }
+
   /** OPQ rotation MAINTENANCE — the [[Similarity.ivfRefreshCentroids]]
     * analog for the learned rotation: as batches accumulate in a
     * coded store, the R that was optimal for the training snapshot

@@ -572,6 +572,70 @@ class PqSpec extends GraftSuite {
       "residual flag had no effect on the served distances")
   }
 
+  test("appendCodes daily cycle: appended index == rebuilt union, bitwise probes; fragments bounded over N appends") {
+    val s = spark; import s.implicits._
+    import graft.io.{PartitionedStore, PqIndexStore}
+    val dirA = s"$storeRoot/append_idx"
+    val dirB = s"$storeRoot/rebuild_idx"
+    // day-0: OPQ index trained and laid out on the reference slice
+    // only — rotation/centroids/codebooks FROZEN from here on
+    val ref = emb.where(col("vec_id") % 3 === 0)
+    val sample = ref.where(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+    val (rot, obooks) = Pq.opqTrain(sample, numSub = 8, numCodewords = 16,
+      opqIters = 1, lloydIters = 1,
+      initRotation = Some(Pq.eigenAllocationInit(sample, numSub = 8)))
+    val cents = Similarity.ivfCentroids(Pq.rotate(ref, rot),
+      numCentroids = 8, lloydIters = 0,
+      seedKey = c => md5(c.cast("string")))
+    PqIndexStore.write(dirA, obooks,
+      Pq.encodeForIndex(
+        PqIndexStore.PqIndex(obooks, null, Some(rot), Some(cents)), ref),
+      Some(rot), Some(cents))
+    val idx0 = PqIndexStore.read(spark, dirA)
+    // three daily appends, each coded by the INDEX'S OWN artifacts
+    val days = Seq(
+      emb.where(col("vec_id") % 3 === 1),
+      emb.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 1))
+    days.foreach { d =>
+      PqIndexStore.appendCodes(spark, dirA,
+        Pq.encodeForIndex(idx0, d), maxFragments = 2)
+    }
+    // the rebuilt control: same frozen artifacts, one-shot encode of
+    // the full union
+    PqIndexStore.write(dirB, obooks, Pq.encodeForIndex(idx0, emb),
+      Some(rot), Some(cents))
+    def bits(dir: String) = {
+      val idx = PqIndexStore.read(spark, dir)
+      Pq.annTopKFromStoredIndex(idx, emb.where(col("vec_id") < 8),
+          nProbe = 3, k = 5, tabulated = true)
+        .select(col("q_id"), col("rnk").cast("long"), col("n_id"),
+          col("dist"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (q, r, n, d) =>
+          (q, r, n, java.lang.Double.doubleToRawLongBits(d)) }.toSet
+    }
+    val appended = bits(dirA)
+    val rebuilt = bits(dirB)
+    assert(appended.nonEmpty && appended == rebuilt,
+      s"appended index diverged from rebuild: ${appended.size} vs ${rebuilt.size}")
+    // row-level identity too, not just the probe's view
+    val rowsA = PqIndexStore.read(spark, dirA).codes
+      .select(col("c_id").cast("long"), col("n_id").cast("long"),
+        col("code"))
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    val rowsB = PqIndexStore.read(spark, dirB).codes
+      .select(col("c_id").cast("long"), col("n_id").cast("long"),
+        col("code"))
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(rowsA == rowsB)
+    // maintenance bounds the per-directory file count across appends
+    val frag = PartitionedStore
+      .filesPerPartition(spark, s"$dirA/codes", "c_id")
+      .values.maxOption.getOrElse(0)
+    assert(frag <= 2, s"fragments per cluster after 3 appends: $frag")
+  }
+
   test("opqRefreshRotation from a stored index == one more opqTrain alternation, bitwise; refresh surface deterministic") {
     val s = spark; import s.implicits._
     import graft.io.PqIndexStore
