@@ -519,6 +519,12 @@ class PqSpec extends GraftSuite {
     val surfProbe = bits(SparkEntry.queries("q_ann_opq_probe")(spark, sfDir))
     assert(surfStore == surfProbe,
       "q_ann_opq_store != q_ann_opq_probe on the same corpus")
+    // an uncommitted directory (no ready marker — e.g. a writer died
+    // mid-build) fails LOUDLY instead of serving partial frames
+    val err = intercept[IllegalArgumentException] {
+      PqIndexStore.read(spark, s"$storeRoot/never_committed")
+    }
+    assert(err.getMessage.contains("_INDEX_READY"))
   }
 
   test("residual-coded (IVFADC) index: stored probe == in-memory probe, bitwise; the residual flag rides the artifact") {
