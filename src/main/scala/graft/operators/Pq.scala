@@ -102,11 +102,15 @@ object Pq {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))
 
-  /** Train-side assignment: each `(id, sub)` to its min-L2 codeword
-    * of that subspace, ties to the larger code — a broadcast of the
-    * KB-sized codebook, never a corpus shuffle beyond the per-key
-    * max_by. */
-  private def assignSubs(cb: DataFrame)(subs: DataFrame): DataFrame =
+  /** Train-side assignment, declarative reference: each `(id, sub)`
+    * to its min-L2 codeword of that subspace, ties to the larger
+    * code — a broadcast of the KB-sized codebook + a per-key max_by.
+    * Retained as the spec reference for [[assignedSubvectors]] (the
+    * fused Lloyd E-step): this form materializes corpus × numSub ×
+    * numCodewords rows with an INTERPRETED zip_with per row — 90M
+    * rows at sf1's 350k × 8 × 32 — where the fused scan emits
+    * corpus × numSub rows with the argmin in codegen. */
+  private[graft] def assignSubs(cb: DataFrame)(subs: DataFrame): DataFrame =
     subs.join(broadcast(cb.select(col("sub"), col("c"), col("cv"))), "sub")
       .withColumn("__d2", aggregate(
         zip_with(col("sv"), col("cv"),
@@ -115,6 +119,34 @@ object Pq {
       .groupBy("id", "sub")
       .agg(max_by(col("c"), struct((-col("__d2")).as("s"), col("c")))
         .as("c"))
+
+  /** The fused Lloyd E-step: ONE zero-Exchange scan emitting
+    * `(sub, c, sv)` — code via [[codeExpr]]'s kernel (min L2 ≡ max
+    * `2·dot − |c|²` margin, ties to the larger code: the same
+    * argmax [[assignSubs]] computes, exactly so under exact
+    * arithmetic — spec-pinned on an integer-valued corpus where
+    * both formulations are float-exact, including ties), slice
+    * alongside it. Replaces assignSubs + the (id, sub) join-back:
+    * no corpus × codewords blow-up, no argmax shuffle, no join —
+    * the M-step's (sub, c, pos) aggregate is the loop's only
+    * Exchange. The codes are let-bound through a one-element-array
+    * transform so CollapseProject cannot inline the kernel into
+    * each of the numSub output structs (the winnowFingerprints
+    * lesson: that would re-run the argmin numSub times per row). */
+  private def assignedSubvectors(book: Book, vecs: DataFrame,
+                                 idCol: String, vecCol: String)
+      : DataFrame = {
+    def let(bound: Column, body: Column => Column): Column =
+      element_at(transform(array(bound), body), 1)
+    val dsub = book.dsub
+    vecs.select(explode(let(codeExpr(book, col(vecCol)), codes =>
+        transform(sequence(lit(0), lit(book.numSub - 1)), m =>
+          struct(m.cast("int").as("sub"),
+            element_at(codes, m + 1).as("c"),
+            slice(col(vecCol), m * dsub + 1, lit(dsub)).as("sv"))))).as("e"))
+      .select(col("e.sub").as("sub"), col("e.c").as("c"),
+        col("e.sv").as("sv"))
+  }
 
   /** Per-subspace codebooks `(sub, c, cv)` with DENSE codeword ids
     * 0..k'-1 per subspace (k' ≤ numCodewords after empty clusters
@@ -141,22 +173,26 @@ object Pq {
       .select(col("sub"), (col("rnk") - 1).cast("int").as("c"),
         transform(col("sv"), x => x.cast("double")).as("cv"))
       .localCheckpoint(true)
+    // dense re-id: Lloyd may drop empty codewords, and both the
+    // fused E-step (collectBook addresses positionally) and every
+    // scan-algebra consumer need dense 0..k'-1 ids. Applied INSIDE
+    // the loop too — the relabel is order-preserving, so a mid-loop
+    // tie still resolves to the same codeword VECTOR the original
+    // labels would have picked.
+    def reId(frame: DataFrame): DataFrame = TopK.perGroup(frame,
+        groups = Seq(col("sub")), order = Seq(col("c")),
+        k = numCodewords)
+      .select(col("sub"), (col("rnk") - 1).cast("int").as("c"), col("cv"))
     (0 until lloydIters).foreach { _ =>
       val prev = cb
-      val asg = assignSubs(prev)(subs)
-        .join(subs.withColumnRenamed("sv", "sv2"), Seq("id", "sub"))
-        .select(col("sub"), col("c"), col("sv2").as("sv"))
-      cb = meanStep(asg).localCheckpoint(true)
+      // fused E-step: one scan, no corpus × codewords blow-up, no
+      // argmax shuffle, no join-back (see assignedSubvectors)
+      val asg = assignedSubvectors(collectBook(prev), corpus,
+        idCol, vecCol)
+      cb = reId(meanStep(asg)).localCheckpoint(true)
       org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
     }
-    // dense re-id: Lloyd may drop empty codewords, and every scan-
-    // algebra consumer addresses the codebook positionally
-    val dense = TopK.perGroup(cb, groups = Seq(col("sub")),
-        order = Seq(col("c")), k = numCodewords)
-      .select(col("sub"), (col("rnk") - 1).cast("int").as("c"), col("cv"))
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.CheckpointBridge.unpersist(cb)
-    dense
+    cb
   }
 
   /** The code array for one vector column — the scan-algebra body

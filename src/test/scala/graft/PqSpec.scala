@@ -477,6 +477,56 @@ class PqSpec extends GraftSuite {
       f"[pq-spec] 16x256 encode: fused=$tFused%.2f s declarative=$tHof%.2f s")
   }
 
+  test("fused Lloyd E-step == declarative assignSubs on a float-exact corpus, codeword ties included") {
+    val s = spark; import s.implicits._
+    // integer-valued vectors: dots, norms, and squared distances are
+    // all exact in double, so the margin argmax (fused kernel) and
+    // the -d2 argmax (declarative assignSubs) must agree EXACTLY,
+    // including ties — both resolve to the larger code
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 400).map(i =>
+        (i.toLong, Seq.tabulate(16)(_ => (rng.nextInt(7) - 3).toDouble)))
+      .toDF("vec_id", "embedding")
+    // a codebook with DUPLICATED codewords per subspace: every vector
+    // ties across the duplicates, so the tie rule is exercised on
+    // every single row, not just coincidental grid ties
+    val dupBooks = (0 until 4).flatMap { sub =>
+      val base = Seq.tabulate(6)(c =>
+        Seq.tabulate(4)(p => ((c * 7 + p * 3) % 5 - 2).toDouble))
+      (base :+ base(2) :+ base(4)).zipWithIndex.map { case (cv, c) =>
+        (sub, c, cv)
+      }
+    }.toDF("sub", "c", "cv")
+    val subs = vecs.select(col("vec_id").as("id"),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(3)),
+          m => slice(col("embedding"), m * lit(4) + 1, lit(4))))
+          .as(Seq("sub", "sv")))
+    val declarative = Pq.assignSubs(dupBooks)(subs)
+      .select(col("id"), col("sub"), col("c"))
+      .as[(Long, Int, Int)].collect().toSet
+    val fused = Pq.pqEncode(vecs, dupBooks)
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "c")))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(fused.nonEmpty && fused == declarative,
+      s"fused E-step diverged from assignSubs: ${fused.size} vs ${declarative.size}")
+    // the duplicated codewords (ids 6 and 7 shadow 2 and 4) must win
+    // their ties: codes 2 and 4 can never be assigned
+    assert(!fused.exists(t => t._3 == 2 || t._3 == 4),
+      "tie did not resolve to the larger duplicate id")
+    // and the trained codebooks on the REAL corpus stay deterministic
+    // through the fused loop (retrain == retrain, bitwise)
+    val a = Pq.pqCodebooks(emb, numSub = 8, numCodewords = 16,
+      lloydIters = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val b = Pq.pqCodebooks(emb, numSub = 8, numCodewords = 16,
+      lloydIters = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b)
+  }
+
   test("PqIndexStore: probe through the persisted index == in-memory probe, bitwise; store surface == in-surface twin") {
     val s = spark; import s.implicits._
     import graft.io.PqIndexStore
