@@ -202,24 +202,63 @@ object Similarity {
   private def withCentNorm(c: DataFrame): DataFrame =
     c.withColumn("cn", VectorFns.l2Norm(col("cv")))
 
-  private[operators] def assignTo(cents: DataFrame)(side: DataFrame,
+  /** Route `side`'s vectors to their `keep` max-cosine centroids.
+    *
+    * `keep == 1` (the corpus-sized E-step) runs through the fused
+    * [[graft.plans.CosineArgmax]] kernel: ONE zero-Exchange scan —
+    * the centroid matrix/norms/ids ride as codegen reference
+    * objects — instead of the crossJoin's corpus × numCentroids
+    * rows plus a max_by shuffle (the [[Pq]] fused-E-step discipline
+    * applied to coarse assignment; [[assignToHof]] keeps the
+    * declarative form as the bit-identity spec reference). The
+    * centroid frame collects here — KBs, exactly what the old path
+    * broadcast — and the emitted `c_id` keeps the frame's own
+    * column type (int-keyed stores stay int-keyed).
+    *
+    * `keep > 1` (query routing — a serving-batch-sized side) keeps
+    * the scored TopK form: the fan-out IS its output. */
+  private[graft] def assignTo(cents: DataFrame)(side: DataFrame,
       id: String, vec: String, keep: Int): DataFrame = {
-    val scored = side
+    if (keep == 1) {
+      val cidType = cents.schema("c_id").dataType
+      val rows = cents
+        .select(col("c_id").cast("long"), col("cv").cast("array<double>"),
+          col("cn").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+      val ids = rows.map(_._1).toSeq
+      val idx = graft.plans.PlaneExpressions.cosineArgmax(
+        col("__v"), ids, rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+      side.select(col(id).as("__id"), col(vec).as("__v"))
+        .select(col("__id"),
+          element_at(typedLit(ids), idx + 1).cast(cidType).as("c_id"))
+    } else {
+      val scored = side
+        .select(col(id).as("__id"), col(vec).as("__v"))
+        .withColumn("__n", VectorFns.l2Norm(col("__v")))
+        .crossJoin(broadcast(cents.select(col("c_id"), col("cv"), col("cn"))))
+        .withColumn("__s",
+          VectorFns.cosinePre(col("__v"), col("cv"), col("__n"), col("cn")))
+      TopK.perGroup(scored.select(col("__id"), col("c_id"), col("__s")),
+          groups = Seq(col("__id")),
+          order = Seq(col("__s").desc, col("c_id")), k = keep)
+        .select(col("__id"), col("c_id"))
+    }
+  }
+
+  /** The declarative crossJoin + max_by assignment — retained as the
+    * bit-identity spec reference for [[assignTo]]'s fused `keep == 1`
+    * path. */
+  private[graft] def assignToHof(cents: DataFrame)(side: DataFrame,
+      id: String, vec: String): DataFrame =
+    side
       .select(col(id).as("__id"), col(vec).as("__v"))
       .withColumn("__n", VectorFns.l2Norm(col("__v")))
       .crossJoin(broadcast(cents.select(col("c_id"), col("cv"), col("cn"))))
       .withColumn("__s",
         VectorFns.cosinePre(col("__v"), col("cv"), col("__n"), col("cn")))
-    if (keep == 1)
-      // map-side partial max_by: one skinny shuffle of n rows
-      scored.groupBy("__id")
-        .agg(max_by(col("c_id"), struct(col("__s"), col("c_id"))).as("c_id"))
-    else
-      TopK.perGroup(scored.select(col("__id"), col("c_id"), col("__s")),
-          groups = Seq(col("__id")),
-          order = Seq(col("__s").desc, col("c_id")), k = keep)
-        .select(col("__id"), col("c_id"))
-  }
+      .groupBy("__id")
+      .agg(max_by(col("c_id"), struct(col("__s"), col("c_id"))).as("c_id"))
 
   /** The trained half of the IVF layout: `(c_id, cv, cn)` centroids —
     * a deterministic hash-sample of corpus vectors (smallest

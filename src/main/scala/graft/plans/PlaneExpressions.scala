@@ -234,6 +234,173 @@ case class PlaneDots(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** The IVF assignment kernel, fused: the INDEX of the centroid
+  * maximizing `cos(v, c_i) = dot(v, c_i) / (|v| · cn_i)`, ties to
+  * the larger centroid id — one int per vector.
+  *
+  * Why an expression: the declarative assignment crossJoins every
+  * vector against the broadcast centroid frame (corpus ×
+  * numCentroids rows — 22M at sf1's 350k × 64) and re-aggregates
+  * with a `max_by` shuffle; this kernel is the whole E-step in one
+  * zero-Exchange scan (the [[graft.plans.PqCodes]] discipline
+  * applied to coarse assignment). Centroid matrix, norms, and ids
+  * ride as codegen reference objects.
+  *
+  * Parity contract (spec-pinned against the max_by form): dots are
+  * the exact `vec_dot` fold; `|v|` is `sqrt(vec_dot(v, v))` computed
+  * once per row; `s = dot / (|v| · cn_i)` with the same operation
+  * order; comparison is SQL double ordering over `struct(s, id)` —
+  * a null dot (length mismatch / null element / null vector) sorts
+  * below every real s, NaN above, −0.0 == 0.0, and equal s resolves
+  * to the larger centroid ID (not index). All-null margins therefore
+  * return the largest id's index, exactly as `max_by` over
+  * `struct(null, id)` rows does. */
+case class CosineArgmax(child: Expression, ids: Seq[Long],
+                        planes: Seq[Seq[Double]], norms: Seq[Double])
+    extends PlaneFamilyExpression {
+  require(planes.nonEmpty && ids.length == planes.length &&
+    norms.length == planes.length,
+    "ids, centroid vectors, and norms must align")
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val cnArr: Array[Double] = norms.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cosine_argmax"
+  override def toString: String =
+    s"cosine_argmax($child, cents=$shapeTag)"
+  override def sql: String =
+    s"cosine_argmax(${child.sql}, cents=$shapeTag)"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val va = if (v == null) null else v.asInstanceOf[ArrayData]
+    // |v| once per row: the exact l2Norm fold; null vector or null
+    // element -> null norm -> every margin null
+    var vn = 0.0
+    var vnNull = va == null
+    if (!vnNull) {
+      val isFloat = vecElemIsFloat
+      var i = 0
+      var sum = 0.0
+      while (i < va.numElements() && !vnNull) {
+        if (va.isNullAt(i)) vnNull = true
+        else {
+          val x = if (isFloat) va.getFloat(i).toDouble else va.getDouble(i)
+          sum += x * x
+        }
+        i += 1
+      }
+      if (!vnNull) vn = math.sqrt(sum)
+    }
+    var best = 0
+    var bestS = 0.0
+    var bestNull = true
+    var first = true
+    var c = 0
+    while (c < matrix.length) {
+      val dot = if (vnNull) null else dotPlane(va, matrix(c))
+      val sNull = dot == null
+      val s = if (sNull) 0.0 else dot.doubleValue() / (vn * cnArr(c))
+      val take =
+        if (first) true
+        else if (sNull) bestNull && idArr(c) > idArr(best)
+        else bestNull || sqlGt(s, bestS) ||
+          (sqlEq(s, bestS) && idArr(c) > idArr(best))
+      if (take) { best = c; bestS = s; bestNull = sNull; first = false }
+      c += 1
+    }
+    best
+  }
+
+  private def sqlGt(a: Double, b: Double): Boolean =
+    if (a > b) true
+    else if (a < b || a == b) false
+    else java.lang.Double.compare(a, b) > 0 // NaN greatest
+  private def sqlEq(a: Double, b: Double): Boolean =
+    a == b || (a != a && b != b) // -0.0 == 0.0; NaN == NaN for order
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val childGen = child.genCode(ctx)
+    val centsRef = ctx.addReferenceObj("cents", matrix, "double[][]")
+    val cnRef = ctx.addReferenceObj("cns", cnArr, "double[]")
+    val idRef = ctx.addReferenceObj("cids", idArr, "long[]")
+    val get =
+      if (vecElemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    val va = ctx.freshName("va")
+    val vn = ctx.freshName("vn")
+    val vnNull = ctx.freshName("vnNull")
+    val sum = ctx.freshName("sum")
+    val i = ctx.freshName("i")
+    val best = ctx.freshName("best")
+    val bestS = ctx.freshName("bestS")
+    val bestNull = ctx.freshName("bestNull")
+    val first = ctx.freshName("first")
+    val c = ctx.freshName("c")
+    val pl = ctx.freshName("pl")
+    val dot = ctx.freshName("dot")
+    val sNull = ctx.freshName("sNull")
+    val s = ctx.freshName("s")
+    val take = ctx.freshName("take")
+    val gt = ctx.freshName("gt")
+    val eq = ctx.freshName("eq")
+    val code =
+      code"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData $va =
+         |  ${childGen.isNull} ? null : ${childGen.value};
+         |double $vn = 0.0;
+         |boolean $vnNull = $va == null;
+         |if (!$vnNull) {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $va.numElements() && !$vnNull; $i++) {
+         |    if ($va.isNullAt($i)) { $vnNull = true; }
+         |    else { double x = ${get(va, i)}; $sum += x * x; }
+         |  }
+         |  if (!$vnNull) $vn = Math.sqrt($sum);
+         |}
+         |int $best = 0;
+         |double $bestS = 0.0;
+         |boolean $bestNull = true;
+         |boolean $first = true;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $pl = $centsRef[$c];
+         |  boolean $sNull = $vnNull || $va.numElements() != $pl.length;
+         |  double $dot = 0.0;
+         |  if (!$sNull) {
+         |    for (int $i = 0; $i < $pl.length && !$sNull; $i++) {
+         |      if ($va.isNullAt($i)) { $sNull = true; }
+         |      else { $dot += ${get(va, i)} * $pl[$i]; }
+         |    }
+         |  }
+         |  double $s = $sNull ? 0.0 : $dot / ($vn * $cnRef[$c]);
+         |  boolean $take;
+         |  if ($first) { $take = true; }
+         |  else if ($sNull) {
+         |    $take = $bestNull && $idRef[$c] > $idRef[$best];
+         |  } else {
+         |    boolean $gt = ($s > $bestS) ||
+         |      (Double.isNaN($s) && !Double.isNaN($bestS));
+         |    boolean $eq = ($s == $bestS) ||
+         |      (Double.isNaN($s) && Double.isNaN($bestS));
+         |    $take = $bestNull || $gt ||
+         |      ($eq && $idRef[$c] > $idRef[$best]);
+         |  }
+         |  if ($take) { $best = $c; $bestS = $s; $bestNull = $sNull;
+         |    $first = false; }
+         |}
+         |int ${ev.value} = $best;
+       """.stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CosineArgmax = copy(child = newChild)
+}
+
 object PlaneExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -245,4 +412,10 @@ object PlaneExpressions {
   /** All plane dots of a vector (array<double>, null per missing dot). */
   def planeDots(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(PlaneDots(ColumnBridge.expression(vec), planes))
+
+  /** Index of the max-cosine centroid (int; see [[CosineArgmax]]). */
+  def cosineArgmax(vec: Column, ids: Seq[Long],
+                   cents: Seq[Seq[Double]], norms: Seq[Double]): Column =
+    ColumnBridge.column(
+      CosineArgmax(ColumnBridge.expression(vec), ids, cents, norms))
 }

@@ -302,6 +302,60 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("fused CosineArgmax assignment == declarative max_by, centroid ties and null edges included; zero Exchange") {
+    import spark.implicits._
+    val emb = t.embeddings.where(VectorFns.l2Norm(col("embedding")) > 0)
+    val cents = Similarity.ivfCentroids(emb, numCentroids = 16,
+      lloydIters = 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("__id").cast("long"), col("c_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val fused = Similarity.assignTo(cents)(emb, "vec_id", "embedding", 1)
+    val declarative = Similarity.assignToHof(cents)(emb, "vec_id",
+      "embedding")
+    assert(pairs(fused).nonEmpty && pairs(fused) == pairs(declarative),
+      "fused assignment diverged from max_by")
+    // the fused E-step is one scan: no Exchange in the plan (the
+    // declarative form shuffles for its aggregate)
+    fused.write.format("noop").mode("overwrite").save()
+    assert(!fused.queryExecution.executedPlan.toString.contains("Exchange"))
+    // duplicated centroids force a cosine tie on every vector — both
+    // forms must resolve to the LARGER centroid id (the duplicates,
+    // ids 900-901, shadow the originals)
+    val dup = cents.limit(2)
+      .withColumn("c_id", col("c_id") * 0 + 900 +
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("c_id")) - 1))
+    val withDup = cents.unionByName(dup)
+    val f2 = pairs(Similarity.assignTo(withDup)(emb, "vec_id",
+      "embedding", 1))
+    val d2 = pairs(Similarity.assignToHof(withDup)(emb, "vec_id",
+      "embedding"))
+    assert(f2 == d2)
+    assert(f2.exists(_._2 >= 900), "no tie ever resolved to a duplicate")
+    // null-element vectors: every margin is null on both paths, and
+    // both resolve to the LARGEST centroid id (max_by over
+    // struct(null, id) rows)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, true), true)))
+    val weird = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, null),
+        Row(2L, (0 until 64).map(i =>
+          if (i == 3) null else java.lang.Double.valueOf(1.0)))),
+      schema)
+    val fw = pairs(Similarity.assignTo(cents)(weird, "vec_id",
+      "embedding", 1))
+    val dw = pairs(Similarity.assignToHof(cents)(weird, "vec_id",
+      "embedding"))
+    assert(fw == dw)
+    val maxId = cents.agg(max(col("c_id"))).head().getLong(0)
+    assert(fw.forall(_._2 == maxId))
+  }
+
   test("IVF probe covers the exact top-1 for most queries") {
     val queries = t.embeddings.where(col("vec_id") < 8)
     val exact = Similarity.annTopKCosine(t.embeddings, queries, k = 1)
