@@ -477,6 +477,79 @@ class PqSpec extends GraftSuite {
       f"[pq-spec] 16x256 encode: fused=$tFused%.2f s declarative=$tHof%.2f s")
   }
 
+  test("randomized adversarial parity sweep: PqCodes and CosineArgmax == declarative forms on generated garbage") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // seeded generator: vectors of varying length (0..70 around the
+    // dim-16 codebooks), elements drawn from gaussians plus the full
+    // pathology set (NaN, ±Inf, ±0.0, nulls), whole-null vectors —
+    // the fixed edge tests pin specific cases; this sweeps the
+    // product space. Parity domain: everything the declarative forms
+    // define (out-of-range CODES are excluded — there the fused
+    // kernels are deliberately stricter, spec'd separately).
+    val rng = new scala.util.Random(97)
+    def elem(): Any = rng.nextInt(12) match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case 2 => Double.NegativeInfinity
+      case 3 => -0.0
+      case 4 => 0.0
+      case 5 => null
+      case _ => rng.nextGaussian() * math.pow(10, rng.nextInt(5) - 2)
+    }
+    def vec(): Any = rng.nextInt(10) match {
+      case 0 => null
+      case 1 => Seq.empty[java.lang.Double]
+      case 2 => (0 until rng.nextInt(15)).map(_ => elem()) // short
+      case 3 => (0 until 17 + rng.nextInt(54)).map(_ => elem()) // long
+      case _ => (0 until 16).map(_ => elem())
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, true), true)))
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      (0 until 600).map(i => Row(i.toLong, vec())): _*)
+    val fuzz = spark.createDataFrame(rows, schema)
+    // random codebook (4 sub × 8 codewords × dsub 4) with a
+    // duplicated codeword and a zero codeword (cn² = 0) per subspace
+    val fuzzBooks = (0 until 4).flatMap { sub =>
+      val base = Seq.tabulate(6)(_ =>
+        Seq.fill(4)(rng.nextGaussian()))
+      (base :+ base(1) :+ Seq.fill(4)(0.0)).zipWithIndex.map {
+        case (cv, c) => (sub, c, cv) }
+    }.toDF("sub", "c", "cv")
+    val fusedCodes = Pq.pqEncode(fuzz, fuzzBooks)
+      .select(col("vec_id"), col("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val hofCodes = Pq.pqEncodeHof(fuzz, fuzzBooks)
+      .select(col("vec_id"), col("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(fusedCodes.size == 600 && fusedCodes == hofCodes,
+      "PqCodes diverged from the declarative chain on fuzz input: " +
+        fusedCodes.toSeq.sortBy(_._1)
+          .zip(hofCodes.toSeq.sortBy(_._1))
+          .find { case (a, b) => a != b }.toString)
+    // random centroid frame (ids shuffled, a duplicated vector, a
+    // zero-norm centroid) — cn computed exactly as ivfCentroids does
+    val centVecs = Seq.tabulate(9)(_ => Seq.fill(16)(rng.nextGaussian()))
+    val centRows = (centVecs :+ centVecs(3) :+ Seq.fill(16)(0.0))
+      .zip(rng.shuffle((0 until 11).map(_.toLong * 7 + 3)))
+      .map { case (cv, id) => (id, cv) }
+    val cents = centRows.toDF("c_id", "cv")
+      .withColumn("cn", graft.functions.VectorFns.l2Norm(col("cv")))
+    def pairs(df: DataFrame) = df
+      .select(col("__id"), col("c_id")).as[(Long, Long)].collect().toSet
+    val fusedAsg = pairs(Similarity.assignTo(cents)(fuzz, "vec_id",
+      "embedding", 1))
+    val hofAsg = pairs(Similarity.assignToHof(cents)(fuzz, "vec_id",
+      "embedding"))
+    assert(fusedAsg.size == 600 && fusedAsg == hofAsg,
+      "CosineArgmax diverged from max_by on fuzz input: " +
+        (fusedAsg -- hofAsg).take(3).toString + " vs " +
+        (hofAsg -- fusedAsg).take(3).toString)
+  }
+
   test("fused Lloyd E-step == declarative assignSubs on a float-exact corpus, codeword ties included") {
     val s = spark; import s.implicits._
     // integer-valued vectors: dots, norms, and squared distances are
