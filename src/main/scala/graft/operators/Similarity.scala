@@ -437,18 +437,18 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
     require(cents.nonEmpty, "no centroids to assign against")
-    val planes = cents.map(_._2.toSeq).toSeq
-    val cids = typedLit(cents.map(_._1).toSeq)
-    val cns = typedLit(cents.map(_._3).toSeq)
+    // the fused CosineArgmax kernel (r9) — same SQL-ordering-exact
+    // argmax the interpreted planeDots/array_max chain computed
+    // (ties to the larger id, null dots smallest, NaN greatest),
+    // still one stateless scan so the stream claim is unchanged
+    val ids = cents.map(_._1).toSeq
+    val idx = graft.plans.PlaneExpressions.cosineArgmax(col("ec"),
+      ids, cents.map(_._2.toSeq).toSeq, cents.map(_._3).toSeq)
     vecs.select(col(idCol).as("n_id"), col(vecCol).as("ec"))
       .withColumn("nc", VectorFns.l2Norm(col("ec")))
-      .withColumn("__best", array_max(transform(
-        graft.plans.PlaneExpressions.planeDots(col("ec"), planes),
-        (d, i) => struct(
-          (d / (col("nc") * element_at(cns, i + 1))).as("s"),
-          element_at(cids, i + 1).as("c")))))
-      .select(col("n_id"), col("__best.c").as("c_id"), col("ec"),
-        col("nc"))
+      .select(col("n_id"),
+        element_at(typedLit(ids), idx + 1).as("c_id"),
+        col("ec"), col("nc"))
   }
 
   /** Probe a STORED IVF layout: queries assign to their `nProbe`
