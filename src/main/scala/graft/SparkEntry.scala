@@ -214,6 +214,16 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables(s, dir).documents, col("doc_id"),
         col("text"), n = 3, threshold = 0.5, maxShingleDf = Some(64))),
 
+    // oracle-checked CONTAINMENT pairs (Broder 1997's asymmetric
+    // score): |S(a) ∩ S(b)| / |S(side)| per direction — the dedup
+    // mode that catches a document EMBEDDED in a much larger one,
+    // where Jaccard structurally collapses (a doc inside a 10×
+    // wrapper is ~0.1 resemblance, 1.0 containment; spec pins the
+    // contrast). Same candidate machinery and cap as q22.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir).documents, col("doc_id"),
+        col("text"), n = 3, threshold = 0.8, maxShingleDf = Some(64))),
+
     // rows-only: minhash signatures use xxhash64, not reproducible in SQL
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables(s, dir).documents, col("doc_id"),
@@ -1549,6 +1559,28 @@ object SparkEntry {
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Containment replay: the q22 candidate CTEs, scored per
+    // direction — n_common / |own shingle set| — and kept when
+    // either direction clears 0.8. Distinct string 3-gram sets have
+    // the same cardinalities as the hashed sets (collisions
+    // vanishing), exactly the q22 equivalence.
+    "q_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) i)),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |       CAST(n_common AS DOUBLE) / ca.n AS cont_a,
+        |       CAST(n_common AS DOUBLE) / cb.n AS cont_b
+        |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
+        |           JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE greatest(CAST(n_common AS DOUBLE) / ca.n,
+        |               CAST(n_common AS DOUBLE) / cb.n) >= 0.8""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),

@@ -73,20 +73,24 @@ object Dedup {
     * bit-exact oracle parity at graded SFs while surviving the scale
     * corpus.
     */
-  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-                   threshold: Double,
-                   maxShingleDf: Option[Int] = None): DataFrame = {
-    // Shingles travel as 64-bit hashes (graft.plans.HashedShingles, a
-    // fused codegen loop), not strings: the inverted-index shuffle
-    // carries 8-byte keys and the candidate groupBy compares longs.
-    // Set semantics are unchanged short of an intra-corpus xxhash64
-    // collision (~|shingles|²/2⁶⁴ — vanishing, and only ever merges
-    // two shingles).
-    // persisted: the (id, shingle) index feeds the per-doc counts and
-    // BOTH sides of the candidate self-join — without caching, the
-    // corpus text pass (normalize + shingle-hash + distinct shuffle)
-    // runs three times. The cached frame is two longs per shingle,
-    // ~50× smaller than the text it derives from.
+  /** Shingle-overlap counts shared by [[jaccardPairs]] and
+    * [[containmentPairs]]: `(id_a < id_b, n_common, n_a, n_b)` for
+    * every pair sharing ≥ 1 distinct shingle hash.
+    *
+    * Shingles travel as 64-bit hashes (graft.plans.HashedShingles, a
+    * fused codegen loop), not strings: the inverted-index shuffle
+    * carries 8-byte keys and the candidate groupBy compares longs.
+    * Set semantics are unchanged short of an intra-corpus xxhash64
+    * collision (~|shingles|²/2⁶⁴ — vanishing, and only ever merges
+    * two shingles).
+    * persisted: the (id, shingle) index feeds the per-doc counts and
+    * BOTH sides of the candidate self-join — without caching, the
+    * corpus text pass (normalize + shingle-hash + distinct shuffle)
+    * runs three times. The cached frame is two longs per shingle,
+    * ~50× smaller than the text it derives from. */
+  private def shingleOverlap(df: DataFrame, id: Column, text: Column,
+                             n: Int, maxShingleDf: Option[Int])
+      : DataFrame = {
     val w = split(Cleanser.normalized(text), " ")
     val sh0 = df.select(id.as("id"), w.as("__w"))
       .where(size(col("__w")) >= n)
@@ -103,17 +107,49 @@ object Dedup {
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
-    val common = a.join(b, "shingle")
+    a.join(b, "shingle")
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
       .join(cnt.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(cnt.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+  }
+
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                   threshold: Double,
+                   maxShingleDf: Option[Int] = None): DataFrame =
+    shingleOverlap(df, id, text, n, maxShingleDf)
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Asymmetric CONTAINMENT near-dup pairs (Broder, "On the
+    * resemblance and containment of documents", SEQUENCES 1997 — a
+    * published method): `containment(a ⊆ b) = |S(a) ∩ S(b)| / |S(a)|`.
+    * Resemblance (Jaccard) collapses when sizes diverge — a document
+    * fully embedded in one 10× larger scores ~0.1 Jaccard but 1.0
+    * containment — so this is the dedup mode that catches quotes,
+    * boilerplate wrappers, and doc-in-doc embeddings the symmetric
+    * score structurally misses (spec-pinned contrast).
+    *
+    * Output keeps `id_a < id_b` with BOTH directions' scores
+    * (`cont_a` = share of a's shingles inside b, `cont_b` the
+    * reverse) plus the raw counts, kept when either direction clears
+    * `threshold` — downstream policy picks the orientation (usually:
+    * drop the contained side). Same candidate shape as
+    * [[jaccardPairs]] (shingle-keyed equi-join, never a cartesian,
+    * same `maxShingleDf` boilerplate cap) and the same
+    * integer-counts-plus-one-division float surface, so the DuckDB
+    * oracle replays it exactly. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                       threshold: Double,
+                       maxShingleDf: Option[Int] = None): DataFrame =
+    shingleOverlap(df, id, text, n, maxShingleDf)
+      .withColumn("cont_a", col("n_common") / col("n_a"))
+      .withColumn("cont_b", col("n_common") / col("n_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b",
+        "cont_a", "cont_b")
 
   /** Incremental exact-Jaccard near-dup detection: pairs between a NEW
     * batch and the union of a REFERENCE corpus and the batch itself —

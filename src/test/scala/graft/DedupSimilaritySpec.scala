@@ -681,6 +681,47 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("containmentPairs catches an embedded document where Jaccard structurally collapses; scores exact; cap shared") {
+    import spark.implicits._
+    val rng = new scala.util.Random(67)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    def noise(n: Int) = Vector.fill(n)(vocab(rng.nextInt(vocab.size)))
+    // a 12-token document embedded verbatim inside a ~10x wrapper:
+    // containment(inner ⊆ wrapper) = 1.0 while Jaccard ~ 0.1
+    val inner = Vector("one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine", "ten", "eleven", "twelve")
+    val wrapper = (noise(55) ++ inner ++ noise(55)).mkString(" ")
+    val docs = Seq((700001L, inner.mkString(" ")), (700002L, wrapper),
+      (700003L, noise(40).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.8)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    val hit = cont.find(r => r._1 == 700001L && r._2 == 700002L)
+    assert(hit.isDefined, s"embedded doc not caught: ${cont.toSeq}")
+    // every one of the inner doc's 10 3-gram shingles appears in the
+    // wrapper: cont_a == 1.0 exactly; counts are exact
+    val (_, _, nc, na, _, ca2, cb2) = hit.get
+    assert(na == 10 && nc == 10 && ca2 == 1.0,
+      s"containment not exact: n_a=$na n_common=$nc cont_a=$ca2")
+    assert(cb2 < 0.2, s"wrapper-side containment should be small: $cb2")
+    // the symmetric score misses it at any workable threshold
+    val jac = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(r => r._1 == 700001L && r._2 == 700002L),
+      "Jaccard at 0.5 caught the embedded pair — contrast broken")
+    // noise doc pairs stay out
+    assert(!cont.exists(r => r._1 == 700003L || r._2 == 700003L))
+    // the boilerplate cap plumbs through the shared machinery: with
+    // every shingle capped out (df cap 1 on a duplicated corpus),
+    // no pair survives
+    val dup = Seq((1L, wrapper), (2L, wrapper)).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(dup, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5, maxShingleDf = Some(1)).isEmpty)
+  }
+
   test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
     import spark.implicits._
     // two spam docs of one repeated token: every k-gram hashes
