@@ -247,6 +247,20 @@ object SparkEntry {
         maxShingleDf = Some(64))
     }),
 
+    // oracle-checked incremental containment: the daily-ingest shape
+    // for the asymmetric detector (every detector family carries
+    // one) — candidates new×ref ∪ new×new, id_b always the new doc
+    // at risk; a new doc CONTAINED in the reference corpus is the
+    // re-post/quote the policy drops before it enters the store.
+    "q_dedup_containment_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.incrementalContainmentPairs(
+        newDocs = docs.where(col("doc_id") % 3 =!= 0),
+        refDocs = docs.where(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8,
+        maxShingleDf = Some(64))
+    }),
+
     // rows-only: the signature-store form of the incremental pass —
     // the reference corpus enters as its (id, sig) MinHash signature
     // frame (at scale a stored artifact; no reference text re-read),
@@ -1618,6 +1632,29 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
         |           JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5""".stripMargin,
+
+    // Incremental containment replay: the q56 candidate orientation
+    // (id_b new; ref×new ∪ new×new), the q107 per-direction scoring.
+    "q_dedup_containment_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) i)),
+        |m AS (SELECT doc_id, s,
+        |             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_ref
+        |      FROM sh),
+        |cnt AS (SELECT doc_id, count(*) n FROM m GROUP BY 1),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+        |          FROM m a JOIN m b ON a.s = b.s AND b.is_ref = 0
+        |           AND (a.is_ref = 1 OR a.doc_id < b.doc_id)
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |       CAST(n_common AS DOUBLE) / ca.n AS cont_a,
+        |       CAST(n_common AS DOUBLE) / cb.n AS cont_b
+        |FROM pairs JOIN cnt ca ON ca.doc_id = id_a
+        |           JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE greatest(CAST(n_common AS DOUBLE) / ca.n,
+        |               CAST(n_common AS DOUBLE) / cb.n) >= 0.8""".stripMargin,
 
     // The seeded-MinHash LSH pipeline replayed in SQL: shingles →
     // per-seed md5 min (lexicographic min of equal-width hex ==

@@ -175,10 +175,16 @@ object Dedup {
     * index (matching what full-corpus [[jaccardPairs]] would see); at
     * scale the reference df counts come from the stored index.
     */
-  def incrementalJaccardPairs(newDocs: DataFrame, refDocs: DataFrame,
-                              id: Column, text: Column, n: Int,
-                              threshold: Double,
-                              maxShingleDf: Option[Int] = None): DataFrame = {
+  /** The incremental twin of [[shingleOverlap]] — candidates are
+    * new×ref ∪ new×new only (ref×ref never enumerates; `id_b` is
+    * always the new doc), shared by [[incrementalJaccardPairs]] and
+    * [[incrementalContainmentPairs]]. The df cap aggregates over the
+    * COMBINED index, matching what the one-shot run would apply. */
+  private def incrementalShingleOverlap(newDocs: DataFrame,
+                                        refDocs: DataFrame,
+                                        id: Column, text: Column, n: Int,
+                                        maxShingleDf: Option[Int])
+      : DataFrame = {
     def index(df: DataFrame, isRef: Int): DataFrame =
       df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
         .where(size(col("__w")) >= n)
@@ -200,17 +206,43 @@ object Dedup {
       .select(col("id").as("id_b"), col("shingle"))
     val matchSide = all.select(col("id").as("id_a"), col("is_ref"),
       col("shingle"))
-    val common = newSide.join(matchSide, "shingle")
+    newSide.join(matchSide, "shingle")
       .where(col("is_ref") === 1 || col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
       .join(cnt.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(cnt.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+  }
+
+  def incrementalJaccardPairs(newDocs: DataFrame, refDocs: DataFrame,
+                              id: Column, text: Column, n: Int,
+                              threshold: Double,
+                              maxShingleDf: Option[Int] = None): DataFrame =
+    incrementalShingleOverlap(newDocs, refDocs, id, text, n, maxShingleDf)
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Incremental [[containmentPairs]] — the daily-ingest shape for
+    * the asymmetric detector, completing its family membership
+    * (jaccard [[incrementalJaccardPairs]], MinHash, embeddings,
+    * winnowing, CDC all have one): candidates are new×ref ∪ new×new,
+    * `id_b` always the new doc at risk, scored per direction exactly
+    * as the one-shot operator. The typical policy this feeds: a new
+    * doc contained in the reference corpus (`cont_b` high when the
+    * new side is smaller) is a re-post or quote and gets dropped
+    * before it enters the store. */
+  def incrementalContainmentPairs(newDocs: DataFrame, refDocs: DataFrame,
+                                  id: Column, text: Column, n: Int,
+                                  threshold: Double,
+                                  maxShingleDf: Option[Int] = None)
+      : DataFrame =
+    incrementalShingleOverlap(newDocs, refDocs, id, text, n, maxShingleDf)
+      .withColumn("cont_a", col("n_common") / col("n_a"))
+      .withColumn("cont_b", col("n_common") / col("n_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b",
+        "cont_a", "cont_b")
 
   /** New-batch docs surviving [[incrementalJaccardPairs]]'s drop
     * policy (every new doc at risk in some pair drops; docs too short

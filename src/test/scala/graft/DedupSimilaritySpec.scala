@@ -722,6 +722,31 @@ class DedupSimilaritySpec extends GraftSuite {
       n = 3, threshold = 0.5, maxShingleDf = Some(1)).isEmpty)
   }
 
+  test("incremental containment == full-corpus pairs touching a new doc; id_b always new") {
+    import spark.implicits._
+    val docs = t.documents
+    def isNew(id: Long) = id % 3 != 0
+    val inc = Dedup.incrementalContainmentPairs(
+        newDocs = docs.where(col("doc_id") % 3 =!= 0),
+        refDocs = docs.where(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text"), n = 3, threshold = 0.4)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .toSet
+    // the one-shot run restricted to pairs touching a new doc,
+    // reoriented to the incremental convention (ref first; both-new
+    // keep id order, scores swap with the sides)
+    val full = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.4)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .filter { case (a, b, _, _, _, _, _) => isNew(a) || isNew(b) }
+      .map { case r @ (a, b, nc, na, nb, ca2, cb2) =>
+        if (isNew(a) && !isNew(b)) (b, a, nc, nb, na, cb2, ca2) else r
+      }.toSet
+    assert(inc.nonEmpty && inc == full,
+      s"incremental containment diverged: ${inc.size} vs ${full.size}")
+    assert(inc.forall { case (_, b, _, _, _, _, _) => isNew(b) })
+  }
+
   test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
     import spark.implicits._
     // two spam docs of one repeated token: every k-gram hashes
