@@ -27,10 +27,27 @@ import org.apache.spark.sql.functions._
   * refresh warm-start identity holds through a store round-trip.
   *
   * Writes follow the successor-directory discipline at the INDEX
-  * level: the whole index lands under a temp sibling and moves into
-  * place last, with `_INDEX_READY` as the commit marker — a reader
-  * never sees a half-written index (the PartitionedStore mid-write
-  * lesson applied to the composite artifact). */
+  * level: the whole index lands under a temp sibling, the previous
+  * committed index is renamed aside, the successor moves into place,
+  * the `_INDEX_READY` marker is written, and only then is the old
+  * index deleted — a reader never sees a half-written index, and a
+  * crash at ANY step leaves a complete artifact on disk (either the
+  * committed successor or the `.old` predecessor; the
+  * PartitionedStore mid-write lesson applied to the composite
+  * artifact).
+  *
+  * Commit contract (the part that survives a move to an object
+  * store): the MARKER is the commit, not the rename. Readers gate on
+  * `_INDEX_READY` alone ([[exists]]/[[read]]) and never list a
+  * marker-less directory; the directory rename is a local-filesystem
+  * optimization that makes the swap O(1) and keeps paths stable. On
+  * a store where directory rename is non-atomic or object-copy-priced
+  * (S3/ABFS-class), the same discipline holds by writing the
+  * successor under a NEW content-fingerprinted path (as
+  * `annTopKFromStoredIndex`'s callers already do), committing it by
+  * writing the marker last, and flipping a small pointer/manifest to
+  * the new path — no rename required, readers still gate on the
+  * marker. Nothing in the on-disk layout assumes rename semantics. */
 object PqIndexStore {
 
   /** A loaded serving index. `rotation`/`centroids` are present
@@ -89,9 +106,19 @@ object PqIndexStore {
       codes.write.mode("overwrite").parquet(s"$tmp/codes")
     if (residual)
       Files.writeString(Paths.get(tmp, ResidualMarker), "residual\n")
-    deleteRecursively(dir)
+    // commit: rename the old index ASIDE (never delete-then-move — a
+    // crash between those two left NO artifact), move the successor
+    // into place, mark it ready, and only then drop the predecessor.
+    // A crash at any step leaves either the committed old index (its
+    // marker rides the .old dir, recoverable by hand) or the
+    // committed successor; the marker-less window is the one rename.
+    val old = dir + ".old"
+    deleteRecursively(old) // stale leftover from a prior crash
+    if (Files.exists(Paths.get(dir)))
+      Files.move(Paths.get(dir), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(dir))
     Files.writeString(Paths.get(dir, Marker), "ready\n")
+    deleteRecursively(old)
   }
 
   /** Load an index written by [[write]]. Fails loudly on a missing

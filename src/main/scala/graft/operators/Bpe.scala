@@ -98,9 +98,20 @@ object Bpe {
     * ordering; spec-pinned against the distributed rounds). Pass
     * `localFinishMaxVocab = 0` to force the distributed path — the
     * fallback when the vocabulary itself is data-sized. Stops early
-    * when no pair repeats (fully merged). */
+    * when no pair repeats (fully merged).
+    *
+    * Driver-memory contract: the local path collects one
+    * `(word, count, symbol array)` tuple per vocabulary row and
+    * rebuilds the entries array + a pair-count map every merge round
+    * — budget ~0.5–1 KB of driver heap per row and O(vocab)
+    * single-threaded work per merge. The 300k default keeps that
+    * under ~300 MB and sub-second rounds; raise it explicitly (after
+    * sizing the driver) rather than by default — at the old 4M-row
+    * default a wide-vocab corpus silently bought multi-GB driver
+    * state. The threshold counts ROWS, not bytes: pathological
+    * corpora with huge distinct words should lower it or pass 0. */
   def train(df: DataFrame, text: Column, numMerges: Int,
-            localFinishMaxVocab: Long = 4000000L): Model = {
+            localFinishMaxVocab: Long = 300000L): Model = {
     require(numMerges >= 1, "at least one merge")
     val wc = wordCounts(df, text)
     val lim = math.min(localFinishMaxVocab, Int.MaxValue - 1L).toInt

@@ -134,8 +134,7 @@ object Pq {
     * each of the numSub output structs (the winnowFingerprints
     * lesson: that would re-run the argmin numSub times per row). */
   private def assignedSubvectors(book: Book, vecs: DataFrame,
-                                 idCol: String, vecCol: String)
-      : DataFrame = {
+                                 vecCol: String): DataFrame = {
     def let(bound: Column, body: Column => Column): Column =
       element_at(transform(array(bound), body), 1)
     val dsub = book.dsub
@@ -155,7 +154,15 @@ object Pq {
     * id) refined by `lloydIters` k-means steps, all subspaces in one
     * frame per pass. Train on a sample at scale; the returned frame
     * is localCheckpoint'ed (KB) for its downstream encode/probe
-    * collects. */
+    * collects.
+    *
+    * Float caveat (inherited from the fused E-step): assignment uses
+    * the `2·dot − |c|²` margin, algebraically the min-L2 argmin but
+    * float-exact against it only on integer-valued corpora (the spec
+    * corpus). On real float corpora a near-tie Lloyd assignment can
+    * flip vs a literal min-L2 trainer — both codebooks are valid
+    * k-means fixed-point candidates; downstream encode/probe always
+    * uses the SAME margin, so the pipeline is self-consistent. */
   def pqCodebooks(corpus: DataFrame, numSub: Int, numCodewords: Int = 256,
                   lloydIters: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding",
@@ -187,8 +194,7 @@ object Pq {
       val prev = cb
       // fused E-step: one scan, no corpus × codewords blow-up, no
       // argmax shuffle, no join-back (see assignedSubvectors)
-      val asg = assignedSubvectors(collectBook(prev), corpus,
-        idCol, vecCol)
+      val asg = assignedSubvectors(collectBook(prev), corpus, vecCol)
       cb = reId(meanStep(asg)).localCheckpoint(true)
       org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
     }

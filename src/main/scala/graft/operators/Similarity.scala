@@ -216,7 +216,14 @@ object Similarity {
     * column type (int-keyed stores stay int-keyed).
     *
     * `keep > 1` (query routing — a serving-batch-sized side) keeps
-    * the scored TopK form: the fan-out IS its output. */
+    * the scored TopK form: the fan-out IS its output.
+    *
+    * Precondition (keep == 1): `side`'s ids must be UNIQUE and
+    * non-null — the fused path is row-per-row (the point: zero
+    * Exchange), so a duplicate id yields one output row per input
+    * row where the old groupBy/max_by form yielded one per distinct
+    * id. Every caller routes a corpus/batch frame keyed by its
+    * primary id; dedupe upstream if that ever stops holding. */
   private[graft] def assignTo(cents: DataFrame)(side: DataFrame,
       id: String, vec: String, keep: Int): DataFrame = {
     if (keep == 1) {
