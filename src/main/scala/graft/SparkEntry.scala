@@ -261,6 +261,31 @@ object SparkEntry {
         maxShingleDf = Some(64))
     }),
 
+    // rows-only: the containment SCALE path — Broder's estimator
+    // over the (id, sig, n_sh) signature store (xxhash64 signatures,
+    // single-position banding so asymmetric pairs actually collide;
+    // r>=2 jaccard bands see a J=0.125 doc-in-doc pair with P~0.01).
+    // No shingle index touched: the same stored signatures q57 joins,
+    // plus one long per doc. Exact q107 is the oracle-green twin; the
+    // seeded entry below oracle-checks the ESTIMATOR itself.
+    "q_dedup_containment_minhash" -> ((s, dir) =>
+      Dedup.containmentFromSignatures(
+        Dedup.minhashSignaturesWithSize(Tables(s, dir).documents,
+          col("doc_id"), col("text"), n = 3, numHashes = 32),
+        numHashes = 32, threshold = 0.8)),
+
+    // oracle-checked containment estimator: md5-seeded signatures +
+    // the same single-position banding + the same Broder arithmetic,
+    // every stage ANSI-SQL-replayable (the q43 pattern) — so the
+    // estimator carries its own rows+schema+hash oracle instead of
+    // leaning only on the exact twin
+    "q_dedup_containment_minhash_seeded" -> ((s, dir) =>
+      Dedup.containmentFromSignatures(
+        Dedup.minhashSignaturesSeededWithSize(Tables(s, dir).documents,
+          col("doc_id"), col("text"), n = 3, numHashes = 16),
+        numHashes = 16, threshold = 0.8,
+        bandKey = (_, sl) => md5(concat_ws("|", sl)))),
+
     // rows-only: the signature-store form of the incremental pass —
     // the reference corpus enters as its (id, sig) MinHash signature
     // frame (at scale a stored artifact; no reference text re-read),
@@ -957,14 +982,16 @@ object SparkEntry {
     // token run measured exactly via the diagonal/islands identity
     // (a run of L tokens = L-k+1 consecutive k-gram matches on one
     // i-j diagonal) — never an O(|a|*|b|) LCS per pair. Complete for
-    // runs >= w + k - 1 = 8 by the winnowing guarantee. The default
-    // maxHashPerDoc = 64 (mirrored in the hv CTE) bounds the verify
-    // join on hyper-repetitive text: first 64 positions per
-    // (doc, hash) kept, so spam pairs still verify, conservatively.
+    // runs >= w + k - 1 = 8 by the winnowing guarantee. The explicit
+    // maxHashPerDoc = 64 opt-in (mirrored in the hv CTE) bounds the
+    // verify join on hyper-repetitive text: first 64 positions per
+    // (doc, hash) kept, so spam pairs still verify, conservatively
+    // (the operator default is None = exact run lengths).
     "q_dedup_winnow_verified" -> ((s, dir) =>
       Dedup.winnowVerifiedPairs(Tables(s, dir).documents,
         col("doc_id"), col("text"), k = 5, w = 4,
-        hashKey = QualityModel.seededKey, maxFpDf = Some(64))),
+        hashKey = QualityModel.seededKey, maxFpDf = Some(64),
+        maxHashPerDoc = Some(64))),
 
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
@@ -1655,6 +1682,47 @@ object SparkEntry {
         |           JOIN cnt cb ON cb.doc_id = id_b
         |WHERE greatest(CAST(n_common AS DOUBLE) / ca.n,
         |               CAST(n_common AS DOUBLE) / cb.n) >= 0.8""".stripMargin,
+
+    // The seeded containment ESTIMATOR replayed in SQL end-to-end:
+    // md5 signatures + distinct-shingle sizes → single-position band
+    // keys (md5 of the one-element slice, matching Spark's
+    // concat_ws on a 1-slice) → bucket equi-join → agreement
+    // fraction → Broder arithmetic in the SAME operation order as
+    // the Spark column graph (ej/(1+ej)*(na+nb) then /n, least,
+    // greatest), so doubles match bit-for-bit.
+    "q_dedup_containment_minhash_seeded" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_transform(generate_series(0, len(w)-3),
+        |           i -> array_to_string(w[i+1:i+3], ' ')) shl
+        |       FROM t WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id,
+        |          list_transform(generate_series(0, 15), k ->
+        |            list_min(list_transform(shl,
+        |              s -> md5(CAST(k AS VARCHAR) || '|' || s)))) sig,
+        |          CAST(len(list_distinct(shl)) AS BIGINT) n_sh
+        |        FROM sh),
+        |banded AS (SELECT doc_id, sig, n_sh, b,
+        |             md5(array_to_string(sig[b+1:b+1], '|')) bh
+        |           FROM sig, LATERAL (SELECT unnest(generate_series(0, 15)) b)),
+        |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b,
+        |                a.sig sa, b.sig sb, a.n_sh na, b.n_sh nb
+        |         FROM banded a JOIN banded b
+        |           ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (SELECT id_a, id_b, na, nb,
+        |          CAST(len(list_filter(generate_series(1, 16),
+        |            i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
+        |        FROM cand),
+        |sc AS (SELECT id_a, id_b, est_jaccard,
+        |         least(CAST(1.0 AS DOUBLE),
+        |           est_jaccard / (1.0 + est_jaccard) * (na + nb) / na)
+        |           AS cont_a,
+        |         least(CAST(1.0 AS DOUBLE),
+        |           est_jaccard / (1.0 + est_jaccard) * (na + nb) / nb)
+        |           AS cont_b
+        |       FROM est)
+        |SELECT id_a, id_b, est_jaccard, cont_a, cont_b
+        |FROM sc WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin,
 
     // The seeded-MinHash LSH pipeline replayed in SQL: shingles →
     // per-seed md5 min (lexicographic min of equal-width hex ==

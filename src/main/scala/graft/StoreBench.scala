@@ -596,12 +596,48 @@ object StoreBench {
       }
     }
 
+    // shingle kind: the q107/q108 containment (and q56 jaccard)
+    // stored index — (id, shingle, n_sh) bucketed by shingle, so the
+    // candidate equi-join AND the df-cap aggregate both meet the
+    // store without a store-side Exchange (BucketingSpec pins the
+    // plan; this arm prices it). The timed body is the
+    // index-vs-index increment only — the batch's own shingling is
+    // identical on both arms (it feeds the post-increment append
+    // either way) and would drown the store delta.
+    val shingleKind = new StoreKind {
+      private val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      private val isNew = pmod(xxhash64(col("doc_id")), lit(20)) === 0
+      private def idxOf(d: DataFrame): DataFrame =
+        Dedup.shingleIndex(d, col("doc_id"), col("text"), n = 3)
+      def keys: Seq[String] = Seq("shingle")
+      def refIndex(): DataFrame = idxOf(
+        (0 until storeScale).map(i =>
+            docs.where(!isNew).select(
+              (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _))
+      def dayIndex(d: Int): DataFrame = idxOf(
+        docs.where(pmod(xxhash64(col("doc_id")), lit(20)) === d)
+          .select((col("doc_id") + lit(900000000L + d * 10000000L))
+            .as("doc_id"), col("text")))
+      def prepIncrement(): (DataFrame => Unit, Long) = {
+        val dir = s"$warehouse/new_shingle_idx"
+        idxOf(docs.where(isNew)).write.mode("overwrite").parquet(dir)
+        val newIdx = spark.read.parquet(dir)
+        (store => Dedup.incrementalContainmentPairsFromIndexes(
+            newIdx, store, threshold = 0.8, maxShingleDf = Some(64))
+          .write.format("noop").mode("overwrite").save(),
+          newIdx.count())
+      }
+    }
+
     val layout: StoreKind = kind match {
       case "signband" => signBandKind
       case "ivf" => ivfKind
       case "pq" => pqKind
       case "opq" => opqKind
       case "cdc" => cdcKind
+      case "shingle" => shingleKind
       case _ => sigKind
     }
 

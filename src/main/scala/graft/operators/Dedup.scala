@@ -175,42 +175,163 @@ object Dedup {
     * index (matching what full-corpus [[jaccardPairs]] would see); at
     * scale the reference df counts come from the stored index.
     */
+  /** The STORED shape of a shingle-dedup corpus: one row per
+    * (id, distinct shingle hash) with the doc's total shingle count
+    * `n_sh` riding every row — `(id, shingle, n_sh)`, two longs and
+    * a count, ~50× smaller than the text it derives from. Write it
+    * once (bucketed by `shingle`, see [[io.Bucketing]] — the
+    * candidate equi-join AND the df-cap aggregate both key on
+    * `shingle`, so a bucketed scan satisfies their clustering and
+    * the store never re-shuffles) and every later increment joins
+    * against it via [[incrementalJaccardPairsFromIndex]] /
+    * [[incrementalContainmentPairsFromIndex]] WITHOUT re-reading,
+    * re-normalizing or re-shingling reference text — the corpus
+    * text pass is the cost the incremental family exists to avoid.
+    * `n_sh` is the PRE-cap count (a property of the doc, not of any
+    * query's df cap), counted by an id-partitioned window — never a
+    * single-partition window. */
+  def shingleIndex(df: DataFrame, id: Column, text: Column, n: Int)
+      : DataFrame = {
+    val sh = df.select(id.as("id"),
+        split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("id"),
+        explode(HashExpressions.hashedShingles(col("__w"), n)).as("shingle"))
+      .distinct()
+    sh.withColumn("n_sh", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("id")))
+  }
+
   /** The incremental twin of [[shingleOverlap]] — candidates are
     * new×ref ∪ new×new only (ref×ref never enumerates; `id_b` is
     * always the new doc), shared by [[incrementalJaccardPairs]] and
     * [[incrementalContainmentPairs]]. The df cap aggregates over the
-    * COMBINED index, matching what the one-shot run would apply. */
+    * COMBINED index, matching what the one-shot run would apply.
+    * Builds the reference [[shingleIndex]] from text and delegates to
+    * the FromIndex form (persisted here: the computed index feeds the
+    * df cap, the per-doc counts and the candidate join — a stored
+    * index is a cheap column-pruned parquet scan and skips this). */
   private def incrementalShingleOverlap(newDocs: DataFrame,
                                         refDocs: DataFrame,
                                         id: Column, text: Column, n: Int,
                                         maxShingleDf: Option[Int])
       : DataFrame = {
-    def index(df: DataFrame, isRef: Int): DataFrame =
-      df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
-        .where(size(col("__w")) >= n)
-        .select(col("id"),
-          explode(HashExpressions.hashedShingles(col("__w"), n)).as("shingle"))
-        .distinct()
-        .withColumn("is_ref", lit(isRef))
-    // persisted: the union index feeds the df cap, the per-doc counts
-    // and both candidate join sides
-    val all0 = index(refDocs, 1).unionByName(index(newDocs, 0))
+    val refIdx = shingleIndex(refDocs, id, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val all = maxShingleDf.fold(all0) { cap =>
-      val dfreq = all0.groupBy("shingle").agg(count(lit(1)).as("__df"))
-        .where(col("__df") <= cap).select("shingle")
-      all0.join(dfreq, "shingle")
+    incrementalShingleOverlapFromIndex(newDocs, refIdx, id, text, n,
+      maxShingleDf)
+  }
+
+  /** [[incrementalShingleOverlap]] with the reference side given as
+    * an already-built `(id, shingle, n_sh)` index (e.g. `spark.table`
+    * over the bucketed store [[shingleIndex]] writes). Exactly the
+    * from-docs algebra with the stored frame substituted for the
+    * recomputed one — bit-identical output (spec-pinned), no
+    * reference text touched:
+    *
+    *  - the df cap counts over store ∪ batch (what the one-shot run
+    *    on the union would apply): per-shingle counts from each side
+    *    summed through one shingle-keyed join — the store side's
+    *    aggregate and join both key on the bucket column, so a
+    *    bucketed store never re-shuffles;
+    *  - uncapped, per-doc sizes come STRAIGHT from the carried
+    *    `n_sh` — no per-doc aggregate, no join-back; with a cap,
+    *    post-cap sizes are recomputed by groupBy(id) over surviving
+    *    rows (slim long pairs), exactly as the one-shot run counts;
+    *  - new×ref and new×new candidates run as two separate
+    *    shingle-keyed joins unioned as PAIR frames (disjoint by
+    *    construction), so the store join never pays a union's lost
+    *    partitioning. */
+  private def incrementalShingleOverlapFromIndex(
+      newDocs: DataFrame, refIndex: DataFrame,
+      id: Column, text: Column, n: Int,
+      maxShingleDf: Option[Int]): DataFrame =
+    incrementalShingleOverlapFromIndexes(
+      shingleIndex(newDocs, id, text, n), refIndex, maxShingleDf)
+
+  /** Both sides as [[shingleIndex]] frames — the innermost form: a
+    * deployment indexes the batch ONCE (it appends that index to the
+    * store after the increment anyway), so the increment proper is
+    * pure index-vs-index algebra. */
+  private def incrementalShingleOverlapFromIndexes(
+      newIndex: DataFrame, refIndex: DataFrame,
+      maxShingleDf: Option[Int]): DataFrame = {
+    Seq("refIndex" -> refIndex, "newIndex" -> newIndex).foreach {
+      case (nm, f) =>
+        require(Seq("id", "shingle", "n_sh").forall(f.columns.contains),
+          s"$nm must be a shingleIndex frame: (id, shingle, n_sh)")
     }
-    val cnt = all.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val newSide = all.where(col("is_ref") === 0)
-      .select(col("id").as("id_b"), col("shingle"))
-    val matchSide = all.select(col("id").as("id_a"), col("is_ref"),
-      col("shingle"))
-    newSide.join(matchSide, "shingle")
-      .where(col("is_ref") === 1 || col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-      .join(cnt.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(cnt.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    // persisted: the batch index feeds the df cap, the per-doc counts
+    // and both sides of the self-join (batch-sized — tiny next to the
+    // store); the caller owns cache lifetime
+    val newIdx = newIndex
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    maxShingleDf match {
+      case None =>
+        // carried n_sh: no per-doc aggregate anywhere
+        pairCounts(
+          newIdx.select(col("id").as("id_b"), col("shingle"),
+            col("n_sh").as("n_b")),
+          refIndex.select(col("id").as("id_a"), col("shingle"),
+            col("n_sh").as("n_a")))
+      case Some(cap) =>
+        // union df: per-side shingle counts summed through one
+        // shingle-keyed join (store side stays bucket-clustered)
+        val refDf = refIndex.groupBy("shingle")
+          .agg(count(lit(1)).as("__rdf"))
+        val newDf = newIdx.groupBy("shingle")
+          .agg(count(lit(1)).as("__ndf"))
+        val ok = refDf.join(newDf, Seq("shingle"), "full_outer")
+          .where(coalesce(col("__rdf"), lit(0L)) +
+            coalesce(col("__ndf"), lit(0L)) <= cap)
+          .select("shingle")
+        val refCapped = refIndex.join(ok, "shingle")
+        val newCapped = newIdx.join(ok, "shingle")
+        // post-cap per-doc sizes, recomputed exactly as the one-shot
+        // run counts them (slim (id) longs — the text pass is gone)
+        def cnt(idx: DataFrame) =
+          idx.groupBy("id").agg(count(lit(1)).as("__n"))
+        val pairs = pairCounts(
+          newCapped.select(col("id").as("id_b"), col("shingle")),
+          refCapped.select(col("id").as("id_a"), col("shingle")),
+          carrySizes = false)
+        pairs
+          .join(cnt(refCapped.select("id", "shingle")
+              .unionByName(newCapped.select("id", "shingle")))
+            .select(col("id").as("id_a"), col("__n").as("n_a")), "id_a")
+          .join(cnt(newCapped.select("id", "shingle"))
+            .select(col("id").as("id_b"), col("__n").as("n_b")), "id_b")
+    }
+  }
+
+  /** Candidate pair counts for the incremental overlap: new×ref from
+    * one shingle equi-join, new×new from the batch self-join
+    * (`id_a < id_b`), unioned as pair frames and counted once — the
+    * two families are disjoint (ref ids never appear as a new id), so
+    * no cross-family dedup. With `carrySizes`, each side's `n_*`
+    * rides the join and survives the aggregate as `first` (constant
+    * within a pair group). */
+  private def pairCounts(newSide: DataFrame, refSide: DataFrame,
+                         carrySizes: Boolean = true): DataFrame = {
+    val sizeColsB = if (carrySizes) Seq(col("n_b")) else Nil
+    val sizeColsA = if (carrySizes) Seq(col("n_a")) else Nil
+    val vsRef = newSide.join(refSide, "shingle")
+    val vsNew = newSide.join(
+      newSide.select((Seq(col("id_b").as("id_a"), col("shingle")) ++
+        (if (carrySizes) Seq(col("n_b").as("n_a")) else Nil)): _*),
+      "shingle")
+      .where(col("id_a") < col("id_b"))
+    val unioned = vsRef.select((Seq(col("id_a"), col("id_b")) ++
+      sizeColsA ++ sizeColsB): _*)
+      .unionByName(vsNew.select((Seq(col("id_a"), col("id_b")) ++
+        sizeColsA ++ sizeColsB): _*))
+    if (carrySizes)
+      unioned.groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_common"),
+          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    else
+      unioned.groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_common"))
   }
 
   def incrementalJaccardPairs(newDocs: DataFrame, refDocs: DataFrame,
@@ -218,6 +339,43 @@ object Dedup {
                               threshold: Double,
                               maxShingleDf: Option[Int] = None): DataFrame =
     incrementalShingleOverlap(newDocs, refDocs, id, text, n, maxShingleDf)
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** [[incrementalJaccardPairs]] with the reference corpus given as
+    * its stored `(id, shingle, n_sh)` [[shingleIndex]] — the form a
+    * daily-ingest deployment actually runs: no reference text is
+    * re-read, re-normalized or re-shingled per increment (at 100 TB
+    * that re-shingle IS the corpus pass the incremental family
+    * exists to avoid); the store, bucketed by `shingle`, satisfies
+    * the candidate join's and the df cap's clustering without an
+    * Exchange (plan-pinned in BucketingSpec). Bit-identical to the
+    * from-docs form on the same corpus (spec-pinned). */
+  def incrementalJaccardPairsFromIndex(newDocs: DataFrame,
+                                       refIndex: DataFrame,
+                                       id: Column, text: Column, n: Int,
+                                       threshold: Double,
+                                       maxShingleDf: Option[Int] = None)
+      : DataFrame =
+    incrementalShingleOverlapFromIndex(newDocs, refIndex, id, text, n,
+        maxShingleDf)
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** [[incrementalJaccardPairsFromIndex]] with the BATCH side also
+    * given as its [[shingleIndex]] — the increment as pure
+    * index-vs-index algebra (a deployment indexes the batch once and
+    * appends that same index to the store afterwards). */
+  def incrementalJaccardPairsFromIndexes(newIndex: DataFrame,
+                                         refIndex: DataFrame,
+                                         threshold: Double,
+                                         maxShingleDf: Option[Int] = None)
+      : DataFrame =
+    incrementalShingleOverlapFromIndexes(newIndex, refIndex, maxShingleDf)
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
@@ -238,6 +396,41 @@ object Dedup {
                                   maxShingleDf: Option[Int] = None)
       : DataFrame =
     incrementalShingleOverlap(newDocs, refDocs, id, text, n, maxShingleDf)
+      .withColumn("cont_a", col("n_common") / col("n_a"))
+      .withColumn("cont_b", col("n_common") / col("n_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b",
+        "cont_a", "cont_b")
+
+  /** [[incrementalContainmentPairs]] against the stored
+    * [[shingleIndex]] — the asymmetric detector's store-backed
+    * increment, same contract as
+    * [[incrementalJaccardPairsFromIndex]]: zero reference text
+    * touched, store joins stay bucket-clustered, output bit-identical
+    * to the from-docs form. */
+  def incrementalContainmentPairsFromIndex(newDocs: DataFrame,
+                                           refIndex: DataFrame,
+                                           id: Column, text: Column,
+                                           n: Int, threshold: Double,
+                                           maxShingleDf: Option[Int] = None)
+      : DataFrame =
+    incrementalShingleOverlapFromIndex(newDocs, refIndex, id, text, n,
+        maxShingleDf)
+      .withColumn("cont_a", col("n_common") / col("n_a"))
+      .withColumn("cont_b", col("n_common") / col("n_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b",
+        "cont_a", "cont_b")
+
+  /** [[incrementalContainmentPairsFromIndex]] with the batch side
+    * also as an index — see
+    * [[incrementalJaccardPairsFromIndexes]]. */
+  def incrementalContainmentPairsFromIndexes(newIndex: DataFrame,
+                                             refIndex: DataFrame,
+                                             threshold: Double,
+                                             maxShingleDf: Option[Int] =
+                                               None): DataFrame =
+    incrementalShingleOverlapFromIndexes(newIndex, refIndex, maxShingleDf)
       .withColumn("cont_a", col("n_common") / col("n_a"))
       .withColumn("cont_b", col("n_common") / col("n_b"))
       .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
@@ -436,18 +629,21 @@ object Dedup {
     * step. One implementation under minhash (array sigs), simhash
     * (packed long), and seeded simhash (bit string) — a banding/skew
     * change lands once, not per family. */
-  private def bandedCandidates(sig0: DataFrame, carry: String,
+  private def bandedCandidates(sig0: DataFrame, carry: Seq[String],
                                bands: Int, bandKeyOf: Int => Column,
                                maxBucketSize: Option[Int],
                                salt: Int): DataFrame = {
     val sig = sig0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = capBuckets(sig.select(col("id"), col(carry),
-        explode(array((0 until bands).map(bi =>
-          struct(lit(bi).as("band"), bandKeyOf(bi).as("bk"))): _*)).as("b"))
-      .select(col("id"), col(carry), col("b.band"), col("b.bk")),
+    val banded = capBuckets(sig.select(
+        (Seq(col("id")) ++ carry.map(col) :+
+          explode(array((0 until bands).map(bi =>
+            struct(lit(bi).as("band"), bandKeyOf(bi).as("bk"))): _*))
+            .as("b")): _*)
+      .select((Seq(col("id")) ++ carry.map(col) ++
+        Seq(col("b.band"), col("b.bk"))): _*),
       "bk", maxBucketSize)
-    bucketPairs(banded, "bk", carry = Seq(carry), salt)
+    bucketPairs(banded, "bk", carry = carry, salt)
   }
 
   /** Banding + bucket self-join + signature-agreement verify over an
@@ -463,7 +659,7 @@ object Dedup {
                              bandKey: (Column, Column) => Column): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    bandedCandidates(signatures, "sig", bands,
+    bandedCandidates(signatures, Seq("sig"), bands,
       bi => bandKey(lit(bi), slice(col("sig"), bi * r + 1, r)),
       maxBucketSize, salt)
       .withColumn("est_jaccard",
@@ -534,6 +730,101 @@ object Dedup {
       minhashSignaturesSeeded(df, id, text, n, numHashes),
       numHashes, bands, threshold, maxBucketSize, salt,
       bandKey = (_, sl) => md5(concat_ws("|", sl)))
+
+  /** [[minhashSignatures]] carrying each doc's exact distinct-shingle
+    * count: `(id, sig, n_sh)` — the signature-store shape the
+    * CONTAINMENT estimator needs ([[containmentFromSignatures]]:
+    * Broder's |A∩B| recovery requires the set SIZES alongside the
+    * resemblance estimate; they're one `array_distinct` over the
+    * already-staged shingle array, zero extra shuffle, so a store
+    * that persists them loses nothing and gains the asymmetric
+    * detector). */
+  def minhashSignaturesWithSize(df: DataFrame, id: Column, text: Column,
+                                n: Int, numHashes: Int): DataFrame =
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("id"),
+        HashExpressions.hashedShingles(col("__w"), n).as("__sh"))
+      .select(col("id"),
+        HashExpressions.minhashSig(col("__sh"), numHashes).as("sig"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_sh"))
+
+  /** [[minhashSignaturesSeeded]] carrying the doc's distinct shingle
+    * count — the seeded (ANSI-SQL-replayable) twin of
+    * [[minhashSignaturesWithSize]]; sizes count distinct shingle
+    * STRINGS (vs the scale path's distinct hashes — equal short of
+    * an xxhash64 collision). */
+  def minhashSignaturesSeededWithSize(df: DataFrame, id: Column,
+                                      text: Column, n: Int,
+                                      numHashes: Int): DataFrame =
+    df.select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("id"),
+        transform(sequence(lit(0), size(col("__w")) - n),
+          i => array_join(slice(col("__w"), i + 1, lit(n)), " ")).as("__sh"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          k => array_min(transform(col("__sh"),
+            s => md5(concat(k.cast("string"), lit("|"), s))))).as("sig"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_sh"))
+
+  /** CONTAINMENT pairs estimated from MinHash signatures alone — the
+    * [[containmentPairs]] scale path (Broder 1997 §4, a published
+    * method): the exact detector's shingle-index join is
+    * corpus-output-bound, while this one computes both containment
+    * directions from the SAME `(id, sig, n_sh)` signature store the
+    * LSH family already persists — no shingle index at all:
+    *
+    *   `Ĵ = agreeing positions / numHashes` (the resemblance
+    *   estimator), `|A∩B| ≈ Ĵ/(1+Ĵ)·(|A|+|B|)` (from
+    *   J = |∩|/(|A|+|B|−|∩|) solved for |∩|), then
+    *   `cont_a = |A∩B|/|A|`, `cont_b = |A∩B|/|B|` — clamped to 1
+    *   (the estimate can exceed the true min-size bound).
+    *
+    * Candidates use SINGLE-POSITION banding (`bands = numHashes`,
+    * r = 1): a pair collides when ANY signature position agrees —
+    * P(per position) = J, so a contained doc at size ratio s (J ≈
+    * 1/s) is found with P = 1−(1−1/s)^numHashes ≈ 99% at s = 8,
+    * numHashes = 32. Classic r≥2 banding would miss exactly these
+    * asymmetric pairs (J^r collapses: the q23 bands see a J = 0.125
+    * pair with P ≈ 0.01) — that is WHY containment needs its own
+    * banding rung, not a threshold tweak on the jaccard one. The
+    * trade is bucket skew: a bucket keys on one min-hash value, so
+    * boilerplate that owns many docs' minimum concentrates there —
+    * `maxBucketSize` (recall-lossy) and `salt` (recall-preserving)
+    * are the same two valves every banding surface carries; size the
+    * ratio ceiling by numHashes (s ≫ numHashes pairs fall below the
+    * banding's reach — raise numHashes, not bands).
+    *
+    * Verification is signature agreement (as
+    * [[lshPairsFromSignatures]]) plus double arithmetic replayable
+    * in ANSI SQL — with md5-seeded signatures the whole operator
+    * oracle-checks rows+schema+hash. */
+  def containmentFromSignatures(signatures: DataFrame, numHashes: Int,
+                                threshold: Double,
+                                maxBucketSize: Option[Int] = None,
+                                salt: Int = 1,
+                                bandKey: (Column, Column) => Column =
+                                  (bi, sl) => xxhash64(bi, sl)): DataFrame = {
+    require(Seq("id", "sig", "n_sh").forall(signatures.columns.contains),
+      "signatures must carry (id, sig, n_sh) — see " +
+        "minhashSignaturesWithSize")
+    bandedCandidates(signatures, Seq("sig", "n_sh"), bands = numHashes,
+      bi => bandKey(lit(bi), slice(col("sig"), bi + 1, 1)),
+      maxBucketSize, salt)
+      .withColumn("est_jaccard",
+        sigAgreement(signatures, col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+      .withColumn("__common",
+        col("est_jaccard") / (lit(1.0) + col("est_jaccard")) *
+          (col("n_sh_a") + col("n_sh_b")))
+      .withColumn("cont_a",
+        least(lit(1.0), col("__common") / col("n_sh_a")))
+      .withColumn("cont_b",
+        least(lit(1.0), col("__common") / col("n_sh_b")))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "est_jaccard", "cont_a", "cont_b")
+  }
 
   /** Connected components over a near-dup pair list: every doc in a
     * component gets the component's minimum id as its label — the
@@ -707,7 +998,7 @@ object Dedup {
     // chars == counting differing bits, so the value matches the
     // oracle's char-compare count exactly.
     def packed(c: Column) = conv(c, 2, 10).cast("long")
-    bandedCandidates(simhashBitsSeeded(df, id, text), "bits", bands,
+    bandedCandidates(simhashBitsSeeded(df, id, text), Seq("bits"), bands,
       bi => col("bits").substr(bi * width + 1, width),
       maxBucketSize, salt)
       .withColumn("hamming",
@@ -763,7 +1054,7 @@ object Dedup {
     require(bands >= 2 && 64 % bands == 0,
       "bands must divide 64 (and 1 band would put every doc in one bucket)")
     val width = 64 / bands
-    bandedCandidates(simhashes(df, id, text), "sh", bands,
+    bandedCandidates(simhashes(df, id, text), Seq("sh"), bands,
       bi => shiftrightunsigned(col("sh"), bi * width)
         .bitwiseAND(lit((1L << width) - 1)),
       maxBucketSize, salt)
@@ -1217,13 +1508,16 @@ object Dedup {
     * positions per (doc, hash) are kept, so a genuinely duplicated
     * repetitive pair still verifies — its run through the repeated
     * region just measures CONSERVATIVELY (≥ cap + k − 1 when the
-    * true run is longer); `None` restores the exact measurement. */
+    * true run is longer). The default is `None` — EXACT `longest_run`
+    * always; the cap is an explicit opt-in for corpora where
+    * hyper-repetitive pairs make the verify join quadratic (the
+    * query surface opts into `Some(64)`, mirrored in its oracle). */
   def winnowVerifiedPairs(df: DataFrame, id: Column, text: Column,
                           k: Int = 5, w: Int = 4,
                           hashKey: Column => Column = xxhash64(_),
                           maxFpDf: Option[Int] = None,
                           minRun: Option[Int] = None,
-                          maxHashPerDoc: Option[Int] = Some(64))
+                          maxHashPerDoc: Option[Int] = None)
       : DataFrame = {
     val runFloor = minRun.getOrElse(w + k - 1)
     require(runFloor >= k,

@@ -161,6 +161,52 @@ class BucketingSpec extends GraftSuite {
     }
   }
 
+  test("shingle index store: bucketed by shingle, the containment/jaccard increments join with fewer exchanges") {
+    import graft.operators.Dedup
+    dropTables("bs_shstore")
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+    def idxOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.shingleIndex(d, col("doc_id"), col("text"), n = 3)
+    Bucketing.writeBucketed(idxOf(ref), "bs_shstore", Seq("shingle"),
+      buckets = 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def inc(refIdx: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalContainmentPairsFromIndex(batch, refIdx,
+          col("doc_id"), col("text"), n = 3, threshold = 0.4,
+          maxShingleDf = Some(64))
+      def outOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq).toSet
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val fromStore = inc(spark.table("bs_shstore"))
+      val fromFresh = inc(idxOf(ref))
+      val got = outOf(fromStore)
+      assert(got.nonEmpty && got == outOf(fromFresh),
+        "bucketed shingle store diverges from a fresh index")
+      assert(exchanges(fromStore) < exchanges(fromFresh),
+        s"bucketed store still shuffles: ${exchanges(fromStore)} vs " +
+          s"${exchanges(fromFresh)}")
+      // the jaccard increment reads the same store the same way
+      val jStore = Dedup.incrementalJaccardPairsFromIndex(batch,
+        spark.table("bs_shstore"), col("doc_id"), col("text"), n = 3,
+        threshold = 0.5, maxShingleDf = Some(64))
+      val jFresh = Dedup.incrementalJaccardPairs(batch, ref,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5,
+        maxShingleDf = Some(64))
+      assert(outOf(jStore) == outOf(jFresh))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      dropTables("bs_shstore")
+    }
+  }
+
   test("CDC chunk store: bucketed by ctext, the incremental anti-join reads it without a store-side exchange") {
     import graft.operators.Dedup
     dropTables("bs_cdcstore")

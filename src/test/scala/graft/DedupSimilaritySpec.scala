@@ -747,6 +747,116 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(inc.forall { case (_, b, _, _, _, _, _) => isNew(b) })
   }
 
+  test("containmentFromSignatures: finds the doc-in-doc pair jaccard banding misses; exact on true duplicates; bounded error vs the exact detector") {
+    import spark.implicits._
+    // planted: a core doc embedded verbatim in a ~4x wrapper —
+    // containment 1.0 by construction, Jaccard ~0.25: the asymmetric
+    // regime the estimator exists for
+    val core = (1 to 17).map(i => s"core$i").mkString(" ")
+    val pads = (1 to 60).map(i => s"pad$i")
+    val wrapper = (pads.take(30) :+ core).mkString(" ") + " " +
+      pads.drop(30).mkString(" ")
+    val planted = Seq((910001L, core), (910002L, wrapper),
+      (910003L, core), (910004L, pads.mkString(" "))) // 910003 = exact dup
+      .toDF("doc_id", "text")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val sigs = Dedup.minhashSignaturesWithSize(docs, col("doc_id"),
+      col("text"), n = 3, numHashes = 32).persist()
+    val est = Dedup.containmentFromSignatures(sigs, numHashes = 32,
+        threshold = 0.5)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val byPair = est.map(r => ((r._1, r._2), r)).toMap
+    // the contained pair is FOUND, the CONTAINED side dominates, and
+    // its score is high (not 1.0 — the estimator rides Ĵ's binomial
+    // noise; this corpus draws Ĵ = 4/32 against a true J = 0.2,
+    // giving cont_a = 2/3 where truth is 1.0 — the asymmetric SIGNAL
+    // survives even a low draw, which is the operator's claim)
+    val hit = byPair.get((910001L, 910002L))
+    assert(hit.isDefined, "planted doc-in-doc pair not found")
+    assert(hit.exists(h => h._4 > h._5 && h._4 >= 0.6),
+      s"contained side under-scored or misoriented: $hit")
+    // the exact duplicate estimates EXACTLY 1.0 (sig agreement 1 →
+    // common = (n+n)/2 = n, clamped arithmetic is exact)
+    val dup = byPair.get((910001L, 910003L))
+    assert(dup.exists(d => d._3 == 1.0 && d._4 == 1.0 && d._5 == 1.0),
+      s"exact dup not exact: $dup")
+    // disjoint docs don't pair (the pads doc IS near-contained in
+    // the wrapper — that pair is legitimate — but shares nothing
+    // with the core)
+    assert(!est.exists(r => r._2 == 910004L &&
+      (r._1 == 910001L || r._1 == 910003L)))
+    // CONTRAST: classic r=4 jaccard banding misses the asymmetric
+    // pair (J^r collapses) — the reason containment needs its own
+    // banding rung
+    val jac = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 8, threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(r => r._1 == 910001L && r._2 == 910002L),
+      "expected the jaccard bands to miss the doc-in-doc pair")
+    // error vs the exact detector on pairs both surface (organic
+    // corpus + plants): estimated containment within 0.4 of exact
+    val exact = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.4)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => ((r._1, r._2), (r._6, r._7))).toMap
+    val both = est.flatMap(r => exact.get((r._1, r._2)).map(e =>
+      (math.abs(r._4 - math.min(1.0, e._1)),
+        math.abs(r._5 - math.min(1.0, e._2)))))
+    assert(both.nonEmpty)
+    assert(both.forall { case (da, db) => da <= 0.4 && db <= 0.4 },
+      s"estimator error above 0.4: ${both.maxBy(p => p._1 max p._2)}")
+    // seeded (md5, oracle-replayable) path finds the planted pair too
+    val seeded = Dedup.containmentFromSignatures(
+        Dedup.minhashSignaturesSeededWithSize(docs, col("doc_id"),
+          col("text"), n = 3, numHashes = 16),
+        numHashes = 16, threshold = 0.5,
+        bandKey = (_, sl) => md5(concat_ws("|", sl)))
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(seeded.exists(r => r._1 == 910001L && r._2 == 910002L),
+      "seeded estimator missed the planted pair")
+    assert(seeded.exists(r => r._1 == 910001L && r._2 == 910003L &&
+      r._3 == 1.0 && r._4 == 1.0 && r._5 == 1.0))
+    sigs.unpersist()
+  }
+
+  test("shingle-index store: FromIndex increments == from-docs, capped and uncapped; n_sh is the doc's shingle count") {
+    import spark.implicits._
+    val docs = t.documents
+    val news = docs.where(col("doc_id") % 3 =!= 0)
+    val refs = docs.where(col("doc_id") % 3 === 0)
+    val refIdx = Dedup.shingleIndex(refs, col("doc_id"), col("text"), n = 3)
+      .persist()
+    // n_sh rides every row and equals the doc's distinct-shingle count
+    val bad = refIdx.groupBy("id", "n_sh")
+      .agg(count(lit(1)).as("__c"))
+      .where(col("n_sh") =!= col("__c")).count()
+    assert(bad == 0, s"n_sh disagrees with the row count for $bad docs")
+    def jSet(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().toSet
+    def cSet(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSet
+    // uncapped: carried-n_sh path
+    assert(jSet(Dedup.incrementalJaccardPairsFromIndex(news, refIdx,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)) ==
+      jSet(Dedup.incrementalJaccardPairs(news, refs,
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)))
+    // capped with the cap ENGAGED (df cap 2 on the graded corpus
+    // drops real shingles — asserted): recomputed-counts path
+    val uncapped = cSet(Dedup.incrementalContainmentPairs(news, refs,
+      col("doc_id"), col("text"), n = 3, threshold = 0.4))
+    val cappedFromDocs = cSet(Dedup.incrementalContainmentPairs(news, refs,
+      col("doc_id"), col("text"), n = 3, threshold = 0.4,
+      maxShingleDf = Some(2)))
+    assert(cappedFromDocs != uncapped,
+      "df cap 2 should engage on the graded corpus")
+    val cappedFromIndex = cSet(Dedup.incrementalContainmentPairsFromIndex(
+      news, refIdx, col("doc_id"), col("text"), n = 3, threshold = 0.4,
+      maxShingleDf = Some(2)))
+    assert(cappedFromIndex.nonEmpty && cappedFromIndex == cappedFromDocs)
+    refIdx.unpersist()
+  }
+
   test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
     import spark.implicits._
     // two spam docs of one repeated token: every k-gram hashes
@@ -770,9 +880,11 @@ class DedupSimilaritySpec extends GraftSuite {
       .as[Int].collect().sorted.toVector
     assert(pos == (0 until 64).toVector, s"not the first 64: $pos")
     // the spam pair still VERIFIES (kept, not dropped) — run
-    // measured conservatively as exactly cap + k − 1
+    // measured conservatively as exactly cap + k − 1 (the cap is an
+    // explicit opt-in; the operator default is None = exact)
     val verified = Dedup.winnowVerifiedPairs(docs, col("doc_id"),
-        col("text"), k = 5, w = 4, maxFpDf = Some(64))
+        col("text"), k = 5, w = 4, maxFpDf = Some(64),
+        maxHashPerDoc = Some(64))
       .as[(Long, Long, Long, Int)].collect()
     val spamRun = verified.collectFirst {
       case (800001L, 800002L, _, run) => run }
