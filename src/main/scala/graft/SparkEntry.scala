@@ -1332,6 +1332,40 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked unigram-LM candidate counts (Kudo 2018 §3.2,
+    // SentencePiece's seed statistic): every substring occurrence up
+    // to 4 chars over the word vocabulary, weighted by corpus word
+    // count — the trainer's seed table replayed exactly in DuckDB.
+    // The ONE corpus-sized pass is the word count; the substring
+    // explode is vocabulary-sized.
+    "q_unigram_counts" -> ((s, dir) =>
+      Unigram.candidateCounts(Tables(s, dir).documents, col("text"),
+        maxLen = 4)),
+
+    // rows-only (driver EM loop over the word vocabulary): the
+    // trained piece table after EM + likelihood pruning —
+    // deterministic from the word counts (fixed iteration order,
+    // lexicographic tie-breaks); q_unigram_counts is the oracle-green
+    // twin of the seed statistic, and the spec pins the E-step
+    // against exhaustive segmentation enumeration.
+    "q_unigram_vocab" -> ((s, dir) =>
+      Unigram.train(Tables(s, dir).documents, col("text"),
+        vocabSize = 120, maxLen = 4, seedSize = 400, emIters = 2)
+        .pieces),
+
+    // rows-only: corpus encoded through the trained Viterbi
+    // segmentation — a vocabulary-keyed equi-join (broadcast-able at
+    // any corpus size), never a per-row lattice replay; OOV words
+    // fall back to the character split (complete: chars are never
+    // pruned), flagged.
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val model = Unigram.train(docs, col("text"),
+        vocabSize = 120, maxLen = 4, seedSize = 400, emIters = 2)
+      Unigram.encode(docs, col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Full pipeline with the decontamination gate: gates → exact
     // dedup → jaccard near-dup removal → drop docs overlapping the
     // held-out benchmark slice (doc_id % 20 == 0, as q_decontaminate)
@@ -2887,6 +2921,23 @@ object SparkEntry {
         |        SELECT unnest(generate_series(0, len(s) - 2)) i))
         |SELECT a, b, CAST(sum(c) AS BIGINT) AS n
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // The unigram trainer's seed statistic replayed in SQL: word
+    // counts → every (position, length<=4) substring occurrence →
+    // count-weighted sum. substring() is character-based in both
+    // engines for this corpus.
+    "q_unigram_counts" ->
+      s"""WITH t AS (SELECT string_split($normSql, ' ') ws FROM documents),
+        |w0 AS (SELECT unnest(ws) w FROM t),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM w0
+        |       WHERE len(w) > 0 GROUP BY 1),
+        |subs AS (SELECT substring(w, i, l) piece, c
+        |         FROM wc,
+        |         LATERAL (SELECT unnest(generate_series(1, len(w))) i),
+        |         LATERAL (SELECT unnest(generate_series(1,
+        |           least(4, len(w) - i + 1))) l))
+        |SELECT piece, CAST(sum(c) AS BIGINT) AS n
+        |FROM subs GROUP BY 1""".stripMargin,
 
     // n-gram LM scoring-core replay: the reference slice's bigram /
     // unigram count tables left-joined under every scored doc's
