@@ -191,16 +191,28 @@ object Dedup {
     * query's df cap), counted by an id-partitioned window — never a
     * single-partition window. */
   def shingleIndex(df: DataFrame, id: Column, text: Column, n: Int)
-      : DataFrame = {
-    val sh = df.select(id.as("id"),
+      : DataFrame =
+    // the id-partitioned window that stamps n_sh onto every row is an
+    // id-keyed shuffle of the whole index — a WRITE-TIME cost paid
+    // once per store build (amortized over every increment), which is
+    // why the from-docs increments run on the rawIndex instead
+    rawShingleIndex(df, id, text, n).withColumn("n_sh",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+
+  /** The `(id, shingle)` rows of [[shingleIndex]] without the stamped
+    * per-doc count — the transient shape the from-docs increments
+    * use (their capped path recomputes post-cap counts anyway, so
+    * stamping n_sh would buy an id-shuffle for nothing — measured
+    * 2.3× on q56/q108 when it briefly rode the hot path). */
+  private def rawShingleIndex(df: DataFrame, id: Column, text: Column,
+                              n: Int): DataFrame =
+    df.select(id.as("id"),
         split(Cleanser.normalized(text), " ").as("__w"))
       .where(size(col("__w")) >= n)
       .select(col("id"),
         explode(HashExpressions.hashedShingles(col("__w"), n)).as("shingle"))
       .distinct()
-    sh.withColumn("n_sh", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("id")))
-  }
 
   /** The incremental twin of [[shingleOverlap]] — candidates are
     * new×ref ∪ new×new only (ref×ref never enumerates; `id_b` is
@@ -216,10 +228,14 @@ object Dedup {
                                         id: Column, text: Column, n: Int,
                                         maxShingleDf: Option[Int])
       : DataFrame = {
-    val refIdx = shingleIndex(refDocs, id, text, n)
+    // rawIndex, not shingleIndex: a transient from-docs run never
+    // pays the store's write-time n_sh stamp (per-doc counts are
+    // recomputed post-cap anyway; uncapped, the core aggregates them
+    // the same way the one-shot operator does)
+    val refIdx = rawShingleIndex(refDocs, id, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    incrementalShingleOverlapFromIndex(newDocs, refIdx, id, text, n,
-      maxShingleDf)
+    incrementalShingleOverlapFromIndexes(
+      rawShingleIndex(newDocs, id, text, n), refIdx, maxShingleDf)
   }
 
   /** [[incrementalShingleOverlap]] with the reference side given as
@@ -258,25 +274,45 @@ object Dedup {
       maxShingleDf: Option[Int]): DataFrame = {
     Seq("refIndex" -> refIndex, "newIndex" -> newIndex).foreach {
       case (nm, f) =>
-        require(Seq("id", "shingle", "n_sh").forall(f.columns.contains),
-          s"$nm must be a shingleIndex frame: (id, shingle, n_sh)")
+        require(Seq("id", "shingle").forall(f.columns.contains),
+          s"$nm must carry (id, shingle) — see shingleIndex")
     }
+    val carried = Seq(refIndex, newIndex)
+      .forall(_.columns.contains("n_sh"))
     // persisted: the batch index feeds the df cap, the per-doc counts
     // and both sides of the self-join (batch-sized — tiny next to the
     // store); the caller owns cache lifetime
     val newIdx = newIndex
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     maxShingleDf match {
-      case None =>
-        // carried n_sh: no per-doc aggregate anywhere
+      case None if carried =>
+        // stamped n_sh (the store shape): no per-doc aggregate at all
         pairCounts(
           newIdx.select(col("id").as("id_b"), col("shingle"),
             col("n_sh").as("n_b")),
           refIndex.select(col("id").as("id_a"), col("shingle"),
             col("n_sh").as("n_a")))
+      case None =>
+        // raw (id, shingle) frames: ONE per-doc count over the union,
+        // joined under both pair sides — exactly the one-shot shape
+        val cnt = refIndex.select("id", "shingle")
+          .unionByName(newIdx.select("id", "shingle"))
+          .groupBy("id").agg(count(lit(1)).as("__n"))
+        pairCounts(
+          newIdx.select(col("id").as("id_b"), col("shingle")),
+          refIndex.select(col("id").as("id_a"), col("shingle")),
+          carrySizes = false)
+          .join(cnt.select(col("id").as("id_a"), col("__n").as("n_a")),
+            "id_a")
+          .join(cnt.select(col("id").as("id_b"), col("__n").as("n_b")),
+            "id_b")
       case Some(cap) =>
         // union df: per-side shingle counts summed through one
-        // shingle-keyed join (store side stays bucket-clustered)
+        // shingle-keyed join (store side stays bucket-clustered).
+        // persisted: ok feeds BOTH capped scans, each consumed by the
+        // candidate joins and the count aggregate — recomputing the
+        // two df aggregates + join per consumer measured ~2× on the
+        // q56/q108 surfaces; the frame is one long column
         val refDf = refIndex.groupBy("shingle")
           .agg(count(lit(1)).as("__rdf"))
         val newDf = newIdx.groupBy("shingle")
@@ -285,22 +321,26 @@ object Dedup {
           .where(coalesce(col("__rdf"), lit(0L)) +
             coalesce(col("__ndf"), lit(0L)) <= cap)
           .select("shingle")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val refCapped = refIndex.join(ok, "shingle")
+        // batch-sized and consumed four times (both self-join sides,
+        // the store join's probe side, the count union)
         val newCapped = newIdx.join(ok, "shingle")
-        // post-cap per-doc sizes, recomputed exactly as the one-shot
-        // run counts them (slim (id) longs — the text pass is gone)
-        def cnt(idx: DataFrame) =
-          idx.groupBy("id").agg(count(lit(1)).as("__n"))
-        val pairs = pairCounts(
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // post-cap per-doc sizes over the union, recomputed exactly
+        // as the one-shot run counts them (slim (id) longs — the
+        // text pass is gone), joined under both pair sides
+        val cnt = refCapped.select("id", "shingle")
+          .unionByName(newCapped.select("id", "shingle"))
+          .groupBy("id").agg(count(lit(1)).as("__n"))
+        pairCounts(
           newCapped.select(col("id").as("id_b"), col("shingle")),
           refCapped.select(col("id").as("id_a"), col("shingle")),
           carrySizes = false)
-        pairs
-          .join(cnt(refCapped.select("id", "shingle")
-              .unionByName(newCapped.select("id", "shingle")))
-            .select(col("id").as("id_a"), col("__n").as("n_a")), "id_a")
-          .join(cnt(newCapped.select("id", "shingle"))
-            .select(col("id").as("id_b"), col("__n").as("n_b")), "id_b")
+          .join(cnt.select(col("id").as("id_a"), col("__n").as("n_a")),
+            "id_a")
+          .join(cnt.select(col("id").as("id_b"), col("__n").as("n_b")),
+            "id_b")
     }
   }
 
