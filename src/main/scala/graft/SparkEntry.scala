@@ -261,6 +261,33 @@ object SparkEntry {
         maxShingleDf = Some(64))
     }),
 
+    // oracle-checked STORE-PATH increments: the FromIndex forms are
+    // bit-identical to the from-docs queries above (spec-pinned), so
+    // they run the q56/q108 oracles verbatim — here the reference
+    // side enters as its (id, shingle, n_sh) shingleIndex (at scale
+    // a bucketed stored artifact; BucketingSpec pins the
+    // fewer-exchanges plan) and no reference text is re-read inside
+    // the increment
+    "q_dedup_incremental_fromindex" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.incrementalJaccardPairsFromIndex(
+        docs.where(col("doc_id") % 3 =!= 0),
+        Dedup.shingleIndex(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), n = 3),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5,
+        maxShingleDf = Some(64))
+    }),
+
+    "q_dedup_containment_fromindex" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.incrementalContainmentPairsFromIndex(
+        docs.where(col("doc_id") % 3 =!= 0),
+        Dedup.shingleIndex(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), n = 3),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8,
+        maxShingleDf = Some(64))
+    }),
+
     // rows-only: the containment SCALE path — Broder's estimator
     // over the (id, sig, n_sh) signature store (xxhash64 signatures,
     // single-position banding so asymmetric pairs actually collide;
@@ -1457,7 +1484,17 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // the FromIndex increments are BIT-IDENTICAL to the from-docs
+    // forms (spec-pinned), so they carry the SAME oracle — the
+    // stored-index code path earns its own rows+schema+hash row
+    // instead of leaning on the twin
+    "q_dedup_incremental_fromindex" ->
+      baseOracleSql("q_dedup_incremental"),
+    "q_dedup_containment_fromindex" ->
+      baseOracleSql("q_dedup_containment_incremental"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q_census_count" ->
       """WITH dep AS (
         |  SELECT c_custkey, c_mktsegment FROM customer
