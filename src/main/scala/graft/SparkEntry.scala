@@ -1020,6 +1020,32 @@ object SparkEntry {
         hashKey = QualityModel.seededKey, maxFpDf = Some(64),
         maxHashPerDoc = Some(64))),
 
+    // oracle-checked EXACT-SUBSTRING spans (Lee et al. 2021,
+    // ExactSubstr): maximal token spans whose every 10-gram occurs
+    // >= 2 times corpus-wide — the duplicated TEXT itself (incl.
+    // within-doc repetition and many-way boilerplate), not pairs.
+    // One frequency aggregate + a per-doc interval merge; no pair
+    // enumeration, so no df cap or bucket valve exists or is needed.
+    "q_dedup_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables(s, dir).documents, col("doc_id"),
+        col("text"), minRun = 10, hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")),
+
+    // rows-only: the xxhash64 scale path of the spans query (8-byte
+    // fused-codegen hashes; the seeded twin above is hash-green)
+    "q_dedup_repeated_spans_xx" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables(s, dir).documents, col("doc_id"),
+        col("text"), minRun = 10)),
+
+    // oracle-checked span REMOVAL: each doc's normalized token
+    // stream with covered spans stripped — the training-corpus
+    // transform the spans feed; fully-duplicated docs come back
+    // empty with n_kept = 0 (drop policy stays with the caller)
+    "q_dedup_strip_spans" -> ((s, dir) =>
+      Dedup.stripRepeatedSpans(Tables(s, dir).documents, col("doc_id"),
+        col("text"), minRun = 10, hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")),
+
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
     // observability half of data mixing (takeByBudgetPerKey is the
@@ -2522,6 +2548,77 @@ object SparkEntry {
         |           AND hh.i >= s.i AND hh.i < s.i + 4)
         |        WHERE rn = 1)
         |SELECT doc_id, CAST(pos AS INT) AS pos, fp FROM sel""".stripMargin,
+
+    // ExactSubstr replay: 10-gram hashes (the winnow families' 15-hex
+    // md5 long), corpus-frequency >= 2 anchors, lag-based interval
+    // merge — ends are monotone in pos, so a gap opens exactly when
+    // pos > lag(pos) + L.
+    "q_dedup_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 10),
+        |hs AS (SELECT doc_id, i AS pos,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+10], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 10)) i)),
+        |dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+        |a AS (SELECT doc_id, pos FROM hs JOIN dup USING (h)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL
+        |             OR pos > lag(pos) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) + 10
+        |             THEN 1 ELSE 0 END brk
+        |      FROM a),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) gi
+        |        FROM m)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |       CAST(max(pos) + 9 AS INT) AS span_end,
+        |       CAST(max(pos) + 9 - min(pos) + 1 AS INT) AS span_tokens
+        |FROM grp GROUP BY doc_id, gi""".stripMargin,
+
+    // the removal half over the same spans: covered positions
+    // exploded, tokens anti-joined, string_agg ordered by position;
+    // fully-covered and null-text docs handled by the left join +
+    // coalesce exactly as the operator's guards
+    "q_dedup_strip_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 10),
+        |hs AS (SELECT doc_id, i AS pos,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+10], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 10)) i)),
+        |dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+        |a AS (SELECT doc_id, pos FROM hs JOIN dup USING (h)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL
+        |             OR pos > lag(pos) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) + 10
+        |             THEN 1 ELSE 0 END brk
+        |      FROM a),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) gi
+        |        FROM m),
+        |spans AS (SELECT doc_id, min(pos) s, max(pos) + 9 e
+        |          FROM grp GROUP BY doc_id, gi),
+        |cov AS (SELECT DISTINCT doc_id, CAST(unnest(generate_series(s, e))
+        |          AS INT) tpos FROM spans),
+        |toks AS (SELECT doc_id, i - 1 AS tpos, w[i] tok
+        |         FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) i)),
+        |kept AS (SELECT tk.doc_id, tk.tpos, tk.tok FROM toks tk
+        |         ANTI JOIN cov c ON c.doc_id = tk.doc_id
+        |           AND c.tpos = tk.tpos)
+        |SELECT t.doc_id,
+        |       coalesce(string_agg(k.tok, ' ' ORDER BY k.tpos), '')
+        |         AS kept_text,
+        |       CAST(count(k.tok) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(len(t.w), 0) - count(k.tok) AS BIGINT)
+        |         AS n_dropped
+        |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.w)""".stripMargin,
 
     "q_dedup_winnow_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),

@@ -1607,6 +1607,100 @@ object Dedup {
     * Caller contract: ref and batch doc ids disjoint; `refFps`
     * rows distinct on (id, fp) — [[winnowFingerprints]] output
     * projected and deduped, which is what the store holds. */
+  /** Corpus-wide REPEATED-SPAN detection — exact-substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr — a published method): the maximal
+    * token spans of every document whose every `minRun`-token window
+    * appears (by hash) more than once in the corpus, i.e. the text a
+    * span-REMOVAL pass strips before training. The winnowing family
+    * detects near-dup PAIRS; this detects the duplicated text
+    * itself, including within-doc repetition and many-way
+    * boilerplate no pairwise policy ever visits.
+    *
+    * Exactness identity (what lets Spark do this without their
+    * suffix array): a repeated substring of length ≥ L contains a
+    * repeated L-gram at every offset, and every repeated L-gram IS a
+    * repeated substring of length L — so "tokens covered by an
+    * L-gram with corpus occurrence count ≥ 2" is exactly the
+    * ExactSubstr criterion at threshold L. One corpus-sized
+    * frequency aggregate over 8-byte hashes + a per-doc interval
+    * merge; no pair enumeration, no quadratic term anywhere, which
+    * is why this surface needs NO df cap or bucket valve.
+    *
+    * Output: `(id, span_start, span_end, span_tokens)` — merged
+    * maximal covered intervals in token positions (0-based,
+    * inclusive; overlapping/adjacent anchor windows coalesce).
+    * Positions index the NORMALIZED token stream (the pipeline's
+    * working form, as every detector here). Matching is by L-gram
+    * hash: a collision can only ever widen a span, same failure
+    * direction as the whole hash family. */
+  def repeatedSpans(df: DataFrame, id: Column, text: Column,
+                    minRun: Int,
+                    hashKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(minRun >= 1, "minRun must be at least 1")
+    val kg = kgramHashes(df, id, text, minRun, hashKey)
+    val dup = kg.groupBy("h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("h")
+    val anchors = kg.join(dup, "h").select("id", "pos")
+    // interval merge: anchors sorted by pos; window ends are
+    // monotone in pos, so a gap opens exactly when
+    // pos > lag(pos) + L (start past previous end + 1)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    anchors
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + minRun, 1)
+          .otherwise(0))
+      .withColumn("__grp", sum(col("__brk")).over(byDoc))
+      .groupBy("id", "__grp")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minRun - 1).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The removal half of [[repeatedSpans]]: every document's
+    * normalized token stream with covered spans stripped —
+    * `(id, kept_text, n_kept, n_dropped)`. A fully-duplicated doc
+    * comes back with an empty `kept_text` (kept, flagged by
+    * `n_kept = 0` — the drop decision belongs to the caller's
+    * policy, as everywhere in this family). Covered positions
+    * materialize once via `sequence` explode — total rows = covered
+    * tokens ≤ corpus tokens, linear. */
+  def stripRepeatedSpans(df: DataFrame, id: Column, text: Column,
+                         minRun: Int,
+                         hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    val toks = df
+      .select(id.as("id"), split(Cleanser.normalized(text), " ").as("__w"))
+      .select(col("id"), posexplode(col("__w")).as(Seq("tpos", "tok")))
+    val covered = repeatedSpans(df, id, text, minRun, hashKey)
+      .select(col("id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("tpos"))
+    val kept = toks.join(covered, Seq("id", "tpos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    // left join from the doc list: a fully-covered doc has no kept
+    // row and must still emit (empty text, n_kept 0); null text has
+    // no tokens (size() of a null array is -1, not 0 — guarded)
+    df.select(id.as("id"),
+        when(text.isNull, lit(0L))
+          .otherwise(size(split(Cleanser.normalized(text), " "))
+            .cast("long"))
+          .as("__total"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   def incrementalWinnowPairs(batch: DataFrame, id: Column, text: Column,
                              refFps: DataFrame, k: Int = 5, w: Int = 4,
                              hashKey: Column => Column = xxhash64(_),

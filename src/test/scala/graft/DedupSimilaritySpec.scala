@@ -857,6 +857,88 @@ class DedupSimilaritySpec extends GraftSuite {
     refIdx.unpersist()
   }
 
+  test("repeatedSpans == brute-force ExactSubstr; strip removes exactly the covered tokens") {
+    import spark.implicits._
+    val L = 10
+    // plants: a 12-token passage shared by two docs at KNOWN offsets,
+    // a within-doc repeat, a full duplicate pair, a unique doc
+    val passage = (1 to 12).map(i => s"pz$i").mkString(" ")
+    val docA = "ax1 ax2 ax3 " + passage + " ax4 ax5"      // passage at 3..14
+    val docB = "bx1 " + passage + " bx2 bx3 bx4"          // passage at 1..12
+    val rep = ((1 to 10).map(i => s"rr$i") ++ Seq("mid1", "mid2") ++
+      (1 to 10).map(i => s"rr$i")).mkString(" ")           // self-repeat
+    val uniq = (1 to 25).map(i => s"uq$i").mkString(" ")
+    val dupText = (1 to 15).map(i => s"dp$i").mkString(" ")
+    val planted = Seq((920001L, docA), (920002L, docB), (920003L, rep),
+      (920004L, uniq), (920005L, dupText), (920006L, dupText))
+      .toDF("doc_id", "text")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val spans = Dedup.repeatedSpans(docs, col("doc_id"), col("text"),
+        minRun = L)
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+    // shared passage: covered tokens are EXACTLY the passage
+    assert(spans(920001L) == Set((3, 14)), s"${spans.get(920001L)}")
+    assert(spans(920002L) == Set((1, 12)), s"${spans.get(920002L)}")
+    // within-doc repeat: both occurrences covered, gap not
+    assert(spans(920003L) == Set((0, 9), (12, 21)), s"${spans.get(920003L)}")
+    // unique doc: no spans; full duplicates: fully covered
+    assert(!spans.contains(920004L))
+    assert(spans(920005L) == Set((0, 14)) && spans(920006L) == Set((0, 14)))
+    // brute force over the whole corpus: a position is covered iff
+    // some L-window containing it occurs >= 2 times corpus-wide
+    val texts = docs.select(col("doc_id"),
+        graft.io.Cleanser.normalized(col("text")).as("t"))
+      .as[(Long, String)].collect()
+    val freq = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    val toks = texts.map { case (i, s) =>
+      i -> (if (s == null) Array.empty[String] else s.split(" ")) }
+    toks.foreach { case (_, w) =>
+      (0 to w.length - L).foreach(i =>
+        freq(w.slice(i, i + L).mkString(" ")) += 1) }
+    val want = toks.flatMap { case (i, w) =>
+      val cov = (0 to w.length - L)
+        .filter(p => freq(w.slice(p, p + L).mkString(" ")) >= 2)
+        .flatMap(p => p until p + L).toSet
+      if (cov.isEmpty) None else {
+        // merge into maximal intervals
+        val sorted = cov.toVector.sorted
+        val iv = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        sorted.foreach { p =>
+          if (iv.nonEmpty && iv.last._2 == p - 1)
+            iv(iv.size - 1) = (iv.last._1, p)
+          else iv += ((p, p))
+        }
+        Some(i -> iv.toSet)
+      }
+    }.toMap
+    assert(spans == want, "spans diverge from brute-force ExactSubstr")
+    // strip: kept text == brute-filtered tokens; totals reconcile
+    val stripped = Dedup.stripRepeatedSpans(docs, col("doc_id"),
+        col("text"), minRun = L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    toks.foreach { case (i, w) =>
+      val covered = want.get(i).map(_.flatMap { case (a, b) => a to b })
+        .getOrElse(Set.empty[Int])
+      val keep = w.zipWithIndex.collect {
+        case (tk, p) if !covered(p) => tk }
+      val (_, kt, nk, nd) = stripped(i)
+      assert(kt == keep.mkString(" "), s"doc $i kept text diverges")
+      assert(nk == keep.length && nd == w.length - keep.length,
+        s"doc $i counts: $nk/$nd vs ${keep.length}/${w.length}")
+    }
+    assert(stripped(920005L)._3 == 0 && stripped(920005L)._2 == "")
+    // hash-family independence: xxhash64 and seeded spans agree
+    val seeded = Dedup.repeatedSpans(docs, col("doc_id"), col("text"),
+        minRun = L, hashKey = graft.operators.QualityModel.seededKey)
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+    assert(seeded == spans)
+  }
+
   test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
     import spark.implicits._
     // two spam docs of one repeated token: every k-gram hashes
