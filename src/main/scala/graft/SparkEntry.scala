@@ -1046,6 +1046,24 @@ object SparkEntry {
         col("text"), minRun = 10, hashKey = QualityModel.seededKey)
         .withColumnRenamed("id", "doc_id")),
 
+    // oracle-checked incremental spans — the daily-ingest shape for
+    // ExactSubstr: the reference corpus enters as its stored (h, c)
+    // gram-count frame (the slimmest store in the family — counts
+    // are all the criterion needs; no ref text, no ref positions);
+    // a batch L-gram anchors when batch count + stored count >= 2,
+    // which reconstructs the union frequency exactly
+    "q_dedup_spans_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.incrementalRepeatedSpans(
+        docs.where(col("doc_id") % 3 =!= 0),
+        Dedup.gramCounts(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), minRun = 10,
+          hashKey = QualityModel.seededKey),
+        col("doc_id"), col("text"), minRun = 10,
+        hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
     // observability half of data mixing (takeByBudgetPerKey is the
@@ -2562,6 +2580,36 @@ object SparkEntry {
         |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 10)) i)),
         |dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
         |a AS (SELECT doc_id, pos FROM hs JOIN dup USING (h)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL
+        |             OR pos > lag(pos) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) + 10
+        |             THEN 1 ELSE 0 END brk
+        |      FROM a),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) gi
+        |        FROM m)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |       CAST(max(pos) + 9 AS INT) AS span_end,
+        |       CAST(max(pos) + 9 - min(pos) + 1 AS INT) AS span_tokens
+        |FROM grp GROUP BY doc_id, gi""".stripMargin,
+
+    // incremental spans replay: duplicate counts over the FULL
+    // union (what batch + stored counts reconstruct), anchors
+    // restricted to new docs — the one-shot query's algebra with one
+    // WHERE clause
+    "q_dedup_spans_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 10),
+        |hs AS (SELECT doc_id, i AS pos,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+10], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 10)) i)),
+        |dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+        |a AS (SELECT doc_id, pos FROM hs JOIN dup USING (h)
+        |      WHERE doc_id % 3 <> 0),
         |m AS (SELECT doc_id, pos,
         |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
         |               IS NULL

@@ -1641,10 +1641,16 @@ object Dedup {
     val kg = kgramHashes(df, id, text, minRun, hashKey)
     val dup = kg.groupBy("h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= 2).select("h")
-    val anchors = kg.join(dup, "h").select("id", "pos")
-    // interval merge: anchors sorted by pos; window ends are
-    // monotone in pos, so a gap opens exactly when
-    // pos > lag(pos) + L (start past previous end + 1)
+    mergeAnchorSpans(kg.join(dup, "h").select("id", "pos"), minRun)
+  }
+
+  /** Interval merge of duplicated-L-gram anchor positions into
+    * maximal covered spans — anchors sorted per doc; window ends are
+    * monotone in pos, so a gap opens exactly when
+    * pos > lag(pos) + L (start past previous end + 1). Shared by the
+    * one-shot and incremental span detectors. */
+  private def mergeAnchorSpans(anchors: DataFrame, minRun: Int)
+      : DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     anchors
@@ -1658,6 +1664,52 @@ object Dedup {
         (max(col("pos")) + minRun - 1).as("span_end"))
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The STORED shape of the span detector's corpus state: one
+    * `(h, c)` row per distinct L-gram hash with its corpus
+    * occurrence count — slimmer than any index in this family (two
+    * longs, no positions). Write it bucketed by `h` WITH the bucket
+    * count matched to the increment's shuffle parallelism — the
+    * batch's own count aggregate already leaves h-partitioned data,
+    * so an unaligned bucket count would re-shuffle a side and buy
+    * nothing (BucketingSpec pins the aligned plan; the store's
+    * primary win is skipping the reference TEXT re-scan either
+    * way); maintenance is additive (counts
+    * SUM under appends — `groupBy(h).sum` over store ∪ batch counts
+    * rebuilds the post-ingest store without touching text). */
+  def gramCounts(df: DataFrame, id: Column, text: Column, minRun: Int,
+                 hashKey: Column => Column = xxhash64(_)): DataFrame =
+    kgramHashes(df, id, text, minRun, hashKey)
+      .groupBy("h").agg(count(lit(1)).as("c"))
+
+  /** Incremental [[repeatedSpans]] — spans of the NEW batch against
+    * reference ∪ batch, with the reference corpus entering as its
+    * stored [[gramCounts]] frame (no reference text, no reference
+    * positions — the count is all the criterion needs): a batch
+    * L-gram anchors when `batch count + stored count ≥ 2`.
+    * Bit-identical to the one-shot run on the union restricted to
+    * batch docs (spec-pinned): the criterion is per-L-gram corpus
+    * frequency, which the sum reconstructs exactly. Reference docs
+    * are never re-scanned OR re-reported — they were stripped when
+    * they landed (the q56 incremental discipline applied to spans). */
+  def incrementalRepeatedSpans(newDocs: DataFrame,
+                               refGramCounts: DataFrame,
+                               id: Column, text: Column, minRun: Int,
+                               hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    require(Seq("h", "c").forall(refGramCounts.columns.contains),
+      "refGramCounts must be a gramCounts frame: (h, c)")
+    // persisted: the batch grams feed the count aggregate and the
+    // anchor join (batch-sized)
+    val kg = kgramHashes(newDocs, id, text, minRun, hashKey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = kg.groupBy("h").agg(count(lit(1)).as("__bc"))
+      .join(refGramCounts.select(col("h"), col("c").as("__rc")),
+        Seq("h"), "left")
+      .where(col("__bc") + coalesce(col("__rc"), lit(0L)) >= 2)
+      .select("h")
+    mergeAnchorSpans(kg.join(dup, "h").select("id", "pos"), minRun)
   }
 
   /** The removal half of [[repeatedSpans]]: every document's

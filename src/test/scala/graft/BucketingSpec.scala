@@ -207,6 +207,56 @@ class BucketingSpec extends GraftSuite {
     }
   }
 
+  test("gram-count store: bucketed by h, the incremental span detector joins with fewer exchanges") {
+    import graft.operators.Dedup
+    dropTables("bs_gramstore")
+    val docs = graft.io.Tables(spark, sfDir).documents
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+    def countsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.gramCounts(d, col("doc_id"), col("text"), minRun = 10)
+    // buckets == the suite's shuffle parallelism: the store's scan
+    // partitioning then slots straight into the count-union join
+    // (a mismatched bucket count would re-shuffle one side and the
+    // layout would buy nothing here — unlike the index stores, the
+    // fresh path's own aggregate already leaves h-partitioned data)
+    Bucketing.writeBucketed(countsOf(ref), "bs_gramstore", Seq("h"),
+      buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def inc(refCounts: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalRepeatedSpans(batch, refCounts,
+          col("doc_id"), col("text"), minRun = 10)
+      def outOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq).toSet
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val fromStore = inc(spark.table("bs_gramstore"))
+      val fromFresh = inc(countsOf(ref))
+      val got = outOf(fromStore)
+      assert(got.nonEmpty && got == outOf(fromFresh),
+        "bucketed gram store diverges from fresh counts")
+      assert(exchanges(fromStore) < exchanges(fromFresh),
+        s"bucketed store still shuffles: ${exchanges(fromStore)} vs " +
+          s"${exchanges(fromFresh)}")
+      // maintenance is additive: store + batch counts re-aggregate to
+      // the post-ingest store (counts SUM under appends)
+      val merged = spark.table("bs_gramstore")
+        .unionByName(countsOf(batch))
+        .groupBy("h").agg(sum(col("c")).as("c"))
+      val rebuilt = countsOf(docs)
+      assert(outOf(merged) == outOf(rebuilt),
+        "additive maintenance diverges from a rebuild")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      dropTables("bs_gramstore")
+    }
+  }
+
   test("CDC chunk store: bucketed by ctext, the incremental anti-join reads it without a store-side exchange") {
     import graft.operators.Dedup
     dropTables("bs_cdcstore")

@@ -939,6 +939,40 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(seeded == spans)
   }
 
+  test("incremental spans == one-shot on the union restricted to new docs; stored counts anchor what the batch alone cannot") {
+    import spark.implicits._
+    val passage = (1 to 14).map(i => s"qq$i").mkString(" ")
+    // the passage lives ONCE in the reference (930000 % 3 == 0) and
+    // once in the new batch (930001): only the union count reaches 2
+    val planted = Seq(
+      (930000L, "rn1 rn2 " + passage + " rn3"),
+      (930001L, "nn1 " + passage + " nn2 nn3"))
+      .toDF("doc_id", "text")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val news = docs.where(col("doc_id") % 3 =!= 0)
+    val refs = docs.where(col("doc_id") % 3 === 0)
+    def spanSet(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Int, Int, Int)].collect().toSet
+    val inc = spanSet(Dedup.incrementalRepeatedSpans(news,
+      Dedup.gramCounts(refs, col("doc_id"), col("text"), minRun = 10),
+      col("doc_id"), col("text"), minRun = 10))
+    val full = spanSet(Dedup.repeatedSpans(docs, col("doc_id"),
+        col("text"), minRun = 10))
+      .filter(_._1 % 3 != 0)
+    assert(inc.nonEmpty && inc == full,
+      s"incremental diverged: ${inc.size} vs ${full.size}")
+    // the planted cross-side passage is found (positions 1..14 in
+    // the new doc) — and would NOT be without the store's counts
+    assert(inc.contains((930001L, 1, 14, 14)))
+    val noStore = spanSet(Dedup.incrementalRepeatedSpans(news,
+      Dedup.gramCounts(refs.limit(0), col("doc_id"), col("text"),
+        minRun = 10),
+      col("doc_id"), col("text"), minRun = 10))
+    assert(!noStore.exists(_._1 == 930001L),
+      "the cross-side span should need the stored counts")
+  }
+
   test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
     import spark.implicits._
     // two spam docs of one repeated token: every k-gram hashes
