@@ -1064,6 +1064,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked PER-DOC span gate: each doc against its own
+    // repetition + the stored counts only — batch-mates invisible,
+    // so output is invariant under re-batching (the property the
+    // streaming twin streamRepeatedSpans needs and is spec-pinned
+    // equal to); the batch-wide q_dedup_spans_incremental is the
+    // stricter same-job form
+    "q_dedup_spans_perdoc" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.perDocRepeatedSpans(
+        docs.where(col("doc_id") % 3 =!= 0),
+        Dedup.gramCounts(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), minRun = 10,
+          hashKey = QualityModel.seededKey),
+        col("doc_id"), col("text"), minRun = 10,
+        hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
     // observability half of data mixing (takeByBudgetPerKey is the
@@ -2610,6 +2628,40 @@ object SparkEntry {
         |dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
         |a AS (SELECT doc_id, pos FROM hs JOIN dup USING (h)
         |      WHERE doc_id % 3 <> 0),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL
+        |             OR pos > lag(pos) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) + 10
+        |             THEN 1 ELSE 0 END brk
+        |      FROM a),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) gi
+        |        FROM m)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |       CAST(max(pos) + 9 AS INT) AS span_end,
+        |       CAST(max(pos) + 9 - min(pos) + 1 AS INT) AS span_tokens
+        |FROM grp GROUP BY doc_id, gi""".stripMargin,
+
+    // per-doc gate replay: within-doc counts + the ref slice's
+    // counts, anchors where the sum reaches 2 — batch-mates never
+    // meet (no cross-doc term outside the ref slice)
+    "q_dedup_spans_perdoc" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 10),
+        |hs AS (SELECT doc_id, i AS pos,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+10], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 10)) i)),
+        |rc AS (SELECT h, count(*) c FROM hs WHERE doc_id % 3 = 0
+        |       GROUP BY 1),
+        |bs AS (SELECT doc_id, pos, h FROM hs WHERE doc_id % 3 <> 0),
+        |wc AS (SELECT doc_id, h, count(*) n FROM bs GROUP BY 1, 2),
+        |a AS (SELECT bs.doc_id, bs.pos FROM bs
+        |      JOIN wc ON wc.doc_id = bs.doc_id AND wc.h = bs.h
+        |      LEFT JOIN rc ON rc.h = bs.h
+        |      WHERE wc.n + coalesce(rc.c, 0) >= 2),
         |m AS (SELECT doc_id, pos,
         |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
         |               IS NULL

@@ -1693,6 +1693,36 @@ object Dedup {
     * frequency, which the sum reconstructs exactly. Reference docs
     * are never re-scanned OR re-reported — they were stripped when
     * they landed (the q56 incremental discipline applied to spans). */
+  /** [[incrementalRepeatedSpans]] with PER-DOC batch semantics: a
+    * batch L-gram anchors when `its own doc's count + stored count
+    * ≥ 2` — each document is gated against the corpus independently,
+    * never against its batch-mates. The operational difference from
+    * the batch-wide increment: output is INVARIANT under re-batching
+    * (splitting a day's ingest into two jobs cannot change any doc's
+    * spans), the property a replayable/streaming gate needs — and
+    * exactly what the streaming twin
+    * (`streaming.EventPipelines.streamRepeatedSpans`) computes, doc
+    * by doc, spec-pinned equal. The trade: duplication BETWEEN two
+    * same-batch docs is invisible until their grams land in the
+    * store (the next maintenance cycle); the batch-wide
+    * [[incrementalRepeatedSpans]] is the stricter same-job form. */
+  def perDocRepeatedSpans(docs: DataFrame, refGramCounts: DataFrame,
+                          id: Column, text: Column, minRun: Int,
+                          hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    require(Seq("h", "c").forall(refGramCounts.columns.contains),
+      "refGramCounts must be a gramCounts frame: (h, c)")
+    val kg = kgramHashes(docs, id, text, minRun, hashKey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = kg.groupBy("id", "h").agg(count(lit(1)).as("__wc"))
+    val anchors = kg.join(within, Seq("id", "h"))
+      .join(refGramCounts.select(col("h"), col("c").as("__rc")),
+        Seq("h"), "left")
+      .where(col("__wc") + coalesce(col("__rc"), lit(0L)) >= 2)
+      .select("id", "pos")
+    mergeAnchorSpans(anchors, minRun)
+  }
+
   def incrementalRepeatedSpans(newDocs: DataFrame,
                                refGramCounts: DataFrame,
                                id: Column, text: Column, minRun: Int,

@@ -290,6 +290,92 @@ object EventPipelines {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class DocEvent(id: Long, ts: Timestamp, text: String)
+  final case class GramHit(id: Long, ts: Timestamp, pos: Int, h: Long,
+                           rc: Long)
+  final case class SpanSeen(lastMs: Long)
+  final case class DocSpan(id: Long, span_start: Int, span_end: Int,
+                           span_tokens: Int)
+
+  /** Streaming ExactSubstr gate — the streaming twin of
+    * `Dedup.perDocRepeatedSpans`: each arriving document's repeated
+    * spans against the STORED gram-count frame (`Dedup.gramCounts`,
+    * a stream-static join — the store is never re-shuffled) plus its
+    * own internal repetition; batch-mates are invisible, so output
+    * is invariant under micro-batch boundaries, the property that
+    * makes the gate replayable (spec pins stream == perDoc batch).
+    *
+    * Shape: the per-row gram explode feeds ONE stream-static left
+    * join; each doc's gram rows regroup by id and the span merge
+    * runs in the group function (a document's rows always share its
+    * micro-batch — the group is complete when it fires). State is
+    * one timestamp per doc id inside the watermark horizon, used
+    * only for timeout cleanup; nothing accumulates past it.
+    * Caller contract: doc ids unique on the stream (as every batch
+    * operator in the family). */
+  def streamRepeatedSpans(docs: Dataset[DocEvent],
+                          refGramCounts: DataFrame, minRun: Int,
+                          hashKey: org.apache.spark.sql.Column =>
+                            org.apache.spark.sql.Column = xxhash64(_),
+                          watermark: String = "24 hours",
+                          evictAfterMs: Long = 24L * 3600 * 1000)
+      : Dataset[DocSpan] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def fn(id: Long, evts: Iterator[GramHit],
+           state: GroupState[SpanSeen]): Iterator[DocSpan] = {
+      if (!evts.hasNext && state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val rows = evts.toArray
+      val lastMs = math.max(
+        state.getOption.fold(Long.MinValue)(_.lastMs),
+        rows.iterator.map(_.ts.getTime).max)
+      val within = rows.groupBy(_.h).view.mapValues(_.length).toMap
+      val anchors = rows.iterator
+        .filter(r => within(r.h) + r.rc >= 2)
+        .map(_.pos).toArray.sorted
+      val out = Vector.newBuilder[DocSpan]
+      var i = 0
+      while (i < anchors.length) {
+        var j = i
+        while (j + 1 < anchors.length &&
+          anchors(j + 1) <= anchors(j) + minRun) j += 1
+        out += DocSpan(id, anchors(i), anchors(j) + minRun - 1,
+          anchors(j) + minRun - 1 - anchors(i) + 1)
+        i = j + 1
+      }
+      state.update(SpanSeen(lastMs))
+      state.setTimeoutTimestamp(lastMs + evictAfterMs)
+      out.result().iterator
+    }
+
+    val let = (bound: org.apache.spark.sql.Column,
+               body: org.apache.spark.sql.Column =>
+                 org.apache.spark.sql.Column) =>
+      element_at(transform(array(bound), body), 1)
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .where(size(split(graft.io.Cleanser.normalized(col("text")),
+        " ")) >= minRun)
+      .select(col("id"), col("ts"), posexplode(
+        let(split(graft.io.Cleanser.normalized(col("text")), " "),
+          t => transform(sequence(lit(0), size(t) - minRun),
+            i => hashKey(array_join(slice(t, i + 1, lit(minRun)),
+              " ")))))
+        .as(Seq("pos", "h")))
+      .join(refGramCounts.select(col("h"),
+        col("c").as("__rc")), Seq("h"), "left")
+      .select(col("id"), col("ts"), col("pos"), col("h"),
+        coalesce(col("__rc"), lit(0L)).as("rc"))
+      .as[GramHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Watermark-correct built-in sessionization (`session_window`):
     * late in-watermark events merge/extend sessions properly and
     * results emit only once final. Note the built-in's `end` is

@@ -497,6 +497,68 @@ class StreamingSpec extends GraftSuite {
     assert(want.exists { case (a, b, _) => a == 1000002L && b == 1000003L })
   }
 
+  test("streamRepeatedSpans == perDocRepeatedSpans; invariant under micro-batch boundaries") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val t = graft.io.Tables(spark, sfDir)
+    val passage = (1 to 14).map(i => s"sp$i").mkString(" ")
+    val crossDoc = "cn1 " + passage + " cn2"            // dup vs ref
+    val refPlant = Seq((940002L * 3, "rr0 " + passage + " rr9"))
+    val selfRep = ((1 to 10).map(i => s"sr$i") ++ Seq("gap1", "gap2") ++
+      (1 to 10).map(i => s"sr$i")).mkString(" ")         // within-doc dup
+    // two stream docs sharing a passage ABSENT from the store: the
+    // per-doc gate must NOT flag them (batch-mates are invisible)
+    val mate = (1 to 12).map(i => s"mm$i").mkString(" ")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val refCounts = graft.operators.Dedup.gramCounts(
+      docs.where(col("doc_id") % 3 === 0)
+        .unionByName(refPlant.toDF("doc_id", "text")),
+      col("doc_id"), col("text"), minRun = 10)
+    val streamRows = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String)].collect().toSeq ++ Seq(
+      (940001L, crossDoc), (940004L, selfRep),
+      (940007L, "ma1 " + mate), (940010L, mate + " mb1 mb2"))
+    val mem = MemoryStream[EventPipelines.DocEvent]
+    val q = EventPipelines.streamRepeatedSpans(mem.toDS(), refCounts,
+        minRun = 10, watermark = "3650 days",
+        evictAfterMs = 1000L * 3600 * 24 * 3650)
+      .writeStream.format("memory").queryName("srs")
+      .outputMode("append").start()
+    try {
+      // two arbitrary micro-batches: the split point must not matter
+      val (b1, b2) = streamRows.splitAt(streamRows.size / 3)
+      Seq(b1, b2).zipWithIndex.foreach { case (b, k) =>
+        mem.addData(b.map { case (id, tx) =>
+          EventPipelines.DocEvent(id,
+            new Timestamp(3600L * 1000 * (k + 1)), tx) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = s.table("srs").as[EventPipelines.DocSpan].collect()
+      .map(d => (d.id, d.span_start, d.span_end, d.span_tokens)).toSet
+    val want = graft.operators.Dedup.perDocRepeatedSpans(
+        streamRows.toDF("doc_id", "text"), refCounts,
+        col("doc_id"), col("text"), minRun = 10)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got.nonEmpty && got == want,
+      s"stream diverged from perDoc batch: ${got.size} vs ${want.size}")
+    // the plants behave per the gate's contract
+    assert(got.contains((940001L, 1, 14, 14)), "cross-side span missed")
+    assert(got.exists(_._1 == 940004L), "self-repeat missed")
+    assert(!got.exists(d => d._1 == 940007L || d._1 == 940010L),
+      "batch-mates must be invisible to the per-doc gate")
+    // ...while the batch-wide increment DOES see them — the
+    // documented trade between the two forms
+    val batchWide = graft.operators.Dedup.incrementalRepeatedSpans(
+        streamRows.toDF("doc_id", "text"), refCounts,
+        col("doc_id"), col("text"), minRun = 10)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(batchWide.exists(_._1 == 940007L) &&
+      batchWide.exists(_._1 == 940010L))
+    assert((got -- batchWide).isEmpty,
+      "per-doc spans must be a subset of the batch-wide increment")
+  }
+
   test("streamNearDupPairs: idle buckets evict past the horizon") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
