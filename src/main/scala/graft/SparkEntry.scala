@@ -1455,6 +1455,46 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked WordPiece round-0 pair statistics (Schuster &
+    // Nakajima 2012, the BERT trainer): adjacent-pair counts PLUS
+    // both symbols' occurrence counts over the ##-convention
+    // character split — the integer sufficient statistics of the
+    // likelihood score n_ab/(n_a·n_b) every merge round argmaxes,
+    // replayed exactly in DuckDB. The ONE corpus-sized pass is the
+    // word count; both aggregates are vocabulary-sized.
+    "q_wordpiece_pair_scores" -> ((s, dir) => {
+      val vocab = Bpe.wordCounts(Tables(s, dir).documents, col("text"))
+      Wordpiece.pairStats(vocab.select(col("w"), col("c"),
+        Wordpiece.initialSymbols(col("w")).as("syms")))
+    }),
+
+    // rows-only (driver argmax loop): the learned merge list after 16
+    // likelihood-scored rounds — deterministic from the word counts
+    // (IEEE-identical score arithmetic both paths, lexicographic
+    // tie-breaks), spec-equal to a straight-line reference WordPiece;
+    // q_wordpiece_pair_scores is the oracle-green twin of each
+    // round's count step.
+    "q_wordpiece_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val model = Wordpiece.train(Tables(s, dir).documents, col("text"),
+        numMerges = 16)
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) =>
+          (i + 1, a, b, Wordpiece.mergedSymbol(a, b)) }
+        .toDF("rank", "a", "b", "merged")
+    }),
+
+    // rows-only: corpus encoded through the trained segmentation —
+    // two vocabulary-keyed equi-joins, never a per-row merge replay;
+    // OOV words fall back to the ##-convention character split,
+    // flagged (the [UNK] policy stays with the caller).
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val model = Wordpiece.train(docs, col("text"), numMerges = 16)
+      Wordpiece.encode(docs, col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Full pipeline with the decontamination gate: gates → exact
     // dedup → jaccard near-dup removal → drop docs overlapping the
     // held-out benchmark slice (doc_id % 20 == 0, as q_decontaminate)
@@ -3172,6 +3212,30 @@ object SparkEntry {
         |           least(4, len(w) - i + 1))) l))
         |SELECT piece, CAST(sum(c) AS BIGINT) AS n
         |FROM subs GROUP BY 1""".stripMargin,
+
+    // WordPiece round-0 replay: bare first character + ##-prefixed
+    // rest per vocabulary word; adjacent-pair counts joined to both
+    // symbols' occurrence counts — the integer sufficient statistics
+    // of the likelihood score, in pure longs.
+    "q_wordpiece_pair_scores" ->
+      s"""WITH t AS (SELECT string_split($normSql, ' ') ws FROM documents),
+        |w0 AS (SELECT unnest(ws) w FROM t),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM w0
+        |       WHERE len(w) > 0 GROUP BY 1),
+        |syms AS (SELECT w, c, list_transform(generate_series(1, length(w)),
+        |           i -> CASE WHEN i = 1 THEN substr(w, i, 1)
+        |                     ELSE '##' || substr(w, i, 1) END) s
+        |         FROM wc),
+        |p AS (SELECT c, s[i+1] a, s[i+2] b
+        |      FROM syms, LATERAL (
+        |        SELECT unnest(generate_series(0, len(s) - 2)) i)),
+        |pc AS (SELECT a, b, CAST(sum(c) AS BIGINT) n_ab
+        |       FROM p GROUP BY 1, 2),
+        |sc AS (SELECT sym, CAST(sum(c) AS BIGINT) n FROM
+        |       (SELECT c, unnest(s) sym FROM syms) GROUP BY 1)
+        |SELECT pc.a, pc.b, pc.n_ab, sa.n AS n_a, sb.n AS n_b
+        |FROM pc JOIN sc sa ON pc.a = sa.sym
+        |        JOIN sc sb ON pc.b = sb.sym""".stripMargin,
 
     // n-gram LM scoring-core replay: the reference slice's bigram /
     // unigram count tables left-joined under every scored doc's

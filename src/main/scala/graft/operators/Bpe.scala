@@ -153,21 +153,26 @@ object Bpe {
     *    next pair's left half);
     *  - a top pair with count < 2 exhausts training, as the
     *    distributed round does. */
+  /** Spark's binary string ordering (unsigned UTF-8 bytes) — the
+    * driver-local argmax tie-break MUST match the distributed
+    * `orderBy`, and Java's UTF-16 `compareTo` disagrees above
+    * U+FFFF. Shared with [[Wordpiece]]'s local replay. */
+  private[operators] def utf8Lt(x: String, y: String): Boolean = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xb.length, yb.length)
+    while (i < n) {
+      val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    xb.length < yb.length
+  }
+
   private def trainLocal(spark: org.apache.spark.sql.SparkSession,
                          wc: DataFrame, numMerges: Int): Model = {
     import spark.implicits._
-    def utf8Lt(x: String, y: String): Boolean = {
-      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(xb.length, yb.length)
-      while (i < n) {
-        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      xb.length < yb.length
-    }
     var entries: Array[(String, Long, Array[String])] = wc
       .select(col("w"), col("c"), symbolsOf(col("w")).as("syms"))
       .collect()
