@@ -113,6 +113,19 @@ object PqIndexStore {
     // marker rides the .old dir, recoverable by hand) or the
     // committed successor; the marker-less window is the one rename.
     val old = dir + ".old"
+    // A prior crash can leave `.old` holding the ONLY committed
+    // artifact (crash after the predecessor was renamed aside but
+    // before the successor's marker landed: dir is absent or
+    // marker-less while old/_INDEX_READY exists). Deleting it first
+    // would reopen the no-artifact window this commit sequence
+    // closes — restore it to `dir` instead, so the normal swap below
+    // keeps a committed artifact on disk at every step. When `dir`
+    // itself is committed, `.old` is genuinely stale and safe to
+    // drop.
+    if (Files.exists(Paths.get(old, Marker)) && !exists(dir)) {
+      deleteRecursively(dir) // marker-less half-write, if any
+      Files.move(Paths.get(old), Paths.get(dir))
+    }
     deleteRecursively(old) // stale leftover from a prior crash
     if (Files.exists(Paths.get(dir)))
       Files.move(Paths.get(dir), Paths.get(old))

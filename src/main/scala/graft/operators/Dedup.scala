@@ -1633,7 +1633,21 @@ object Dedup {
     * Positions index the NORMALIZED token stream (the pipeline's
     * working form, as every detector here). Matching is by L-gram
     * hash: a collision can only ever widen a span, same failure
-    * direction as the whole hash family. */
+    * direction as the whole hash family.
+    *
+    * Scale ladder of the dup-gram join — DELIBERATELY unhinted:
+    * unlike every other broadcast in this file (dimension- or
+    * parameter-bounded by construction), the duplicated-gram set is
+    * CORPUS-DEPENDENT — tiny on clean text, potentially
+    * corpus-sized on boilerplate-heavy crawl. At sf0.1 AQE
+    * broadcasts it off the frequency aggregate's runtime row count;
+    * past `spark.sql.autoBroadcastJoinThreshold` it degrades to a
+    * shuffled join on `h` — the right rung, since both sides are
+    * already h-partitioned by the aggregate, so the SMJ re-shuffles
+    * only the anchors side. A broadcast hint here would OOM the
+    * driver exactly on the corpora this operator exists for;
+    * results are plan-invariant (spec-pinned at a forced-SMJ
+    * threshold). */
   def repeatedSpans(df: DataFrame, id: Column, text: Column,
                     minRun: Int,
                     hashKey: Column => Column = xxhash64(_)): DataFrame = {

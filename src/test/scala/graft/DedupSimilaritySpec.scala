@@ -939,6 +939,41 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(seeded == spans)
   }
 
+  test("repeatedSpans is plan-invariant up the scale ladder: forced SMJ == default (broadcast) results") {
+    import spark.implicits._
+    // the dup-gram join is deliberately unhinted (scaladoc): AQE
+    // broadcasts the duplicated-gram set while it fits and degrades
+    // to a shuffled join when the corpus outgrows the threshold.
+    // Pin both rungs: identical spans, and the forced rung really is
+    // a non-broadcast join.
+    val passage = (1 to 12).map(i => s"lz$i").mkString(" ")
+    val planted = Seq((940001L, "aa1 aa2 " + passage),
+      (940002L, passage + " bb1 bb2")).toDF("doc_id", "text")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    def spanSet(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Int, Int, Int)].collect().toSet
+    val spans = Dedup.repeatedSpans(docs, col("doc_id"), col("text"),
+      minRun = 10)
+    val defaultRun = spanSet(spans)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val forced = Dedup.repeatedSpans(docs, col("doc_id"), col("text"),
+        minRun = 10)
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "threshold -1 should force the shuffled-join rung")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"unexpected join rung:\n$plan")
+      assert(spanSet(forced) == defaultRun,
+        "span set changed across the join-strategy ladder")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(defaultRun.contains((940001L, 2, 13, 12)) &&
+      defaultRun.contains((940002L, 0, 11, 12)))
+  }
+
   test("incremental spans == one-shot on the union restricted to new docs; stored counts anchor what the batch alone cannot") {
     import spark.implicits._
     val passage = (1 to 14).map(i => s"qq$i").mkString(" ")

@@ -650,6 +650,49 @@ class PqSpec extends GraftSuite {
     assert(err.getMessage.contains("_INDEX_READY"))
   }
 
+  test("write() restores a committed .old predecessor instead of deleting it (crash recovery)") {
+    val s = spark; import s.implicits._
+    import graft.io.PqIndexStore
+    import java.nio.file.{Files, Paths}
+    val dir = s"$storeRoot/crash_idx"
+    def books(tag: Int) =
+      Seq((0, 0, Seq(tag.toDouble))).toDF("sub", "c", "cv")
+    def codes(tag: Int) = Seq((tag.toLong, Seq(0))).toDF("n_id", "code")
+    def storedTag: Double = PqIndexStore.read(spark, dir)
+      .codebooks.select("cv").as[Seq[Double]].collect().head.head
+    PqIndexStore.write(dir, books(1), codes(1))
+    // crash window A: predecessor renamed aside (its committed marker
+    // riding .old), successor never landed — dir absent
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"))
+    assert(!PqIndexStore.exists(dir))
+    // the next write must NOT open by destroying the only committed
+    // artifact; afterwards the new index is committed, .old is gone
+    PqIndexStore.write(dir, books(2), codes(2))
+    assert(PqIndexStore.exists(dir) &&
+      !Files.exists(Paths.get(dir + ".old")))
+    assert(storedTag == 2.0)
+    // crash window B: same, but a marker-less half-written successor
+    // occupies dir — the half-write must be discarded, the committed
+    // .old restored, then the new write swaps in normally
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"))
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "halfwrite"), "partial")
+    PqIndexStore.write(dir, books(3), codes(3))
+    assert(PqIndexStore.exists(dir) &&
+      !Files.exists(Paths.get(dir + ".old")))
+    assert(!Files.exists(Paths.get(dir, "halfwrite")),
+      "half-written junk survived the recommit")
+    assert(storedTag == 3.0)
+    // control: when dir IS committed, a stale .old is genuinely dead
+    // and a normal write still drops it
+    Files.createDirectories(Paths.get(dir + ".old"))
+    Files.writeString(Paths.get(dir + ".old", "stale"), "x")
+    PqIndexStore.write(dir, books(4), codes(4))
+    assert(PqIndexStore.exists(dir) &&
+      !Files.exists(Paths.get(dir + ".old")))
+    assert(storedTag == 4.0)
+  }
+
   test("residual-coded (IVFADC) index: stored probe == in-memory probe, bitwise; the residual flag rides the artifact") {
     val s = spark; import s.implicits._
     import graft.io.PqIndexStore
