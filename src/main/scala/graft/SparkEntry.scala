@@ -1082,6 +1082,54 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked SOFT dedup (r11): per-doc duplication
+    // down-weighting instead of hard removal — the same L-gram
+    // criterion as the spans family aggregated to doc granularity
+    // (n_grams, n_dup, dup_mass) plus the derived dup_ratio and
+    // 1/(1+4·ratio) weight; pure-long statistics + a deterministic
+    // IEEE division chain, so the whole surface hash-replays
+    "q_dedup_soft" -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables(s, dir).documents, col("doc_id"),
+          col("text"), minRun = 10, lambda = 4.0,
+          hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")),
+
+    // rows-only: the xxhash64 scale path (seeded twin above green;
+    // spec pins seeded == xxhash64 statistics)
+    "q_dedup_soft_xx" -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables(s, dir).documents, col("doc_id"),
+        col("text"), minRun = 10, lambda = 4.0)),
+
+    // oracle-checked priority sampling (r11; Duffield–Lund–Thorup
+    // JACM 2007): weight-proportional k-per-stratum sample without
+    // replacement over the deterministic hash gate — priorities,
+    // ranks, tau, and the unbiased w_est = max(w, tau) estimator
+    // all replay bit-identically (divisions only, no pow/ln)
+    "q_sample_priority" -> ((s, dir) =>
+      Sampling.priorityPerStratum(
+          Tables(s, dir).documents
+            .select(col("doc_id"), col("source"),
+              greatest(col("n_chars"), lit(1L)).as("w")),
+          key = col("doc_id"), stratum = col("source"),
+          weight = col("w"), k = 10,
+          hashKey = t => QualityModel.seededKey(t.cast("string")))
+        .select("source", "doc_id", "w", "rnk", "u", "priority",
+          "tau", "w_est")),
+
+    // rows-only: the xxhash64 scale path of the sampler (the u draw
+    // changes with the hash family, so the selected set differs by
+    // design; the seeded twin above is hash-green and the spec pins
+    // the DLT invariants on both families)
+    "q_sample_priority_xx" -> ((s, dir) =>
+      Sampling.priorityPerStratum(
+          Tables(s, dir).documents
+            .select(col("doc_id"), col("source"),
+              greatest(col("n_chars"), lit(1L)).as("w")),
+          key = col("doc_id"), stratum = col("source"),
+          weight = col("w"), k = 10)
+        .select("source", "doc_id", "w", "rnk", "u", "priority",
+          "tau", "w_est")),
+
     // Domain-mixture report (r6): per-source doc/token contribution
     // with integer-exact ppm token shares and token-mass rank — the
     // observability half of data mixing (takeByBudgetPerKey is the
@@ -2890,6 +2938,56 @@ object SparkEntry {
         |       b.n_passages,
         |       b.n_passages - coalesce(agg.n_kept, 0) AS n_dropped
         |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
+
+    // Soft dedup: the spans family's seeded L-gram machinery with a
+    // per-doc aggregate instead of an interval merge; sums cast to
+    // BIGINT; the dup_ratio/weight arithmetic is the exact IEEE
+    // sequence the Spark side computes (long casts, one multiply/add,
+    // divisions — no order-dependent float accumulation)
+    "q_dedup_soft" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 10),
+        |hs AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+10], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 10)) i)),
+        |pd AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) k
+        |       FROM hs GROUP BY doc_id, h),
+        |f AS (SELECT h, CAST(sum(k) AS BIGINT) c FROM pd GROUP BY h),
+        |st AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN c >= 2 THEN k ELSE 0 END) AS BIGINT)
+        |           AS n_dup,
+        |         CAST(sum(CASE WHEN c >= 2 THEN k * c ELSE 0 END) AS BIGINT)
+        |           AS dup_mass
+        |       FROM pd JOIN f USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_dup, dup_mass,
+        |       CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_ratio,
+        |       1.0 / (1.0 + 4.0 *
+        |         (CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE))) AS weight
+        |FROM st""".stripMargin,
+
+    // Priority sampling: u from the md5 60-bit prefix (non-negative,
+    // so % == pmod), priorities/tau/w_est division-only — replays
+    // bit-identically; ranks tie-break by doc_id ascending
+    "q_sample_priority" ->
+      """WITH pr AS (
+        |  SELECT source, doc_id,
+        |         CAST(greatest(n_chars, 1) AS BIGINT) w,
+        |         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |             1, 15)) AS BIGINT) % 2147483648 + 1 AS DOUBLE)
+        |           / 2147483648.0 AS u
+        |  FROM documents),
+        |p2 AS (SELECT *, CAST(w AS DOUBLE) / u AS priority FROM pr),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |         ORDER BY priority DESC, doc_id) AS BIGINT) AS rnk
+        |      FROM p2),
+        |tau AS (SELECT source, priority AS tau FROM r WHERE rnk = 11)
+        |SELECT r.source, r.doc_id, r.w, r.rnk, r.u, r.priority,
+        |       tau.tau,
+        |       CASE WHEN tau.tau IS NULL THEN CAST(r.w AS DOUBLE)
+        |            ELSE greatest(CAST(r.w AS DOUBLE), tau.tau) END AS w_est
+        |FROM r LEFT JOIN tau ON r.source = tau.source
+        |WHERE r.rnk <= 10""".stripMargin,
 
     // Integer `//` division == Spark's `div`; sums cast to BIGINT
     // (DuckDB sum(BIGINT) is HUGEINT). NULL text counts 0 tokens.

@@ -115,6 +115,95 @@ object StoreBench {
     val kind = sys.env.getOrElse("SPARK_GRAFT_STORE_KIND", "sig")
     val plainDir = s"$warehouse/plain_ctl"
 
+    // "stream_spans" prices the STREAMING ExactSubstr gate (the q120
+    // contract's deployment shape): micro-batches of new documents
+    // replayed through `streamRepeatedSpans` against the stored
+    // gram-count frame — the per-batch latency the re-batching
+    // invariance contract implies, which the batch arms never
+    // measure. Its own arm structure (a latency series, not
+    // bucketed-vs-plain), so it branches before the generic harness.
+    if (kind == "stream_spans") {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventPipelines
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val isNew = pmod(xxhash64(col("doc_id")), lit(20)) === 0
+      spark.sql("DROP TABLE IF EXISTS store_bench_stream")
+      val t0 = System.nanoTime()
+      graft.io.Bucketing.writeBucketed(
+        Dedup.gramCounts(
+          (0 until storeScale).map(i =>
+              docs.where(!isNew).select(
+                (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+                col("text")))
+            .reduce(_ unionByName _),
+          col("doc_id"), col("text"), minRun = 10),
+        "store_bench_stream", Seq("h"), buckets = shuffle.toInt)
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      val store = spark.table("store_bench_stream")
+      val storeRows = store.count()
+      val streamDocs = docs.where(isNew).select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+      val batchSize =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "250").toInt
+      val batches = streamDocs.grouped(batchSize).toSeq
+      val loadBefore = loadavg
+      StallProbe.start()
+      val stall0 = StallProbe.totalSec
+      val mem = MemoryStream[EventPipelines.DocEvent]
+      val q = EventPipelines.streamRepeatedSpans(mem.toDS(), store,
+          minRun = 10, watermark = "3650 days",
+          evictAfterMs = 1000L * 3600 * 24 * 3650)
+        .writeStream.format("noop").outputMode("append").start()
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
+      try {
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val bt0 = System.nanoTime()
+          mem.addData(b.map { case (id, tx) =>
+            EventPipelines.DocEvent(id,
+              new java.sql.Timestamp(3600L * 1000 * (k + 1)), tx) }: _*)
+          q.processAllAvailable()
+          perBatch += (System.nanoTime() - bt0) / 1e9
+          System.err.println(
+            f"[store-bench] stream batch $k (${b.size} docs) " +
+              f"${perBatch.last}%.2f s")
+        }
+      } finally q.stop()
+      val stallSec = StallProbe.totalSec - stall0
+      spark.sql("DROP TABLE IF EXISTS store_bench_stream")
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      // batch 0 pays stream-start + first store scan; the steady
+      // state the contract prices is the warm median
+      val warm = if (perBatch.size > 1) perBatch.drop(1).toSeq
+                 else perBatch.toSeq
+      val json =
+        s"""{"metric":"stream_spans_batch_median","value":${med(warm)}""" +
+          s""","unit":"sec","kind":"stream_spans"""" +
+          s""","per_batch_sec":${perBatch.map(x =>
+            math.round(x * 1000) / 1000.0).mkString("[", ",", "]")}""" +
+          s""","cold_first_batch_sec":${perBatch.headOption.getOrElse(-1.0)}""" +
+          s""","batches":${batches.size},"batch_docs":$batchSize""" +
+          s""","stream_docs":${streamDocs.size}""" +
+          s""","store_rows":$storeRows,"store_scale":$storeScale""" +
+          s""","write_bucketed_sec":${math.round(tWrite * 100) / 100.0}""" +
+          s""","stall_sec":${math.round(stallSec * 100) / 100.0}""" +
+          s""","loadavg_before":"$loadBefore","loadavg_after":"$loadavg"""" +
+          s""","cpus":"$cpus","buckets":"$shuffle","sf":"$sfDir"}"""
+      println(json)
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "store_bench.json")
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[store-bench] write $out failed: $e") }
+      spark.stop()
+      return
+    }
+
     /** One bench-able store layout: the index frames it stores, the
       * increment joined against them, and the store lifecycle — the
       * bucketed-table defaults serve sig/signband; the ivf kind

@@ -1697,6 +1697,57 @@ object Dedup {
     kgramHashes(df, id, text, minRun, hashKey)
       .groupBy("h").agg(count(lit(1)).as("c"))
 
+  /** SOFT dedup — per-document duplication down-WEIGHTS instead of
+    * hard removal (the reweighting school of train-data dedup, e.g.
+    * SoftDeDup, He et al. 2024 — a published method; where
+    * [[stripRepeatedSpans]] deletes the duplicated text, this keeps
+    * every document and prices its duplication into the sampling
+    * weight, preserving the information hard dedup throws away).
+    *
+    * Statistics per doc, over the same L-gram criterion the spans
+    * family uses (`minRun`-token windows, corpus frequency ≥ 2):
+    *  - `n_grams`   — the doc's window count
+    *  - `n_dup`     — windows whose L-gram is corpus-duplicated
+    *  - `dup_mass`  — Σ corpus frequency over those windows (how MANY
+    *    times over the duplication runs: boilerplate in 10k docs and
+    *    a one-other-copy passage both have dup_ratio 1 but mass 10k
+    *    vs 2 — callers weighting by mass punish the former harder)
+    *  - `dup_ratio` — n_dup / n_grams ∈ [0, 1]
+    *  - `weight`    — 1 / (1 + λ·dup_ratio): 1 for pristine docs,
+    *    1/(1+λ) for fully-duplicated ones. One division of exact
+    *    Longs then one multiply/add/divide chain — deterministic IEEE
+    *    sequence, no order-dependent float SUM anywhere, so the
+    *    seeded-hash form replays bit-identically in ANSI SQL (the
+    *    [[containmentFromSignatures]] arithmetic discipline).
+    *
+    * Docs with fewer than `minRun` tokens have no windows and are
+    * absent (they have no duplication evidence either way; a caller
+    * joining weights back treats missing as weight 1).
+    *
+    * Scale shape: gram explode → `(id, h)` partial-agg → h-keyed
+    * frequency aggregate (map-side combined, the [[repeatedSpans]]
+    * backbone) → join back on h → id-keyed final aggregate. No pair
+    * term, no df cap needed — the same reasons the spans family
+    * scales. */
+  def softDedupWeights(df: DataFrame, id: Column, text: Column,
+                       minRun: Int, lambda: Double = 4.0,
+                       hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    val perDoc = kgramHashes(df, id, text, minRun, hashKey)
+      .groupBy("id", "h").agg(count(lit(1)).as("__k"))
+    val freq = perDoc.groupBy("h").agg(sum(col("__k")).as("__c"))
+    perDoc.join(freq, "h")
+      .groupBy("id")
+      .agg(sum(col("__k")).as("n_grams"),
+        sum(when(col("__c") >= 2, col("__k")).otherwise(0L)).as("n_dup"),
+        sum(when(col("__c") >= 2, col("__k") * col("__c")).otherwise(0L))
+          .as("dup_mass"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+      .withColumn("weight",
+        lit(1.0) / (lit(1.0) + lit(lambda) * col("dup_ratio")))
+  }
+
   /** Incremental [[repeatedSpans]] — spans of the NEW batch against
     * reference ∪ batch, with the reference corpus entering as its
     * stored [[gramCounts]] frame (no reference text, no reference

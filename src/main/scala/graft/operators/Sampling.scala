@@ -116,4 +116,64 @@ object Sampling {
       weight = lit(1L), budgets = budgets, partitions = partitions,
       cumOut = "rnk")
   }
+
+  /** WEIGHT-proportional k-per-stratum sampling without replacement —
+    * priority sampling (Duffield, Lund & Thorup, "Priority sampling
+    * for estimation of arbitrary subset sums", JACM 54(6), 2007 — a
+    * published method): each row draws u ∈ (0, 1] from the
+    * deterministic hash gate and gets priority `p = w/u`; a
+    * stratum's sample is its k largest priorities, and
+    * `tau` = the (k+1)-largest priority yields the unbiased
+    * per-row estimator `w_est = max(w, tau)` (Σ w_est over the
+    * sample estimates the stratum's total weight; strata with ≤ k
+    * rows are taken whole with `w_est = w` exactly, per the paper).
+    * The weighted complement of [[temperatureMix]]: that one hits
+    * COUNT budgets in hash order; this selects BY a per-row weight
+    * (token counts, quality scores) with a principled estimator —
+    * the shape a token-budgeted mixture wants when documents are
+    * far from equal-sized.
+    *
+    * Over [[https://en.wikipedia.org/ A-ES]]-style `u^(1/w)` keys:
+    * priorities need one division, not `pow` — `pow`'s last-ulp
+    * behavior is libm-specific, which would demote the whole surface
+    * to spec-only (the [[temperatureMix]] exactness discipline);
+    * `w/u` with u = (h mod 2³¹ + 1)/2³¹ is two exact-integer casts
+    * and two IEEE divisions, so selection, rank, tau, and estimator
+    * all replay bit-identically in ANSI SQL.
+    *
+    * Determinism: u from `hashKey(key)` (content hash, never
+    * `rand()` — idempotent under retries/AQE like every sampler
+    * here); ties broken by key ascending. Scale shape: the rank
+    * rides [[TopK.perGroup]]'s map-side group limit (shuffle moves
+    * ≤ (k+1)·maps rows per stratum, never the table); weights and
+    * priorities are a pure projection. Output: the sampled rows +
+    * `(u, priority, rnk, tau, w_est)`; `tau` is null on ≤ k-row
+    * strata. */
+  def priorityPerStratum(df: DataFrame, key: Column, stratum: Column,
+                         weight: Column, k: Int,
+                         hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val m = 2147483648.0 // 2^31: u in (0, 1], exact double arithmetic
+    val pr = df
+      .withColumn("__u",
+        (pmod(hashKey(key), lit(2147483648L)) + lit(1L))
+          .cast("double") / lit(m))
+      .withColumn("__w", weight.cast("double"))
+      .withColumn("__p", col("__w") / col("__u"))
+    // one extra rank: position k+1 is tau, the estimator's threshold
+    val ranked = TopK.perGroup(pr, groups = Seq(stratum),
+      order = Seq(col("__p").desc, key.asc), k = k + 1)
+    val tau = ranked.where(col("rnk") === (k + 1))
+      .groupBy(stratum.as("__st")).agg(first(col("__p")).as("tau"))
+    ranked.where(col("rnk") <= k)
+      .join(broadcast(tau), stratum === col("__st"), "left")
+      .drop("__st")
+      .withColumn("w_est",
+        when(col("tau").isNull, col("__w"))
+          .otherwise(greatest(col("__w"), col("tau"))))
+      .withColumnRenamed("__u", "u")
+      .withColumnRenamed("__p", "priority")
+      .drop("__w")
+  }
 }

@@ -1008,6 +1008,72 @@ class DedupSimilaritySpec extends GraftSuite {
       "the cross-side span should need the stored counts")
   }
 
+  test("softDedupWeights == brute-force string-window stats; seeded == xxhash64; consistent with repeatedSpans") {
+    import spark.implicits._
+    val L = 10
+    // plants: a shared passage, a full-dup pair, a unique doc (the
+    // q116 corpus shape — soft dedup is that criterion aggregated
+    // to doc granularity)
+    val passage = (1 to 12).map(i => s"sw$i").mkString(" ")
+    val planted = Seq(
+      (950001L, "sa1 sa2 sa3 " + passage + " sa4 sa5"),
+      (950002L, "sb1 " + passage + " sb2 sb3 sb4"),
+      (950003L, (1 to 25).map(i => s"su$i").mkString(" ")),
+      (950004L, (1 to 15).map(i => s"sd$i").mkString(" ")),
+      (950005L, (1 to 15).map(i => s"sd$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val got = graft.operators.Dedup.softDedupWeights(docs, col("doc_id"),
+        col("text"), minRun = L, lambda = 4.0)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // brute force by window STRING (not hash): corpus frequency per
+    // window, then per-doc occurrence sums
+    val texts = docs.select(col("doc_id"),
+        graft.io.Cleanser.normalized(col("text")).as("tx"))
+      .as[(Long, String)].collect()
+    val toks = texts.map { case (i, s) =>
+      i -> (if (s == null) Array.empty[String] else s.split(" ")) }
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    def windows(w: Array[String]): Seq[String] =
+      (0 to w.length - L).map(i => w.slice(i, i + L).mkString(" "))
+    toks.foreach { case (_, w) =>
+      if (w.length >= L) windows(w).foreach(freq(_) += 1L) }
+    val want = toks.filter(_._2.length >= L).map { case (id, w) =>
+      val ws = windows(w)
+      val n = ws.length.toLong
+      val dups = ws.filter(freq(_) >= 2L)
+      val nd = dups.length.toLong
+      val mass = dups.map(freq).sum
+      val ratio = nd.toDouble / n.toDouble
+      id -> ((n, nd, mass, ratio, 1.0 / (1.0 + 4.0 * ratio)))
+    }.toMap
+    assert(got == want, s"soft stats diverged: ${got.size} vs ${want.size}")
+    // the plants behave per construction: full dups are ratio-1 at
+    // the floor weight 1/(1+4), the unique doc is pristine at 1.0,
+    // the passage pair carries partial duplication strictly between
+    assert(got(950004L)._4 == 1.0 && got(950004L)._5 == 0.2)
+    assert(got(950003L)._4 == 0.0 && got(950003L)._5 == 1.0)
+    assert(got(950001L)._4 > 0.0 && got(950001L)._4 < 1.0)
+    // n_dup > 0 EXACTLY on the docs the span detector flags (same
+    // criterion, doc granularity)
+    val spanDocs = graft.operators.Dedup.repeatedSpans(docs,
+        col("doc_id"), col("text"), minRun = L)
+      .select("id").as[Long].collect().toSet
+    assert(got.filter(_._2._2 > 0).keySet == spanDocs,
+      "soft-dedup flagged docs != span-flagged docs")
+    // hash-family independence: the seeded twin computes identical
+    // statistics (collisions aside, the hash only names the window)
+    val seeded = graft.operators.Dedup.softDedupWeights(docs,
+        col("doc_id"), col("text"), minRun = L, lambda = 4.0,
+        hashKey = graft.operators.QualityModel.seededKey)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(seeded == got)
+  }
+
   test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
     import spark.implicits._
     // two spam docs of one repeated token: every k-gram hashes

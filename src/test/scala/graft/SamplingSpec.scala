@@ -96,4 +96,74 @@ class SamplingSpec extends GraftSuite {
     assert(again == sel.select(col("doc_id"), col("lang"), col("rnk"))
       .as[(Long, String, Long)].collect().toSet)
   }
+
+  test("priorityPerStratum == straight-line DLT replay; invariants on both hash families") {
+    val docs = graft.io.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("w"))
+    val k = 7
+    def run(hk: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Sampling.priorityPerStratum(docs, key = col("doc_id"),
+        stratum = col("source"), weight = col("w"), k = k, hashKey = hk)
+    val seeded: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => graft.operators.QualityModel.seededKey(t.cast("string"))
+    for ((name, hk, hashOf) <- Seq(
+        ("xxhash64", (c: org.apache.spark.sql.Column) => xxhash64(c),
+          (df: org.apache.spark.sql.DataFrame) =>
+            df.select(col("doc_id"), xxhash64(col("doc_id")).as("h"))),
+        ("seeded", seeded,
+          (df: org.apache.spark.sql.DataFrame) =>
+            df.select(col("doc_id"), graft.operators.QualityModel
+              .seededKey(col("doc_id").cast("string")).as("h"))))) {
+      val got = run(hk)
+        .select("source", "doc_id", "w", "rnk", "u", "priority", "tau",
+          "w_est")
+        .as[(String, Long, Long, Long, Double, Double,
+          Option[Double], Double)].collect()
+      // straight-line DLT over collected rows, same IEEE ops
+      val hashes = hashOf(docs).as[(Long, Long)].collect().toMap
+      val rows = docs.select("source", "doc_id", "w")
+        .as[(String, Long, Long)].collect()
+      val m = 2147483648.0
+      val byStratum = rows.groupBy(_._1)
+      val refRows = byStratum.toSeq.flatMap { case (src, rs) =>
+        val withP = rs.toSeq.map { case (_, id, w) =>
+          val hm = ((hashes(id) % 2147483648L) + 2147483648L) % 2147483648L
+          val u = (hm + 1L).toDouble / m
+          (id, w, u, w.toDouble / u)
+        }.sortBy { case (id, _, _, p) => (-p, id) }
+        val tau = if (withP.length > k) Some(withP(k)._4) else None
+        withP.take(k).zipWithIndex.map { case ((id, w, u, p), i) =>
+          (src, id, w, (i + 1).toLong, u, p, tau,
+            tau.fold(w.toDouble)(t => math.max(w.toDouble, t)))
+        }
+      }.toSet
+      assert(got.toSet == refRows,
+        s"$name diverged from the straight-line DLT replay")
+      // invariants: per-stratum size, u range, w_est >= w, estimator
+      // totals are exact on whole-stratum (tau-null) strata
+      val sizes = byStratum.view.mapValues(_.length).toMap
+      got.groupBy(_._1).foreach { case (src, g) =>
+        assert(g.length == math.min(k, sizes(src)))
+        assert(g.map(_._4).sorted.toSeq == (1L to g.length))
+      }
+      assert(got.forall(r => r._5 > 0.0 && r._5 <= 1.0), "u out of (0,1]")
+      assert(got.forall(r => r._8 >= r._3.toDouble), "w_est < w")
+      got.filter(_._7.isEmpty).groupBy(_._1).foreach { case (src, g) =>
+        val tot = byStratum(src).map(_._3).sum.toDouble
+        assert(g.map(_._8).sum == tot,
+          s"whole-stratum $src estimator total not exact")
+      }
+      // determinism under a different partitioning
+      val again = run(hk)
+        .select("source", "doc_id", "rnk")
+        .as[(String, Long, Long)].collect().toSet
+      val againPart = Sampling.priorityPerStratum(docs.repartition(13),
+          key = col("doc_id"), stratum = col("source"),
+          weight = col("w"), k = k, hashKey = hk)
+        .select("source", "doc_id", "rnk")
+        .as[(String, Long, Long)].collect().toSet
+      assert(again == againPart, s"$name not partition-invariant")
+    }
+  }
 }
