@@ -1100,6 +1100,23 @@ object SparkEntry {
       Dedup.softDedupWeights(Tables(s, dir).documents, col("doc_id"),
         col("text"), minRun = 10, lambda = 4.0)),
 
+    // oracle-checked PER-DOC soft dedup (r11): the daily-ingest form
+    // — each batch doc weighted against its own repetition + the
+    // stored gram counts only (batch-mates invisible, weights
+    // re-batching-invariant; the q120 discipline applied to the
+    // soft weights)
+    "q_dedup_soft_perdoc" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.perDocSoftDedupWeights(
+        docs.where(col("doc_id") % 3 =!= 0),
+        Dedup.gramCounts(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), minRun = 10,
+          hashKey = QualityModel.seededKey),
+        col("doc_id"), col("text"), minRun = 10, lambda = 4.0,
+        hashKey = QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // oracle-checked priority sampling (r11; Duffield–Lund–Thorup
     // JACM 2007): weight-proportional k-per-stratum sample without
     // replacement over the deterministic hash gate — priorities,
@@ -2960,6 +2977,36 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN c >= 2 THEN k * c ELSE 0 END) AS BIGINT)
         |           AS dup_mass
         |       FROM pd JOIN f USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_dup, dup_mass,
+        |       CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_ratio,
+        |       1.0 / (1.0 + 4.0 *
+        |         (CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE))) AS weight
+        |FROM st""".stripMargin,
+
+    // Per-doc soft dedup: batch window counts join the REF-side
+    // counts (doc_id % 3 == 0, what the stored frame holds); the
+    // criterion is own-doc + stored >= 2 and dup_mass sums those
+    // union counts — batch-mates never meet
+    "q_dedup_soft_perdoc" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) n FROM t WHERE len(w) >= 10),
+        |hs AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(w[i+1:i+10], ' ')), 1, 15)) AS BIGINT) h
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, n - 10)) i)),
+        |pd AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) k
+        |       FROM hs WHERE doc_id % 3 <> 0 GROUP BY doc_id, h),
+        |rf AS (SELECT h, CAST(count(*) AS BIGINT) c
+        |       FROM hs WHERE doc_id % 3 = 0 GROUP BY h),
+        |j AS (SELECT pd.doc_id, pd.k,
+        |        pd.k + coalesce(rf.c, 0) AS tot
+        |      FROM pd LEFT JOIN rf USING (h)),
+        |st AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN tot >= 2 THEN k ELSE 0 END) AS BIGINT)
+        |           AS n_dup,
+        |         CAST(sum(CASE WHEN tot >= 2 THEN k * tot ELSE 0 END)
+        |           AS BIGINT) AS dup_mass
+        |       FROM j GROUP BY doc_id)
         |SELECT doc_id, n_grams, n_dup, dup_mass,
         |       CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_ratio,
         |       1.0 / (1.0 + 4.0 *

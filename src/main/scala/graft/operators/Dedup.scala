@@ -836,6 +836,19 @@ object Dedup {
     * ratio ceiling by numHashes (s ≫ numHashes pairs fall below the
     * banding's reach — raise numHashes, not bands).
     *
+    * The valves are MEASURED against a planted hot shingle
+    * ([[graft.SkewBench]]; bench_skew_sf1.json — a 30-token license
+    * header on 5% of a 50k-doc corpus): `maxBucketSize = 64` cut
+    * candidates 29.8M → 7.3M (wall 11.1 → 3.9 s) while keeping
+    * every planted doc-in-doc pair — including pairs CARRYING the
+    * boilerplate, because a real contained pair's collisions also
+    * ride its non-boilerplate signature positions, and the cap only
+    * drops the hot buckets; `salt = 8` reproduced the unvalved
+    * candidate set exactly (asserted in the harness) with the n²/S
+    * task split. What the cap genuinely forfeits is containment
+    * pairs whose ONLY shared content is the boilerplate itself —
+    * by construction the pairs a dedup policy does not want.
+    *
     * Verification is signature agreement (as
     * [[lshPairsFromSignatures]]) plus double arithmetic replayable
     * in ANSI SQL — with md5-seeded signatures the whole operator
@@ -1742,6 +1755,48 @@ object Dedup {
         sum(when(col("__c") >= 2, col("__k")).otherwise(0L)).as("n_dup"),
         sum(when(col("__c") >= 2, col("__k") * col("__c")).otherwise(0L))
           .as("dup_mass"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+      .withColumn("weight",
+        lit(1.0) / (lit(1.0) + lit(lambda) * col("dup_ratio")))
+  }
+
+  /** [[softDedupWeights]] for DAILY INGEST, with PER-DOC batch
+    * semantics — the [[perDocRepeatedSpans]] discipline applied to
+    * the soft weights: a batch window counts as duplicated when
+    * `its own doc's occurrences + stored corpus count ≥ 2`, and
+    * `dup_mass` sums exactly those (own + stored) counts.
+    * Batch-mates are invisible, so every document's weight is
+    * INVARIANT under re-batching — the property a replayable gate
+    * needs; duplication between two same-batch docs surfaces after
+    * their grams land in the store (the next [[gramCounts]]
+    * maintenance merge), identical to the span gate's trade.
+    * Reference docs are never re-read: the corpus enters as the
+    * stored `(h, c)` frame. Output schema == [[softDedupWeights]].
+    *
+    * Equivalences (spec-pinned): with an EMPTY store this is
+    * exactly per-single-doc [[softDedupWeights]] (only within-doc
+    * repetition counts); a doc whose windows are store-disjoint
+    * gets the same stats the one-shot run gives it alone. */
+  def perDocSoftDedupWeights(docs: DataFrame, refGramCounts: DataFrame,
+                             id: Column, text: Column, minRun: Int,
+                             lambda: Double = 4.0,
+                             hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    require(Seq("h", "c").forall(refGramCounts.columns.contains),
+      "refGramCounts must be a gramCounts frame: (h, c)")
+    val perDoc = kgramHashes(docs, id, text, minRun, hashKey)
+      .groupBy("id", "h").agg(count(lit(1)).as("__k"))
+    perDoc
+      .join(refGramCounts.select(col("h"), col("c").as("__rc")),
+        Seq("h"), "left")
+      .withColumn("__tot", col("__k") + coalesce(col("__rc"), lit(0L)))
+      .groupBy("id")
+      .agg(sum(col("__k")).as("n_grams"),
+        sum(when(col("__tot") >= 2, col("__k")).otherwise(0L))
+          .as("n_dup"),
+        sum(when(col("__tot") >= 2, col("__k") * col("__tot"))
+          .otherwise(0L)).as("dup_mass"))
       .withColumn("dup_ratio",
         col("n_dup").cast("double") / col("n_grams").cast("double"))
       .withColumn("weight",

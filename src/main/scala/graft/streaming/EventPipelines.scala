@@ -376,6 +376,80 @@ object EventPipelines {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class DocSoftWeight(id: Long, n_grams: Long, n_dup: Long,
+                                 dup_mass: Long, dup_ratio: Double,
+                                 weight: Double)
+
+  /** Streaming twin of `Dedup.perDocSoftDedupWeights` — each arriving
+    * document's soft-dedup statistics against the STORED gram-count
+    * frame plus its own internal repetition (batch-mates invisible,
+    * so the emitted weight for a doc id is identical no matter how
+    * the stream is micro-batched — the same invariance contract as
+    * [[streamRepeatedSpans]], and the batch twin is spec-pinned
+    * equal). Same shape too: one stream-static left join (the store
+    * is never re-shuffled), per-doc regroup, stats in the group
+    * function with the batch operator's exact IEEE arithmetic
+    * (integer sums, one division, one multiply/add/divide chain).
+    * State is one timestamp per doc id for timeout cleanup only. */
+  def streamSoftDedupWeights(docs: Dataset[DocEvent],
+                             refGramCounts: DataFrame, minRun: Int,
+                             lambda: Double = 4.0,
+                             hashKey: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column = xxhash64(_),
+                             watermark: String = "24 hours",
+                             evictAfterMs: Long = 24L * 3600 * 1000)
+      : Dataset[DocSoftWeight] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def fn(id: Long, evts: Iterator[GramHit],
+           state: GroupState[SpanSeen]): Iterator[DocSoftWeight] = {
+      if (!evts.hasNext && state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val rows = evts.toArray
+      val lastMs = math.max(
+        state.getOption.fold(Long.MinValue)(_.lastMs),
+        rows.iterator.map(_.ts.getTime).max)
+      val within = rows.groupBy(_.h).view.mapValues(_.length.toLong).toMap
+      var n = 0L; var nd = 0L; var mass = 0L
+      rows.foreach { r =>
+        val tot = within(r.h) + r.rc
+        n += 1L
+        if (tot >= 2L) { nd += 1L; mass += tot }
+      }
+      val ratio = nd.toDouble / n.toDouble
+      state.update(SpanSeen(lastMs))
+      state.setTimeoutTimestamp(lastMs + evictAfterMs)
+      Iterator.single(DocSoftWeight(id, n, nd, mass, ratio,
+        1.0 / (1.0 + lambda * ratio)))
+    }
+
+    val let = (bound: org.apache.spark.sql.Column,
+               body: org.apache.spark.sql.Column =>
+                 org.apache.spark.sql.Column) =>
+      element_at(transform(array(bound), body), 1)
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .where(size(split(graft.io.Cleanser.normalized(col("text")),
+        " ")) >= minRun)
+      .select(col("id"), col("ts"), posexplode(
+        let(split(graft.io.Cleanser.normalized(col("text")), " "),
+          t => transform(sequence(lit(0), size(t) - minRun),
+            i => hashKey(array_join(slice(t, i + 1, lit(minRun)),
+              " ")))))
+        .as(Seq("pos", "h")))
+      .join(refGramCounts.select(col("h"),
+        col("c").as("__rc")), Seq("h"), "left")
+      .select(col("id"), col("ts"), col("pos"), col("h"),
+        coalesce(col("__rc"), lit(0L)).as("rc"))
+      .as[GramHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Watermark-correct built-in sessionization (`session_window`):
     * late in-watermark events merge/extend sessions properly and
     * results emit only once final. Note the built-in's `end` is

@@ -1074,6 +1074,71 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(seeded == got)
   }
 
+  test("perDocSoftDedupWeights: brute parity, re-batching invariance, store anchoring, empty-store == per-single-doc") {
+    import spark.implicits._
+    val L = 10
+    val passage = (1 to 12).map(i => s"pw$i").mkString(" ")
+    val planted = Seq(
+      (960000L, "rp1 " + passage + " rp2"),            // ref side
+      (960001L, "np1 " + passage + " np2 np3"),        // batch: dup vs ref
+      (960002L, ((1 to 10).map(i => s"nr$i") ++ Seq("gx") ++
+        (1 to 10).map(i => s"nr$i")).mkString(" ")))   // batch: self-repeat
+      .toDF("doc_id", "text")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val refs = docs.where(col("doc_id") % 3 === 0)
+    val news = docs.where(col("doc_id") % 3 =!= 0)
+    val store = graft.operators.Dedup.gramCounts(refs, col("doc_id"),
+      col("text"), minRun = L)
+    def stats(d: org.apache.spark.sql.DataFrame,
+              st: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.perDocSoftDedupWeights(d, st, col("doc_id"),
+          col("text"), minRun = L)
+        .as[(Long, Long, Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val got = stats(news, store)
+    // brute force with union semantics per doc: tot = within + ref
+    def toksOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), graft.io.Cleanser.normalized(col("text"))
+        .as("tx")).as[(Long, String)].collect()
+      .map { case (i, s) =>
+        i -> (if (s == null) Array.empty[String] else s.split(" ")) }
+    def windows(w: Array[String]): Seq[String] =
+      (0 to w.length - L).map(i => w.slice(i, i + L).mkString(" "))
+    val refFreq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    toksOf(refs).foreach { case (_, w) =>
+      if (w.length >= L) windows(w).foreach(refFreq(_) += 1L) }
+    def bruteOf(withStore: Boolean) =
+      toksOf(news).filter(_._2.length >= L).map { case (id, w) =>
+        val ws = windows(w)
+        val within = ws.groupBy(identity).view.mapValues(_.length.toLong)
+        val tot = ws.map(x =>
+          within(x) + (if (withStore) refFreq(x) else 0L))
+        val n = ws.length.toLong
+        val nd = tot.count(_ >= 2L).toLong
+        val mass = tot.filter(_ >= 2L).sum
+        val ratio = nd.toDouble / n.toDouble
+        id -> ((n, nd, mass, ratio, 1.0 / (1.0 + 4.0 * ratio)))
+      }.toMap
+    assert(got == bruteOf(withStore = true), "union-semantics parity")
+    // re-batching invariance: weights never depend on batch-mates
+    val b1 = stats(news.where(col("doc_id") % 2 === 0), store)
+    val b2 = stats(news.where(col("doc_id") % 2 =!= 0), store)
+    assert((b1 ++ b2) == got, "weights changed under re-batching")
+    // the cross-side plant is anchored ONLY by the store's counts;
+    // the self-repeat flags either way
+    assert(got(960001L)._2 > 0, "cross-side dup missed with the store")
+    val emptyStore = graft.operators.Dedup.gramCounts(refs.limit(0),
+      col("doc_id"), col("text"), minRun = L)
+    val noStore = stats(news, emptyStore)
+    assert(noStore(960001L)._2 == 0, "cross-side dup needs the store")
+    assert(noStore(960002L)._2 > 0, "self-repeat must flag storeless")
+    // empty store == per-single-doc one-shot statistics
+    assert(noStore == bruteOf(withStore = false),
+      "empty-store form != per-single-doc soft stats")
+  }
+
   test("winnow verify: maxHashPerDoc bounds repetitive text, keeps the spam pair, and is a no-op below the cap") {
     import spark.implicits._
     // two spam docs of one repeated token: every k-gram hashes

@@ -559,6 +559,61 @@ class StreamingSpec extends GraftSuite {
       "per-doc spans must be a subset of the batch-wide increment")
   }
 
+  test("streamSoftDedupWeights == perDocSoftDedupWeights; invariant under micro-batch boundaries") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val t = graft.io.Tables(spark, sfDir)
+    val passage = (1 to 14).map(i => s"sw$i").mkString(" ")
+    val refPlant = Seq((970002L * 3, "rw0 " + passage + " rw9"))
+    val selfRep = ((1 to 10).map(i => s"wr$i") ++ Seq("gap1", "gap2") ++
+      (1 to 10).map(i => s"wr$i")).mkString(" ")
+    // two stream docs sharing a passage absent from the store: the
+    // per-doc weights must NOT see it (batch-mates invisible)
+    val mate = (1 to 12).map(i => s"wm$i").mkString(" ")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val refCounts = graft.operators.Dedup.gramCounts(
+      docs.where(col("doc_id") % 3 === 0)
+        .unionByName(refPlant.toDF("doc_id", "text")),
+      col("doc_id"), col("text"), minRun = 10)
+    val streamRows = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String)].collect().toSeq ++ Seq(
+      (970001L, "wn1 " + passage + " wn2 wn3"), (970004L, selfRep),
+      (970007L, "wa1 " + mate), (970010L, mate + " wb1 wb2"))
+    val mem = MemoryStream[EventPipelines.DocEvent]
+    val q = EventPipelines.streamSoftDedupWeights(mem.toDS(), refCounts,
+        minRun = 10, lambda = 4.0, watermark = "3650 days",
+        evictAfterMs = 1000L * 3600 * 24 * 3650)
+      .writeStream.format("memory").queryName("ssw")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = streamRows.splitAt(streamRows.size / 3)
+      Seq(b1, b2).zipWithIndex.foreach { case (b, k) =>
+        mem.addData(b.map { case (id, tx) =>
+          EventPipelines.DocEvent(id,
+            new Timestamp(3600L * 1000 * (k + 1)), tx) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = s.table("ssw").as[EventPipelines.DocSoftWeight].collect()
+      .map(d => (d.id, d.n_grams, d.n_dup, d.dup_mass, d.dup_ratio,
+        d.weight)).toSet
+    val want = graft.operators.Dedup.perDocSoftDedupWeights(
+        streamRows.toDF("doc_id", "text"), refCounts,
+        col("doc_id"), col("text"), minRun = 10, lambda = 4.0)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got.nonEmpty && got == want,
+      s"stream diverged from perDoc batch: ${got.size} vs ${want.size}")
+    // contract plants: cross-side dup weighted down via the store,
+    // self-repeat weighted down storelessly, batch-mates invisible
+    assert(got.exists(d => d._1 == 970001L && d._3 > 0),
+      "cross-side dup missed")
+    assert(got.exists(d => d._1 == 970004L && d._3 > 0),
+      "self-repeat missed")
+    assert(got.exists(d => d._1 == 970007L && d._3 == 0 && d._6 == 1.0) &&
+      got.exists(d => d._1 == 970010L && d._3 == 0 && d._6 == 1.0),
+      "batch-mates must be invisible to the per-doc weights")
+  }
+
   test("streamNearDupPairs: idle buckets evict past the horizon") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
