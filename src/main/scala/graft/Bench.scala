@@ -40,7 +40,8 @@ object Bench {
   val oracleOnly: Set[String] =
     Set("q_dedup_minhash_seeded", "q_dedup_simhash_seeded", "q_ann_ivf_seeded",
       "q_multimodal_bytefold", "q_quality_model_seeded",
-      "q_dedup_containment_minhash_seeded")
+      "q_dedup_containment_minhash_seeded",
+      "q_cms_cells_seeded", "q_cms_heavy_hitters_seeded")
 
   private def loadavg: String =
     try Files.readString(Paths.get("/proc/loadavg")).trim

@@ -1275,6 +1275,39 @@ object SparkEntry {
           col("source"), col("text"), exact = false)
         .withColumnRenamed("domain", "source")),
 
+    // oracle-checked: exact top-50 token frequencies with a
+    // deterministic (count desc, token) rank — the ground truth the
+    // Count-Min surfaces below are measured against (r11)
+    "q_heavy_hitters_exact" -> ((s, dir) =>
+      Sketch.heavyHittersExact(Tables(s, dir).documents,
+        col("text"), k = 50)),
+
+    // oracle-checked: the Count-Min sketch ARTIFACT itself — a 4×8192
+    // grid of Long counters folded from the corpus token stream
+    // (Cormode & Muthukrishnan 2005); under the md5-prefix key every
+    // cell replays hash-identically in DuckDB. The shuffle carries at
+    // most depth·width cells per task — never the token stream (r11)
+    "q_cms_cells_seeded" -> ((s, dir) =>
+      Sketch.countMinCells(Tables(s, dir).documents, col("text"),
+        depth = 4, width = 8192, QualityModel.seededKey)),
+
+    // oracle-checked: sketch-estimated top-50 heavy hitters — the
+    // vocabulary probes the broadcast sketch, est = min over depth
+    // rows, rank (est desc, tok); md5 path replays cells, joins, min
+    // and ranking bit-for-bit in DuckDB (r11)
+    "q_cms_heavy_hitters_seeded" -> ((s, dir) =>
+      Sketch.cmsHeavyHitters(Tables(s, dir).documents, col("text"),
+        k = 50, depth = 4, width = 8192, QualityModel.seededKey)),
+
+    // rows-only by design: the xxhash64 scale path (same operator,
+    // 8-byte hash family); q_cms_heavy_hitters_seeded is the
+    // hash-green twin and SketchSpec pins the one-sided est >= exact
+    // contract, merge == union identity, and planted-heavy-hitter
+    // recall on BOTH families (r11)
+    "q_cms_heavy_hitters" -> ((s, dir) =>
+      Sketch.cmsHeavyHitters(Tables(s, dir).documents, col("text"),
+        k = 50, depth = 4, width = 8192)),
+
     // rows-only: hashed-linear quality model on the xxhash64 scale
     // path (q_quality_model_seeded is the hash-green md5 twin; the
     // two share every line but the hash key)
@@ -3104,6 +3137,54 @@ object SparkEntry {
         |FROM (SELECT source, unnest(string_split($normSql, ' ')) tok
         |      FROM documents WHERE text IS NOT NULL)
         |GROUP BY source""".stripMargin,
+
+    // exact token top-50 with the (count desc, token) rank
+    "q_heavy_hitters_exact" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) tok
+        |              FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(rn AS BIGINT) AS rnk, tok, cnt
+        |FROM (SELECT tok, CAST(count(*) AS BIGINT) cnt,
+        |             row_number() OVER (ORDER BY count(*) DESC, tok) rn
+        |      FROM toks GROUP BY tok)
+        |WHERE rn <= 50""".stripMargin,
+
+    // the CMS grid: depth row j hashes 'j:token' through the 60-bit
+    // md5 prefix, bucket = prefix % 8192 (nonnegative, so DuckDB's
+    // plain % matches Spark's pmod)
+    "q_cms_cells_seeded" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) tok
+        |              FROM documents WHERE text IS NOT NULL),
+        |js AS (SELECT unnest(generate_series(0, 3)) j)
+        |SELECT CAST(js.j AS INT) AS j,
+        |       CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR) || ':' || tok),
+        |                   1, 15)) AS BIGINT) % 8192 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks CROSS JOIN js
+        |GROUP BY 1, 2""".stripMargin,
+
+    // sketch-estimated top-50: vocabulary probes the grid, est = min
+    // over the 4 depth rows, rank (est desc, tok) — the full CMS
+    // read path replayed
+    "q_cms_heavy_hitters_seeded" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) tok
+        |              FROM documents WHERE text IS NOT NULL),
+        |js AS (SELECT unnest(generate_series(0, 3)) j),
+        |cells AS (SELECT js.j j,
+        |            CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR) || ':' || tok),
+        |                        1, 15)) AS BIGINT) % 8192 bucket,
+        |            count(*) cnt
+        |          FROM toks CROSS JOIN js GROUP BY 1, 2),
+        |pc AS (SELECT p.tok, js.j j,
+        |         CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR) || ':' || p.tok),
+        |                     1, 15)) AS BIGINT) % 8192 bucket
+        |       FROM (SELECT DISTINCT tok FROM toks) p CROSS JOIN js),
+        |est AS (SELECT pc.tok, min(coalesce(c.cnt, 0)) est
+        |        FROM pc LEFT JOIN cells c ON c.j = pc.j AND c.bucket = pc.bucket
+        |        GROUP BY 1)
+        |SELECT CAST(rn AS BIGINT) AS rnk, tok, CAST(est AS BIGINT) AS est
+        |FROM (SELECT tok, est,
+        |             row_number() OVER (ORDER BY est DESC, tok) rn FROM est)
+        |WHERE rn <= 50""".stripMargin,
 
     // unigrams + adjacent bigrams, bucket = 60-bit md5 prefix mod
     // 4096, weight = re-hash of the bucket id mod 2001 - 1000; the

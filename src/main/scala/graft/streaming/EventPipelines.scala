@@ -474,6 +474,27 @@ object EventPipelines {
     * sort. Gap compares in milliseconds (`unix_millis`), exactly like
     * the streaming twin — a seconds cast would split/merge differently
     * on sub-second boundaries. */
+  /** Streaming Count-Min sketch — `Sketch.countMinCells` declared
+    * over an unbounded document stream as a plain running aggregate
+    * (`outputMode("complete")`/`"update"`). No watermark and no
+    * custom state function on purpose: the aggregation state is the
+    * sketch itself, ≤ `depth·width` `(j, bucket) → cnt` cells BY
+    * CONSTRUCTION — the one unwatermarked streaming aggregate in
+    * this file whose state cannot grow with the stream. Because
+    * cells are occurrence counts (`cmsMerge` == one-shot on the
+    * union, spec-pinned in SketchSpec), the complete-mode output
+    * after any micro-batch split equals the batch sketch over the
+    * documents seen so far — re-batching-invariant the way
+    * `streamRepeatedSpans` is, but via the SUM identity instead of
+    * per-doc state (StreamingSpec pins stream == batch across an
+    * arbitrary split). */
+  def streamCmsCells(docs: DataFrame,
+                     text: org.apache.spark.sql.Column,
+                     depth: Int = 4, width: Int = 8192,
+                     hashKey: org.apache.spark.sql.Column =>
+                       org.apache.spark.sql.Column = xxhash64(_)): DataFrame =
+    graft.operators.Sketch.countMinCells(docs, text, depth, width, hashKey)
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

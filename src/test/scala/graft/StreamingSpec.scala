@@ -670,6 +670,41 @@ class StreamingSpec extends GraftSuite {
     assert(got == Set(("fr", 1L, 1L)))
   }
 
+  test("streamCmsCells == batch sketch over the union; invariant under micro-batch boundaries") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batch1 = Seq((0L, "the cat sat on the mat"), (1L, "the dog"),
+      (2L, null.asInstanceOf[String]))
+    val batch2 = Seq((3L, "the cat returned"), (4L, ""))
+    for ((fam, key) <- Seq(
+        "xxhash64" -> ((c: org.apache.spark.sql.Column) => xxhash64(c)),
+        "seeded" -> graft.operators.QualityModel.seededKey)) {
+      val mem = MemoryStream[(Long, String)]
+      val q = EventPipelines.streamCmsCells(
+          mem.toDF.toDF("doc_id", "text"), col("text"),
+          depth = 3, width = 16, hashKey = key)
+        .writeStream.format("memory").queryName(s"scms_$fam")
+        .outputMode("complete").start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        // after batch 1: equals the batch sketch over batch 1 alone
+        val mid = s.table(s"scms_$fam").as[(Int, Long, Long)].collect().toSet
+        val midWant = graft.operators.Sketch.countMinCells(
+            batch1.toDF("doc_id", "text"), col("text"), 3, 16, key)
+          .as[(Int, Long, Long)].collect().toSet
+        assert(mid == midWant, s"$fam mid-stream")
+        mem.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // after both: equals the one-shot batch sketch on the union —
+      // the cmsMerge SUM identity riding the streaming aggregate
+      val got = s.table(s"scms_$fam").as[(Int, Long, Long)].collect().toSet
+      val want = graft.operators.Sketch.countMinCells(
+          (batch1 ++ batch2).toDF("doc_id", "text"), col("text"), 3, 16, key)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(got == want, s"$fam final")
+    }
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
