@@ -41,7 +41,10 @@ object Bench {
     Set("q_dedup_minhash_seeded", "q_dedup_simhash_seeded", "q_ann_ivf_seeded",
       "q_multimodal_bytefold", "q_quality_model_seeded",
       "q_dedup_containment_minhash_seeded",
-      "q_cms_cells_seeded", "q_cms_heavy_hitters_seeded")
+      "q_cms_cells_seeded", "q_cms_heavy_hitters_seeded",
+      "q_hll_registers_seeded", "q_hll_vocab_seeded",
+      "q_hll_vocab_by_source_seeded",
+      "q_bloom_bits_seeded", "q_bloom_membership_seeded")
 
   private def loadavg: String =
     try Files.readString(Paths.get("/proc/loadavg")).trim

@@ -1308,6 +1308,78 @@ object SparkEntry {
       Sketch.cmsHeavyHitters(Tables(s, dir).documents, col("text"),
         k = 50, depth = 4, width = 8192)),
 
+    // oracle-checked: the HyperLogLog register grid itself (Flajolet
+    // et al. 2007) — at most m=4096 (bucket, rho) rows folded from
+    // the token stream; rho = trailing zeros + 1 computed as
+    // bin()/rtrim string arithmetic that Spark and DuckDB print
+    // identically, so the ARTIFACT replays hash-identically (r11)
+    "q_hll_registers_seeded" -> ((s, dir) =>
+      Hll.tokenRegisters(Tables(s, dir).documents, col("text"),
+        m = 4096, QualityModel.seededKey)),
+
+    // oracle-checked: the estimate surface — exact Long harmonic sum
+    // s_scaled plus the raw alpha*m^2*2^50/s estimate (one double
+    // multiply/divide chain, no pow/ln — the division-only exactness
+    // discipline keeps est itself oracle-green) (r11)
+    "q_hll_vocab_seeded" -> ((s, dir) =>
+      Hll.distinctTokens(Tables(s, dir).documents, col("text"),
+        m = 4096, QualityModel.seededKey)),
+
+    // oracle-checked: group-keyed sketches — distinct-token estimate
+    // PER SOURCE from per-group register grids (the per-domain
+    // vocabulary question; group cardinality x m registers, never
+    // value-sized) (r11)
+    "q_hll_vocab_by_source_seeded" -> ((s, dir) =>
+      Hll.distinctTokens(Tables(s, dir).documents, col("text"),
+        m = 4096, QualityModel.seededKey, groupCols = Seq("source"))
+        .orderBy("source")),
+
+    // rows-only by design: the xxhash64 scale path (64-bit hash, so
+    // rho can reach the RhoCap clamp the seeded twin provably never
+    // touches); q_hll_vocab_seeded is the hash-green twin and
+    // HllSpec pins merge == union, partition invariance, the
+    // relative-error envelope against planted cardinalities, and the
+    // register-grid determinism on BOTH families (r11)
+    "q_hll_vocab" -> ((s, dir) =>
+      Hll.distinctTokens(Tables(s, dir).documents, col("text"),
+        m = 4096)),
+
+    // oracle-checked: the Bloom filter ARTIFACT (Bloom, CACM 1970) —
+    // the distinct set-bit positions of k=3 probes per benchmark
+    // token (every 20th doc is the "benchmark"), <= mBits rows by
+    // construction; the membership sketch suite's third member
+    // (frequency = CMS, cardinality = HLL) (r11)
+    "q_bloom_bits_seeded" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Bloom.bloomBits(
+        d.where(col("text").isNotNull && col("doc_id") % 20 === 0)
+          .select(explode(split(Cleanser.normalized(col("text")), " "))
+            .as("v")),
+        col("v"), mBits = 65536, k = 3, QualityModel.seededKey)
+    }),
+
+    // oracle-checked: the full membership read path — corpus
+    // vocabulary probes the bit frame, might_contain = all-3-hit;
+    // `actual` (exact membership) rides along so the surface itself
+    // exhibits the one-sided contract: might_contain >= actual row
+    // for row, false negatives never (r11)
+    "q_bloom_membership_seeded" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Bloom.tokenMembership(d.where(col("doc_id") % 20 === 0), d,
+        col("text"), mBits = 65536, k = 3, QualityModel.seededKey)
+    }),
+
+    // rows-only by design: the xxhash64 scale path; twin
+    // q_bloom_membership_seeded green, BloomSpec pins no-false-
+    // negatives at every size, merge == union on overlapping builds
+    // (idempotent, replay-safe), FPR envelope, and partition
+    // invariance on BOTH families (r11)
+    "q_bloom_membership" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Bloom.tokenMembership(d.where(col("doc_id") % 20 === 0), d,
+        col("text"), mBits = 65536, k = 3)
+    }),
+
     // rows-only: hashed-linear quality model on the xxhash64 scale
     // path (q_quality_model_seeded is the hash-green md5 twin; the
     // two share every line but the hash key)
@@ -3185,6 +3257,112 @@ object SparkEntry {
         |FROM (SELECT tok, est,
         |             row_number() OVER (ORDER BY est DESC, tok) rn FROM est)
         |WHERE rn <= 50""".stripMargin,
+
+    // the HLL register grid: bucket = low 12 bits of the 60-bit md5
+    // prefix, w = the high bits (>> 12), rho = trailing zeros of w
+    // + 1 via the bin()/rtrim form both engines print identically;
+    // w = 0 clamps to 50 (unreachable here: w has 48 bits)
+    "q_hll_registers_seeded" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) tok
+        |              FROM documents WHERE text IS NOT NULL),
+        |hs AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) h
+        |       FROM toks)
+        |SELECT h & 4095 AS bucket,
+        |       CAST(max(CASE WHEN (h >> 12) = 0 THEN 50
+        |                ELSE least(length(bin(h >> 12))
+        |                           - length(rtrim(bin(h >> 12), '0')) + 1,
+        |                           50) END) AS INT) AS rho
+        |FROM hs GROUP BY 1""".stripMargin,
+
+    // the estimate: v_empty = untouched registers, s_scaled the
+    // exact BIGINT harmonic sum sum(2^(50-rho)) + v_empty*2^50, est
+    // the raw HLL chain (multiply/divide only — replays bit-for-bit)
+    "q_hll_vocab_seeded" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) tok
+        |              FROM documents WHERE text IS NOT NULL),
+        |regs AS (SELECT h & 4095 AS bucket,
+        |           max(CASE WHEN (h >> 12) = 0 THEN 50
+        |               ELSE least(length(bin(h >> 12))
+        |                          - length(rtrim(bin(h >> 12), '0')) + 1,
+        |                          50) END) AS rho
+        |         FROM (SELECT CAST(concat('0x', substr(md5(tok), 1, 15))
+        |                      AS BIGINT) h FROM toks) GROUP BY 1),
+        |agg AS (SELECT count(*) touched,
+        |          CAST(sum(1::BIGINT << (50 - rho)) AS BIGINT) s_touched
+        |        FROM regs)
+        |SELECT CAST(4096 AS BIGINT) AS m,
+        |       CAST(4096 - touched AS BIGINT) AS v_empty,
+        |       CAST(s_touched + (4096 - touched) * (1::BIGINT << 50)
+        |            AS BIGINT) AS s_scaled,
+        |       (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE))
+        |         * 4096.0::DOUBLE * 4096.0::DOUBLE
+        |         * 1125899906842624.0::DOUBLE
+        |         / CAST(s_touched + (4096 - touched) * (1::BIGINT << 50)
+        |                AS DOUBLE) AS est
+        |FROM agg""".stripMargin,
+
+    // group-keyed sketches: the same fold per source
+    "q_hll_vocab_by_source_seeded" ->
+      s"""WITH toks AS (SELECT source,
+        |                      unnest(string_split($normSql, ' ')) tok
+        |               FROM documents WHERE text IS NOT NULL),
+        |regs AS (SELECT source, h & 4095 AS bucket,
+        |           max(CASE WHEN (h >> 12) = 0 THEN 50
+        |               ELSE least(length(bin(h >> 12))
+        |                          - length(rtrim(bin(h >> 12), '0')) + 1,
+        |                          50) END) AS rho
+        |         FROM (SELECT source,
+        |                 CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) h
+        |               FROM toks) GROUP BY 1, 2),
+        |agg AS (SELECT source, count(*) touched,
+        |          CAST(sum(1::BIGINT << (50 - rho)) AS BIGINT) s_touched
+        |        FROM regs GROUP BY 1)
+        |SELECT source, CAST(4096 AS BIGINT) AS m,
+        |       CAST(4096 - touched AS BIGINT) AS v_empty,
+        |       CAST(s_touched + (4096 - touched) * (1::BIGINT << 50)
+        |            AS BIGINT) AS s_scaled,
+        |       (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE))
+        |         * 4096.0::DOUBLE * 4096.0::DOUBLE
+        |         * 1125899906842624.0::DOUBLE
+        |         / CAST(s_touched + (4096 - touched) * (1::BIGINT << 50)
+        |                AS DOUBLE) AS est
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // the Bloom bit frame: probe j hashes 'j:token' through the
+    // 60-bit md5 prefix, bit = prefix % 65536, distinct positions
+    "q_bloom_bits_seeded" ->
+      s"""WITH bt AS (SELECT unnest(string_split($normSql, ' ')) tok
+        |            FROM documents
+        |            WHERE text IS NOT NULL AND doc_id % 20 = 0),
+        |js AS (SELECT unnest(generate_series(0, 2)) j)
+        |SELECT DISTINCT
+        |  CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR) || ':' || tok),
+        |              1, 15)) AS BIGINT) % 65536 AS bit
+        |FROM bt CROSS JOIN js""".stripMargin,
+
+    // the membership read path: corpus vocabulary x 3 probes LEFT
+    // JOIN the bit frame, might_contain = all 3 hit; actual = exact
+    // membership in the benchmark vocabulary
+    "q_bloom_membership_seeded" ->
+      s"""WITH bt AS (SELECT DISTINCT unnest(string_split($normSql, ' ')) tok
+        |            FROM documents
+        |            WHERE text IS NOT NULL AND doc_id % 20 = 0),
+        |at AS (SELECT DISTINCT unnest(string_split($normSql, ' ')) tok
+        |       FROM documents WHERE text IS NOT NULL),
+        |js AS (SELECT unnest(generate_series(0, 2)) j),
+        |bits AS (SELECT DISTINCT
+        |           CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR)
+        |                       || ':' || tok), 1, 15)) AS BIGINT) % 65536 AS bit
+        |         FROM bt CROSS JOIN js),
+        |pr AS (SELECT at.tok,
+        |         CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR)
+        |                     || ':' || at.tok), 1, 15)) AS BIGINT) % 65536 AS bit
+        |       FROM at CROSS JOIN js),
+        |hit AS (SELECT pr.tok, count(b.bit) c
+        |        FROM pr LEFT JOIN bits b ON b.bit = pr.bit GROUP BY 1)
+        |SELECT hit.tok, CAST(c = 3 AS INT) AS might_contain,
+        |       CASE WHEN bt.tok IS NOT NULL THEN 1 ELSE 0 END AS actual
+        |FROM hit LEFT JOIN bt ON bt.tok = hit.tok""".stripMargin,
 
     // unigrams + adjacent bigrams, bucket = 60-bit md5 prefix mod
     // 4096, weight = re-hash of the bucket id mod 2001 - 1000; the

@@ -495,6 +495,22 @@ object EventPipelines {
                        org.apache.spark.sql.Column = xxhash64(_)): DataFrame =
     graft.operators.Sketch.countMinCells(docs, text, depth, width, hashKey)
 
+  /** Streaming HyperLogLog — `Hll.tokenRegisters` declared over an
+    * unbounded doc stream as a running `max` aggregate. Like
+    * [[streamCmsCells]], unwatermarked on purpose: state is the
+    * register grid, ≤ `m` rows by construction. `max` is idempotent
+    * as well as commutative, so the stream == batch identity holds
+    * even when micro-batches REPLAY overlapping documents (at-least-
+    * once sources double-counting a doc corrupts a CMS cell but
+    * cannot move an HLL register — StreamingSpec pins exactly this
+    * contrast). */
+  def streamHllRegisters(docs: DataFrame,
+                         text: org.apache.spark.sql.Column,
+                         m: Int = 4096,
+                         hashKey: org.apache.spark.sql.Column =>
+                           org.apache.spark.sql.Column = xxhash64(_)): DataFrame =
+    graft.operators.Hll.tokenRegisters(docs, text, m, hashKey)
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

@@ -705,6 +705,35 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streamHllRegisters == batch sketch; replayed (at-least-once) docs cannot move a register") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batch1 = Seq((0L, "alpha beta gamma delta"), (1L, "epsilon zeta"))
+    val batch2 = Seq((0L, "alpha beta gamma delta"),  // doc 0 REPLAYED
+      (2L, "eta theta"), (3L, null.asInstanceOf[String]))
+    for ((fam, key) <- Seq(
+        "xxhash64" -> ((c: org.apache.spark.sql.Column) => xxhash64(c)),
+        "seeded" -> graft.operators.QualityModel.seededKey)) {
+      val mem = MemoryStream[(Long, String)]
+      val q = EventPipelines.streamHllRegisters(
+          mem.toDF.toDF("doc_id", "text"), col("text"), m = 64, hashKey = key)
+        .writeStream.format("memory").queryName(s"shll_$fam")
+        .outputMode("complete").start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = s.table(s"shll_$fam").as[(Long, Int)].collect().toSet
+      // max-idempotence: the replayed doc 0 contributes nothing new —
+      // stream state == one-shot batch over the DEDUPLICATED union
+      val want = graft.operators.Hll.tokenRegisters(
+          (batch1 ++ batch2).distinct.toDF("doc_id", "text"), col("text"),
+          64, key)
+        .as[(Long, Int)].collect().toSet
+      assert(got == want, s"$fam")
+    }
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
