@@ -44,7 +44,8 @@ object Bench {
       "q_cms_cells_seeded", "q_cms_heavy_hitters_seeded",
       "q_hll_registers_seeded", "q_hll_vocab_seeded",
       "q_hll_vocab_by_source_seeded",
-      "q_bloom_bits_seeded", "q_bloom_membership_seeded")
+      "q_bloom_bits_seeded", "q_bloom_membership_seeded",
+      "q_decontaminate_bloomframe_seeded")
 
   private def loadavg: String =
     try Files.readString(Paths.get("/proc/loadavg")).trim

@@ -1380,6 +1380,35 @@ object SparkEntry {
         col("text"), mBits = 65536, k = 3)
     }),
 
+    // oracle-checked: q45's decontamination semantics through the
+    // STORED Bloom bit frame — the first decontamination gate whose
+    // filter artifact itself hash-replays in SQL (the broadcast-
+    // BloomFilter forms q55 uses cannot); n_matched >= exact by the
+    // one-sided contract, so contamination is never under-detected
+    // (r11)
+    "q_decontaminate_bloomframe_seeded" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontaminate.overlapStatsBloomFrame(
+          train = docs.where(col("doc_id") % 20 =!= 0),
+          bench = docs.where(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), n = 5, threshold = 0.5,
+          mBits = 262144, k = 3, QualityModel.seededKey)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // rows-only by design: the xxhash64 scale path; seeded twin
+    // green, BloomSpec pins frame-gate ⊇ exact overlapStats and
+    // equality at collision-free mBits on BOTH families (r11)
+    "q_decontaminate_bloomframe" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontaminate.overlapStatsBloomFrame(
+          train = docs.where(col("doc_id") % 20 =!= 0),
+          bench = docs.where(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), n = 5, threshold = 0.5,
+          mBits = 262144, k = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // rows-only: hashed-linear quality model on the xxhash64 scale
     // path (q_quality_model_seeded is the hash-green md5 twin; the
     // two share every line but the hash key)
@@ -3363,6 +3392,37 @@ object SparkEntry {
         |SELECT hit.tok, CAST(c = 3 AS INT) AS might_contain,
         |       CASE WHEN bt.tok IS NOT NULL THEN 1 ELSE 0 END AS actual
         |FROM hit LEFT JOIN bt ON bt.tok = hit.tok""".stripMargin,
+
+    // q45's string-shingle replay + the bloom bit CTEs: bench
+    // 5-gram shingles -> 3 bits each into a 2^18-bit frame; each
+    // distinct train shingle probes the frame, per-doc rollup sums
+    // the all-3-hit flags
+    "q_decontaminate_bloomframe_seeded" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) i)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |js AS (SELECT unnest(generate_series(0, 2)) j),
+        |bits AS (SELECT DISTINCT
+        |           CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR)
+        |                       || ':' || s), 1, 15)) AS BIGINT) % 262144 AS bit
+        |         FROM bench CROSS JOIN js),
+        |vocab AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 <> 0),
+        |pr AS (SELECT vocab.s,
+        |         CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR)
+        |                     || ':' || vocab.s), 1, 15)) AS BIGINT) % 262144 AS bit
+        |       FROM vocab CROSS JOIN js),
+        |mc AS (SELECT pr.s, CAST(count(b.bit) = 3 AS INT) m
+        |       FROM pr LEFT JOIN bits b ON b.bit = pr.bit GROUP BY 1)
+        |SELECT sh.doc_id,
+        |       count(*) AS n_shingles,
+        |       CAST(sum(mc.m) AS BIGINT) AS n_matched,
+        |       CAST(sum(mc.m) AS DOUBLE) / count(*) AS overlap_frac,
+        |       CAST(CASE WHEN CAST(sum(mc.m) AS DOUBLE) / count(*) >= 0.5
+        |                 THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM sh JOIN mc ON mc.s = sh.s
+        |WHERE sh.doc_id % 20 <> 0
+        |GROUP BY sh.doc_id""".stripMargin,
 
     // unigrams + adjacent bigrams, bucket = 60-bit md5 prefix mod
     // 4096, weight = re-hash of the bucket id mod 2001 - 1000; the

@@ -258,4 +258,43 @@ object Decontaminate {
         frac.as("overlap_frac"),
         (frac >= threshold).cast("int").as("contaminated"))
   }
+
+  /** [[overlapStats]] through a [[Bloom]] BIT-SET FRAME instead of
+    * an exact join or an in-memory `BloomFilter` — the STORED-gate
+    * decontamination path: build (or load) the bench shingle bit
+    * frame once, then every batch's overlap is probe-join-rollup
+    * against a broadcast of the ≤ `mBits`-row frame. Same surface
+    * as [[overlapStats]] `(id, n_shingles, n_matched, overlap_frac,
+    * contaminated)`; conservative in the same direction as the
+    * Bloom overloads (`n_matched` ≥ exact, so contamination is
+    * never under-detected — spec-pinned ⊇ plus equality at
+    * collision-free `mBits`), but unlike them the GATE ITSELF is an
+    * engine-portable parquet artifact: under the md5-prefix key the
+    * whole path — bits, probes, per-doc rollup — replays
+    * hash-identically in SQL (the oracle-green q140), which no
+    * broadcast-`BloomFilter` form can offer. Probes are computed
+    * once per DISTINCT train shingle (vocabulary-sized), then
+    * joined back to the per-doc shingle frame. */
+  def overlapStatsBloomFrame(train: DataFrame, bench: DataFrame,
+                             id: Column, text: Column, n: Int,
+                             threshold: Double, mBits: Int, k: Int,
+                             hashKey: Column => Column = xxhash64(_))
+      : DataFrame = {
+    val bits = Bloom.bloomBits(
+      Dedup.shingles(bench, id, text, n).select(col("shingle")),
+      col("shingle"), mBits, k, hashKey)
+    val trainSh = Dedup.shingles(train, id, text, n)
+    val frac = col("n_matched").cast("double") /
+      col("n_shingles").cast("double")
+    trainSh
+      .join(Bloom.mightContain(bits, trainSh, col("shingle"), mBits, k,
+          hashKey).withColumnRenamed("v", "shingle"),
+        Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("might_contain")).cast("long").as("n_matched"))
+      .select(col("id"), col("n_shingles"), col("n_matched"),
+        frac.as("overlap_frac"),
+        (frac >= threshold).cast("int").as("contaminated"))
+  }
 }

@@ -82,6 +82,43 @@ class BloomSpec extends GraftSuite {
     }
   }
 
+  test("overlapStatsBloomFrame >= exact overlapStats per doc; == at collision-free mBits") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),          // bench (doc_id % 20 == 0)
+      (20L, "k l m n o p q r"),             // bench
+      (1L, "a b c d e f z z2 z3"),          // train, overlaps bench
+      (2L, "x1 x2 x3 x4 x5 x6 x7"),         // train, disjoint
+      (3L, "k l m n o p q r s"))            // train, heavy overlap
+      .toDF("doc_id", "text")
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val exact = graft.operators.Decontaminate.overlapStats(
+        train, bench, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((fam, key) <- hashFamilies) {
+      // tight frame: one-sided per doc (n_matched can only inflate)
+      val tight = graft.operators.Decontaminate.overlapStatsBloomFrame(
+          train, bench, col("doc_id"), col("text"), n = 3,
+          threshold = 0.5, mBits = 64, k = 2, key)
+        .as[(Long, Long, Long, Double, Int)].collect()
+      assert(tight.map(_._1).toSet == exact.keySet, fam)
+      tight.foreach { r =>
+        val e = exact(r._1)
+        assert(r._2 == e._2, s"$fam/${r._1}: n_shingles moved")
+        assert(r._3 >= e._3, s"$fam/${r._1}: false negative in the frame gate")
+        assert(r._5 >= e._5, s"$fam/${r._1}: contamination under-detected")
+      }
+      // collision-free frame: the gate reproduces exact row for row
+      val wide = graft.operators.Decontaminate.overlapStatsBloomFrame(
+          train, bench, col("doc_id"), col("text"), n = 3,
+          threshold = 0.5, mBits = 1 << 24, k = 3, key)
+        .as[(Long, Long, Long, Double, Int)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(wide == exact, s"$fam: wide frame != exact")
+    }
+  }
+
   test("bit frame is partition-invariant and bounded by mBits") {
     val build = values(5000, "p")
     for ((fam, key) <- hashFamilies) {
