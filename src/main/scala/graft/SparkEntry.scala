@@ -103,6 +103,63 @@ object SparkEntry {
           col("plan_type"))
     }),
 
+    // oracle-checked: backward as-of join — each purchase picks the
+    // user's LATEST preceding click (merge_asof semantics). ONE
+    // exchange on user_id + a running window last — never the
+    // per-key range cross product the naive theta-join plans (r11)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      AsofJoin.asof(
+          left = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          right = ev.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts"), col("value").as("click_value")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id")
+        .select("event_id", "user_id", "asof_click_id", "asof_click_value")
+    }),
+
+    // oracle-checked: the same as-of with a 1-hour lookback — the
+    // latest match is kept iff within tolerance (equivalent to
+    // joining inside the window: older candidates are further out);
+    // interval arithmetic on full-precision timestamps (r11)
+    "q_asof_join_tolerance" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      AsofJoin.asof(
+          left = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          right = ev.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts"), col("value").as("click_value")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select("event_id", "user_id", "asof_click_id", "asof_click_value")
+    }),
+
+    // oracle-checked: ordered funnel — per-stage grouped minima
+    // chained by user-keyed joins (earliest stage-i+1 event at or
+    // after the stage-i time); no per-user event collection, no
+    // full-history window (r11)
+    "q_funnel_counts" -> ((s, dir) =>
+      EventAnalytics.funnelCounts(Tables(s, dir).events, "user_id",
+        col("ts"), col("event_type"), Seq("signup", "click", "purchase"))),
+
+    // oracle-checked: per-user funnel depth — the non-null prefix
+    // length of the stage times (nulls only ever trail) (r11)
+    "q_funnel_depth" -> ((s, dir) =>
+      EventAnalytics.funnelDepth(Tables(s, dir).events, "user_id",
+        col("ts"), col("event_type"), Seq("signup", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // oracle-checked: weekly cohort retention — cohort = week of
+    // first event, n_users = distinct actives at each week offset;
+    // exact date_trunc + integer day-diff arithmetic (r11)
+    "q_retention_cohorts" -> ((s, dir) =>
+      EventAnalytics.retention(Tables(s, dir).events, "user_id",
+        col("ts"))),
+
     "q_cost_center" -> ((s, dir) =>
       Tables(s, dir).part
         .groupBy(PathFns.prefixPath(col("p_name"), " ", 3).as("cost_center"))
@@ -1409,6 +1466,34 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // oracle-checked: the log-linear quantile HISTOGRAM itself — the
+    // sketch suite's fourth member (frequency = CMS, cardinality =
+    // HLL, membership = Bloom, quantiles = this): per-doc whitespace
+    // token counts folded into (idx, lo, hi) buckets, b = 5
+    // sub-bucket bits. Pure integer arithmetic, NO hash — the one
+    // sketch whose scale path itself replays bit-identically in SQL,
+    // so there is no seeded/xx twin split (r11)
+    "q_hdr_frame" -> ((s, dir) =>
+      Hdr.tokenLengthFrame(Tables(s, dir).documents, col("text"))),
+
+    // oracle-checked: quantiles read off the frame — est = lo of the
+    // first bucket reaching rank max(ceil(q*n), 1), the
+    // percentile_disc convention answered from a ~2k-bucket artifact
+    // instead of a corpus sort; est <= true <= est + width - 1 with
+    // relative error <= 2^-b (HdrSpec pins the envelope) (r11)
+    "q_hdr_quantiles" -> ((s, dir) =>
+      Hdr.tokenLengthQuantiles(Tables(s, dir).documents, col("text"),
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))),
+
+    // oracle-checked: group-keyed frames — per-source p50/p90
+    // sequence length from per-group histograms (the per-domain
+    // length-distribution question; group cardinality x ~2k buckets,
+    // never corpus-sized) (r11)
+    "q_hdr_by_source" -> ((s, dir) =>
+      Hdr.tokenLengthQuantiles(Tables(s, dir).documents, col("text"),
+        Seq(0.5, 0.9), groupCols = Seq("source"))
+        .orderBy("source", "q")),
+
     // rows-only: hashed-linear quality model on the xxhash64 scale
     // path (q_quality_model_seeded is the hash-green md5 twin; the
     // two share every line but the hash key)
@@ -1871,6 +1956,87 @@ object SparkEntry {
         |            THEN 'ACTUAL' ELSE 'PLAN' END AS plan_type
         |FROM facts f
         |JOIN zones z ON f.event_type = z.event_type AND z.z_end >= f.ts""".stripMargin,
+
+    // backward as-of: latest click with ts <= purchase ts, ties on
+    // equal ts to the max click_id — replayed as a rank-1 window
+    // over the range join (oracle-sized corpus only; the operator
+    // itself is the single-shuffle sort-merge form)
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, click_id AS asof_click_id,
+        |       click_value AS asof_click_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // the same with a 1-hour lookback folded into the join window
+    "q_asof_join_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts
+        |           AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT event_id, user_id, click_id AS asof_click_id,
+        |       click_value AS asof_click_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // stage i+1 = earliest matching event at or after the user's
+    // stage-i time (inclusive, as the operator)
+    "q_funnel_counts" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+        |       count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+
+    "q_funnel_depth" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+        |            AS BIGINT) AS stages_completed
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    // weeks are date_trunc Mondays on both engines; the offset is an
+    // exact integer day-diff division (multiples of 7 only)
+    "q_retention_cohorts" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', ts) AS DATE) AS week
+        |           FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT c.cohort_week,
+        |       CAST(date_diff('day', c.cohort_week, w.week) // 7
+        |            AS BIGINT) AS week_offset,
+        |       count(*) AS n_users
+        |FROM w JOIN c ON c.user_id = w.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_cost_center" ->
       """SELECT array_to_string(string_split(p_name, ' ')[1:3], ' ') AS cost_center,
@@ -3423,6 +3589,66 @@ object SparkEntry {
         |FROM sh JOIN mc ON mc.s = sh.s
         |WHERE sh.doc_id % 20 <> 0
         |GROUP BY sh.doc_id""".stripMargin,
+
+    // the log-linear histogram: e = printed-binary length - 1
+    // (floor log2), s = max(e - 5, 0), m = v >> s — pure integer
+    // shift arithmetic, identical in both engines
+    "q_hdr_frame" ->
+      """WITH v AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |           FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT v, GREATEST(length(bin(v)) - 1 - 5, 0) AS s FROM v),
+        |mb AS (SELECT s, (v >> s) AS m FROM e)
+        |SELECT CAST(s AS BIGINT) * 64 + m AS idx, (m << s) AS lo,
+        |       (m << s) + ((CAST(1 AS BIGINT) << s) - 1) AS hi,
+        |       count(*) AS cnt
+        |FROM mb GROUP BY 1, 2, 3""".stripMargin,
+
+    // quantiles off the histogram: cumulative bucket counts, est =
+    // lo of the first bucket reaching rank max(ceil(q*n), 1); the
+    // ceil(q*n) multiply is IEEE-identical across engines
+    "q_hdr_quantiles" ->
+      """WITH v AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |           FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT v, GREATEST(length(bin(v)) - 1 - 5, 0) AS s FROM v),
+        |mb AS (SELECT s, (v >> s) AS m FROM e),
+        |f AS (SELECT CAST(s AS BIGINT) * 64 + m AS idx, (m << s) AS lo,
+        |             count(*) AS cnt
+        |      FROM mb GROUP BY 1, 2),
+        |c AS (SELECT idx, lo,
+        |        CAST(SUM(cnt) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |      FROM f),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+        |              AS DOUBLE) AS q)
+        |SELECT q, MIN(n) AS n, MIN(lo) AS est
+        |FROM c CROSS JOIN qs
+        |WHERE cum >= GREATEST(CEIL(q * CAST(n AS DOUBLE)), 1)
+        |GROUP BY q""".stripMargin,
+
+    // group-keyed histograms: the same read path with the windows
+    // partitioned per source
+    "q_hdr_by_source" ->
+      """WITH v AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |           FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT source, v,
+        |        GREATEST(length(bin(v)) - 1 - 5, 0) AS s FROM v),
+        |mb AS (SELECT source, s, (v >> s) AS m FROM e),
+        |f AS (SELECT source, CAST(s AS BIGINT) * 64 + m AS idx,
+        |             (m << s) AS lo, count(*) AS cnt
+        |      FROM mb GROUP BY 1, 2, 3),
+        |c AS (SELECT source, idx, lo,
+        |        CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM f),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT source, q, MIN(n) AS n, MIN(lo) AS est
+        |FROM c CROSS JOIN qs
+        |WHERE cum >= GREATEST(CEIL(q * CAST(n AS DOUBLE)), 1)
+        |GROUP BY source, q""".stripMargin,
 
     // unigrams + adjacent bigrams, bucket = 60-bit md5 prefix mod
     // 4096, weight = re-hash of the bucket id mod 2001 - 1000; the

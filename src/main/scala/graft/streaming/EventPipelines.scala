@@ -511,6 +511,21 @@ object EventPipelines {
                            org.apache.spark.sql.Column = xxhash64(_)): DataFrame =
     graft.operators.Hll.tokenRegisters(docs, text, m, hashKey)
 
+  /** Streaming log-linear quantile histogram —
+    * `Hdr.tokenLengthFrame` declared over an unbounded doc stream as
+    * a running count aggregate. Like [[streamCmsCells]],
+    * unwatermarked on purpose: state is the histogram, ≤
+    * `(64−b)·2^(b+1)` buckets BY CONSTRUCTION. Bucket counts SUM
+    * under disjoint union (`Hdr.merge`), so the complete-mode output
+    * after any micro-batch split equals the batch frame over the
+    * documents seen so far (StreamingSpec pins stream == batch
+    * across an arbitrary split) — and `Hdr.quantiles` reads p50/p99
+    * off the sink table at any moment without touching the stream. */
+  def streamHdrFrame(docs: DataFrame,
+                     text: org.apache.spark.sql.Column,
+                     b: Int = graft.operators.Hdr.DefaultBits): DataFrame =
+    graft.operators.Hdr.tokenLengthFrame(docs, text, b)
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

@@ -1,0 +1,160 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** Backward as-of join contracts: straight-line brute-force parity
+  * on adversarial data (equal-timestamp collisions, right rows with
+  * null payload values, keys with no rights, keys with no lefts),
+  * the inclusive boundary (a right row exactly AT the left ts
+  * matches), the max-tieBreak resolution of equal-(key, ts) rights,
+  * the tolerance gate at the exact boundary, same-row payload
+  * integrity through the struct (matched id and value always come
+  * from one right row), and partition invariance. */
+class AsofJoinSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Straight-line reference: per left row, scan all rights. */
+  private def brute(ls: Seq[(Long, Long, Timestamp)],
+                    rs: Seq[(Long, Long, Timestamp, java.lang.Double)],
+                    tolMillis: Option[Long])
+      : Map[Long, Option[(Long, java.lang.Double)]] =
+    ls.map { case (id, u, t) =>
+      val cands = rs.filter { case (_, ru, rt, _) =>
+        ru == u && !rt.after(t) &&
+          tolMillis.forall(m => rt.getTime >= t.getTime - m)
+      }
+      val best =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy { case (rid, _, rt, _) => (rt.getTime, rid) })
+      id -> best.map { case (rid, _, _, v) => (rid, v) }
+    }.toMap
+
+  // equal-ts collisions on purpose: u1 has two clicks AND a purchase
+  // all at 10:00; u2's only click has a NULL value; u3 has no clicks;
+  // u4 has clicks but no purchases
+  private val lefts = Seq(
+    (100L, 1L, ts("2026-01-01 10:00:00")),
+    (101L, 1L, ts("2026-01-01 09:59:59.999999")),
+    (102L, 1L, ts("2026-01-01 12:00:00")),
+    (103L, 2L, ts("2026-01-01 10:30:00")),
+    (104L, 3L, ts("2026-01-01 10:00:00")))
+  private val rights = Seq(
+    (200L, 1L, ts("2026-01-01 10:00:00"), java.lang.Double.valueOf(1.5)),
+    (201L, 1L, ts("2026-01-01 10:00:00"), java.lang.Double.valueOf(2.5)),
+    (202L, 1L, ts("2026-01-01 08:00:00"), java.lang.Double.valueOf(3.5)),
+    (203L, 2L, ts("2026-01-01 10:00:00"), null: java.lang.Double),
+    (204L, 4L, ts("2026-01-01 10:00:00"), java.lang.Double.valueOf(9.9)))
+
+  private def run(tol: Option[String]) =
+    AsofJoin.asof(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("click_id", "user_id", "ts", "click_value"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+        tolerance = tol.map(expr))
+      .select("event_id", "asof_click_id", "asof_click_value")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1),
+           if (r.isNullAt(2)) null: java.lang.Double
+           else java.lang.Double.valueOf(r.getDouble(2))))))
+      .toMap
+
+  test("brute-force parity, unbounded lookback") {
+    val got = run(None)
+    val want = brute(lefts, rights, None)
+    assert(got == want)
+    // the specific contracts, pinned explicitly on top of parity:
+    // inclusive boundary + max-tie: purchase 100 at 10:00 matches
+    // click 201 (not 200) — equal ts matches, max click_id wins
+    assert(got(100L).contains((201L, java.lang.Double.valueOf(2.5))))
+    // strictly-before left misses the 10:00 clicks, falls to 08:00
+    assert(got(101L).contains((202L, java.lang.Double.valueOf(3.5))))
+    // a matched right row with NULL payload value is still the match
+    // (struct packing: the id arrives, the null value stays null)
+    assert(got(103L).contains((203L, null: java.lang.Double)))
+    // no rights for the key -> null match
+    assert(got(104L).isEmpty)
+  }
+
+  test("tolerance gates the latest match at the exact boundary") {
+    val got = run(Some("INTERVAL 1 HOUR"))
+    assert(got == brute(lefts, rights, Some(3600L * 1000)))
+    // 102 at 12:00: latest click is 10:00, outside 1h -> null, even
+    // though an unbounded as-of would match it
+    assert(got(102L).isEmpty)
+    // 100 at 10:00: click AT 10:00 is exactly tol-0 inside -> match
+    assert(got(100L).contains((201L, java.lang.Double.valueOf(2.5))))
+    // boundary exactly at leftTs - tol matches (>=, not >)
+    val exact = AsofJoin.asof(
+        Seq((1L, 9L, ts("2026-01-01 11:00:00"))).toDF("event_id", "user_id", "ts"),
+        Seq((2L, 9L, ts("2026-01-01 10:00:00"), 1.0)).toDF("click_id", "user_id", "ts", "click_value"),
+        Seq("user_id"), "ts", "ts", Seq("click_id"), "click_id",
+        Some(expr("INTERVAL 1 HOUR")))
+      .select("asof_click_id").as[Option[Long]].collect()
+    assert(exact.toSeq == Seq(Some(2L)))
+  }
+
+  test("partition invariance and determinism under shuffled input order") {
+    val base = run(None)
+    for (p <- Seq(1, 7, 32)) {
+      val got = AsofJoin.asof(
+          lefts.reverse.toDF("event_id", "user_id", "ts").repartition(p),
+          rights.reverse.toDF("click_id", "user_id", "ts", "click_value")
+            .repartition(p),
+          Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+          "click_id")
+        .select("event_id", "asof_click_id", "asof_click_value")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None
+           else Some((r.getLong(1),
+             if (r.isNullAt(2)) null: java.lang.Double
+             else java.lang.Double.valueOf(r.getDouble(2))))))
+        .toMap
+      assert(got == base, s"p=$p")
+    }
+  }
+
+  test("randomized brute-force parity (dense ts collisions)") {
+    // 40 lefts x 60 rights over 5 users and only 8 distinct
+    // timestamps — collisions everywhere; deterministic seed
+    val rnd = new scala.util.Random(42)
+    val stamps = (0 until 8).map(h => ts(f"2026-02-01 0$h:00:00"))
+    val ls = (0 until 40).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, stamps(rnd.nextInt(8))))
+    val rs = (0 until 60).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, stamps(rnd.nextInt(8)),
+        if (rnd.nextBoolean()) java.lang.Double.valueOf(rnd.nextInt(100))
+        else null: java.lang.Double))
+    val got = AsofJoin.asof(
+        ls.toDF("event_id", "user_id", "ts"),
+        rs.toDF("click_id", "user_id", "ts", "click_value"),
+        Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+        "click_id")
+      .select("event_id", "asof_click_id", "asof_click_value")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1),
+           if (r.isNullAt(2)) null: java.lang.Double
+           else java.lang.Double.valueOf(r.getDouble(2))))))
+      .toMap
+    assert(got == brute(ls, rs, None))
+  }
+
+  test("reserved column names are rejected") {
+    val l = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("event_id", "__side", "ts")
+    val r = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("click_id", "__side", "ts")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, Seq("__side"), "ts", "ts", Seq("click_id"), "click_id")
+    }
+  }
+}

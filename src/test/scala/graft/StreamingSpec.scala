@@ -734,6 +734,44 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streamHdrFrame == batch histogram over the union; quantiles read off the sink") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batch1 = Seq((0L, "the cat sat on the mat"), (1L, "the dog"),
+      (2L, null.asInstanceOf[String]))
+    val batch2 = Seq((3L, "the cat returned home today again"), (4L, ""),
+      (5L, "one two three four five six seven eight nine ten" * 8))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventPipelines.streamHdrFrame(
+        mem.toDF.toDF("doc_id", "text"), col("text"), b = 3)
+      .writeStream.format("memory").queryName("shdr")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      // after batch 1: equals the batch frame over batch 1 alone
+      val mid = s.table("shdr").as[(Long, Long, Long, Long)].collect().toSet
+      val midWant = graft.operators.Hdr.tokenLengthFrame(
+          batch1.toDF("doc_id", "text"), col("text"), b = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(mid == midWant, "mid-stream")
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // after both: equals the one-shot batch frame on the union — the
+    // Hdr.merge SUM identity riding the streaming aggregate; and the
+    // quantile read path runs on the materialized sink table itself
+    val got = s.table("shdr").as[(Long, Long, Long, Long)].collect().toSet
+    val union = (batch1 ++ batch2).toDF("doc_id", "text")
+    val want = graft.operators.Hdr.tokenLengthFrame(union, col("text"), b = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, "final")
+    val qsGot = graft.operators.Hdr.quantiles(s.table("shdr"), Seq(0.5, 0.99))
+      .as[(Double, Long, Long)].collect().toSet
+    val qsWant = graft.operators.Hdr.tokenLengthQuantiles(
+        union, col("text"), Seq(0.5, 0.99), b = 3)
+      .as[(Double, Long, Long)].collect().toSet
+    assert(qsGot == qsWant, "quantiles off the sink")
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
