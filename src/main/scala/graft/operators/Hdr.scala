@@ -140,9 +140,10 @@ object Hdr {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("cum") :+
         sum(col("cnt")).over(part).as("n")): _*)
-    val qFrame = frame.sparkSession
-      .range(1).select(explode(array(qs.distinct.sorted.map(lit): _*)).as("q"))
-    cum.crossJoin(broadcast(qFrame))
+    // probe ranks ride as an exploded literal array — no join node at
+    // all (a crossJoin against the handful-of-rows probe frame would
+    // plan a broadcast nested loop; this stays in the window's stage)
+    cum.withColumn("q", explode(array(qs.distinct.sorted.map(lit): _*)))
       .where(col("cum") >=
         greatest(ceil(col("q") * col("n").cast("double")), lit(1L)))
       .groupBy((groupCols :+ "q").map(col): _*)
