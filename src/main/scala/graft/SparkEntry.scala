@@ -160,6 +160,25 @@ object SparkEntry {
       EventAnalytics.retention(Tables(s, dir).events, "user_id",
         col("ts"))),
 
+    // oracle-checked: hourly OHLC bars — order-sensitive open/close
+    // from two row_number windows over the SAME (key, bucket)
+    // partitioning the aggregate then reuses (one shuffle total);
+    // ties resolve on event_id, sums ride DECIMAL(18,2) (r11)
+    "q_ohlc_hourly" -> ((s, dir) =>
+      TimeSeries.downsampleOhlc(Tables(s, dir).events,
+        Seq("event_type"), col("ts"), col("value"), col("event_id"))),
+
+    // oracle-checked: the dense forward-filled close series — every
+    // hour of each type's [min, max] span, last non-null close
+    // carried forward, filled flag on manufactured buckets; grid
+    // cost is keys x span-hours, independent of corpus size (r11)
+    "q_gapfill_hourly" -> ((s, dir) => {
+      val bars = TimeSeries.downsampleOhlc(Tables(s, dir).events,
+        Seq("event_type"), col("ts"), col("value"), col("event_id"))
+      TimeSeries.gapFillForward(bars, Seq("event_type"),
+        "bucket", "close")
+    }),
+
     "q_cost_center" -> ((s, dir) =>
       Tables(s, dir).part
         .groupBy(PathFns.prefixPath(col("p_name"), " ", 3).as("cost_center"))
@@ -2023,6 +2042,55 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s2.user_id = s1.user_id
         |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    // open/close = the value at rank 1 of the asc/desc (ts, id)
+    // orderings; position decides, not null-skipping
+    "q_ohlc_hourly" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |             value,
+        |             row_number() OVER (PARTITION BY event_type,
+        |               date_trunc('hour', ts)
+        |               ORDER BY ts, event_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY event_type,
+        |               date_trunc('hour', ts)
+        |               ORDER BY ts DESC, event_id DESC) AS rn_d
+        |           FROM events)
+        |SELECT event_type, bucket,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_value
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // generate_series is inclusive on both engines; last_value
+    // IGNORE NULLS carries the close forward
+    "q_gapfill_hourly" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |             value,
+        |             row_number() OVER (PARTITION BY event_type,
+        |               date_trunc('hour', ts)
+        |               ORDER BY ts DESC, event_id DESC) AS rn_d
+        |           FROM events),
+        |c AS (SELECT event_type, bucket,
+        |        max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |      FROM b GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |         FROM c GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |             AS bucket
+        |         FROM span)
+        |SELECT g.event_type, g.bucket,
+        |       last_value(c.close IGNORE NULLS) OVER (
+        |         PARTITION BY g.event_type ORDER BY g.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS close_filled,
+        |       CAST(CASE WHEN c.close IS NULL THEN 1 ELSE 0 END AS INT)
+        |         AS filled
+        |FROM grid g LEFT JOIN c
+        |  ON c.event_type = g.event_type AND c.bucket = g.bucket""".stripMargin,
 
     // weeks are date_trunc Mondays on both engines; the offset is an
     // exact integer day-diff division (multiples of 7 only)
