@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Audit, Backfill, Batching, Compaction, Snapshot}
+import graft.etl.{Audit, Backfill, Batching, Compaction, Scd, Snapshot}
 import graft.functions.{PathFns, TextFns}
 import graft.io.{Cleanser, Tables}
 import graft.operators._
@@ -159,6 +159,23 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, dir) =>
       EventAnalytics.retention(Tables(s, dir).events, "user_id",
         col("ts"))),
+
+    // oracle-checked: gap-break sessionization (30-min gap) — the
+    // batch twin the streaming sessionize family is spec-equal to,
+    // now with its own oracle-green query surface; session identity
+    // is order-free at equal timestamps (a 0-gap never breaks) (r11)
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.EventPipelines
+        .sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
+        .select("user_id", "session_start", "session_end", "n_events")),
+
+    // oracle-checked: SCD Type-2 interval build — per-user
+    // event_type change stream folded into validity intervals with
+    // change compression (unchanged re-deliveries collapse); one
+    // exchange, lag + filter + lead sharing it (r11)
+    "q_scd2_intervals" -> ((s, dir) =>
+      Scd.buildType2(Tables(s, dir).events, Seq("user_id"), col("ts"),
+        col("event_id"), Seq("event_type"))),
 
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
@@ -2042,6 +2059,46 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s2.user_id = s1.user_id
         |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    // gap break on millisecond arithmetic exactly as the operator
+    // (epoch_ms); session identity is order-free at equal ts
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               AS prev
+        |           FROM events),
+        |b AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL
+        |                  OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sid
+        |      FROM b)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // change rows = first per user or event_type IS DISTINCT FROM
+    // the previous (null-safe, as the operator's <=> compare)
+    "q_scd2_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |             lag(event_type) OVER w AS prev_t,
+        |             lag(event_id) OVER w AS prev_id
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY ts, event_id)),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |       WHERE prev_id IS NULL
+        |          OR event_type IS DISTINCT FROM prev_t)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER w2 AS valid_to,
+        |       CAST(CASE WHEN lead(ts) OVER w2 IS NULL
+        |                 THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM ch
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     // open/close = the value at rank 1 of the asc/desc (ts, id)
     // orderings; position decides, not null-skipping
