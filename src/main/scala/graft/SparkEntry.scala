@@ -160,6 +160,16 @@ object SparkEntry {
       EventAnalytics.retention(Tables(s, dir).events, "user_id",
         col("ts"))),
 
+    // oracle-checked: ROLLUP subtotals — the standard warehouse
+    // hierarchy rollup (status, priority) with exact DECIMAL sums;
+    // one pass, the aggregate expands grouping sets map-side (r11)
+    "q_rollup_orders" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
+
     // oracle-checked: gap-break sessionization (30-min gap) — the
     // batch twin the streaming sessionize family is spec-equal to,
     // now with its own oracle-green query surface; session identity
@@ -1530,6 +1540,18 @@ object SparkEntry {
         Seq(0.5, 0.9), groupCols = Seq("source"))
         .orderBy("source", "q")),
 
+    // oracle-checked: quantile binning off the sketch — per-doc
+    // decile of the sequence length via 9 broadcast thresholds read
+    // from the histogram; the scale replacement for a global ntile
+    // sort (corpus scanned once, never sorted) (r11)
+    "q_length_deciles" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"))
+      Hdr.bucketByQuantiles(docs, col("ws_tokens"))
+        .withColumnRenamed("bucket", "decile")
+    }),
+
     // rows-only: hashed-linear quality model on the xxhash64 scale
     // path (q_quality_model_seeded is the hash-green md5 twin; the
     // two share every line but the hash key)
@@ -2059,6 +2081,13 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s2.user_id = s1.user_id
         |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    "q_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     // gap break on millisecond arithmetic exactly as the operator
     // (epoch_ms); session identity is order-free at equal ts
@@ -3714,6 +3743,35 @@ object SparkEntry {
         |FROM sh JOIN mc ON mc.s = sh.s
         |WHERE sh.doc_id % 20 <> 0
         |GROUP BY sh.doc_id""".stripMargin,
+
+    // the full threshold chain (frame -> cumulative -> 9 deciles)
+    // then a sorted-list lambda count per doc; pure integer bucket
+    // arithmetic end-to-end
+    "q_length_deciles" ->
+      """WITH v AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |           FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT v, GREATEST(length(bin(v)) - 1 - 5, 0) AS s FROM v),
+        |mb AS (SELECT s, (v >> s) AS m FROM e),
+        |f AS (SELECT CAST(s AS BIGINT) * 64 + m AS idx, (m << s) AS lo,
+        |             count(*) AS cnt
+        |      FROM mb GROUP BY 1, 2),
+        |c AS (SELECT idx, lo,
+        |        CAST(SUM(cnt) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |      FROM f),
+        |qs AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+        |                           0.8, 0.9]) AS DOUBLE) AS q),
+        |th AS (SELECT q, MIN(lo) AS est
+        |       FROM c CROSS JOIN qs
+        |       WHERE cum >= GREATEST(CEIL(q * CAST(n AS DOUBLE)), 1)
+        |       GROUP BY q),
+        |ta AS (SELECT list_sort(list(est)) AS ths FROM th)
+        |SELECT v.doc_id, v.v AS ws_tokens,
+        |       CAST(1 + len(list_filter(ta.ths, t -> t <= v.v))
+        |            AS BIGINT) AS decile
+        |FROM v CROSS JOIN ta""".stripMargin,
 
     // the log-linear histogram: e = printed-binary length - 1
     // (floor log2), s = max(e - 5, 0), m = v >> s — pure integer

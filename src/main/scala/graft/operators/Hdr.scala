@@ -150,6 +150,31 @@ object Hdr {
       .agg(min(col("n")).as("n"), min(col("lo")).as("est"))
   }
 
+  /** Quantile binning: assign each row the bucket of its measure
+    * among `nBuckets` sketch-quantile thresholds (`q = 1/k ..
+    * (k−1)/k`) — `bucket = 1 + |{threshold ≤ v}|`, a value equal to
+    * a threshold goes UP. This is the scale replacement for a
+    * global `ntile` sort: thresholds come off the ≤ ~2k-bucket
+    * frame, travel as ONE broadcast row (a sorted array), and the
+    * assignment is a per-row lambda over that array — the corpus is
+    * scanned once, never sorted. Duplicate thresholds (a mass point
+    * spanning several probes) collapse buckets, deterministically —
+    * the histogram convention, spec-pinned against a straight-line
+    * replay. */
+  def bucketByQuantiles(df: DataFrame, value: Column, nBuckets: Int = 10,
+                        b: Int = DefaultBits): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val ths = quantiles(frame(df, value, b), qs)
+      .agg(sort_array(collect_list(col("est"))).as("__ths"))
+    df.where(value.isNotNull && value >= 0)
+      .crossJoin(broadcast(ths))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__ths"), t => t <= value)))
+          .cast("long"))
+      .drop("__ths")
+  }
+
   /** End-to-end: the sequence-length (whitespace-token-count)
     * distribution frame of a document corpus — the measure every
     * packing / curriculum / token-budget stage keys on. */

@@ -526,6 +526,35 @@ object EventPipelines {
                      b: Int = graft.operators.Hdr.DefaultBits): DataFrame =
     graft.operators.Hdr.tokenLengthFrame(docs, text, b)
 
+  /** Stream-static as-of enrichment: an unbounded fact stream joined
+    * against a STATIC SCD2 interval dimension (`etl.Scd.buildType2`
+    * output) on key equality + interval containment
+    * (`valid_from <= ts` and `ts < valid_to`-or-open). Type-2
+    * intervals TILE each key's history, so every fact matches at
+    * most one interval — a STATELESS stream-static left join: no
+    * watermark, no state store, nothing to grow; the dimension
+    * re-reads per micro-batch (broadcast-sized dims stay broadcast).
+    * This is the streaming half of the as-of story: the batch
+    * theorem `AsofJoin.asof(facts, changes) == facts ⋈ containment
+    * buildType2(changes)` on the tracked attributes is spec-pinned
+    * in AsofJoinSpec, and StreamingSpec pins stream == batch under
+    * an arbitrary micro-batch split. Facts before a key's first
+    * change get null attributes, exactly as the as-of. */
+  def streamAsofScd2(facts: DataFrame, dim: DataFrame,
+                     keys: Seq[String], tsName: String,
+                     attrs: Seq[String]): DataFrame = {
+    val f = facts.alias("__f")
+    val d = dim.alias("__d")
+    val cond = keys.map(k => col(s"__f.$k") === col(s"__d.$k"))
+      .reduce(_ && _) &&
+      col(s"__f.$tsName") >= col("__d.valid_from") &&
+      (col("__d.valid_to").isNull ||
+        col(s"__f.$tsName") < col("__d.valid_to"))
+    f.join(d, cond, "left")
+      .select(facts.columns.map(c => col(s"__f.$c")).toSeq ++
+        attrs.map(a => col(s"__d.$a")): _*)
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

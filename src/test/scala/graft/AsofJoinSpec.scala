@@ -150,6 +150,34 @@ class AsofJoinSpec extends GraftSuite {
     assert(got == brute(ls, rs, None))
   }
 
+  test("the SCD2 theorem: as-of against the change stream == containment join against buildType2 intervals") {
+    // the same randomized dense-collision corpus shape as above;
+    // tracked ATTRIBUTES must agree (the as-of may surface a
+    // compressed-away row's id, but its state is identical)
+    val rnd = new scala.util.Random(11)
+    val types = Seq("a", "b", "c")
+    val stamps = (0 until 6).map(h => ts(f"2026-04-01 0$h:00:00"))
+    val changes = (0 until 120).map(i =>
+      (1000L + i, rnd.nextInt(8).toLong, stamps(rnd.nextInt(6)),
+        types(rnd.nextInt(3))))
+    val facts = (0 until 60).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, stamps(rnd.nextInt(6))))
+    val factsDf = facts.toDF("event_id", "user_id", "ts")
+    val changesDf = changes.toDF("click_id", "user_id", "ts", "event_type")
+    val viaAsof = AsofJoin.asof(factsDf, changesDf, Seq("user_id"),
+        "ts", "ts", Seq("event_type"), "click_id")
+      .select("event_id", "asof_event_type")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val intervals = graft.etl.Scd.buildType2(changesDf, Seq("user_id"),
+      col("ts"), col("click_id"), Seq("event_type"))
+    val viaScd = graft.streaming.EventPipelines.streamAsofScd2(
+        factsDf, intervals, Seq("user_id"), "ts", Seq("event_type"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(viaScd == viaAsof)
+  }
+
   test("reserved column names are rejected") {
     val l = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("event_id", "__side", "ts")
     val r = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("click_id", "__side", "ts")

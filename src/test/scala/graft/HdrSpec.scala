@@ -144,6 +144,32 @@ class HdrSpec extends GraftSuite {
     }
   }
 
+  test("bucketByQuantiles matches the straight-line threshold replay; monotone in the value") {
+    val dists: Seq[(String, Seq[Long])] = Seq(
+      "uniform" -> (1 to 1000).map(i => (i * 2654435761L) % 50000),
+      "zipf" -> (1 to 1000).map(i => (50000.0 / i).toLong),
+      "mass-point" -> (Seq.fill(800)(7L) ++ (1 to 200).map(_ * 11L)))
+    for ((name, vs) <- dists; k <- Seq(4, 10)) {
+      val ths = (1 until k)
+        .map(i => refBucket(refQuantile(vs, i.toDouble / k), 5)._2)
+        .sorted
+      val got = graft.operators.Hdr.bucketByQuantiles(
+          vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+            .toDF("id", "x"),
+          col("x"), nBuckets = k)
+        .select("id", "x", "bucket")
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (_, v, b) =>
+        assert(b == 1 + ths.count(_ <= v), s"$name k=$k v=$v")
+      }
+      // monotone: sorting by value never decreases the bucket
+      val byV = got.sortBy(_._2).map(_._3)
+      assert(byV.sameElements(byV.sorted), s"$name k=$k monotone")
+      // every bucket id stays in range
+      assert(got.forall(r => r._3 >= 1 && r._3 <= k), s"$name k=$k range")
+    }
+  }
+
   test("negative and null measures are excluded by contract") {
     val vs = Seq[java.lang.Long](5L, -3L, null, 0L)
       .toDF("x")

@@ -772,6 +772,48 @@ class StreamingSpec extends GraftSuite {
     assert(qsGot == qsWant, "quantiles off the sink")
   }
 
+  test("streamAsofScd2 == batch containment join under an arbitrary micro-batch split") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val changes = Seq(
+      (1L, 7L, ts("2026-01-01 00:00:00"), "bronze"),
+      (2L, 7L, ts("2026-01-01 02:00:00"), "silver"),
+      (3L, 7L, ts("2026-01-01 04:00:00"), "gold"),
+      (4L, 8L, ts("2026-01-01 01:00:00"), "bronze"))
+      .toDF("change_id", "user_id", "ts", "tier")
+    val dim = graft.etl.Scd.buildType2(changes, Seq("user_id"),
+      col("ts"), col("change_id"), Seq("tier"))
+    val batch1 = Seq( // before any interval -> null tier
+      (100L, 7L, ts("2025-12-31 23:00:00")),
+      (101L, 7L, ts("2026-01-01 00:00:00"))) // boundary: inclusive from
+    val batch2 = Seq(
+      (102L, 7L, ts("2026-01-01 03:59:59")), // last instant of silver
+      (103L, 7L, ts("2026-01-01 10:00:00")), // open interval
+      (104L, 8L, ts("2026-01-01 01:00:00")),
+      (105L, 9L, ts("2026-01-01 01:00:00"))) // unknown key -> null
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventPipelines.streamAsofScd2(
+        mem.toDF.toDF("event_id", "user_id", "ts"), dim,
+        Seq("user_id"), "ts", Seq("tier"))
+      .writeStream.format("memory").queryName("sascd")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("sascd").as[(Long, Long, Timestamp, Option[String])]
+      .collect().map(r => r._1 -> r._4).toMap
+    val want = EventPipelines.streamAsofScd2(
+        (batch1 ++ batch2).toDF("event_id", "user_id", "ts"), dim,
+        Seq("user_id"), "ts", Seq("tier"))
+      .as[(Long, Long, Timestamp, Option[String])]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(got == want)
+    assert(got == Map(100L -> None, 101L -> Some("bronze"),
+      102L -> Some("silver"), 103L -> Some("gold"),
+      104L -> Some("bronze"), 105L -> None))
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
