@@ -160,6 +160,36 @@ object SparkEntry {
       EventAnalytics.retention(Tables(s, dir).events, "user_id",
         col("ts"))),
 
+    // oracle-checked: the star-schema revenue rollup (TPC-H Q5
+    // flavor) — lineitem x orders x customer shuffle joins plus a
+    // broadcast nation dim; revenue stays in exact DECIMAL
+    // arithmetic end-to-end (price(18,2) x (1 - disc)(5,2) ->
+    // (24,4)), so partial-aggregation order cannot move it (r11)
+    "q_star_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,2)") -
+          col("l_discount").cast("decimal(5,2)")))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(to_date(col("o_orderdate"))).cast("long").as("yr"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // oracle-checked: pivot — order counts per priority spread over
+    // status columns; absent combinations filled 0 to match the
+    // conditional-aggregation replay (r11)
+    "q_pivot_status" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))),
+
     // oracle-checked: ROLLUP subtotals — the standard warehouse
     // hierarchy rollup (status, priority) with exact DECIMAL sums;
     // one pass, the aggregate expands grouping sets map-side (r11)
@@ -2081,6 +2111,30 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s2.user_id = s1.user_id
         |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    "q_star_revenue" ->
+      """SELECT n_name,
+        |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(5,2)) -
+        |                 CAST(l_discount AS DECIMAL(5,2))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS F,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS O,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS P
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
