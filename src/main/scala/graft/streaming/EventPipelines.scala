@@ -526,6 +526,58 @@ object EventPipelines {
                      b: Int = graft.operators.Hdr.DefaultBits): DataFrame =
     graft.operators.Hdr.tokenLengthFrame(docs, text, b)
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp,
+                               event_type: String)
+  final case class FunnelState(timesMs: List[Long])
+  final case class FunnelProgress(user_id: Long, stages_completed: Long)
+
+  /** Streaming twin of `EventAnalytics.funnelDepth`: per-user funnel
+    * progression as `flatMapGroupsWithState` — state is the
+    * completed stage-time prefix (≤ k longs per user, bounded by
+    * construction), and a `(user, depth)` row is emitted each time
+    * the depth GROWS (append mode: progress rows are monotone and
+    * never retracted; the max per user is the batch depth,
+    * spec-pinned).
+    *
+    * Delivery contract (documented, as `sessionize`'s policies):
+    * per-user IN-ORDER delivery across micro-batches — under it the
+    * first eligible stage event the stream meets IS the batch
+    * operator's grouped minimum, which is exactly why stream ==
+    * batch (StreamingSpec). Within one batch events are sorted by
+    * `(ts, stage index)`, so same-timestamp progression (the q147
+    * inclusive boundary) resolves identically to batch; an
+    * out-of-order event ACROSS batches that would have advanced an
+    * earlier stage is ignored, never retro-fitted. */
+  def streamFunnelDepth(events: Dataset[FunnelEvent],
+                        stages: Seq[String]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+
+    def fn(uid: Long, evts: Iterator[FunnelEvent],
+           state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+      var times = state.getOption.map(_.timesMs).getOrElse(Nil)
+      val sorted = evts.toArray
+        .filter(e => stageIdx.contains(e.event_type))
+        .sortBy(e => (e.ts.getTime, stageIdx(e.event_type)))
+      val out = Vector.newBuilder[FunnelProgress]
+      sorted.foreach { e =>
+        val k = times.size
+        if (k < stages.size && e.event_type == stages(k) &&
+            (k == 0 || e.ts.getTime >= times.last)) {
+          times = times :+ e.ts.getTime
+          out += FunnelProgress(uid, times.size.toLong)
+        }
+      }
+      if (times.nonEmpty) state.update(FunnelState(times))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stream-static as-of enrichment: an unbounded fact stream joined
     * against a STATIC SCD2 interval dimension (`etl.Scd.buildType2`
     * output) on key equality + interval containment

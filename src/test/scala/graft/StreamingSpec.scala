@@ -814,6 +814,50 @@ class StreamingSpec extends GraftSuite {
       104L -> Some("bronze"), 105L -> None))
   }
 
+  test("streamFunnelDepth: max emitted depth == batch funnelDepth under in-order delivery") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val stages = Seq("signup", "click", "purchase")
+    // u1 progresses across BATCHES; u2's same-ts signup+click land in
+    // one batch (sorted by stage index -> both count, the inclusive
+    // boundary); u3's click arrives before its signup (no progress
+    // until a later click); u4 only views (never enters)
+    val batch1 = Seq(
+      EventPipelines.FunnelEvent(1L, ts("2026-01-01 10:00:00"), "signup"),
+      EventPipelines.FunnelEvent(2L, ts("2026-01-01 10:00:00"), "click"),
+      EventPipelines.FunnelEvent(2L, ts("2026-01-01 10:00:00"), "signup"),
+      EventPipelines.FunnelEvent(3L, ts("2026-01-01 09:00:00"), "click"),
+      EventPipelines.FunnelEvent(4L, ts("2026-01-01 09:00:00"), "view"))
+    val batch2 = Seq(
+      EventPipelines.FunnelEvent(1L, ts("2026-01-01 11:00:00"), "click"),
+      EventPipelines.FunnelEvent(1L, ts("2026-01-01 12:00:00"), "purchase"),
+      EventPipelines.FunnelEvent(3L, ts("2026-01-01 10:00:00"), "signup"),
+      EventPipelines.FunnelEvent(3L, ts("2026-01-01 11:00:00"), "click"))
+    val mem = MemoryStream[EventPipelines.FunnelEvent]
+    val q = EventPipelines.streamFunnelDepth(mem.toDS(), stages)
+      .writeStream.format("memory").queryName("sfun")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("sfun").as[EventPipelines.FunnelProgress].collect()
+    // progress rows are monotone per user, one per depth step
+    val byUser = got.groupBy(_.user_id)
+    byUser.values.foreach { rows =>
+      val ds = rows.map(_.stages_completed).sorted
+      assert(ds.sameElements(1L to ds.max), s"non-contiguous: ${ds.toSeq}")
+    }
+    val maxDepth = byUser.view.mapValues(_.map(_.stages_completed).max).toMap
+    val batchDepth = graft.operators.EventAnalytics.funnelDepth(
+        (batch1 ++ batch2).map(e => (e.user_id, e.event_type, e.ts))
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", col("ts"), col("event_type"), stages)
+      .as[(Long, Long)].collect().toMap
+    assert(maxDepth == batchDepth)
+    assert(maxDepth == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
