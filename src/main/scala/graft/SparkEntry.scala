@@ -1570,6 +1570,31 @@ object SparkEntry {
         Seq(0.5, 0.9), groupCols = Seq("source"))
         .orderBy("source", "q")),
 
+    // oracle-checked: token-MASS quantiles — the length histogram
+    // weighted by the length itself, so est answers "the median
+    // token sits in a doc of ~est tokens", the statistic sequence
+    // packing plans against; same frame read path, rank arithmetic
+    // over masses (r11)
+    "q_hdr_mass_quantiles" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.where(col("text").isNotNull)
+        .select(size(TextFns.tokens(col("text"))).cast("long").as("v"))
+      Hdr.quantiles(
+        Hdr.frame(docs, col("v"), weight = col("v")),
+        Seq(0.25, 0.5, 0.9))
+    }),
+
+    // oracle-checked: semi-structured extraction — the JSON props
+    // column parsed in-scan (get_json_object), grouped stats on the
+    // extracted integer; no UDF, stays inside codegen (r11)
+    "q_json_extract" -> ((s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))),
+
     // oracle-checked: quantile binning off the sketch — per-doc
     // decile of the sequence length via 9 broadcast thresholds read
     // from the histogram; the scale replacement for a global ntile
@@ -3797,6 +3822,36 @@ object SparkEntry {
         |FROM sh JOIN mc ON mc.s = sh.s
         |WHERE sh.doc_id % 20 <> 0
         |GROUP BY sh.doc_id""".stripMargin,
+
+    // the weighted frame: cnt = SUM(v) per bucket instead of
+    // count(*); the quantile read is unchanged rank arithmetic
+    "q_hdr_mass_quantiles" ->
+      """WITH v AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |           FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT v, GREATEST(length(bin(v)) - 1 - 5, 0) AS s FROM v),
+        |mb AS (SELECT v, s, (v >> s) AS m FROM e),
+        |f AS (SELECT CAST(s AS BIGINT) * 64 + m AS idx, (m << s) AS lo,
+        |             CAST(sum(v) AS BIGINT) AS cnt
+        |      FROM mb GROUP BY 1, 2),
+        |c AS (SELECT idx, lo,
+        |        CAST(SUM(cnt) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |      FROM f),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT q, MIN(n) AS n, MIN(lo) AS est
+        |FROM c CROSS JOIN qs
+        |WHERE cum >= GREATEST(CEIL(q * CAST(n AS DOUBLE)), 1)
+        |GROUP BY q""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+        |       min(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+        |       max(CAST(props ->> '$.k' AS BIGINT)) AS max_k,
+        |       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+        |         AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the full threshold chain (frame -> cumulative -> 9 deciles)
     // then a sorted-list lambda count per doc; pure integer bucket

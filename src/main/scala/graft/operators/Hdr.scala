@@ -23,9 +23,9 @@ import graft.functions.TextFns
   * ([[merge]] == one-shot on the union, bucket-for-bucket, the
   * plain-count SUM identity [[Sketch.cmsMerge]] has), group-keyed,
   * and — unlike every other sketch in the suite — built from pure
-  * integer arithmetic with NO hash at all, so the frame AND the
-  * quantile surface replay bit-identically in ANSI SQL on both
-  * families of nothing: every query below is oracle-green outright.
+  * integer arithmetic with NO hash at all, so there is no
+  * seeded/xxhash64 twin split: the frame AND every read surface
+  * replay bit-identically in ANSI SQL, oracle-green outright.
   *
   * Bucket layout (`b` sub-bucket bits; base-2 log-linear): for
   * `v ≥ 0` with `e = floor(log2 v)` (printed-binary length − 1 —
@@ -97,15 +97,26 @@ object Hdr {
     * buckets appear (absent bucket == 0); at most
     * `(64−b)·2^(b+1)` rows per group regardless of corpus size.
     * Negative and null measures are excluded (the caller's
-    * contract: measures are counts/lengths/sizes). */
+    * contract: measures are counts/lengths/sizes).
+    *
+    * `weight` (integer, default 1 per row) turns the frame into a
+    * weighted histogram — `cnt` becomes the bucket's weight MASS —
+    * and every downstream read ([[quantiles]], [[merge]],
+    * [[bucketByQuantiles]]) works unchanged: a weighted quantile is
+    * just rank arithmetic over masses. Weighting the measure by
+    * ITSELF (`weight = value`) gives the mass distribution — e.g.
+    * "the median TOKEN sits in a doc of length ~X", the statistic
+    * sequence packing actually plans against. */
   def frame(df: DataFrame, value: Column, b: Int = DefaultBits,
-            groupCols: Seq[String] = Nil): DataFrame = {
+            groupCols: Seq[String] = Nil,
+            weight: Column = lit(1L)): DataFrame = {
     require(b >= 1 && b <= 16, s"sub-bucket bits must be in [1,16], got $b")
     val keyed = df.where(value.isNotNull && value >= 0)
-      .select((groupCols.map(col) :+ value.cast("long").as("v")): _*)
+      .select((groupCols.map(col) :+ value.cast("long").as("v") :+
+        weight.cast("long").as("__w")): _*)
     bucketized(keyed, b)
       .groupBy((groupCols ++ Seq("idx", "lo", "hi")).map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__w")).as("cnt"))
   }
 
   /** Bucket-wise sum of two frames (same `b` and group keys — the

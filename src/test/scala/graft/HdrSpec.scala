@@ -170,6 +170,28 @@ class HdrSpec extends GraftSuite {
     }
   }
 
+  test("weighted frame: cnt is the bucket mass; weighted quantiles == expansion replay") {
+    val vs = Seq(1L, 3L, 3L, 10L, 40L, 40L, 100L)
+    val f = graft.operators.Hdr.frame(vs.toDF("x"), col("x"),
+      weight = col("x")) // mass distribution: weight = the value
+    val gotMass = f.select("idx", "cnt").as[(Long, Long)].collect().toMap
+    val wantMass = vs.groupBy(refBucket(_, 5)._1)
+      .view.mapValues(_.sum).toMap
+    assert(gotMass == wantMass)
+    // a weighted quantile is the plain quantile of the weight-
+    // expanded multiset (weights are integer by contract)
+    val expanded = vs.flatMap(v => Seq.fill(v.toInt)(v))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val got = graft.operators.Hdr.quantiles(f, qs)
+      .as[(Double, Long, Long)].collect()
+      .map { case (q, n, e) => q -> (n, e) }.toMap
+    qs.foreach { q =>
+      val (n, est) = got(q)
+      assert(n == expanded.size)
+      assert(est == refBucket(refQuantile(expanded, q), 5)._2, s"q=$q")
+    }
+  }
+
   test("negative and null measures are excluded by contract") {
     val vs = Seq[java.lang.Long](5L, -3L, null, 0L)
       .toDF("x")
