@@ -160,6 +160,15 @@ object SparkEntry {
       EventAnalytics.retention(Tables(s, dir).events, "user_id",
         col("ts"))),
 
+    // oracle-checked: grouped OLS fit + Pearson r from exact DECIMAL
+    // second moments — order-free sums, one fixed IEEE double
+    // expression tree for the closed forms; the portable alternative
+    // to corr/covar_samp's run-dependent double accumulation (r11)
+    "q_lin_regression" -> ((s, dir) =>
+      Stats.linearFit(Tables(s, dir).lineitem,
+        col("l_quantity"), col("l_extendedprice"),
+        groupCols = Seq("l_returnflag"))),
+
     // oracle-checked: the star-schema revenue rollup (TPC-H Q5
     // flavor) — lineitem x orders x customer shuffle joins plus a
     // broadcast nation dim; revenue stays in exact DECIMAL
@@ -2136,6 +2145,46 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s2.user_id = s1.user_id
         |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    // the identical double expression tree as the Column code: every
+    // multiply/divide in the same order, sqrt IEEE-rounded
+    "q_lin_regression" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |       (CAST(sy AS DOUBLE)
+        |          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |            * CAST(sx AS DOUBLE))
+        |       / CAST(n AS DOUBLE) AS intercept,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM a
+        |WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+        |  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0""".stripMargin,
 
     "q_star_revenue" ->
       """SELECT n_name,
