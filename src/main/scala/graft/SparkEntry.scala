@@ -160,6 +160,17 @@ object SparkEntry {
       EventAnalytics.retention(Tables(s, dir).events, "user_id",
         col("ts"))),
 
+    // oracle-checked: rolling z-score anomalies over the hourly
+    // close series — each bar against its previous 7 bars (exact
+    // DECIMAL window sums, one fixed IEEE double tree); full-window
+    // bars with positive variance only (r11)
+    "q_anomaly_hours" -> ((s, dir) => {
+      val bars = TimeSeries.downsampleOhlc(Tables(s, dir).events,
+        Seq("event_type"), col("ts"), col("value"), col("event_id"))
+      TimeSeries.rollingZScore(bars, Seq("event_type"),
+        "bucket", "close")
+    }),
+
     // oracle-checked: grouped OLS fit + Pearson r from exact DECIMAL
     // second moments — order-free sums, one fixed IEEE double
     // expression tree for the closed forms; the portable alternative
@@ -2145,6 +2156,42 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s2.user_id = s1.user_id
         |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    // the close series replay + exact DECIMAL window sums over the
+    // previous 7 bars + the identical double z tree
+    "q_anomaly_hours" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |             value,
+        |             row_number() OVER (PARTITION BY event_type,
+        |               date_trunc('hour', ts)
+        |               ORDER BY ts DESC, event_id DESC) AS rn_d
+        |           FROM events),
+        |c AS (SELECT event_type, bucket,
+        |        max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |      FROM b GROUP BY 1, 2),
+        |wnd AS (SELECT event_type, bucket, close,
+        |          count(CAST(close AS DECIMAL(18,2))) OVER w AS cnt,
+        |          sum(CAST(close AS DECIMAL(18,2))) OVER w AS s,
+        |          sum(CAST(close AS DECIMAL(18,2)) *
+        |              CAST(close AS DECIMAL(18,2))) OVER w AS ss
+        |        FROM c
+        |        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket, close,
+        |       (CAST(close AS DOUBLE) - CAST(s AS DOUBLE) / 7.0)
+        |       / sqrt((7.0 * CAST(ss AS DOUBLE)
+        |               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |              / (7.0 * 7.0)) AS z,
+        |       CAST(CASE WHEN abs((CAST(close AS DOUBLE)
+        |                           - CAST(s AS DOUBLE) / 7.0)
+        |                 / sqrt((7.0 * CAST(ss AS DOUBLE)
+        |                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |                        / (7.0 * 7.0))) > 3.0
+        |                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        |FROM wnd
+        |WHERE cnt = 7
+        |  AND (7.0 * CAST(ss AS DOUBLE)
+        |       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0""".stripMargin,
 
     // the identical double expression tree as the Column code: every
     // multiply/divide in the same order, sqrt IEEE-rounded

@@ -64,6 +64,44 @@ object TimeSeries {
           .as("sum_value"))
   }
 
+  /** Rolling z-score anomaly flags over a bar series: for each bar,
+    * compare `value` against the mean/std of the PREVIOUS `lookback`
+    * bars (the bar itself excluded — no self-masking), emitting
+    * `(key..., bucket, <value>, z, is_anomaly)` for bars with a full
+    * lookback window and positive variance.
+    *
+    * The Stats discipline: the window sums (`Σv, Σv²`) ride
+    * DECIMAL(18,2)/(·,4) — exact, order-free — and the z closed form
+    * is one fixed IEEE double tree (`z = (v − Σv/L) /
+    * sqrt((L·Σv² − (Σv)²)/L²)`), so flags replay bit-identically in
+    * SQL. Windows partition per key: thousands of small partitions,
+    * never a global sort. Zero-variance windows are filtered, not
+    * emitted as engine-dependent Inf/NaN. */
+  def rollingZScore(series: DataFrame, keys: Seq[String], bucket: String,
+                    value: String, lookback: Int = 7,
+                    zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(bucket))
+      .rowsBetween(-lookback, -1)
+    val vd = col(value).cast("decimal(18,2)")
+    val ld = lit(lookback.toDouble)
+    val withSums = series
+      .withColumn("__cnt", count(vd).over(w))
+      .withColumn("__s", sum(vd).over(w))
+      .withColumn("__ss", sum(vd * vd).over(w))
+      .where(col("__cnt") === lookback)
+    val sd = col("__s").cast("double"); val ssd = col("__ss").cast("double")
+    val varNum = ld * ssd - sd * sd
+    val z = (col(value).cast("double") - sd / ld) /
+      sqrt(varNum / (ld * ld))
+    withSums
+      .where(varNum > 0.0)
+      .select((keys.map(col) :+ col(bucket) :+ col(value) :+
+        z.as("z") :+
+        when(abs(z) > zThreshold, 1).otherwise(0).as("is_anomaly")): _*)
+  }
+
   /** Dense forward-filled series `(key..., bucket, <value>_filled,
     * filled)`: every `step` bucket of each key's `[min, max]` span,
     * `<value>_filled` = the last non-null value at or before the

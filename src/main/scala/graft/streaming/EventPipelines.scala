@@ -526,6 +526,36 @@ object EventPipelines {
                      b: Int = graft.operators.Hdr.DefaultBits): DataFrame =
     graft.operators.Hdr.tokenLengthFrame(docs, text, b)
 
+  /** Streaming hourly OHLC bars — `TimeSeries.downsampleOhlc`
+    * re-expressed as a windowed streaming aggregate: `min_by`/
+    * `max_by` over the `(ts, tie)` struct give the deterministic
+    * open/close the batch operator's `row_number` windows give
+    * (declarative aggregates, so they run in streaming where
+    * `row_number` cannot). Null values are excluded up front — the
+    * one semantic narrowing vs batch, whose open/close are
+    * POSITIONAL and can surface a null value; on null-free values
+    * stream == batch bar-for-bar (StreamingSpec). Watermark the ts
+    * column and run append mode in production (bars seal when the
+    * watermark passes the window); the spec uses complete mode to
+    * read bars mid-stream. */
+  def streamOhlcHourly(events: DataFrame, keys: Seq[String],
+                       tsName: String, value: org.apache.spark.sql.Column,
+                       tie: org.apache.spark.sql.Column): DataFrame = {
+    val ord = struct(col(tsName), tie)
+    events.where(value.isNotNull)
+      .groupBy((window(col(tsName), "1 hour") +: keys.map(col)): _*)
+      .agg(
+        min_by(value, ord).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, ord).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(value.cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select((keys.map(col) :+ col("window.start").as("bucket") :+
+        col("open") :+ col("high") :+ col("low") :+ col("close") :+
+        col("n_events") :+ col("sum_value")): _*)
+  }
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp,
                                event_type: String)
   final case class FunnelState(timesMs: List[Long])

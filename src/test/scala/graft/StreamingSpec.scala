@@ -858,6 +858,41 @@ class StreamingSpec extends GraftSuite {
     assert(maxDepth == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("streamOhlcHourly == batch bars on null-free values, invariant under micro-batch split") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batch1 = Seq(
+      (2L, "a", ts("2026-01-01 00:10:00"), 7.0),
+      (1L, "a", ts("2026-01-01 00:50:00"), 3.5),
+      (3L, "a", ts("2026-01-01 00:10:00"), 9.0)) // equal-ts tie: id 2 < 3
+    val batch2 = Seq(
+      (4L, "a", ts("2026-01-01 01:30:00"), 9.25),
+      (5L, "b", ts("2026-01-01 00:20:00"), 2.0))
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    val q = EventPipelines.streamOhlcHourly(
+        mem.toDF.toDF("event_id", "event_type", "ts", "value"),
+        Seq("event_type"), "ts", col("value"), col("event_id"))
+      .writeStream.format("memory").queryName("sohlc")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("sohlc")
+      .as[(String, Timestamp, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    val want = graft.operators.TimeSeries.downsampleOhlc(
+        (batch1 ++ batch2).toDF("event_id", "event_type", "ts", "value"),
+        Seq("event_type"), col("ts"), col("value"), col("event_id"))
+      .select("event_type", "bucket", "open", "high", "low", "close",
+        "n_events", "sum_value")
+      .as[(String, Timestamp, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    assert(got == want)
+    // the equal-ts tie: open of a/00:00 is id 2's 7.0, not id 3's 9.0
+    assert(got.exists(r => r._1 == "a" && r._3 == 7.0 && r._6 == 3.5))
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext

@@ -87,6 +87,46 @@ class TimeSeriesSpec extends GraftSuite {
     assert(got(("b", "2026-01-01 03:00:00.0")) == ((2.0, 0)))
   }
 
+  test("rolling z-score: straight-line replay; full windows only; zero-variance filtered") {
+    // one key, hourly closes with a planted spike at index 10 and a
+    // constant run (zero variance) before index 20
+    val closes = (0 until 18).map(i =>
+      ("a", ts(f"2026-01-01 ${i}%02d:00:00"),
+        if (i == 10) 500.0 else 10.0 + (i % 3))) ++
+      (0 until 10).map(i =>
+        ("b", ts(f"2026-01-02 ${i}%02d:00:00"), 42.0)) // constant key
+    val series = closes.toDF("g", "bucket", "close")
+    val got = TimeSeries.rollingZScore(series, Seq("g"), "bucket", "close")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getDouble(3), r.getInt(4)))).toMap
+    // straight-line reference with the operator's exact arithmetic
+    def d2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val aOnly = closes.filter(_._1 == "a").sortBy(_._2.getTime)
+    val want = aOnly.indices.flatMap { i =>
+      if (i < 7) None
+      else {
+        val wnd = aOnly.slice(i - 7, i).map(_._3)
+        val s = wnd.map(d2).sum.toDouble
+        val ss = wnd.map(v => d2(v) * d2(v)).sum.toDouble
+        val varNum = 7.0 * ss - s * s
+        if (varNum <= 0) None
+        else {
+          val z = (aOnly(i)._3 - s / 7.0) / math.sqrt(varNum / (7.0 * 7.0))
+          Some((("a", aOnly(i)._2.toString), (z, if (math.abs(z) > 3.0) 1 else 0)))
+        }
+      }
+    }.toMap
+    assert(got == want)
+    // the spike is flagged; the constant key emits nothing at all
+    assert(got(("a", "2026-01-01 10:00:00.0"))._2 == 1)
+    assert(!got.keys.exists(_._1 == "b"))
+    // windows FOLLOWING the spike inherit it in their lookback (no
+    // self-masking: the spike itself is excluded from its own window
+    // but present in the next seven)
+    assert(got(("a", "2026-01-01 11:00:00.0"))._2 == 0 ||
+      got(("a", "2026-01-01 11:00:00.0"))._1 < 0)
+  }
+
   test("gap-fill: buckets before a key's first value stay null but are flagged") {
     val series = Seq(
       ("k", ts("2026-01-01 00:00:00"), null: java.lang.Double),
