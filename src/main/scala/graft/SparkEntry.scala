@@ -210,6 +210,17 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0, Seq("F", "O", "P"))),
 
+    // oracle-checked: UNPIVOT (melt) — the pivot round-trip back to
+    // long form, including the filled-0 absent combinations (r11)
+    "q_unpivot_status" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")),
+
     // oracle-checked: ROLLUP subtotals — the standard warehouse
     // hierarchy rollup (status, priority) with exact DECIMAL sums;
     // one pass, the aggregate expands grouping sets map-side (r11)
@@ -2256,6 +2267,19 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
         |            AS BIGINT) AS P
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // long-form replay: priorities x the fixed status list, absent
+    // combos coalesced to the pivot's filled 0
+    "q_unpivot_status" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |p AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |s AS (SELECT unnest(['F', 'O', 'P']) AS status)
+        |SELECT p.o_orderpriority, s.status,
+        |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM p CROSS JOIN s
+        |LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority
+        |           AND c.o_orderstatus = s.status""".stripMargin,
 
     "q_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

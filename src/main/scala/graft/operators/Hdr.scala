@@ -161,6 +161,23 @@ object Hdr {
       .agg(min(col("n")).as("n"), min(col("lo")).as("est"))
   }
 
+  /** Coarsen a frame to fewer sub-bucket bits WITHOUT rescanning
+    * the corpus: `coarsen(frame(df, b), b, b') == frame(df, b')`
+    * bucket-for-bucket, EXACTLY (spec-pinned). Why exact: every
+    * value in a fine bucket shares its floor-log2 (the bucket span
+    * never crosses a power of two), so the whole bucket maps into
+    * ONE coarse bucket — re-bucketing the bucket's `lo` as a
+    * witness value and summing counts is the entire operation,
+    * frame-sized. This is the multi-resolution story: persist at
+    * b=8, serve any coarser resolution later without the corpus. */
+  def coarsen(frame: DataFrame, bFrom: Int, bTo: Int): DataFrame = {
+    require(bTo >= 1 && bTo < bFrom,
+      s"can only coarsen: need 1 <= bTo < bFrom, got $bFrom -> $bTo")
+    bucketized(frame.select(col("lo").as("v"), col("cnt")), bTo)
+      .groupBy(col("idx"), col("lo"), col("hi"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Quantile binning: assign each row the bucket of its measure
     * among `nBuckets` sketch-quantile thresholds (`q = 1/k ..
     * (k−1)/k`) — `bucket = 1 + |{threshold ≤ v}|`, a value equal to

@@ -170,6 +170,19 @@ class HdrSpec extends GraftSuite {
     }
   }
 
+  test("coarsen(frame(b), b, b') == frame(b') exactly — multi-resolution without rescan") {
+    val vs = (probeValues ++ (1 to 500).map(i => (i.toLong * 7919) % 100000))
+      .toDF("x")
+    for ((bFrom, bTo) <- Seq((5, 3), (8, 1), (8, 5))) {
+      val got = graft.operators.Hdr.coarsen(
+          graft.operators.Hdr.frame(vs, col("x"), bFrom), bFrom, bTo)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = graft.operators.Hdr.frame(vs, col("x"), bTo)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"$bFrom -> $bTo")
+    }
+  }
+
   test("weighted frame: cnt is the bucket mass; weighted quantiles == expansion replay") {
     val vs = Seq(1L, 3L, 3L, 10L, 40L, 40L, 100L)
     val f = graft.operators.Hdr.frame(vs.toDF("x"), col("x"),

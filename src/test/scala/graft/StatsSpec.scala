@@ -84,6 +84,35 @@ class StatsSpec extends GraftSuite {
     assert(got.keySet == Set("ok"))
   }
 
+  test("star-revenue join ladder: forced SMJ (no broadcast, no AQE) returns identical results") {
+    // pins the SURVEY claim that the multi-join query is hint-free
+    // except nation: with broadcasts disabled the planner must fall
+    // back to sort-merge joins and the DECIMAL revenue must not move
+    val q = SparkEntry.queries("q_star_revenue")
+    def rows() = q(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    val default = rows()
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = q(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // nation rides an explicit broadcast() hint; the two fact-side
+      // joins must have degraded to sort-merge
+      assert("SortMergeJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+      val forced = df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+      assert(forced == default)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("partition invariance: identical doubles at any parallelism") {
     val rnd = new scala.util.Random(9)
     val rows = (0 until 500).map { i =>
