@@ -2187,25 +2187,28 @@ object SparkEntry {
         |              CAST(close AS DECIMAL(18,2))) OVER w AS ss
         |        FROM c
         |        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-        |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |dd AS (SELECT event_type, bucket, close, cnt,
+        |         CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sd,
+        |         CAST(CAST(ss AS VARCHAR) AS DOUBLE) AS ssd
+        |       FROM wnd)
         |SELECT event_type, bucket, close,
-        |       (CAST(close AS DOUBLE) - CAST(s AS DOUBLE) / 7.0)
-        |       / sqrt((7.0 * CAST(ss AS DOUBLE)
-        |               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-        |              / (7.0 * 7.0)) AS z,
-        |       CAST(CASE WHEN abs((CAST(close AS DOUBLE)
-        |                           - CAST(s AS DOUBLE) / 7.0)
-        |                 / sqrt((7.0 * CAST(ss AS DOUBLE)
-        |                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |       (CAST(close AS DOUBLE) - sd / 7.0)
+        |       / sqrt((7.0 * ssd - sd * sd) / (7.0 * 7.0)) AS z,
+        |       CAST(CASE WHEN abs((CAST(close AS DOUBLE) - sd / 7.0)
+        |                 / sqrt((7.0 * ssd - sd * sd)
         |                        / (7.0 * 7.0))) > 3.0
         |                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
-        |FROM wnd
-        |WHERE cnt = 7
-        |  AND (7.0 * CAST(ss AS DOUBLE)
-        |       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0""".stripMargin,
+        |FROM dd
+        |WHERE cnt = 7 AND (7.0 * ssd - sd * sd) > 0""".stripMargin,
 
     // the identical double expression tree as the Column code: every
-    // multiply/divide in the same order, sqrt IEEE-rounded
+    // multiply/divide in the same order, sqrt IEEE-rounded. DECIMAL
+    // -> DOUBLE goes through VARCHAR: DuckDB's direct cast divides
+    // the scaled hugeint by 10^scale in doubles (TWO roundings — one
+    // ulp off Java's correctly-rounded BigDecimal.doubleValue on
+    // e.g. 7096786968835.8685, caught by the hostile-corpus gate);
+    // the text round-trip forces the single correctly-rounded parse
     "q_lin_regression" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(*) AS n,
@@ -2219,38 +2222,33 @@ object SparkEntry {
         |             CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
         |  FROM lineitem
         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+        |  FROM a)
         |SELECT l_returnflag, n,
-        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-        |       (CAST(sy AS DOUBLE)
-        |          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-        |            * CAST(sx AS DOUBLE))
-        |       / CAST(n AS DOUBLE) AS intercept,
-        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
-        |FROM a
-        |WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
-        |  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0""".stripMargin,
+        |       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+        |       (syd - ((nd * sxyd - sxd * syd)
+        |               / (nd * sxxd - sxd * sxd)) * sxd) / nd AS intercept,
+        |       (nd * sxyd - sxd * syd)
+        |       / sqrt((nd * sxxd - sxd * sxd)
+        |              * (nd * syyd - syd * syd)) AS r
+        |FROM d
+        |WHERE (nd * sxxd - sxd * sxd) <> 0
+        |  AND (nd * syyd - syd * syd) <> 0""".stripMargin,
 
     "q_star_revenue" ->
       """SELECT n_name,
         |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |                (CAST(1 AS DECIMAL(5,2)) -
-        |                 CAST(l_discount AS DECIMAL(5,2))))
-        |            AS DOUBLE) AS revenue,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                     (CAST(1 AS DECIMAL(5,2)) -
+        |                      CAST(l_discount AS DECIMAL(5,2))))
+        |                 AS VARCHAR) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -2283,8 +2281,8 @@ object SparkEntry {
 
     "q_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS sum_price
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                 AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
@@ -2345,8 +2343,8 @@ object SparkEntry {
         |       max(value) AS high, min(value) AS low,
         |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS sum_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+        |            AS DOUBLE) AS sum_value
         |FROM b GROUP BY 1, 2""".stripMargin,
 
     // generate_series is inclusive on both engines; last_value
