@@ -210,6 +210,15 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0, Seq("F", "O", "P"))),
 
+    // oracle-checked: single-pass data profiling — every column's
+    // null/distinct/min/max from ONE aggregate (multi-distinct plans
+    // as one Expand + shuffle, never k scans); typed min/max cast to
+    // string after aggregating (r11)
+    "q_profile_orders" -> ((s, dir) =>
+      Profile.describe(Tables(s, dir).orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate"))),
+
     // oracle-checked: UNPIVOT (melt) — the pivot round-trip back to
     // long form, including the filled-0 absent combinations (r11)
     "q_unpivot_status" -> ((s, dir) =>
@@ -2265,6 +2274,47 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
         |            AS BIGINT) AS P
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_profile_orders" ->
+      """SELECT 'o_orderkey' AS column, count(*) AS n,
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null,
+        |       count(DISTINCT o_orderkey) AS n_distinct,
+        |       CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |       CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       count(DISTINCT o_custkey),
+        |       CAST(min(o_custkey) AS VARCHAR),
+        |       CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       count(DISTINCT o_orderstatus),
+        |       CAST(min(o_orderstatus) AS VARCHAR),
+        |       CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       count(DISTINCT o_orderpriority),
+        |       CAST(min(o_orderpriority) AS VARCHAR),
+        |       CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*),
+        |       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       count(DISTINCT o_orderdate),
+        |       CAST(min(o_orderdate) AS VARCHAR),
+        |       CAST(max(o_orderdate) AS VARCHAR)
+        |FROM orders""".stripMargin,
 
     // long-form replay: priorities x the fixed status list, absent
     // combos coalesced to the pivot's filled 0
