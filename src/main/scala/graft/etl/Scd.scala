@@ -42,7 +42,11 @@ object Scd {
       .orderBy(ts.asc, tie.asc)
     val withPrev = changes
       .withColumn("__ts", ts).withColumn("__tie", tie)
-      .withColumn("__first", lag(col("__tie"), 1).over(ord).isNull)
+      // row_number, not lag(tie).isNull: a NULL tie value would make
+      // the row AFTER it look "first" and unconditionally open an
+      // interval even with unchanged attributes — row_number detects
+      // the true first row independent of tie nullability
+      .withColumn("__first", row_number().over(ord) === 1)
       .withColumn("__changed",
         attrs.map(a => !(col(a) <=> lag(col(a), 1).over(ord)))
           .reduce(_ || _))

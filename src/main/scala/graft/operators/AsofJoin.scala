@@ -39,6 +39,16 @@ import org.apache.spark.sql.functions._
   *    window is a running `last`, one pass, no per-row backscan; at
   *    1000 executors the cost of a hot key is reading it, not
   *    re-scanning it per probe.
+  *  - Null timestamps: a right row with a null `rightTs` is DROPPED
+  *    (a time it never happened at can't be "latest"; without the
+  *    filter Spark's nulls-first ascending sort would place it
+  *    before every real row and make it the running-last match for
+  *    left rows that have no true predecessor — a spurious payload
+  *    where the contract says null). A left row with a null
+  *    `leftTs` is KEPT and matches nothing (it sorts before every
+  *    surviving right row, so the running `last` is null) — the
+  *    row-preserving analog of pandas `merge_asof`'s null
+  *    rejection, spec-pinned.
   *  - `tolerance` does NOT re-join: the latest match is kept iff
   *    `matchedTs >= leftTs − tolerance`, which is equivalent to
   *    as-of-joining within the window (any older candidate is
@@ -70,7 +80,7 @@ object AsofJoin {
     val reserved = Seq("__ts", "__side", "__r")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"column names ${reserved.mkString(", ")} are reserved")
-    val rTagged = right.select(
+    val rTagged = right.where(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         struct((col(rightTs).as("__rts") +: col(tieBreak).as("__tie") +:
           payload.filter(_ != tieBreak).map(col)): _*).as("__r")): _*)

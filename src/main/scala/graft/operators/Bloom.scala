@@ -78,13 +78,20 @@ object Bloom {
   /** Probe a filter: `(v, might_contain)` for every distinct
     * non-null probe value — `might_contain` = 1 iff all `k` bit
     * positions are set. The filter side is broadcast (≤ `mBits`
-    * rows); the probe side is whatever the caller asks about. */
+    * rows); the probe side is whatever the caller asks about.
+    * The bits frame is `distinct`-ed defensively before the join:
+    * a caller who passes a raw union instead of [[bloomMerge]]
+    * would otherwise inflate `count(__hit)` past `k` on duplicate
+    * bit rows and flip `might_contain` to 0 — a FALSE NEGATIVE,
+    * silently breaking the filter's one-sided contract. ≤ `mBits`
+    * rows, so the dedup is frame-sized, spec-pinned. */
   def mightContain(bits: DataFrame, probes: DataFrame, value: Column,
                    mBits: Int, k: Int,
                    hashKey: Column => Column = xxhash64(_)): DataFrame =
     probes.select(value.as("v")).where(col("v").isNotNull).distinct()
       .select(col("v"), explode(bitsOf(col("v"), mBits, k, hashKey)).as("bit"))
-      .join(broadcast(bits.select(col("bit"), lit(1).as("__hit"))),
+      .join(broadcast(bits.select(col("bit")).distinct()
+          .withColumn("__hit", lit(1))),
         Seq("bit"), "left")
       .groupBy(col("v"))
       .agg((count(col("__hit")) === k).cast("int").as("might_contain"))

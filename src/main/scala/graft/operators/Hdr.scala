@@ -169,12 +169,26 @@ object Hdr {
     * ONE coarse bucket — re-bucketing the bucket's `lo` as a
     * witness value and summing counts is the entire operation,
     * frame-sized. This is the multi-resolution story: persist at
-    * b=8, serve any coarser resolution later without the corpus. */
-  def coarsen(frame: DataFrame, bFrom: Int, bTo: Int): DataFrame = {
+    * b=8, serve any coarser resolution later without the corpus.
+    *
+    * Group-keyed frames (built with `frame(groupCols = ...)`) pass
+    * the SAME `groupCols` here — coarsening happens within each
+    * group. The input's columns must be exactly
+    * `groupCols ++ (idx, lo, hi, cnt)`: an unexpected extra column
+    * means a group key the caller forgot, and silently collapsing
+    * it into one global histogram is the wrong-result trap this
+    * require exists to catch. */
+  def coarsen(frame: DataFrame, bFrom: Int, bTo: Int,
+              groupCols: Seq[String] = Nil): DataFrame = {
     require(bTo >= 1 && bTo < bFrom,
       s"can only coarsen: need 1 <= bTo < bFrom, got $bFrom -> $bTo")
-    bucketized(frame.select(col("lo").as("v"), col("cnt")), bTo)
-      .groupBy(col("idx"), col("lo"), col("hi"))
+    val expected = (groupCols ++ Seq("idx", "lo", "hi", "cnt")).toSet
+    require(frame.columns.toSet == expected,
+      s"coarsen: frame columns ${frame.columns.mkString(",")} != " +
+        s"groupCols ++ (idx,lo,hi,cnt) — pass the frame's group keys")
+    bucketized(frame.select(
+        (groupCols.map(col) :+ col("lo").as("v") :+ col("cnt")): _*), bTo)
+      .groupBy((groupCols ++ Seq("idx", "lo", "hi")).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
   }
 

@@ -123,9 +123,17 @@ object Hll {
   def hllEstimate(registers: DataFrame, m: Int,
                   groupCols: Seq[String] = Nil): DataFrame = {
     requirePow2(m)
-    // alpha_m for m >= 128 (the classic constant); expression kept as
-    // the literal op chain so SQL replays fold to the identical double
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    // alpha_m per Flajolet et al. §4: the closed-form constant is the
+    // published approximation for m >= 128; m in {16,32,64} take the
+    // exact tabulated values (using the large-m formula there biases
+    // the raw estimate with no warning). Expressions kept as literal
+    // op chains so SQL replays fold to the identical double.
+    val alpha = m match {
+      case 16 => lit(0.673)
+      case 32 => lit(0.697)
+      case 64 => lit(0.709)
+      case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    }
     val grouped =
       if (groupCols.isEmpty) registers.groupBy()
       else registers.groupBy(groupCols.map(col): _*)

@@ -178,6 +178,32 @@ class AsofJoinSpec extends GraftSuite {
     assert(viaScd == viaAsof)
   }
 
+  test("null timestamps: null-ts rights are dropped, null-ts lefts match nothing") {
+    // u1's only rights have a NULL ts — without the filter Spark's
+    // nulls-first sort would make one of them the running-last match
+    // for event 300, which has no true preceding right
+    val l = Seq(
+      (300L, 1L, ts("2026-01-01 10:00:00")),
+      (301L, 2L, ts("2026-01-01 10:00:00")),
+      (302L, 2L, null: Timestamp)).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (400L, 1L, null: Timestamp, java.lang.Double.valueOf(6.6)),
+      (401L, 2L, null: Timestamp, java.lang.Double.valueOf(7.7)),
+      (402L, 2L, ts("2026-01-01 09:00:00"), java.lang.Double.valueOf(8.8)))
+      .toDF("click_id", "user_id", "ts", "click_value")
+    val got = AsofJoin.asof(l, r, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"), "click_id")
+      .select("event_id", "asof_click_id", "asof_click_value")
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None
+         else Some((row.getLong(1), row.getDouble(2))))).toMap
+    assert(got == Map(
+      300L -> None,                     // no real right for u1
+      301L -> Some((402L, 8.8)),        // 401's null ts never wins
+      302L -> None),                    // null-ts left row kept, unmatched
+      s"got $got")
+  }
+
   test("reserved column names are rejected") {
     val l = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("event_id", "__side", "ts")
     val r = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("click_id", "__side", "ts")

@@ -49,6 +49,24 @@ class BloomSpec extends GraftSuite {
     }
   }
 
+  test("mightContain survives a non-deduplicated bits frame (no false negatives from a raw union)") {
+    // a caller who unions two filters without bloomMerge hands over
+    // duplicate bit rows; if the probe join counted them, count(__hit)
+    // would pass k and flip built values to might_contain=0 — the
+    // false negative the internal distinct() exists to prevent
+    val build = values(200, "in")
+    for ((fam, key) <- hashFamilies) {
+      val bits = Bloom.bloomBits(build, col("v"), 1024, 3, key)
+      val raw = bits.unionByName(bits)                 // NOT bloomMerge
+      val viaRaw = Bloom.mightContain(raw, build, col("v"), 1024, 3, key)
+        .as[(String, Int)].collect().toMap
+      val viaClean = Bloom.mightContain(bits, build, col("v"), 1024, 3, key)
+        .as[(String, Int)].collect().toMap
+      assert(viaRaw == viaClean, fam)
+      assert(viaRaw.values.forall(_ == 1), s"$fam: false negative")
+    }
+  }
+
   test("FPR envelope: sized filter keeps false positives near (bitsSet/m)^k") {
     // 1000 values in a 2^16-bit filter with k=3: load ~ 3000/65536,
     // predicted FPR ~ (0.045)^3 ~ 1e-4; probe 20000 outsiders and

@@ -183,6 +183,22 @@ class HdrSpec extends GraftSuite {
     }
   }
 
+  test("group-keyed coarsen: per-group identity holds; forgotten keys are rejected") {
+    val vs = (1 to 400).map(i => (if (i % 2 == 0) "a" else "b",
+      (i.toLong * 7919) % 50000)).toDF("src", "x")
+    val fine = graft.operators.Hdr.frame(vs, col("x"), 8, Seq("src"))
+    val got = graft.operators.Hdr.coarsen(fine, 8, 3, Seq("src"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.Hdr.frame(vs, col("x"), 3, Seq("src"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // a group-keyed frame coarsened WITHOUT its keys would silently
+    // collapse into one global histogram — the require catches it
+    intercept[IllegalArgumentException] {
+      graft.operators.Hdr.coarsen(fine, 8, 3)
+    }
+  }
+
   test("weighted frame: cnt is the bucket mass; weighted quantiles == expansion replay") {
     val vs = Seq(1L, 3L, 3L, 10L, 40L, 40L, 100L)
     val f = graft.operators.Hdr.frame(vs.toDF("x"), col("x"),

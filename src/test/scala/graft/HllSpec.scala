@@ -83,6 +83,26 @@ class HllSpec extends GraftSuite {
     }
   }
 
+  test("small-m alpha: m in {16,32,64} use the tabulated constants, not the large-m formula") {
+    for ((m, a) <- Seq(16 -> 0.673, 32 -> 0.697, 64 -> 0.709)) {
+      val regs = Hll.tokenRegisters(corpus(30), col("text"), m,
+        hashFamilies.head._2).as[(Long, Int)].collect()
+      val vEmpty = m - regs.length
+      val sScaled = regs.map(r => 1L << (Hll.RhoCap - r._2)).sum +
+        vEmpty.toLong * (1L << Hll.RhoCap)
+      val got = Hll.distinctTokens(corpus(30), col("text"), m,
+        hashFamilies.head._2).select("est").as[Double].head()
+      val want = a * m.toDouble * m.toDouble *
+        (1L << Hll.RhoCap).toDouble / sScaled.toDouble
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want), s"m=$m")
+      // and the formula constant it must NOT be (visible bias guard)
+      val formula = 0.7213 / (1.0 + 1.079 / m.toDouble) * m.toDouble *
+        m.toDouble * (1L << Hll.RhoCap).toDouble / sScaled.toDouble
+      assert(got != formula, s"m=$m still on the large-m formula")
+    }
+  }
+
   test("relative error envelope: planted 30k distinct tokens, m=4096") {
     // raw-HLL regime (n > 2.5m = 10240, no linear-counting correction
     // needed); rsd = 1.04/sqrt(4096) ~ 1.6%, assert 5x

@@ -62,6 +62,21 @@ class ScdSpec extends GraftSuite {
       == want)
   }
 
+  test("a null tie value does not fake a first row (change compression survives)") {
+    // u5's first event carries a NULL tie id; the unchanged event
+    // after it must still compress (lag(tie).isNull would have
+    // misread it as a key's first row and re-opened the interval —
+    // row_number detection is tie-nullability-independent)
+    val rows = Seq(
+      (null: java.lang.Long, 5L, ts("2026-01-01 00:00:00"), "a"),
+      (java.lang.Long.valueOf(51L), 5L, ts("2026-01-01 01:00:00"), "a"),
+      (java.lang.Long.valueOf(52L), 5L, ts("2026-01-01 02:00:00"), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(collect(rows) == Set(
+      (5L, "a", "2026-01-01 00:00:00.0", "2026-01-01 02:00:00.0", 0),
+      (5L, "b", "2026-01-01 02:00:00.0", null, 1)))
+  }
+
   test("idempotent ingest: tie-adjacent re-delivery does not split intervals") {
     // each duplicate's tie id lands directly after its original
     // (id*2, id*2+1), so it always follows an identical state and
