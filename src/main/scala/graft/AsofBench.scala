@@ -61,6 +61,11 @@ object AsofBench {
     val nRight = sys.env.getOrElse("SPARK_GRAFT_ASOF_RIGHT", "50000").toLong
     val keys = sys.env.getOrElse("SPARK_GRAFT_ASOF_KEYS", "1000").toLong
     val hotPct = sys.env.getOrElse("SPARK_GRAFT_ASOF_HOTPCT", "10").toInt
+    // the naive arm's join output is quadratic in the hot-key share;
+    // past ~20% hot it stops being minutes-bounded — the high rungs
+    // of the skew ladder run asof-vs-salted only (NAIVE=0)
+    val withNaive = sys.env.getOrElse("SPARK_GRAFT_ASOF_NAIVE", "1") == "1"
+    val slices = sys.env.getOrElse("SPARK_GRAFT_ASOF_SLICES", "32").toInt
     val spanSec = 30L * 24 * 3600
 
     val spark = SparkSession.builder()
@@ -103,6 +108,11 @@ object AsofBench {
         Seq("click_id", "click_value"), "click_id")
         .select("event_id", "asof_click_id")
 
+    def saltedArm(): DataFrame =
+      AsofJoin.asofSalted(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"), "click_id", slices = slices)
+        .select("event_id", "asof_click_id")
+
     def naiveJoin(): DataFrame = {
       val l = left.alias("l"); val r = right.alias("r")
       l.join(r, col("l.user_id") === col("r.user_id") &&
@@ -121,13 +131,23 @@ object AsofBench {
     // semantics identity (price comparison of one semantics)
     val a = asofArm().collect().map(r =>
       r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    val n = naiveArm().collect().map(r =>
+    val sMap = saltedArm().collect().map(r =>
       r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    if (a != n) {
-      System.err.println(s"[asof-bench] ARM MISMATCH: ${a.size} vs ${n.size}")
+    if (a != sMap) {
+      System.err.println(
+        s"[asof-bench] SALTED ARM MISMATCH: ${a.size} vs ${sMap.size}")
       sys.exit(1)
     }
-    val blowup = naiveJoin().count() // the pair-explosion witness
+    if (withNaive) {
+      val n = naiveArm().collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      if (a != n) {
+        System.err.println(
+          s"[asof-bench] ARM MISMATCH: ${a.size} vs ${n.size}")
+        sys.exit(1)
+      }
+    }
+    val blowup = if (withNaive) naiveJoin().count() else -1L
     val unionRows = nLeft + nRight
 
     def timed(body: => Unit): Double = {
@@ -139,6 +159,7 @@ object AsofBench {
     StallProbe.start()
     val loadBefore = loadavg
     val asofT = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val saltT = scala.collection.mutable.ArrayBuffer.empty[Double]
     val naiveT = scala.collection.mutable.ArrayBuffer.empty[Double]
     val stalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (r <- 0 until runs) {
@@ -146,15 +167,21 @@ object AsofBench {
       val arms: Seq[(String, () => Double)] = Seq(
         "asof" -> (() => timed(
           asofArm().write.format("noop").mode("overwrite").save())),
-        "naive" -> (() => timed(
+        "salted" -> (() => timed(
+          saltedArm().write.format("noop").mode("overwrite").save()))) ++
+        (if (withNaive) Seq("naive" -> (() => timed(
           naiveArm().write.format("noop").mode("overwrite").save())))
+         else Nil)
       val order = if (r % 2 == 0) arms else arms.reverse
       val got = order.map { case (nm, f) => val t = f(); sweep(); nm -> t }
         .toMap
-      asofT += got("asof"); naiveT += got("naive")
+      asofT += got("asof"); saltT += got("salted")
+      naiveT += got.getOrElse("naive", -1.0)
       stalls += StallProbe.totalSec - s0
       System.err.println(f"[asof-bench] run $r asof=${got("asof")}%.2f s " +
-        f"naive=${got("naive")}%.2f s stall=${stalls.last}%.2f s")
+        f"salted=${got("salted")}%.2f s " +
+        f"naive=${got.getOrElse("naive", -1.0)}%.2f s " +
+        f"stall=${stalls.last}%.2f s")
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -166,11 +193,15 @@ object AsofBench {
     val json =
       s"""{"metric":"asof_vs_naive_median","value":${median(asofT.toSeq)}""" +
         s""","unit":"sec","naive_median":${median(naiveT.toSeq)}""" +
+        s""","salted_median":${median(saltT.toSeq)},"slices":$slices""" +
         s""","speedup":${median(naiveT.toSeq) / median(asofT.toSeq)}""" +
+        s""","salted_over_asof":${median(asofT.toSeq) / median(saltT.toSeq)}""" +
         s""","asof_runs":${jarr(asofT.toSeq)},"naive_runs":${jarr(naiveT.toSeq)}""" +
+        s""","salted_runs":${jarr(saltT.toSeq)}""" +
         s""","naive_join_rows":$blowup,"asof_union_rows":$unionRows""" +
         s""","n_left":$nLeft,"n_right":$nRight,"keys":$keys""" +
-        s""","hot_pct":$hotPct,"stall_sec":${jarr(stalls.toSeq)}""" +
+        s""","hot_pct":$hotPct,"with_naive":$withNaive""" +
+        s""","stall_sec":${jarr(stalls.toSeq)}""" +
         s""","loadavg_before":"$loadBefore","loadavg_after":"$loadavg"""" +
         s""","cpus":"$cpus"}"""
     println(json)

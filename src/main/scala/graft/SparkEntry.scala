@@ -138,6 +138,26 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_click_id", "asof_click_value")
     }),
 
+    // oracle-checked: the SALTED as-of — same semantics as
+    // q_asof_join (identical oracle), executed through the
+    // time-sliced skew form: running last partitioned by
+    // (key, slice) + the max_by boundary carry, for the rung where
+    // one key owns the stream and the plain as-of's per-key pass
+    // would run in one task (r12)
+    "q_asof_join_salted" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      AsofJoin.asofSalted(
+          left = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          right = ev.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts"), col("value").as("click_value")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+          slices = 8)
+        .select("event_id", "user_id", "asof_click_id", "asof_click_value")
+    }),
+
     // oracle-checked: ordered funnel — per-stage grouped minima
     // chained by user-keyed joins (earliest stage-i+1 event at or
     // after the stage-i time); no per-user event collection, no
@@ -219,6 +239,26 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate"))),
 
+    // oracle-checked: profiling with exact moments — the double
+    // column profiles as its DECIMAL(18,2) view (portable fixed-
+    // point min/max), mean/stddev from exact DECIMAL Σx/Σx² + one
+    // fixed double chain (the Stats discipline); still ONE
+    // aggregate for every column (r12)
+    "q_profile_orders_moments" -> ((s, dir) =>
+      Profile.describe(Tables(s, dir).orders,
+        Seq("o_orderstatus", "o_orderpriority"),
+        numericCols = Seq("o_totalprice"))),
+
+    // rows-only (twin: q_profile_orders green; spec bounds the
+    // estimate at 3x rsd and pins the single scan): profiling with
+    // HLL++ approximate distincts — the shuffle carries fixed-size
+    // sketches per column instead of every distinct value, the
+    // 100 TB profile shape (r12)
+    "q_profile_orders_approx" -> ((s, dir) =>
+      Profile.describeApprox(Tables(s, dir).orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate"))),
+
     // oracle-checked: UNPIVOT (melt) — the pivot round-trip back to
     // long form, including the filled-0 absent combinations (r11)
     "q_unpivot_status" -> ((s, dir) =>
@@ -248,6 +288,25 @@ object SparkEntry {
       graft.streaming.EventPipelines
         .sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
         .select("user_id", "session_start", "session_end", "n_events")),
+
+    // oracle-checked: per-user session AGGREGATE rollup — the
+    // analytics surface right after sessionizing (session counts,
+    // event totals, mean session duration). Durations sum as exact
+    // BIGINT millis; the mean is one fixed double chain
+    // ((Σms / n) / 1000), so it replays bit-identically. Piggybacks
+    // the sessionize exchange: the rollup groups by a PREFIX of the
+    // session grouping key, so no third shuffle of the events (r12)
+    "q_session_stats" -> ((s, dir) =>
+      graft.streaming.EventPipelines
+        .sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("total_events"),
+          max(col("n_events")).as("max_session_events"),
+          (sum(unix_millis(col("session_end")) -
+              unix_millis(col("session_start"))).cast("double") /
+            count(lit(1)).cast("double") / lit(1000.0))
+            .as("mean_session_sec"))),
 
     // oracle-checked: SCD Type-2 interval build — per-user
     // event_type change stream folded into validity intervals with
@@ -1464,6 +1523,26 @@ object SparkEntry {
       Sketch.countMinCells(Tables(s, dir).documents, col("text"),
         depth = 4, width = 8192, QualityModel.seededKey)),
 
+    // oracle-checked: the same CMS artifact served THROUGH a
+    // SketchStore round-trip — built + committed on first call
+    // (marker-last successor discipline), read from the committed
+    // single-file frame on every later call; identical oracle to
+    // q_cms_cells_seeded, so the STORE itself is oracle-checked:
+    // what parquet round-trips is cell-for-cell what the engine
+    // computed. Artifact path carries the documents fingerprint (a
+    // regenerated table rebuilds instead of serving stale cells) (r12)
+    "q_cms_cells_stored" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val fpRow = docs.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, text))")).head()
+      val fp = java.lang.Long.toHexString(fpRow.getLong(0) ^
+        (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
+      graft.io.SketchStore.getOrBuild(s,
+        s"/tmp/graft_serving_idx/cms1_$fp")(
+        Sketch.countMinCells(docs, col("text"),
+          depth = 4, width = 8192, QualityModel.seededKey))
+    }),
+
     // oracle-checked: sketch-estimated top-50 heavy hitters — the
     // vocabulary probes the broadcast sketch, est = min over depth
     // rows, rank (est desc, tok); md5 path replays cells, joins, min
@@ -2128,6 +2207,22 @@ object SparkEntry {
         |       click_value AS asof_click_value
         |FROM j WHERE rn = 1""".stripMargin,
 
+    // the salted form is the same semantics through a different
+    // plan — the oracle is q_asof_join's, verbatim
+    "q_asof_join_salted" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, click_id AS asof_click_id,
+        |       click_value AS asof_click_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
     // the same with a 1-hour lookback folded into the join window
     "q_asof_join_tolerance" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
@@ -2316,6 +2411,56 @@ object SparkEntry {
         |       CAST(max(o_orderdate) AS VARCHAR)
         |FROM orders""".stripMargin,
 
+    // numeric column replay over the DECIMAL(18,2) view; DECIMAL
+    // sums -> double via VARCHAR (DuckDB's direct DECIMAL->DOUBLE
+    // cast two-rounds, one ulp off Java), then the identical fixed
+    // double chain for mean/stddev
+    "q_profile_orders_moments" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_null,
+        |         count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS n_distinct,
+        |         CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |           AS min_s,
+        |         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |           AS max_s,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+        |  FROM orders),
+        |d AS (
+        |  SELECT n, n_null, n_distinct, min_s, max_s,
+        |         CAST(n - n_null AS DOUBLE) AS md,
+        |         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+        |  FROM a)
+        |SELECT 'o_orderstatus' AS column, count(*) AS n,
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null,
+        |       count(DISTINCT o_orderstatus) AS n_distinct,
+        |       CAST(min(o_orderstatus) AS VARCHAR) AS min_s,
+        |       CAST(max(o_orderstatus) AS VARCHAR) AS max_s,
+        |       CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       count(DISTINCT o_orderpriority),
+        |       CAST(min(o_orderpriority) AS VARCHAR),
+        |       CAST(max(o_orderpriority) AS VARCHAR),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', n, n_null, n_distinct, min_s, max_s,
+        |       CASE WHEN md > 0 THEN sxd / md END AS mean,
+        |       CASE WHEN md > 1 THEN
+        |         sqrt(greatest(0.0, (md * sxxd - sxd * sxd)
+        |                            / (md * (md - 1.0)))) END AS stddev
+        |FROM d""".stripMargin,
+
     // long-form replay: priorities x the fixed status list, absent
     // combos coalesced to the pivot's filled 0
     "q_unpivot_status" ->
@@ -2356,6 +2501,34 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the sessionize chain replayed, then the per-user rollup; exact
+    // BIGINT duration sums, the identical left-assoc double chain
+    "q_session_stats" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               AS prev
+        |           FROM events),
+        |b AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL
+        |                  OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sid
+        |      FROM b),
+        |g AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+        |             count(*) AS n
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS total_events,
+        |       CAST(max(n) AS BIGINT) AS max_session_events,
+        |       CAST(sum(epoch_ms(en) - epoch_ms(st)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) / 1000.0
+        |         AS mean_session_sec
+        |FROM g GROUP BY user_id""".stripMargin,
 
     // change rows = first per user or event_type IS DISTINCT FROM
     // the previous (null-safe, as the operator's <=> compare)
@@ -3820,6 +3993,19 @@ object SparkEntry {
     // md5 prefix, bucket = prefix % 8192 (nonnegative, so DuckDB's
     // plain % matches Spark's pmod)
     "q_cms_cells_seeded" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) tok
+        |              FROM documents WHERE text IS NOT NULL),
+        |js AS (SELECT unnest(generate_series(0, 3)) j)
+        |SELECT CAST(js.j AS INT) AS j,
+        |       CAST(concat('0x', substr(md5(CAST(js.j AS VARCHAR) || ':' || tok),
+        |                   1, 15)) AS BIGINT) % 8192 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks CROSS JOIN js
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the store round-trip serves the identical artifact: same
+    // oracle as q_cms_cells_seeded, verbatim
+    "q_cms_cells_stored" ->
       s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) tok
         |              FROM documents WHERE text IS NOT NULL),
         |js AS (SELECT unnest(generate_series(0, 3)) j)

@@ -204,6 +204,108 @@ object StoreBench {
       return
     }
 
+    // "sketch" prices the SketchStore maintenance claim: day-N
+    // upkeep of a committed sketch artifact as APPEND (read the
+    // KB-sized frame + scan ONLY the day batch + merge + commit)
+    // vs REBUILD (one-shot sketch over the whole corpus again) —
+    // the corpus-sized re-scan is exactly what the merge identity
+    // deletes, for all four families in one run. The append arm is
+    // timed through a scratch successor commit (same read + scan +
+    // merge + marker-last write as appendMerged) so repeated runs
+    // never fold the day batch twice into the artifact of record.
+    if (kind == "sketch") {
+      import graft.io.SketchStore
+      import graft.operators.{Bloom, Hdr, Hll, Sketch}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val isNew = pmod(xxhash64(col("doc_id")), lit(20)) === 0
+      def refCorpus: DataFrame = (0 until storeScale).map(i =>
+          docs.where(!isNew).select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      def dayCorpus: DataFrame = docs.where(isNew)
+      val families: Seq[(String, DataFrame => DataFrame,
+          (DataFrame, DataFrame) => DataFrame)] = Seq(
+        ("cms", d => Sketch.countMinCells(d, col("text"), 4, 8192),
+          Sketch.cmsMerge),
+        ("hll", d => Hll.tokenRegisters(d, col("text"), 4096),
+          Hll.hllMerge),
+        ("bloom", d => Bloom.bloomBits(d, col("text"), 1 << 20, 3),
+          Bloom.bloomMerge),
+        ("hdr", d => Hdr.tokenLengthFrame(d, col("text")), Hdr.merge))
+      val loadBefore = loadavg
+      StallProbe.start()
+      val stall0 = StallProbe.totalSec
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def timed(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def sweep(): Unit = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+      }
+      val parts = families.map { case (fam, build, merge) =>
+        val dir = s"$warehouse/sketch_$fam"
+        val scratch = s"$warehouse/sketch_${fam}_scratch"
+        val tBuild = timed(SketchStore.write(dir, build(refCorpus)))
+        sweep()
+        // the identity the append arm rides, checked in-harness once
+        // (spec-pinned in SketchStoreSpec; this guards the BENCHED
+        // configuration): append-from-store == one-shot(union)
+        val merged = merge(SketchStore.read(spark, dir), build(dayCorpus))
+        val oneShot = build(refCorpus.unionByName(dayCorpus))
+        val diff = merged.exceptAll(oneShot).count() +
+          oneShot.exceptAll(merged).count()
+        if (diff != 0) {
+          System.err.println(s"[store-bench] $fam APPEND != ONE-SHOT")
+          sys.exit(1)
+        }
+        sweep()
+        val appendT = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val rebuildT = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (r <- 0 until runs) {
+          val arms: Seq[(String, () => Double)] = Seq(
+            "append" -> (() => timed(SketchStore.write(scratch,
+              merge(SketchStore.read(spark, dir), build(dayCorpus))))),
+            "rebuild" -> (() => timed(
+              build(refCorpus.unionByName(dayCorpus)).coalesce(1)
+                .write.format("noop").mode("overwrite").save())))
+          val order = if (r % 2 == 0) arms else arms.reverse
+          val got = order.map { case (nm, f) =>
+            val t = f(); sweep(); nm -> t }.toMap
+          appendT += got("append"); rebuildT += got("rebuild")
+          System.err.println(f"[store-bench] $fam run $r " +
+            f"append=${got("append")}%.2f s rebuild=${got("rebuild")}%.2f s")
+        }
+        val frameRows = SketchStore.read(spark, dir).count()
+        s""""$fam":{"append_median":${med(appendT.toSeq)}""" +
+          s""","rebuild_median":${med(rebuildT.toSeq)}""" +
+          s""","speedup":${med(rebuildT.toSeq) / med(appendT.toSeq)}""" +
+          s""","build_sec":${math.round(tBuild * 1000) / 1000.0}""" +
+          s""","frame_rows":$frameRows}"""
+      }
+      val stallSec = StallProbe.totalSec - stall0
+      val json =
+        s"""{"metric":"sketch_store_append_vs_rebuild","unit":"sec"""" +
+          s""","kind":"sketch",${parts.mkString(",")}""" +
+          s""","store_scale":$storeScale,"runs":$runs""" +
+          s""","stall_sec":${math.round(stallSec * 100) / 100.0}""" +
+          s""","loadavg_before":"$loadBefore","loadavg_after":"$loadavg"""" +
+          s""","cpus":"$cpus","sf":"$sfDir"}"""
+      println(json)
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "store_bench.json")
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[store-bench] write $out failed: $e") }
+      spark.stop()
+      return
+    }
+
     /** One bench-able store layout: the index frames it stores, the
       * increment joined against them, and the store lifecycle — the
       * bucketed-table defaults serve sig/signband; the ivf kind

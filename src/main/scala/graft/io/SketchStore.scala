@@ -1,0 +1,110 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Committed-artifact persistence for the sketch frames
+  * ([[graft.operators.Sketch]] CMS cells, [[graft.operators.Hll]]
+  * registers, [[graft.operators.Bloom]] bits,
+  * [[graft.operators.Hdr]] histograms) — the [[PqIndexStore]] store
+  * discipline applied to the one other family of serving artifacts:
+  * a sketch that gates a 100 TB pipeline (decontamination Bloom,
+  * vocabulary HLL, the profiling Hdr) is built once, APPENDED daily
+  * via its merge identity, and read by every downstream job — so it
+  * needs the same crash-safe commit the PQ index has, not a bare
+  * parquet dir a reader can catch half-written.
+  *
+  * Same contract as PqIndexStore, restated: the MARKER
+  * (`_SKETCH_READY`) is the commit — readers gate on it alone and
+  * never list a marker-less directory; the successor is fully
+  * written under a temp sibling first; the previous committed frame
+  * is renamed ASIDE (never delete-then-move), the successor moves
+  * in, the marker lands, and only then is the predecessor dropped. A
+  * crash at any step leaves a complete committed artifact on disk
+  * (the successor, or the `.old` predecessor — which [[write]]
+  * restores on the next call). Directory rename is a local-fs
+  * optimization; on an object store the same discipline holds via
+  * content-addressed successor paths + marker-last (see the
+  * PqIndexStore scaladoc).
+  *
+  * Why appending is the scale story: every sketch in the suite
+  * carries a merge identity (`cmsMerge`/`hllMerge`/`bloomMerge`/
+  * `Hdr.merge` == the one-shot sketch of the union, spec-pinned in
+  * their suites), so day-N maintenance reads the KB-sized committed
+  * frame + scans ONLY day N — the corpus-sized re-scan the rebuild
+  * pays is exactly what [[appendMerged]] deletes. Priced in
+  * StoreBench's `sketch` arm. The merged frame must MATERIALIZE
+  * before the swap (the successor write is the materialization —
+  * Spark would otherwise lazily read `dir` while replacing it). */
+object SketchStore {
+
+  private val Marker = "_SKETCH_READY"
+
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(dir, Marker))
+
+  /** Commit `frame` at `dir` (replacing any committed predecessor)
+    * under the marker-last successor discipline. Sketch frames are
+    * sketch-sized by construction (≤ depth·width / m / mBits /
+    * bucket-count rows), so the write coalesces to one file — a
+    * reader pays one open, and the artifact stays an easily-shipped
+    * single-parquet. */
+  def write(dir: String, frame: DataFrame): Unit = {
+    val tmp = dir + ".building"
+    deleteRecursively(tmp)
+    frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val old = dir + ".old"
+    // a prior crash can leave `.old` holding the ONLY committed
+    // artifact — restore it first so every step below keeps one
+    // committed frame on disk (the PqIndexStore recovery, verbatim)
+    if (Files.exists(Paths.get(old, Marker)) && !exists(dir)) {
+      deleteRecursively(dir)
+      Files.move(Paths.get(old), Paths.get(dir))
+    }
+    deleteRecursively(old)
+    if (Files.exists(Paths.get(dir)))
+      Files.move(Paths.get(dir), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(dir))
+    Files.writeString(Paths.get(dir, Marker), "ready\n")
+    deleteRecursively(old)
+  }
+
+  /** Load the committed frame. Fails loudly on a missing or
+    * uncommitted (marker-less) directory. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    require(exists(dir),
+      s"no committed sketch frame at $dir (missing $Marker)")
+    spark.read.parquet(dir)
+  }
+
+  /** Day-N maintenance: fold `delta` (the new batch's sketch frame)
+    * into the committed frame via the family's `merge` and commit
+    * the result — read ≤ frame-sized rows, scan only the new batch,
+    * never the corpus. The merge output materializes into the
+    * successor directory BEFORE the swap touches `dir`, so the
+    * lazy-read-while-overwriting trap cannot occur. Returns the new
+    * committed frame. */
+  def appendMerged(spark: SparkSession, dir: String, delta: DataFrame,
+                   merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    write(dir, merge(read(spark, dir), delta))
+    read(spark, dir)
+  }
+
+  /** Read the committed frame, or build + commit it first — the
+    * train-once/serve-forever entry, as `PqIndexStore.getOrBuild`. */
+  def getOrBuild(spark: SparkSession, dir: String)
+                (build: => DataFrame): DataFrame = {
+    if (!exists(dir)) write(dir, build)
+    read(spark, dir)
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try it.forEach(f => Files.delete(f))
+      finally it.close()
+    }
+  }
+}

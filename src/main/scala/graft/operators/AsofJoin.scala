@@ -103,4 +103,109 @@ object AsofJoin {
         col("__m").getField(f).as(s"asof_$p")
       }): _*)
   }
+
+  /** [[asof]] with TIME-SLICED salting for the pathological skew
+    * case: one key owning (nearly) the whole stream. The plain as-of
+    * is linear after one exchange, but the linear pass over a key
+    * runs in ONE task — a single key = the whole stream means one
+    * partition sorts everything while the other 999 executors idle.
+    * That single-partition sort is the bound this variant removes.
+    *
+    * Construction: the union-tagged stream is cut into `slices`
+    * TIME-CONTIGUOUS slices (boundaries from an approx-quantile pass
+    * over the union's timestamps, so slices balance under time
+    * clustering; pass `boundaries` to skip that pass). The running
+    * `last` then partitions by `(key..., slice)` — the hot key's
+    * sort spreads across `slices` tasks. Within-slice matches are
+    * exact; a left row whose predecessor lies in an EARLIER slice
+    * takes the boundary carry: per `(key, slice)` the latest right
+    * struct (`max_by (ts, tie)` — an aggregate, not a sort), then a
+    * running `last` over the slice sequence per key. Slices are
+    * time-ordered and slice assignment is a pure function of the
+    * timestamp (equal timestamps share a slice), so the most recent
+    * earlier slice's max IS the latest earlier right — `coalesce
+    * (within-slice, carry)` reproduces [[asof]] EXACTLY, any slice
+    * count, spec-pinned.
+    *
+    * What the salt trades: one extra pass over the union for the
+    * boundaries (skippable), one tiny aggregate + broadcast join
+    * (≤ keys·slices rows — KBs), and a second sort key column. Use
+    * [[asof]] until a single key's event count per task hurts;
+    * the crossover is measured in bench_asof_r12 (AsofBench salted
+    * arm), not guessed. */
+  def asofSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String, payload: Seq[String],
+                 tieBreak: String, tolerance: Option[Column] = None,
+                 slices: Int = 32,
+                 boundaries: Option[Seq[Long]] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    require(slices >= 1, "slices must be >= 1")
+    val reserved = Seq("__ts", "__side", "__r", "__slice", "__m", "__carry")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"column names ${reserved.mkString(", ")} are reserved")
+    val rTagged = right.where(col(rightTs).isNotNull).select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        struct((col(rightTs).as("__rts") +: col(tieBreak).as("__tie") +:
+          payload.filter(_ != tieBreak).map(col)): _*).as("__r")): _*)
+    val lTagged = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val union = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // time-contiguous slice of a timestamp: count of boundaries <= ts
+    // (pure function of ts — equal timestamps always share a slice);
+    // null ts (left-only) slices to 0, before every real row
+    val cutsSeq: Seq[Long] =
+      if (slices == 1) Nil
+      else boundaries.getOrElse {
+        union.select(unix_micros(col("__ts")).cast("double").as("__us"))
+          .na.drop()
+          .stat.approxQuantile("__us",
+            (1 until slices).map(_.toDouble / slices).toArray, 0.001)
+          .map(_.toLong).toSeq.distinct
+      }
+    val sliceOf: Column =
+      if (cutsSeq.isEmpty) lit(0)
+      else cutsSeq.map(c =>
+        when(unix_micros(col("__ts")) >= c, 1).otherwise(0))
+        .reduce(_ + _)
+    val sliced = union.withColumn("__slice", sliceOf)
+    val w = Window.partitionBy((keys.map(col) :+ col("__slice")): _*)
+      .orderBy(col("__ts"), col("__side"), col("__r").getField("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sliced
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    // boundary carry: latest right struct of every EARLIER slice —
+    // an aggregate over (key, slice) then a running last over the
+    // slice sequence; keys·slices rows, broadcast back. The
+    // aggregate runs over BOTH sides so every (key, slice) a left
+    // row lives in gets a carry row even when that slice holds no
+    // rights (`max_by`'s ordering is null for left rows, which it
+    // ignores; an all-left slice yields a null __last the running
+    // `last(ignoreNulls)` skips — the carry then reaches back to
+    // the most recent right-bearing slice, exactly the semantics)
+    val carryW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = sliced
+      .groupBy((keys.map(col) :+ col("__slice")): _*)
+      .agg(max_by(col("__r"),
+        when(col("__side") === 0, struct(col("__r").getField("__rts"),
+          col("__r").getField("__tie")))).as("__last"))
+      .select((keys.map(col) :+ col("__slice") :+
+        last(col("__last"), ignoreNulls = true).over(carryW)
+          .as("__carry")): _*)
+    val matched = within
+      .join(broadcast(carry), keys :+ "__slice", "left")
+      .withColumn("__m", coalesce(col("__m"), col("__carry")))
+    val gated = tolerance match {
+      case Some(tol) => matched.withColumn("__m",
+        when(col("__m").getField("__rts") >= col("__ts") - tol, col("__m")))
+      case None => matched
+    }
+    gated.select(
+      (left.columns.map(col).toSeq ++ payload.map { p =>
+        val f = if (p == tieBreak) "__tie" else p
+        col("__m").getField(f).as(s"asof_$p")
+      }): _*)
+  }
 }

@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass data profiling: per-column `(column, n, n_null,
   * n_distinct, min_s, max_s)` — the DESCRIBE/df.describe analog as
-  * an oracle-checkable DataFrame.
+  * an oracle-checkable DataFrame — plus, for declared numeric
+  * columns, the exact-moment `(mean, stddev)` pair.
   *
   * Scale shape: ONE aggregate over the table computes every
   * column's statistics side by side (the multi-distinct plans as a
@@ -15,29 +16,110 @@ import org.apache.spark.sql.functions._
   *
   * Typed min/max are cast to string AFTER aggregating (a string min
   * of "10" < "9" would be wrong for numerics). Exact-typed columns
-  * only (integers, strings, dates) by the caller's contract:
-  * double→string rendering is not engine-portable at the scientific
-  * notation boundary — doubles get `Stats`/`Hdr`, not this. */
+  * only (integers, strings, dates) in `cols` by the caller's
+  * contract: double→string rendering is not engine-portable at the
+  * scientific notation boundary. Double columns go in `numericCols`
+  * instead, where the whole profile runs over the column's
+  * DECIMAL(18,2) view (the corpus's money/quantity shape): fixed-
+  * point min/max render portably, and mean/stddev follow the
+  * [[Stats]] discipline — exact DECIMAL sums `Σx, Σx²` (any
+  * partial-aggregation order produces the SAME sums), then one
+  * fixed double expression tree (`mean = Σx/m`, sample
+  * `stddev = sqrt((m·Σx² − (Σx)²) / (m·(m−1)))`, `m` the non-null
+  * count), so both replay bit-identically in SQL. `mean` is null
+  * when a column has no non-null rows, `stddev` when fewer than
+  * two; exact-typed columns carry null moments. The variance
+  * numerator is clamped at 0 before the sqrt: the two double
+  * products can round a true zero variance epsilon-negative, and a
+  * NaN would be an engine-dependent spelling.
+  */
 object Profile {
 
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The shared per-column aggregate block over `key` (the profiled
+    * view of the column: the column itself, or its DECIMAL cast). */
+  private def baseAggs(c: String, key: Column): Seq[Column] = Seq(
+    sum(when(key.isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+    min(key).cast("string").as(s"__min_$c"),
+    max(key).cast("string").as(s"__max_$c"))
+
+  private def explodeProfile(agged: DataFrame, perCol: Seq[Column],
+                             outCols: Seq[(String, String)]): DataFrame =
+    agged
+      .select(col("__n"), explode(array(perCol: _*)).as("__p"))
+      .select((col("__p.column").as("column") +: col("__n").as("n") +:
+        outCols.map { case (f, out) => col(s"__p.$f").as(out) }): _*)
+
+  def describe(df: DataFrame, cols: Seq[String],
+               numericCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty || numericCols.nonEmpty,
+      "profile needs at least one column")
+    require(cols.intersect(numericCols).isEmpty,
+      "a column is either exact-typed or numeric, not both")
+    val dec = numericCols.map(c => c -> col(c).cast("decimal(18,2)")).toMap
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.flatMap { c =>
+        baseAggs(c, col(c)) :+ count_distinct(col(c)).as(s"__dist_$c")
+      } ++ numericCols.flatMap { c =>
+        baseAggs(c, dec(c)) ++ Seq(
+          count_distinct(dec(c)).as(s"__dist_$c"),
+          sum(dec(c)).as(s"__sx_$c"),
+          sum(dec(c) * dec(c)).as(s"__sxx_$c"))
+      })
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val exactStructs = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"),
+        nullD.as("mean"), nullD.as("stddev"))
+    }
+    val numStructs = numericCols.map { c =>
+      val md = (col("__n") - col(s"__null_$c")).cast("double")
+      val sxd = col(s"__sx_$c").cast("double")
+      val sxxd = col(s"__sxx_$c").cast("double")
+      struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"),
+        when(md > 0.0, sxd / md).as("mean"),
+        when(md > 1.0,
+          sqrt(greatest(lit(0.0),
+            (md * sxxd - sxd * sxd) / (md * (md - lit(1.0))))))
+          .as("stddev"))
+    }
+    val fields = Seq("n_null" -> "n_null", "n_distinct" -> "n_distinct",
+      "min_s" -> "min_s", "max_s" -> "max_s")
+    val moments = Seq("mean" -> "mean", "stddev" -> "stddev")
+    // numericCols = Nil keeps the original six-column surface
+    if (numericCols.isEmpty) explodeProfile(agged, exactStructs, fields)
+    else explodeProfile(agged, exactStructs ++ numStructs, fields ++ moments)
+  }
+
+  /** [[describe]] with the distinct count approximated: the exact
+    * `count_distinct` is the profile's one vocabulary-sized shuffle
+    * (every distinct value of every column travels — the q65/q66
+    * regime), which at 100 TB dominates the whole pass. Spark's
+    * `approx_count_distinct` is a per-column HyperLogLog++ register
+    * set that partial-aggregates map-side — the shuffle carries a
+    * FIXED few-KB sketch per column instead, and the profile
+    * becomes one genuinely corpus-sized-input, sketch-sized-shuffle
+    * pass. `rsd` is the target relative standard deviation (Spark's
+    * default 0.05); the spec bounds the estimate against the exact
+    * twin at 3×rsd. Column named `n_distinct_approx`: an estimate
+    * never masquerades as the exact surface. */
+  def describeApprox(df: DataFrame, cols: Seq[String],
+                     rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        count_distinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+      baseAggs(c, col(c)) :+
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c")
     }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(col("__n"), explode(array(cols.map { c =>
-        struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
-          col(s"__dist_$c").as("n_distinct"),
-          col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"))
-      }: _*)).as("__p"))
-      .select(col("__p.column").as("column"), col("__n").as("n"),
-        col("__p.n_null").as("n_null"),
-        col("__p.n_distinct").as("n_distinct"),
-        col("__p.min_s").as("min_s"), col("__p.max_s").as("max_s"))
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct_approx"),
+        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"))
+    }
+    explodeProfile(df.agg(aggs.head, aggs.tail: _*), perCol,
+      Seq("n_null" -> "n_null", "n_distinct_approx" -> "n_distinct_approx",
+        "min_s" -> "min_s", "max_s" -> "max_s"))
   }
 }

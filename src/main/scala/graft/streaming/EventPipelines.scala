@@ -637,6 +637,107 @@ object EventPipelines {
         attrs.map(a => col(s"__d.$a")): _*)
   }
 
+  final case class AsofLeftEvent(key: Long, ts: Timestamp, left_id: Long)
+  final case class AsofRightEvent(key: Long, ts: Timestamp, right_id: Long,
+                                  right_value: Double)
+  final case class AsofUnion(key: Long, ts: Timestamp, side: Int, id: Long,
+                             value: Option[Double])
+  final case class AsofLast(ts: Timestamp, rightId: Long, rightValue: Double)
+
+  /** Full-precision event-time in micros: `getTime` alone truncates
+    * to millis, and the batch operator compares full-precision
+    * timestamps — sub-millisecond order must survive (the events
+    * table is micros-grained). */
+  private def tsMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+  final case class AsofOut(key: Long, left_id: Long, ts: Timestamp,
+                           asof_right_id: Option[Long],
+                           asof_ts: Option[Timestamp],
+                           asof_right_value: Option[Double])
+
+  /** Stream-STREAM as-of join — the event-time join form
+    * [[streamAsofScd2]] (stream-static) can't cover: both sides
+    * unbounded (trades/quotes, events/clicks), each left row matched
+    * to the LATEST right row of its key with `rightTs <= leftTs`,
+    * optionally within `toleranceMs`.
+    *
+    * The batch operator's union-tag discipline carried into state:
+    * both sides tag into ONE keyed stream (right `side` 0 < left 1,
+    * so a right row exactly at `leftTs` matches — the inclusive
+    * boundary, as batch), and `flatMapGroupsWithState` holds per key
+    * ONLY the latest right struct `(ts, id, value)` — NOT a buffer
+    * of right history: the running `last` needs one value, which is
+    * what bounds state at one small struct per key (the key domain
+    * is the same one any keyed aggregation already holds state for).
+    * Within a trigger batch events sort by `(ts, side, id)` — the
+    * batch operator's exact sort key, so same-timestamp resolution
+    * (right-before-left, max-id right wins ties) is identical; the
+    * held struct only ever advances by that ordering, so a right
+    * row REPLAYED by an at-least-once source cannot move it
+    * backwards (idempotent, the HLL-max property).
+    *
+    * Delivery contract (documented, as [[streamFunnelDepth]]):
+    * per-key event-time-ordered delivery ACROSS sides — under it the
+    * held struct at each left row IS the batch running `last`, so
+    * stream == `AsofJoin.asof` exactly (StreamingSpec pins this
+    * under arbitrary micro-batch splits of the time-ordered stream).
+    * A cross-batch out-of-order right row (arriving AFTER a left row
+    * it should have matched) folds into state for FUTURE left rows
+    * but never retracts the emitted match — append-mode monotonicity,
+    * the same never-retract policy as `sessionize`. Null timestamps
+    * follow batch: a null-ts right row is dropped, a null-ts left
+    * row emits unmatched. */
+  def streamAsofTagged(tagged: Dataset[AsofUnion],
+                       toleranceMs: Option[Long] = None): Dataset[AsofOut] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+
+    def fn(key: Long, evts: Iterator[AsofUnion],
+           state: GroupState[AsofLast]): Iterator[AsofOut] = {
+      var last = state.getOption
+      val out = Vector.newBuilder[AsofOut]
+      val sorted = evts.toArray.sortBy(e =>
+        (if (e.ts == null) Long.MinValue else tsMicros(e.ts), e.side, e.id))
+      sorted.foreach { e =>
+        if (e.side == 0) {
+          if (e.ts != null) {
+            val t = tsMicros(e.ts)
+            val better = last.forall(s => tsMicros(s.ts) < t ||
+              (tsMicros(s.ts) == t && s.rightId < e.id))
+            if (better)
+              last = Some(AsofLast(e.ts, e.id, e.value.getOrElse(0.0)))
+          }
+        } else {
+          val m = if (e.ts == null) None else last.filter(s =>
+            toleranceMs.forall(tol =>
+              tsMicros(s.ts) >= tsMicros(e.ts) - tol * 1000L))
+          out += AsofOut(key, e.id, e.ts, m.map(_.rightId),
+            m.map(_.ts), m.map(_.rightValue))
+        }
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** [[streamAsofTagged]] over two typed streams: tags and unions
+    * them (the batch operator's exact construction), then joins. */
+  def streamAsofJoin(left: Dataset[AsofLeftEvent],
+                     right: Dataset[AsofRightEvent],
+                     toleranceMs: Option[Long] = None): Dataset[AsofOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.toDF().select(col("key"), col("ts"), lit(1).as("side"),
+      col("left_id").as("id"), lit(null).cast("double").as("value"))
+    val r = right.toDF().select(col("key"), col("ts"), lit(0).as("side"),
+      col("right_id").as("id"), col("right_value").as("value"))
+    streamAsofTagged(l.unionByName(r).as[AsofUnion], toleranceMs)
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

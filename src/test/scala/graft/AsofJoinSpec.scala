@@ -204,6 +204,60 @@ class AsofJoinSpec extends GraftSuite {
       s"got $got")
   }
 
+  test("asofSalted == asof: any slice count, single hot key, tolerance, hand boundaries") {
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1),
+           if (r.isNullAt(2)) null: java.lang.Double
+           else java.lang.Double.valueOf(r.getDouble(2))))))
+      .toMap
+    def salted(ls: Seq[(Long, Long, Timestamp)],
+               rs: Seq[(Long, Long, Timestamp, java.lang.Double)],
+               tol: Option[String], sl: Int,
+               bounds: Option[Seq[Long]] = None) =
+      canon(AsofJoin.asofSalted(
+          ls.toDF("event_id", "user_id", "ts"),
+          rs.toDF("click_id", "user_id", "ts", "click_value"),
+          Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+          "click_id", tol.map(expr), slices = sl, boundaries = bounds)
+        .select("event_id", "asof_click_id", "asof_click_value")
+        .collect())
+    // hand corpus (equal-ts collisions, null payload, keys missing
+    // either side): every slice count reproduces the plain as-of
+    val base = run(None)
+    for (sl <- Seq(1, 3, 32))
+      assert(salted(lefts, rights, None, sl) == base, s"slices=$sl")
+    // tolerance gate through the salt
+    assert(salted(lefts, rights, Some("INTERVAL 1 HOUR"), 4) ==
+      run(Some("INTERVAL 1 HOUR")))
+    // the pathological case the salt exists for: ONE key owns the
+    // whole stream, dense ts collisions — brute-force parity
+    val rnd = new scala.util.Random(7)
+    val stamps = (0 until 8).map(h => ts(f"2026-03-01 0$h:00:00"))
+    val ls = (0 until 60).map(i => (i.toLong, 1L, stamps(rnd.nextInt(8))))
+    val rs = (0 until 80).map(i => (1000L + i, 1L, stamps(rnd.nextInt(8)),
+      java.lang.Double.valueOf(rnd.nextInt(100))))
+    val want = brute(ls, rs, None)
+    for (sl <- Seq(1, 5, 16))
+      assert(salted(ls, rs, None, sl) == want, s"hot slices=$sl")
+    // caller-given boundaries, including one ON an event timestamp
+    // (equal stamps share a slice by construction) and one past the
+    // data: still exact
+    val onStamp = stamps(3).getTime * 1000L
+    assert(salted(ls, rs, None, 4,
+      Some(Seq(onStamp, onStamp + 7200L * 1000000L,
+        stamps(7).getTime * 1000L + 1L))) == want)
+    // null timestamps keep the batch contract through the salt
+    val lsN = ls :+ ((999L, 1L, null: Timestamp))
+    val rsN = rs :+ ((2000L, 1L, null: Timestamp,
+      java.lang.Double.valueOf(5.0)))
+    val gotN = salted(lsN, rsN, None, 5)
+    assert(gotN(999L).isEmpty, "null-ts left must stay unmatched")
+    assert(gotN.filter(_._1 != 999L) == want,
+      "null-ts right must be invisible")
+  }
+
   test("reserved column names are rejected") {
     val l = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("event_id", "__side", "ts")
     val r = Seq((1L, 1L, ts("2026-01-01 00:00:00"))).toDF("click_id", "__side", "ts")

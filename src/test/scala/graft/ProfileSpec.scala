@@ -27,4 +27,75 @@ class ProfileSpec extends GraftSuite {
         .queryExecution.executedPlan.toString).size
     assert(scans == 1, s"expected a single scan, got $scans")
   }
+
+  private def singleScan(df: org.apache.spark.sql.DataFrame,
+                         what: String): Unit = {
+    val scans = "Scan|LocalTableScan".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans == 1, s"$what: expected a single scan, got $scans")
+  }
+
+  test("numeric moments: exact-DECIMAL sums then the fixed double chain, bit-identical") {
+    val df = Seq(
+      (java.lang.Double.valueOf(1.25), "a"),
+      (java.lang.Double.valueOf(2.50), "b"),
+      (java.lang.Double.valueOf(2.50), "b"),
+      (null: java.lang.Double, null: String)).toDF("x", "s")
+    val out = Profile.describe(df, Seq("s"), numericCols = Seq("x"))
+    // assert the plan BEFORE executing: a collected AQE plan prints
+    // Final + Initial trees and double-counts the scan
+    singleScan(out, "moments profile")
+    val got = out.collect().map(r => r.getString(0) -> r).toMap
+    // exact col: unchanged stats, null moments
+    val s = got("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3), s.getString(4),
+      s.getString(5)) == ((4L, 1L, 2L, "a", "b")))
+    assert(s.isNullAt(6) && s.isNullAt(7), "exact col must carry null moments")
+    // numeric col profiles its DECIMAL(18,2) view: fixed-point
+    // min/max strings, moments replaying the straight-line chain
+    val x = got("x")
+    assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4),
+      x.getString(5)) == ((4L, 1L, 2L, "1.25", "2.50")))
+    val (md, sxd, sxxd) = (3.0, 6.25, 14.0625)
+    val wantMean = sxd / md
+    val wantSd =
+      math.sqrt(math.max(0.0, (md * sxxd - sxd * sxd) / (md * (md - 1.0))))
+    assert(java.lang.Double.doubleToLongBits(x.getDouble(6)) ==
+      java.lang.Double.doubleToLongBits(wantMean), "mean not bit-identical")
+    assert(java.lang.Double.doubleToLongBits(x.getDouble(7)) ==
+      java.lang.Double.doubleToLongBits(wantSd), "stddev not bit-identical")
+  }
+
+  test("moment null contracts: no rows -> null mean; one row -> null stddev; constant -> stddev 0") {
+    val df = Seq(
+      (null: java.lang.Double, java.lang.Double.valueOf(7.0),
+        java.lang.Double.valueOf(5.0)),
+      (null: java.lang.Double, null: java.lang.Double,
+        java.lang.Double.valueOf(5.0)))
+      .toDF("none", "one", "const")
+    val got = Profile.describe(df, Nil, Seq("none", "one", "const"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("none").isNullAt(6) && got("none").isNullAt(7))
+    assert(got("one").getDouble(6) == 7.0 && got("one").isNullAt(7))
+    // the clamp keeps a rounded-negative zero variance at exactly 0,
+    // never an engine-spelled NaN
+    assert(got("const").getDouble(6) == 5.0 && got("const").getDouble(7) == 0.0)
+  }
+
+  test("describeApprox: estimate within 3x rsd of exact; sketch-sized shuffle, single scan") {
+    val n = 5000
+    val df = (0 until n).map(i => (i.toLong * 2654435761L, s"v$i"))
+      .toDF("k", "s")
+    val out = Profile.describeApprox(df, Seq("k", "s"), rsd = 0.05)
+    assert(out.columns.toSeq == Seq("column", "n", "n_null",
+      "n_distinct_approx", "min_s", "max_s"))
+    singleScan(out, "approx profile")
+    val got = out.collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("k", "s")) {
+      val est = got(c).getLong(3).toDouble
+      assert(math.abs(est / n - 1.0) < 0.15,
+        s"$c: approx $est vs exact $n outside 3x rsd")
+      assert(got(c).getLong(1) == n && got(c).getLong(2) == 0L)
+    }
+  }
 }

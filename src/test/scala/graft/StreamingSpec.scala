@@ -893,6 +893,84 @@ class StreamingSpec extends GraftSuite {
     assert(got.exists(r => r._1 == "a" && r._3 == 7.0 && r._6 == 3.5))
   }
 
+  test("streamAsofTagged equals batch asof under arbitrary micro-batch splits") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val t = graft.io.Tables(s, sfDir)
+    // derive two fact streams from the events table: every third
+    // event is a "right" (quote) row, the rest are "left" probes
+    val ev = t.events.select(col("user_id"), col("ts"), col("event_id"),
+        col("value")).collect().map(r =>
+      (r.getLong(0), r.getAs[Timestamp](1), r.getLong(2), r.getDouble(3)))
+    val rightRows = ev.filter(_._3 % 3 == 0)
+    val leftRows = ev.filter(_._3 % 3 != 0)
+    // per-key event-time-ordered delivery ACROSS sides (the
+    // documented contract): one globally time-sorted tagged stream,
+    // split at arbitrary points into micro-batches
+    val tagged = (leftRows.map(e =>
+        EventPipelines.AsofUnion(e._1, e._2, 1, e._3, None)) ++
+      rightRows.map(e =>
+        EventPipelines.AsofUnion(e._1, e._2, 0, e._3, Some(e._4))))
+      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000L,
+        e.side, e.id))
+    val cuts = Seq(0, 97, 500, 501, 1700, tagged.length / 2,
+      tagged.length * 9 / 10, tagged.length).distinct.sorted
+    val mem = MemoryStream[EventPipelines.AsofUnion]
+    val q = EventPipelines.streamAsofTagged(mem.toDS())
+      .writeStream.format("memory").queryName("saj")
+      .outputMode("append").start()
+    try {
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { mem.addData(tagged.slice(a, b).toSeq: _*)
+          q.processAllAvailable() }
+      }
+    } finally q.stop()
+    val got = s.table("saj").collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toSet
+    val want = graft.operators.AsofJoin.asof(
+        leftRows.toSeq.toDF("key", "ts", "left_id", "v").drop("v"),
+        rightRows.toSeq.toDF("key", "ts", "right_id", "right_value"),
+        Seq("key"), "ts", "ts", Seq("right_id", "right_value"), "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+    val extra = got -- want; val missing = want -- got
+    assert(got.nonEmpty && got == want,
+      s"extra=${extra.take(5)} missing=${missing.take(5)} " +
+        s"sizes got=${got.size} want=${want.size}")
+  }
+
+  test("streamAsofJoin: two-stream union, tolerance gate, null timestamps") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val lMem = MemoryStream[EventPipelines.AsofLeftEvent]
+    val rMem = MemoryStream[EventPipelines.AsofRightEvent]
+    val lRows = Seq(
+      EventPipelines.AsofLeftEvent(1L, ts("2026-01-01 10:00:00"), 100L),
+      EventPipelines.AsofLeftEvent(1L, ts("2026-01-01 12:00:00"), 101L),
+      EventPipelines.AsofLeftEvent(1L, null, 102L), // null leftTs: unmatched
+      EventPipelines.AsofLeftEvent(2L, ts("2026-01-01 09:00:00"), 103L))
+    val rRows = Seq(
+      EventPipelines.AsofRightEvent(1L, ts("2026-01-01 10:00:00"), 7L, 1.5),
+      EventPipelines.AsofRightEvent(1L, ts("2026-01-01 10:00:00"), 9L, 2.5),
+      EventPipelines.AsofRightEvent(1L, null, 99L, 9.9), // dropped
+      EventPipelines.AsofRightEvent(2L, ts("2026-01-01 08:00:00"), 8L, 3.5))
+    lMem.addData(lRows: _*); rMem.addData(rRows: _*)
+    val q = EventPipelines
+      .streamAsofJoin(lMem.toDS(), rMem.toDS(),
+        toleranceMs = Some(3600_000L))
+      .writeStream.format("memory").queryName("saj2")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("saj2").collect().map(r => r.getLong(1) ->
+      (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // 100: inclusive boundary + max-id tie -> right 9; 101: outside
+    // the 1 h tolerance -> null; 102: null leftTs -> null (never the
+    // null-ts right row); 103: within tolerance -> right 8
+    assert(got == Map(100L -> 9L, 101L -> -1L, 102L -> -1L, 103L -> 8L))
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
