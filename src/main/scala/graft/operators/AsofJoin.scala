@@ -129,10 +129,16 @@ object AsofJoin {
     *
     * What the salt trades: one extra pass over the union for the
     * boundaries (skippable), one tiny aggregate + broadcast join
-    * (≤ keys·slices rows — KBs), and a second sort key column. Use
-    * [[asof]] until a single key's event count per task hurts;
-    * the crossover is measured in bench_asof_r12 (AsofBench salted
-    * arm), not guessed. */
+    * (≤ keys·slices rows — KBs), and a second sort key column —
+    * ~1–2 s of fixed overhead at local[32]. MEASURED crossover
+    * (AsofBench salted arm, bench_asof_r12_h*): at 400k union rows
+    * even a 100%-hot key sorts in one task in < 1 s and the salt
+    * LOSES (0.38–0.66× across hot 20/50/90/100 — the fixed costs,
+    * not the sort, dominate); at 10M union rows on ONE key the
+    * single-task sort is 31.7 s and the salt serves it in 4.7 s —
+    * **6.8×** (identity-asserted both arms, every rung). Rule:
+    * stay on [[asof]] until the hottest key's row count per task
+    * clears ~1M; switch (or pre-split by a coarser key) past it. */
   def asofSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String, payload: Seq[String],
                  tieBreak: String, tolerance: Option[Column] = None,
