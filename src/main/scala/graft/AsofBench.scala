@@ -103,6 +103,91 @@ object AsofBench {
     val left = spark.read.parquet(ldir)
     val right = spark.read.parquet(rdir)
 
+    // SPARK_GRAFT_ASOF_MODE=stream: per-micro-batch latency of the
+    // stream-STREAM as-of (EventPipelines.streamAsofTagged) over the
+    // same synthetic sides, delivered in event-time order (the
+    // documented contract) in fixed-size batches — the steady-state
+    // per-trigger price the batch arms never measure. The emitted
+    // match set is asserted equal to the batch operator's (identity
+    // first, then the clock), exactly like the batch arms.
+    if (sys.env.getOrElse("SPARK_GRAFT_ASOF_MODE", "batch") == "stream") {
+      import graft.streaming.EventPipelines
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val batchSize =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "20000").toInt
+      val tagged = (
+        left.select(col("user_id").as("key"), col("ts"),
+            lit(1).as("side"), col("event_id").as("id"),
+            lit(null).cast("double").as("value")) unionByName
+        right.select(col("user_id").as("key"), col("ts"),
+          lit(0).as("side"), col("click_id").as("id"),
+          col("click_value").as("value")))
+        .as[EventPipelines.AsofUnion].collect()
+        .sortBy(e => (e.ts.getTime * 1000L +
+          (e.ts.getNanos % 1000000) / 1000L, e.side, e.id))
+      val batches = tagged.grouped(batchSize).toSeq
+      StallProbe.start()
+      val loadBefore = loadavg
+      val stall0 = StallProbe.totalSec
+      val mem = MemoryStream[EventPipelines.AsofUnion]
+      val q = EventPipelines.streamAsofTagged(mem.toDS())
+        .writeStream.format("memory").queryName("asof_stream_bench")
+        .outputMode("append").start()
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
+      try {
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val t0 = System.nanoTime()
+          mem.addData(b.toSeq: _*)
+          q.processAllAvailable()
+          perBatch += (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[asof-bench] stream batch $k " +
+            f"(${b.size} rows) ${perBatch.last}%.2f s")
+        }
+        val got = spark.table("asof_stream_bench").collect().map(r =>
+          r.getLong(1) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+        val want = AsofJoin.asof(left, right, Seq("user_id"), "ts", "ts",
+            Seq("click_id", "click_value"), "click_id")
+          .select("event_id", "asof_click_id").collect().map(r =>
+            r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .toMap
+        if (got != want) {
+          System.err.println(s"[asof-bench] STREAM ARM MISMATCH: " +
+            s"${got.size} vs ${want.size}")
+          sys.exit(1)
+        }
+      } finally q.stop()
+      val stallSec = StallProbe.totalSec - stall0
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val warm = if (perBatch.size > 1) perBatch.drop(1).toSeq
+                 else perBatch.toSeq
+      val json =
+        s"""{"metric":"stream_asof_batch_median","value":${med(warm)}""" +
+          s""","unit":"sec","cold_first_batch_sec":${
+            perBatch.headOption.getOrElse(-1.0)}""" +
+          s""","per_batch_sec":${perBatch.map(x =>
+            math.round(x * 1000) / 1000.0).mkString("[", ",", "]")}""" +
+          s""","batches":${batches.size},"batch_rows":$batchSize""" +
+          s""","n_left":$nLeft,"n_right":$nRight,"keys":$keys""" +
+          s""","hot_pct":$hotPct""" +
+          s""","stall_sec":${math.round(stallSec * 100) / 100.0}""" +
+          s""","loadavg_before":"$loadBefore","loadavg_after":"$loadavg"""" +
+          s""","cpus":"$cpus"}"""
+      println(json)
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_asof_stream.json")
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[asof-bench] write $out failed: $e") }
+      spark.stop()
+      return
+    }
+
     def asofArm(): DataFrame =
       AsofJoin.asof(left, right, Seq("user_id"), "ts", "ts",
         Seq("click_id", "click_value"), "click_id")

@@ -642,7 +642,8 @@ object EventPipelines {
                                   right_value: Double)
   final case class AsofUnion(key: Long, ts: Timestamp, side: Int, id: Long,
                              value: Option[Double])
-  final case class AsofLast(ts: Timestamp, rightId: Long, rightValue: Double)
+  final case class AsofLast(ts: Timestamp, rightId: Long,
+                            rightValue: Double, seenMs: Long)
 
   /** Full-precision event-time in micros: `getTime` alone truncates
     * to millis, and the batch operator compares full-precision
@@ -686,26 +687,48 @@ object EventPipelines {
     * but never retracts the emitted match — append-mode monotonicity,
     * the same never-retract policy as `sessionize`. Null timestamps
     * follow batch: a null-ts right row is dropped, a null-ts left
-    * row emits unmatched. */
+    * row emits unmatched.
+    *
+    * State bound, two regimes: with `evictAfterMs = None` (default)
+    * the struct lives forever — right for DIMENSION-sized key
+    * domains (instruments, devices), the same state class any keyed
+    * aggregation holds. For an UNBOUNDED key domain (user churn),
+    * pass `evictAfterMs`: the operator watermarks the stream and
+    * drops a key's struct once the event-time watermark passes
+    * `evictAfterMs` past the key's latest event (either side keeps
+    * it warm) — after eviction a left row matches nothing until a
+    * fresh right arrives, the [[streamNearDupPairs]] horizon
+    * contract (a streaming join remembers a window, not forever;
+    * spec-pinned: pre-horizon identity to batch, post-eviction
+    * null). */
   def streamAsofTagged(tagged: Dataset[AsofUnion],
-                       toleranceMs: Option[Long] = None): Dataset[AsofOut] = {
+                       toleranceMs: Option[Long] = None,
+                       watermark: String = "24 hours",
+                       evictAfterMs: Option[Long] = None): Dataset[AsofOut] = {
     val spark = tagged.sparkSession
     import spark.implicits._
 
     def fn(key: Long, evts: Iterator[AsofUnion],
            state: GroupState[AsofLast]): Iterator[AsofOut] = {
+      if (!evts.hasNext && state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       var last = state.getOption
+      var seenMs = last.fold(Long.MinValue)(_.seenMs)
       val out = Vector.newBuilder[AsofOut]
       val sorted = evts.toArray.sortBy(e =>
         (if (e.ts == null) Long.MinValue else tsMicros(e.ts), e.side, e.id))
       sorted.foreach { e =>
+        if (e.ts != null) seenMs = math.max(seenMs, e.ts.getTime)
         if (e.side == 0) {
           if (e.ts != null) {
             val t = tsMicros(e.ts)
             val better = last.forall(s => tsMicros(s.ts) < t ||
               (tsMicros(s.ts) == t && s.rightId < e.id))
             if (better)
-              last = Some(AsofLast(e.ts, e.id, e.value.getOrElse(0.0)))
+              last = Some(AsofLast(e.ts, e.id, e.value.getOrElse(0.0),
+                seenMs))
           }
         } else {
           val m = if (e.ts == null) None else last.filter(s =>
@@ -715,13 +738,26 @@ object EventPipelines {
             m.map(_.ts), m.map(_.rightValue))
         }
       }
-      last.foreach(state.update)
+      last.map(_.copy(seenMs = seenMs)) match {
+        case Some(s) =>
+          state.update(s)
+          evictAfterMs.foreach(ev => state.setTimeoutTimestamp(s.seenMs + ev))
+        case None => ()
+      }
       out.result().iterator
     }
 
-    tagged.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+    evictAfterMs match {
+      case Some(_) =>
+        tagged.toDF().withWatermark("ts", watermark).as[AsofUnion]
+          .groupByKey(_.key)
+          .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(fn)
+      case None =>
+        tagged.groupByKey(_.key)
+          .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.NoTimeout)(fn)
+    }
   }
 
   /** [[streamAsofTagged]] over two typed streams: tags and unions

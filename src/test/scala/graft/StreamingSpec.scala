@@ -971,6 +971,47 @@ class StreamingSpec extends GraftSuite {
     assert(got == Map(100L -> 9L, 101L -> -1L, 102L -> -1L, 103L -> 8L))
   }
 
+  test("streamAsofTagged eviction: state drops past the horizon, fresh rights rebuild it") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    def right(ts: Timestamp, id: Long, v: Double) =
+      EventPipelines.AsofUnion(1L, ts, 0, id, Some(v))
+    def left(ts: Timestamp, id: Long) =
+      EventPipelines.AsofUnion(1L, ts, 1, id, None)
+    val mem = MemoryStream[EventPipelines.AsofUnion]
+    val q = EventPipelines.streamAsofTagged(mem.toDS(),
+        watermark = "1 hour", evictAfterMs = Some(24L * 3600 * 1000))
+      .writeStream.format("memory").queryName("saev")
+      .outputMode("append").start()
+    try {
+      // batch 1: a right then a matching left — pre-horizon the
+      // eviction arm behaves exactly like the unevicted one
+      mem.addData(right(ts("2026-01-01 10:00:00"), 7L, 1.5),
+        left(ts("2026-01-01 11:00:00"), 100L))
+      q.processAllAvailable()
+      // batch 2+3: sentinel key pushes the event-time watermark
+      // 30 days past the right row — its struct must evict
+      mem.addData(EventPipelines.AsofUnion(99L,
+        ts("2026-02-01 00:00:00"), 0, 900L, Some(0.0)))
+      q.processAllAvailable()
+      mem.addData(EventPipelines.AsofUnion(99L,
+        ts("2026-02-01 02:00:00"), 0, 901L, Some(0.0)))
+      q.processAllAvailable()
+      // batch 4: a left on the evicted key matches NOTHING (an
+      // unevicted operator would match right 7); a fresh right
+      // then rebuilds the state for the next left
+      mem.addData(left(ts("2026-02-01 03:00:00"), 101L))
+      q.processAllAvailable()
+      mem.addData(right(ts("2026-02-01 04:00:00"), 8L, 2.5),
+        left(ts("2026-02-01 05:00:00"), 102L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("saev").where(col("key") === 1L)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(100L -> 7L, 101L -> -1L, 102L -> 8L))
+  }
+
   test("streamDedup emits each key once within the watermark") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
