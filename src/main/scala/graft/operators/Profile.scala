@@ -55,6 +55,18 @@ object Profile {
       "profile needs at least one column")
     require(cols.intersect(numericCols).isEmpty,
       "a column is either exact-typed or numeric, not both")
+    val all = cols ++ numericCols
+    require(all.distinct.size == all.size,
+      s"duplicate profile columns: ${all.diff(all.distinct).mkString(", ")}")
+    // a non-numeric column would survive the DECIMAL cast as nulls
+    // and profile as 100% null with null moments — silently wrong;
+    // reject the declaration instead
+    numericCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"numericCols column $c has type $dt — only numeric columns " +
+          "(a failed cast would profile as nulls)")
+    }
     val dec = numericCols.map(c => c -> col(c).cast("decimal(18,2)")).toMap
     val aggs = count(lit(1)).as("__n") +:
       (cols.flatMap { c =>
@@ -109,6 +121,9 @@ object Profile {
   def describeApprox(df: DataFrame, cols: Seq[String],
                      rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate profile columns: ${
+        cols.diff(cols.distinct).mkString(", ")}")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       baseAggs(c, col(c)) :+
         approx_count_distinct(col(c), rsd).as(s"__dist_$c")

@@ -774,6 +774,42 @@ object EventPipelines {
     streamAsofTagged(l.unionByName(r).as[AsofUnion], toleranceMs)
   }
 
+  /** Streaming twin of the q166 session rollup: the per-user
+    * aggregate over the CLOSED sessions [[sessionize]] emits —
+    * stateful-op composition (flatMapGroupsWithState → streaming
+    * aggregation), the chain a session-analytics deployment actually
+    * runs. State is the rollup itself: one totals row per user
+    * (count/sum/max + the exact BIGINT duration sum), the same
+    * bounded class as any keyed aggregation; emitted values follow
+    * the batch operator's fixed double chain `(Σms / n) / 1000`, so
+    * once every session is sealed the last update per user equals
+    * `sessionizeBatch(...).groupBy(user)` exactly (StreamingSpec
+    * pins it through a foreachBatch-style final snapshot). Run in
+    * update mode: each sealed session re-emits its user's row.
+    *
+    * Deployment note: Spark's global-watermark correctness check
+    * rejects any stateful operator downstream of
+    * `flatMapGroupsWithState` because the sealed sessions carry
+    * event times older than the watermark — "late" to a WINDOWED
+    * downstream aggregate. This rollup is a TOTAL aggregate: no
+    * watermark, no window, no late-row dropping — every sealed
+    * session folds in whenever it arrives, so the conservative
+    * check is a false positive HERE and the chain needs
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled
+    * = false` (exactly what the spec does, scoped). Do NOT disable
+    * it for a windowed/watermarked aggregate over session columns —
+    * there the dropped-late-row risk is real. */
+  def streamSessionStats(sessions: Dataset[UserSession]): DataFrame =
+    sessions.toDF()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_session_events"),
+        (sum(unix_millis(col("session_end")) -
+            unix_millis(col("session_start"))).cast("double") /
+          count(lit(1)).cast("double") / lit(1000.0))
+          .as("mean_session_sec"))
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

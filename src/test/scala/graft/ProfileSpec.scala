@@ -82,6 +82,20 @@ class ProfileSpec extends GraftSuite {
     assert(got("const").getDouble(6) == 5.0 && got("const").getDouble(7) == 0.0)
   }
 
+  test("declaration guards: duplicate columns and non-numeric numericCols rejected") {
+    val df = Seq((1.0, "a")).toDF("x", "s")
+    intercept[IllegalArgumentException](
+      Profile.describe(df, Seq("s", "s")))
+    intercept[IllegalArgumentException](
+      Profile.describe(df, Seq("s"), numericCols = Seq("s")))
+    intercept[IllegalArgumentException](
+      Profile.describeApprox(df, Seq("s", "s")))
+    // a string column declared numeric would silently profile as
+    // 100% null through the DECIMAL cast — rejected up front
+    intercept[IllegalArgumentException](
+      Profile.describe(df, Nil, numericCols = Seq("s")))
+  }
+
   test("describeApprox: estimate within 3x rsd of exact; sketch-sized shuffle, single scan") {
     val n = 5000
     val df = (0 until n).map(i => (i.toLong * 2654435761L, s"v$i"))

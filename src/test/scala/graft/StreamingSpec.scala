@@ -100,6 +100,65 @@ class StreamingSpec extends GraftSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streamSessionStats: sessionize -> rollup chain equals the batch q166 rollup") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val t = graft.io.Tables(s, sfDir)
+    val rows = t.events.selectExpr("user_id", "unix_micros(ts)", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val maxUs = rows.map(_._2).max
+    val evts = rows.map { case (u, us, v) =>
+      EventPipelines.SessionEvent(u, new Timestamp(us / 1000L), v) }
+    val mem = MemoryStream[EventPipelines.SessionEvent]
+    // update mode re-emits a user's totals each time a session
+    // seals; the final snapshot per user is the rollup of record
+    val snapshot = new java.util.concurrent.ConcurrentHashMap[Long,
+      (Long, Long, Long, Double)]()
+    // the rollup is a TOTAL aggregate (no watermark, nothing is
+    // dropped as late), so Spark's conservative stateful-after-
+    // stateful check is a false positive on this chain — disabled
+    // scoped, per the operator's documented deployment note
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ccPrev = s.conf.getOption(ccKey)
+    s.conf.set(ccKey, "false")
+    val q = EventPipelines
+      .streamSessionStats(EventPipelines.sessionize(mem.toDS(), 60))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => snapshot.put(r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      }.start()
+    try {
+      mem.addData(evts: _*)
+      q.processAllAvailable()
+      val far = new Timestamp(maxUs / 1000L + 30L * 24 * 3600 * 1000)
+      mem.addData(EventPipelines.SessionEvent(-1L, far, 0.0))
+      q.processAllAvailable()
+      mem.addData(EventPipelines.SessionEvent(-1L,
+        new Timestamp(far.getTime + 3600_000L), 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      ccPrev match {
+        case Some(v) => s.conf.set(ccKey, v)
+        case None => s.conf.unset(ccKey)
+      }
+    }
+    val want = EventPipelines
+      .streamSessionStats(
+        EventPipelines.sessionizeBatch(
+            evts.toDF().select(col("user_id"), col("ts"), col("value")), 60)
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events"), col("sum_value"))
+          .as[EventPipelines.UserSession])
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    import scala.jdk.CollectionConverters._
+    val got = snapshot.asScala.toMap.filter(_._1 >= 0)
+    assert(got.nonEmpty && got == want)
+  }
+
   test("sessionizeWindows emits final gap sessions via session_window") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
