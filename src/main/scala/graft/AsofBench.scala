@@ -125,8 +125,7 @@ object AsofBench {
           lit(0).as("side"), col("click_id").as("id"),
           col("click_value").as("value")))
         .as[EventPipelines.AsofUnion].collect()
-        .sortBy(e => (e.ts.getTime * 1000L +
-          (e.ts.getNanos % 1000000) / 1000L, e.side, e.id))
+        .sortBy(e => (EventPipelines.tsMicros(e.ts), e.side, e.id))
       val batches = tagged.grouped(batchSize).toSeq
       StallProbe.start()
       val loadBefore = loadavg
@@ -275,15 +274,26 @@ object AsofBench {
     }
     def jarr(xs: Seq[Double]) =
       xs.map(x => math.round(x * 1000) / 1000.0).mkString("[", ",", "]")
+    // a skipped naive arm must publish null, not a -1 sentinel: a
+    // consumer trending "speedup" across rungs would silently ingest
+    // a negative garbage ratio (caught on the r12 h50/h90/h100
+    // artifacts and fixed by regeneration)
+    val naiveMedianJson =
+      if (withNaive) median(naiveT.toSeq).toString else "null"
+    val speedupJson =
+      if (withNaive) (median(naiveT.toSeq) / median(asofT.toSeq)).toString
+      else "null"
+    val naiveRunsJson = if (withNaive) jarr(naiveT.toSeq) else "null"
+    val blowupJson = if (withNaive) blowup.toString else "null"
     val json =
       s"""{"metric":"asof_vs_naive_median","value":${median(asofT.toSeq)}""" +
-        s""","unit":"sec","naive_median":${median(naiveT.toSeq)}""" +
+        s""","unit":"sec","naive_median":$naiveMedianJson""" +
         s""","salted_median":${median(saltT.toSeq)},"slices":$slices""" +
-        s""","speedup":${median(naiveT.toSeq) / median(asofT.toSeq)}""" +
+        s""","speedup":$speedupJson""" +
         s""","salted_over_asof":${median(asofT.toSeq) / median(saltT.toSeq)}""" +
-        s""","asof_runs":${jarr(asofT.toSeq)},"naive_runs":${jarr(naiveT.toSeq)}""" +
+        s""","asof_runs":${jarr(asofT.toSeq)},"naive_runs":$naiveRunsJson""" +
         s""","salted_runs":${jarr(saltT.toSeq)}""" +
-        s""","naive_join_rows":$blowup,"asof_union_rows":$unionRows""" +
+        s""","naive_join_rows":$blowupJson,"asof_union_rows":$unionRows""" +
         s""","n_left":$nLeft,"n_right":$nRight,"keys":$keys""" +
         s""","hot_pct":$hotPct,"with_naive":$withNaive""" +
         s""","stall_sec":${jarr(stalls.toSeq)}""" +

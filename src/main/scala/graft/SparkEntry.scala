@@ -2420,19 +2420,22 @@ object SparkEntry {
         |  SELECT count(*) AS n,
         |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
         |              AS BIGINT) AS n_null,
-        |         count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2)))
+        |         CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |                  TRY_CAST(o_totalprice AS DECIMAL(18,2)) IS NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+        |         count(DISTINCT TRY_CAST(o_totalprice AS DECIMAL(18,2)))
         |           AS n_distinct,
-        |         CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
-        |           AS min_s,
-        |         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
-        |           AS max_s,
-        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
-        |         sum(CAST(o_totalprice AS DECIMAL(18,2)) *
-        |             CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+        |         CAST(min(TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+        |              AS VARCHAR) AS min_s,
+        |         CAST(max(TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+        |              AS VARCHAR) AS max_s,
+        |         sum(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+        |         sum(TRY_CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
         |  FROM orders),
         |d AS (
-        |  SELECT n, n_null, n_distinct, min_s, max_s,
-        |         CAST(n - n_null AS DOUBLE) AS md,
+        |  SELECT n, n_null, nf, n_distinct, min_s, max_s,
+        |         CAST(n - n_null - nf AS DOUBLE) AS md,
         |         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
         |         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
         |  FROM a)
@@ -2442,6 +2445,7 @@ object SparkEntry {
         |       count(DISTINCT o_orderstatus) AS n_distinct,
         |       CAST(min(o_orderstatus) AS VARCHAR) AS min_s,
         |       CAST(max(o_orderstatus) AS VARCHAR) AS max_s,
+        |       CAST(NULL AS BIGINT) AS n_cast_fail,
         |       CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev
         |FROM orders
         |UNION ALL
@@ -2451,10 +2455,12 @@ object SparkEntry {
         |       count(DISTINCT o_orderpriority),
         |       CAST(min(o_orderpriority) AS VARCHAR),
         |       CAST(max(o_orderpriority) AS VARCHAR),
+        |       CAST(NULL AS BIGINT),
         |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         |FROM orders
         |UNION ALL
         |SELECT 'o_totalprice', n, n_null, n_distinct, min_s, max_s,
+        |       nf AS n_cast_fail,
         |       CASE WHEN md > 0 THEN sxd / md END AS mean,
         |       CASE WHEN md > 1 THEN
         |         sqrt(greatest(0.0, (md * sxxd - sxd * sxd)

@@ -106,37 +106,22 @@ object PqIndexStore {
       codes.write.mode("overwrite").parquet(s"$tmp/codes")
     if (residual)
       Files.writeString(Paths.get(tmp, ResidualMarker), "residual\n")
-    // commit: rename the old index ASIDE (never delete-then-move — a
-    // crash between those two left NO artifact), move the successor
-    // into place, mark it ready, and only then drop the predecessor.
-    // A crash at any step leaves either the committed old index (its
-    // marker rides the .old dir, recoverable by hand) or the
-    // committed successor; the marker-less window is the one rename.
-    val old = dir + ".old"
-    // A prior crash can leave `.old` holding the ONLY committed
-    // artifact (crash after the predecessor was renamed aside but
-    // before the successor's marker landed: dir is absent or
-    // marker-less while old/_INDEX_READY exists). Deleting it first
-    // would reopen the no-artifact window this commit sequence
-    // closes — restore it to `dir` instead, so the normal swap below
-    // keeps a committed artifact on disk at every step. When `dir`
-    // itself is committed, `.old` is genuinely stale and safe to
-    // drop.
-    if (Files.exists(Paths.get(old, Marker)) && !exists(dir)) {
-      deleteRecursively(dir) // marker-less half-write, if any
-      Files.move(Paths.get(old), Paths.get(dir))
-    }
-    deleteRecursively(old) // stale leftover from a prior crash
-    if (Files.exists(Paths.get(dir)))
-      Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(dir))
-    Files.writeString(Paths.get(dir, Marker), "ready\n")
-    deleteRecursively(old)
+    // commit: the shared MarkerCommit swap — recover a stranded
+    // `.old` predecessor (a prior crash can leave it holding the
+    // ONLY committed artifact), rename the current index ASIDE
+    // (never delete-then-move), move the successor in, mark it
+    // ready, and only then drop the predecessor. A crash at any
+    // step leaves a complete committed artifact on disk.
+    MarkerCommit.commitSwap(dir, tmp, Marker)
   }
 
-  /** Load an index written by [[write]]. Fails loudly on a missing
-    * or uncommitted (no marker) directory. */
+  /** Load an index written by [[write]]. Recovers a crash-stranded
+    * `.old` predecessor first (recovery must run on the READ path
+    * too — maintenance like [[appendCodes]] reads before any write
+    * could recover), then fails loudly on a missing or uncommitted
+    * (no marker) directory. */
   def read(spark: SparkSession, dir: String): PqIndex = {
+    MarkerCommit.recover(dir, Marker)
     require(exists(dir),
       s"no committed PQ index at $dir (missing $Marker)")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
@@ -164,7 +149,8 @@ object PqIndexStore {
                  residual: Boolean = false)(
       build: => (DataFrame, DataFrame, Option[Seq[Seq[Double]]],
         Option[DataFrame])): PqIndex = {
-    if (!exists(dir)) {
+    MarkerCommit.recover(dir, Marker) // don't retrain over a
+    if (!exists(dir)) {                 // recoverable predecessor
       val (codebooks, codes, rotation, centroids) = build
       write(dir, codebooks, codes, rotation, centroids, residual)
     }
@@ -186,6 +172,7 @@ object PqIndexStore {
     * the index's own artifacts. */
   def appendCodes(spark: SparkSession, dir: String, coded: DataFrame,
                   maxFragments: Int = 4): Seq[String] = {
+    MarkerCommit.recover(dir, Marker)
     require(exists(dir), s"no committed PQ index at $dir")
     require(coded.columns.contains("c_id"),
       "appendCodes needs an IVF-laid-out index (codes carry c_id)")
@@ -193,12 +180,6 @@ object PqIndexStore {
       maxFragments = maxFragments)
   }
 
-  private def deleteRecursively(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      try it.forEach(f => Files.delete(f))
-      finally it.close()
-    }
-  }
+  private def deleteRecursively(dir: String): Unit =
+    MarkerCommit.deleteRecursively(dir)
 }

@@ -52,27 +52,20 @@ object SketchStore {
     * single-parquet. */
   def write(dir: String, frame: DataFrame): Unit = {
     val tmp = dir + ".building"
-    deleteRecursively(tmp)
+    MarkerCommit.deleteRecursively(tmp)
     frame.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val old = dir + ".old"
-    // a prior crash can leave `.old` holding the ONLY committed
-    // artifact — restore it first so every step below keeps one
-    // committed frame on disk (the PqIndexStore recovery, verbatim)
-    if (Files.exists(Paths.get(old, Marker)) && !exists(dir)) {
-      deleteRecursively(dir)
-      Files.move(Paths.get(old), Paths.get(dir))
-    }
-    deleteRecursively(old)
-    if (Files.exists(Paths.get(dir)))
-      Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(dir))
-    Files.writeString(Paths.get(dir, Marker), "ready\n")
-    deleteRecursively(old)
+    // shared crash-safe swap: recover a stranded `.old`, rename the
+    // predecessor aside, move the successor in, marker last
+    MarkerCommit.commitSwap(dir, tmp, Marker)
   }
 
-  /** Load the committed frame. Fails loudly on a missing or
-    * uncommitted (marker-less) directory. */
+  /** Load the committed frame. Recovers a crash-stranded `.old`
+    * predecessor first (a maintenance path READS before it writes,
+    * so recovery must live here too — not only in [[write]]), then
+    * fails loudly on a missing or uncommitted (marker-less)
+    * directory. */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    MarkerCommit.recover(dir, Marker)
     require(exists(dir),
       s"no committed sketch frame at $dir (missing $Marker)")
     spark.read.parquet(dir)
@@ -95,16 +88,8 @@ object SketchStore {
     * train-once/serve-forever entry, as `PqIndexStore.getOrBuild`. */
   def getOrBuild(spark: SparkSession, dir: String)
                 (build: => DataFrame): DataFrame = {
-    if (!exists(dir)) write(dir, build)
+    MarkerCommit.recover(dir, Marker) // don't rebuild over a
+    if (!exists(dir)) write(dir, build) // recoverable predecessor
     read(spark, dir)
-  }
-
-  private def deleteRecursively(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      try it.forEach(f => Files.delete(f))
-      finally it.close()
-    }
   }
 }

@@ -128,15 +128,19 @@ object AsofJoin {
     * count, spec-pinned.
     *
     * What the salt trades: one extra pass over the union for the
-    * boundaries (skippable), one tiny aggregate + broadcast join
-    * (≤ keys·slices rows — KBs), and a second sort key column —
+    * boundaries (skippable), one keys·slices-row aggregate joined
+    * back hint-free (AQE broadcasts it when the key domain is
+    * dimension-sized; a high-cardinality domain degrades to a
+    * shuffle join that reuses the window's partitioning — never a
+    * forced driver-sized broadcast), and a second sort key column —
     * ~1–2 s of fixed overhead at local[32]. MEASURED crossover
     * (AsofBench salted arm, bench_asof_r12_h*): at 400k union rows
     * even a 100%-hot key sorts in one task in < 1 s and the salt
     * LOSES (0.38–0.66× across hot 20/50/90/100 — the fixed costs,
     * not the sort, dominate); at 10M union rows on ONE key the
-    * single-task sort is 31.7 s and the salt serves it in 4.7 s —
-    * **6.8×** (identity-asserted both arms, every rung). Rule:
+    * single-task sort is 26–32 s and the salt serves it in 4–5 s —
+    * **6.3–6.8×** across two quiet runs (identity-asserted both
+    * arms, every rung). Rule:
     * stay on [[asof]] until the hottest key's row count per task
     * clears ~1M; switch (or pre-split by a coarser key) past it. */
   def asofSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -182,7 +186,7 @@ object AsofJoin {
       .where(col("__side") === 1)
     // boundary carry: latest right struct of every EARLIER slice —
     // an aggregate over (key, slice) then a running last over the
-    // slice sequence; keys·slices rows, broadcast back. The
+    // slice sequence; keys·slices rows, joined back hint-free. The
     // aggregate runs over BOTH sides so every (key, slice) a left
     // row lives in gets a carry row even when that slice holds no
     // rights (`max_by`'s ordering is null for left rows, which it
@@ -200,8 +204,16 @@ object AsofJoin {
       .select((keys.map(col) :+ col("__slice") :+
         last(col("__last"), ignoreNulls = true).over(carryW)
           .as("__carry")): _*)
+    // hint-free on purpose: the carry is keys·slices rows — KBs for
+    // a dimension-sized key domain (AQE broadcasts it), but a
+    // HIGH-CARDINALITY key domain (millions of cold keys riding one
+    // hot one — the realistic skew shape) makes it data-sized, and a
+    // forced broadcast() would bypass autoBroadcastJoinThreshold
+    // straight into a driver OOM. Unhinted, Spark degrades to a
+    // shuffle join whose left side is ALREADY partitioned by
+    // (keys, slice) from the window — no extra exchange of the data.
     val matched = within
-      .join(broadcast(carry), keys :+ "__slice", "left")
+      .join(carry, keys :+ "__slice", "left")
       .withColumn("__m", coalesce(col("__m"), col("__carry")))
     val gated = tolerance match {
       case Some(tol) => matched.withColumn("__m",

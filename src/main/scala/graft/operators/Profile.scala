@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * numerator is clamped at 0 before the sqrt: the two double
   * products can round a true zero variance epsilon-negative, and a
   * NaN would be an engine-dependent spelling.
+  *
+  * The DECIMAL view is a `try_cast`, and the profile reports
+  * `n_cast_fail` per numeric column (NaN/±Inf/|x| ≥ 10^16 — values
+  * the fixed-point view can't hold): a profiler is precisely the
+  * tool pointed at dirty data, so a plain ANSI cast would CRASH the
+  * whole pass on the first bad value, and a silent non-ANSI cast
+  * would fold bad values into `n_null` invisibly. Instead `n_null`
+  * counts RAW nulls only, failures get their own loud column, and
+  * min/max/distinct/moments describe the castable values.
   */
 object Profile {
 
@@ -67,31 +76,45 @@ object Profile {
         s"numericCols column $c has type $dt — only numeric columns " +
           "(a failed cast would profile as nulls)")
     }
-    val dec = numericCols.map(c => c -> col(c).cast("decimal(18,2)")).toMap
+    // try_cast: a NaN/Inf/overflow value must neither crash the
+    // pass (ANSI cast) nor silently count as a null (non-ANSI) —
+    // it is counted loudly in n_cast_fail instead
+    val dec = numericCols.map(c =>
+      c -> expr(s"try_cast(`$c` AS DECIMAL(18,2))")).toMap
     val aggs = count(lit(1)).as("__n") +:
       (cols.flatMap { c =>
         baseAggs(c, col(c)) :+ count_distinct(col(c)).as(s"__dist_$c")
       } ++ numericCols.flatMap { c =>
-        baseAggs(c, dec(c)) ++ Seq(
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+          sum(when(col(c).isNotNull && dec(c).isNull, 1L).otherwise(0L))
+            .as(s"__fail_$c"),
+          min(dec(c)).cast("string").as(s"__min_$c"),
+          max(dec(c)).cast("string").as(s"__max_$c"),
           count_distinct(dec(c)).as(s"__dist_$c"),
           sum(dec(c)).as(s"__sx_$c"),
           sum(dec(c) * dec(c)).as(s"__sxx_$c"))
       })
     val agged = df.agg(aggs.head, aggs.tail: _*)
     val nullD = lit(null).cast("double")
+    val nullL = lit(null).cast("bigint")
     val exactStructs = cols.map { c =>
       struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
         col(s"__dist_$c").as("n_distinct"),
         col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"),
-        nullD.as("mean"), nullD.as("stddev"))
+        nullL.as("n_cast_fail"), nullD.as("mean"), nullD.as("stddev"))
     }
     val numStructs = numericCols.map { c =>
-      val md = (col("__n") - col(s"__null_$c")).cast("double")
+      // moments over the CASTABLE values: failures are excluded and
+      // visible, never folded into the null count or the mean
+      val md = (col("__n") - col(s"__null_$c") - col(s"__fail_$c"))
+        .cast("double")
       val sxd = col(s"__sx_$c").cast("double")
       val sxxd = col(s"__sxx_$c").cast("double")
       struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
         col(s"__dist_$c").as("n_distinct"),
         col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"),
+        col(s"__fail_$c").as("n_cast_fail"),
         when(md > 0.0, sxd / md).as("mean"),
         when(md > 1.0,
           sqrt(greatest(lit(0.0),
@@ -100,10 +123,12 @@ object Profile {
     }
     val fields = Seq("n_null" -> "n_null", "n_distinct" -> "n_distinct",
       "min_s" -> "min_s", "max_s" -> "max_s")
-    val moments = Seq("mean" -> "mean", "stddev" -> "stddev")
+    val numExtras = Seq("n_cast_fail" -> "n_cast_fail",
+      "mean" -> "mean", "stddev" -> "stddev")
     // numericCols = Nil keeps the original six-column surface
     if (numericCols.isEmpty) explodeProfile(agged, exactStructs, fields)
-    else explodeProfile(agged, exactStructs ++ numStructs, fields ++ moments)
+    else explodeProfile(agged, exactStructs ++ numStructs,
+      fields ++ numExtras)
   }
 
   /** [[describe]] with the distinct count approximated: the exact

@@ -642,14 +642,17 @@ object EventPipelines {
                                   right_value: Double)
   final case class AsofUnion(key: Long, ts: Timestamp, side: Int, id: Long,
                              value: Option[Double])
+  // rightValue is Option so a matched right row's NULL payload
+  // stays null in the output, as the batch struct does (folding it
+  // to 0.0 would be a silent wrong value, spec-pinned)
   final case class AsofLast(ts: Timestamp, rightId: Long,
-                            rightValue: Double, seenMs: Long)
+                            rightValue: Option[Double], seenMs: Long)
 
   /** Full-precision event-time in micros: `getTime` alone truncates
     * to millis, and the batch operator compares full-precision
     * timestamps — sub-millisecond order must survive (the events
     * table is micros-grained). */
-  private def tsMicros(t: Timestamp): Long =
+  private[graft] def tsMicros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
   final case class AsofOut(key: Long, left_id: Long, ts: Timestamp,
                            asof_right_id: Option[Long],
@@ -727,21 +730,29 @@ object EventPipelines {
             val better = last.forall(s => tsMicros(s.ts) < t ||
               (tsMicros(s.ts) == t && s.rightId < e.id))
             if (better)
-              last = Some(AsofLast(e.ts, e.id, e.value.getOrElse(0.0),
-                seenMs))
+              last = Some(AsofLast(e.ts, e.id, e.value, seenMs))
           }
         } else {
           val m = if (e.ts == null) None else last.filter(s =>
             toleranceMs.forall(tol =>
               tsMicros(s.ts) >= tsMicros(e.ts) - tol * 1000L))
           out += AsofOut(key, e.id, e.ts, m.map(_.rightId),
-            m.map(_.ts), m.map(_.rightValue))
+            m.map(_.ts), m.flatMap(_.rightValue))
         }
       }
       last.map(_.copy(seenMs = seenMs)) match {
         case Some(s) =>
           state.update(s)
-          evictAfterMs.foreach(ev => state.setTimeoutTimestamp(s.seenMs + ev))
+          // clamp to the current watermark: a key touched below the
+          // watermark (a stale right re-arming after other keys
+          // advanced it) would otherwise set a timeout BELOW the
+          // watermark. Spark 4.1 accepts that call (verified: the
+          // spec's repro passes unclamped — it just fires at the
+          // next trigger), but earlier Spark versions rejected it
+          // with a query-killing IllegalArgumentException; the clamp
+          // makes the eviction instant explicit and version-proof
+          evictAfterMs.foreach(ev => state.setTimeoutTimestamp(
+            math.max(s.seenMs + ev, state.getCurrentWatermarkMs() + 1)))
         case None => ()
       }
       out.result().iterator

@@ -46,24 +46,47 @@ class ProfileSpec extends GraftSuite {
     // Final + Initial trees and double-counts the scan
     singleScan(out, "moments profile")
     val got = out.collect().map(r => r.getString(0) -> r).toMap
-    // exact col: unchanged stats, null moments
+    // exact col: unchanged stats, null cast-fail + moments
     val s = got("s")
     assert((s.getLong(1), s.getLong(2), s.getLong(3), s.getString(4),
       s.getString(5)) == ((4L, 1L, 2L, "a", "b")))
-    assert(s.isNullAt(6) && s.isNullAt(7), "exact col must carry null moments")
+    assert(s.isNullAt(6), "exact col must carry null n_cast_fail")
+    assert(s.isNullAt(7) && s.isNullAt(8), "exact col must carry null moments")
     // numeric col profiles its DECIMAL(18,2) view: fixed-point
     // min/max strings, moments replaying the straight-line chain
     val x = got("x")
     assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4),
-      x.getString(5)) == ((4L, 1L, 2L, "1.25", "2.50")))
+      x.getString(5), x.getLong(6)) == ((4L, 1L, 2L, "1.25", "2.50", 0L)))
     val (md, sxd, sxxd) = (3.0, 6.25, 14.0625)
     val wantMean = sxd / md
     val wantSd =
       math.sqrt(math.max(0.0, (md * sxxd - sxd * sxd) / (md * (md - 1.0))))
-    assert(java.lang.Double.doubleToLongBits(x.getDouble(6)) ==
-      java.lang.Double.doubleToLongBits(wantMean), "mean not bit-identical")
     assert(java.lang.Double.doubleToLongBits(x.getDouble(7)) ==
+      java.lang.Double.doubleToLongBits(wantMean), "mean not bit-identical")
+    assert(java.lang.Double.doubleToLongBits(x.getDouble(8)) ==
       java.lang.Double.doubleToLongBits(wantSd), "stddev not bit-identical")
+  }
+
+  test("dirty numerics: NaN/Inf/overflow count as n_cast_fail, excluded from moments, never crash") {
+    // a profiler is the tool pointed at dirty data: an ANSI cast
+    // would crash the pass on the first NaN, a silent cast would
+    // fold these into n_null — both wrong
+    val df = Seq(
+      java.lang.Double.valueOf(2.0),
+      java.lang.Double.valueOf(4.0),
+      java.lang.Double.valueOf(Double.NaN),
+      java.lang.Double.valueOf(Double.PositiveInfinity),
+      java.lang.Double.valueOf(1e17), // > DECIMAL(18,2) capacity
+      null: java.lang.Double).toDF("x")
+    val got = Profile.describe(df, Nil, numericCols = Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(1) == 6L, "n")
+    assert(x.getLong(2) == 1L, "n_null counts RAW nulls only")
+    assert(x.getLong(6) == 3L, "NaN, Inf, 1e17 are cast failures")
+    assert(x.getLong(3) == 2L && x.getString(4) == "2.00" &&
+      x.getString(5) == "4.00", "stats describe the castable values")
+    assert(x.getDouble(7) == 3.0, "mean over castable values only")
   }
 
   test("moment null contracts: no rows -> null mean; one row -> null stddev; constant -> stddev 0") {
@@ -75,11 +98,11 @@ class ProfileSpec extends GraftSuite {
       .toDF("none", "one", "const")
     val got = Profile.describe(df, Nil, Seq("none", "one", "const"))
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(got("none").isNullAt(6) && got("none").isNullAt(7))
-    assert(got("one").getDouble(6) == 7.0 && got("one").isNullAt(7))
+    assert(got("none").isNullAt(7) && got("none").isNullAt(8))
+    assert(got("one").getDouble(7) == 7.0 && got("one").isNullAt(8))
     // the clamp keeps a rounded-negative zero variance at exactly 0,
     // never an engine-spelled NaN
-    assert(got("const").getDouble(6) == 5.0 && got("const").getDouble(7) == 0.0)
+    assert(got("const").getDouble(7) == 5.0 && got("const").getDouble(8) == 0.0)
   }
 
   test("declaration guards: duplicate columns and non-numeric numericCols rejected") {

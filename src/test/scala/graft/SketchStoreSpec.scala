@@ -88,6 +88,38 @@ class SketchStoreSpec extends GraftSuite {
       "stale predecessor must be swept after commit")
   }
 
+  test("appendMerged recovers the crash-stranded predecessor before reading") {
+    // the crash window again, but entered through the MAINTENANCE
+    // path: day-N upkeep READS first, so recovery must run on the
+    // read path, not only inside write() (the review-caught gap —
+    // an unrecovered appendMerged would abort, or worse, a
+    // getOrBuild fallback would pay the full rebuild the store
+    // exists to avoid)
+    val dir = fresh("crashappend")
+    val half = pmod(xxhash64(col("doc_id")), lit(2)) === 0
+    SketchStore.write(dir, Sketch.countMinCells(docs.where(half),
+      col("text"), 2, 64))
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"))
+    Files.createDirectories(Paths.get(dir)) // marker-less garbage
+    val appended = SketchStore.appendMerged(spark, dir,
+      Sketch.countMinCells(docs.where(!half), col("text"), 2, 64),
+      Sketch.cmsMerge)
+    assert(canon(appended) ==
+      canon(Sketch.countMinCells(docs, col("text"), 2, 64)),
+      "recovered predecessor + day batch must equal the one-shot")
+    // and getOrBuild must not retrain over a recoverable predecessor
+    val dir2 = fresh("crashgob")
+    SketchStore.write(dir2, Sketch.countMinCells(docs.limit(40),
+      col("text"), 2, 64))
+    val committed = canon(SketchStore.read(spark, dir2))
+    Files.move(Paths.get(dir2), Paths.get(dir2 + ".old"))
+    var rebuilt = false
+    val served = SketchStore.getOrBuild(spark, dir2) {
+      rebuilt = true; Sketch.countMinCells(docs, col("text"), 2, 64) }
+    assert(!rebuilt && canon(served) == committed,
+      "getOrBuild must serve the recovered frame, not rebuild")
+  }
+
   test("getOrBuild builds once, then serves the committed frame") {
     val dir = fresh("gob")
     var builds = 0

@@ -970,8 +970,7 @@ class StreamingSpec extends GraftSuite {
         EventPipelines.AsofUnion(e._1, e._2, 1, e._3, None)) ++
       rightRows.map(e =>
         EventPipelines.AsofUnion(e._1, e._2, 0, e._3, Some(e._4))))
-      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000L,
-        e.side, e.id))
+      .sortBy(e => (EventPipelines.tsMicros(e.ts), e.side, e.id))
     val cuts = Seq(0, 97, 500, 501, 1700, tagged.length / 2,
       tagged.length * 9 / 10, tagged.length).distinct.sorted
     val mem = MemoryStream[EventPipelines.AsofUnion]
@@ -1030,6 +1029,22 @@ class StreamingSpec extends GraftSuite {
     assert(got == Map(100L -> 9L, 101L -> -1L, 102L -> -1L, 103L -> 8L))
   }
 
+  test("streamAsofTagged: a matched right's NULL payload stays null (never 0.0)") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[EventPipelines.AsofUnion]
+    mem.addData(
+      EventPipelines.AsofUnion(1L, ts("2026-01-01 10:00:00"), 0, 7L, None),
+      EventPipelines.AsofUnion(1L, ts("2026-01-01 11:00:00"), 1, 100L, None))
+    val q = EventPipelines.streamAsofTagged(mem.toDS())
+      .writeStream.format("memory").queryName("sanull")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val r = s.table("sanull").collect().head
+    assert(r.getLong(3) == 7L, "the null-valued right IS the match")
+    assert(r.isNullAt(5), "its payload must surface as null, not 0.0")
+  }
+
   test("streamAsofTagged eviction: state drops past the horizon, fresh rights rebuild it") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
@@ -1069,6 +1084,50 @@ class StreamingSpec extends GraftSuite {
       .collect().map(r => r.getLong(1) ->
         (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
     assert(got == Map(100L -> 7L, 101L -> -1L, 102L -> 8L))
+  }
+
+  test("streamAsofTagged eviction: a stale key touched below the watermark cannot kill the query") {
+    // the review-caught crash: key 1's horizon passes (other keys
+    // advance the watermark) and THEN a null-ts row for key 1
+    // arrives — seenMs doesn't advance, and an unclamped
+    // setTimeoutTimestamp(seenMs + evict) sits below the watermark,
+    // which Spark rejects with an exception that terminates the
+    // whole query; the clamp re-arms at watermark+1 instead
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[EventPipelines.AsofUnion]
+    val q = EventPipelines.streamAsofTagged(mem.toDS(),
+        watermark = "1 hour", evictAfterMs = Some(24L * 3600 * 1000))
+      .writeStream.format("memory").queryName("saevclamp")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventPipelines.AsofUnion(1L,
+        ts("2026-01-01 10:00:00"), 0, 7L, Some(1.0)))
+      q.processAllAvailable()
+      // watermark jumps 30 days on a different key; key 1's timeout
+      // (Jan 2) is now far below it — but key 1 had no data this
+      // trigger, so its timeout just fires and evicts cleanly
+      mem.addData(EventPipelines.AsofUnion(99L,
+        ts("2026-02-01 00:00:00"), 0, 900L, Some(0.0)))
+      q.processAllAvailable()
+      // key 1 gets a RIGHT row (rebuilds state, seenMs = its ts,
+      // still ~30 days below the watermark) and a null-ts left in
+      // one batch: state.update + setTimeoutTimestamp run with a
+      // stale seenMs — the unclamped form throws here
+      mem.addData(
+        EventPipelines.AsofUnion(1L, ts("2026-01-03 10:00:00"), 0, 8L,
+          Some(2.0)),
+        EventPipelines.AsofUnion(1L, null, 1, 100L, None))
+      q.processAllAvailable()
+      mem.addData(EventPipelines.AsofUnion(99L,
+        ts("2026-02-01 02:00:00"), 0, 901L, Some(0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty,
+      s"query must survive the stale-timeout clamp: ${q.exception}")
+    val got = s.table("saevclamp").where(col("key") === 1L).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 100L &&
+      got.head.isNullAt(3), "the null-ts left emits unmatched")
   }
 
   test("streamDedup emits each key once within the watermark") {
