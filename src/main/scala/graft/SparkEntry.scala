@@ -295,18 +295,19 @@ object SparkEntry {
     // BIGINT millis; the mean is one fixed double chain
     // ((Σms / n) / 1000), so it replays bit-identically. Piggybacks
     // the sessionize exchange: the rollup groups by a PREFIX of the
-    // session grouping key, so no third shuffle of the events (r12)
-    "q_session_stats" -> ((s, dir) =>
-      graft.streaming.EventPipelines
-        .sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("n_events")).as("total_events"),
-          max(col("n_events")).as("max_session_events"),
-          (sum(unix_millis(col("session_end")) -
-              unix_millis(col("session_start"))).cast("double") /
-            count(lit(1)).cast("double") / lit(1000.0))
-            .as("mean_session_sec"))),
+    // session grouping key, so no third shuffle of the events. The
+    // rollup IS streamSessionStats applied to the batch sessions —
+    // one aggregation body, so the stream == batch parity the
+    // streaming twin claims is true by construction (r12)
+    "q_session_stats" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventPipelines.streamSessionStats(
+        graft.streaming.EventPipelines
+          .sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events"), col("sum_value"))
+          .as[graft.streaming.EventPipelines.UserSession])
+    }),
 
     // oracle-checked: SCD Type-2 interval build — per-user
     // event_type change stream folded into validity intervals with

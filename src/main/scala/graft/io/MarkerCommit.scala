@@ -20,13 +20,14 @@ import java.nio.file.{Files, Paths}
   * the PqIndexStore scaladoc). */
 private[io] object MarkerCommit {
 
-  /** A prior crash can leave `dir + ".old"` holding the ONLY
-    * committed artifact (predecessor renamed aside, successor's
-    * marker never landed). Restore it so every caller — reader or
-    * writer — sees the committed chain; called at the top of every
-    * store entry point, because a recovery that only runs inside
-    * write() is unreachable from a maintenance path that READS
-    * first (the appendMerged lesson). */
+  /** WRITER-path recovery: a prior crash can leave `dir + ".old"`
+    * holding the ONLY committed artifact (predecessor renamed
+    * aside, successor's marker never landed). Restore it, deleting
+    * any marker-less half-write occupying `dir`. Destructive, so it
+    * runs ONLY from writer entry points (write/getOrBuild/append
+    * maintenance), which the stores' single-writer contract covers;
+    * a READ racing a live writer must never delete the successor the
+    * writer just moved in — readers use [[recoverForRead]]. */
   def recover(dir: String, marker: String): Unit = {
     val old = dir + ".old"
     if (Files.exists(Paths.get(old, marker)) &&
@@ -36,16 +37,45 @@ private[io] object MarkerCommit {
     }
   }
 
+  /** READER-path recovery: restore the `.old` predecessor ONLY when
+    * `dir` is entirely absent (the crash window between rename-aside
+    * and successor-move-in), and never delete anything — a
+    * marker-less `dir` might be a live writer mid-swap, and
+    * destroying it from a read would lose the commit (review-caught
+    * race). Races between concurrent readers (both attempting the
+    * restore) are absorbed: the loser's move throws and the caller's
+    * marker re-check decides. */
+  def recoverForRead(dir: String, marker: String): Unit = {
+    val old = dir + ".old"
+    if (Files.exists(Paths.get(old, marker)) &&
+        !Files.exists(Paths.get(dir))) {
+      try Files.move(Paths.get(old), Paths.get(dir))
+      catch { case _: java.nio.file.FileSystemException => () }
+    }
+  }
+
   /** Swap the fully-written `tmp` into `dir` under the marker-last
     * discipline. `tmp` must hold the complete successor artifact
-    * (minus the marker, which THIS call writes). */
+    * (minus the marker, which THIS call writes). Single-writer by
+    * contract; a reader's concurrent restore racing the successor
+    * move is absorbed by one retry (the restored frame is committed,
+    * so the retry treats it as the predecessor and swaps again). */
   def commitSwap(dir: String, tmp: String, marker: String): Unit = {
     val old = dir + ".old"
     recover(dir, marker)
     deleteRecursively(old) // stale leftover from a prior crash
     if (Files.exists(Paths.get(dir)))
       Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(dir))
+    try Files.move(Paths.get(tmp), Paths.get(dir))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a racing reader restored `.old` into `dir` between our
+        // rename-aside and move-in; it is the committed predecessor
+        // again — re-aside it and land the successor
+        deleteRecursively(old)
+        Files.move(Paths.get(dir), Paths.get(old))
+        Files.move(Paths.get(tmp), Paths.get(dir))
+    }
     Files.writeString(Paths.get(dir, marker), "ready\n")
     deleteRecursively(old)
   }

@@ -83,7 +83,7 @@ object PqIndexStore {
     require(!residual || centroids.isDefined,
       "residual codes are defined relative to stored centroids")
     val tmp = dir + ".building"
-    deleteRecursively(tmp)
+    MarkerCommit.deleteRecursively(tmp)
     codebooks.select(col("sub").cast("int"), col("c").cast("int"),
         col("cv").cast("array<double>"))
       .write.mode("overwrite").parquet(s"$tmp/codebooks")
@@ -115,13 +115,17 @@ object PqIndexStore {
     MarkerCommit.commitSwap(dir, tmp, Marker)
   }
 
-  /** Load an index written by [[write]]. Recovers a crash-stranded
-    * `.old` predecessor first (recovery must run on the READ path
-    * too — maintenance like [[appendCodes]] reads before any write
-    * could recover), then fails loudly on a missing or uncommitted
-    * (no marker) directory. */
+  /** Load an index written by [[write]]. Applies the
+    * NON-destructive reader recovery first (restores a
+    * crash-stranded `.old` predecessor only when `dir` is entirely
+    * absent — a marker-less `dir` might be a live writer mid-swap,
+    * and a read must never delete it), then fails loudly on a
+    * missing or uncommitted (no marker) directory. The ambiguous
+    * marker-less-dir crash window is recovered by the next WRITER
+    * entry (write/getOrBuild/appendCodes — destructive recovery
+    * under the single-writer contract). */
   def read(spark: SparkSession, dir: String): PqIndex = {
-    MarkerCommit.recover(dir, Marker)
+    MarkerCommit.recoverForRead(dir, Marker)
     require(exists(dir),
       s"no committed PQ index at $dir (missing $Marker)")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
@@ -180,6 +184,4 @@ object PqIndexStore {
       maxFragments = maxFragments)
   }
 
-  private def deleteRecursively(dir: String): Unit =
-    MarkerCommit.deleteRecursively(dir)
 }

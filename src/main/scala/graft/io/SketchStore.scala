@@ -59,13 +59,17 @@ object SketchStore {
     MarkerCommit.commitSwap(dir, tmp, Marker)
   }
 
-  /** Load the committed frame. Recovers a crash-stranded `.old`
-    * predecessor first (a maintenance path READS before it writes,
-    * so recovery must live here too — not only in [[write]]), then
-    * fails loudly on a missing or uncommitted (marker-less)
-    * directory. */
+  /** Load the committed frame. Applies the NON-destructive reader
+    * recovery first (restores a crash-stranded `.old` predecessor
+    * only when `dir` is entirely absent — a marker-less `dir` might
+    * be a live writer mid-swap, and a read must never delete it),
+    * then fails loudly on a missing or uncommitted (marker-less)
+    * directory. The ambiguous marker-less-dir crash window is
+    * recovered by the next WRITER entry ([[write]], [[appendMerged]],
+    * [[getOrBuild]] — destructive recovery under the single-writer
+    * contract). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    MarkerCommit.recover(dir, Marker)
+    MarkerCommit.recoverForRead(dir, Marker)
     require(exists(dir),
       s"no committed sketch frame at $dir (missing $Marker)")
     spark.read.parquet(dir)
@@ -80,6 +84,11 @@ object SketchStore {
     * committed frame. */
   def appendMerged(spark: SparkSession, dir: String, delta: DataFrame,
                    merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // a WRITER entry: full (destructive) recovery is safe here under
+    // the single-writer contract, and must run before the read —
+    // maintenance is exactly the path that reads a possibly
+    // crash-stranded store first
+    MarkerCommit.recover(dir, Marker)
     write(dir, merge(read(spark, dir), delta))
     read(spark, dir)
   }

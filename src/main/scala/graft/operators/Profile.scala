@@ -70,11 +70,19 @@ object Profile {
     // a non-numeric column would survive the DECIMAL cast as nulls
     // and profile as 100% null with null moments — silently wrong;
     // reject the declaration instead
+    // resolve the field the way the engine resolves col(c) — the
+    // session's resolver (case-insensitive by default), not a
+    // case-sensitive schema lookup that would reject a column the
+    // query itself accepts
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
     numericCols.foreach { c =>
-      val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"numericCols column $c has type $dt — only numeric columns " +
-          "(a failed cast would profile as nulls)")
+      val field = df.schema.find(f => resolver(f.name, c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"numericCols column $c not found in ${df.columns.mkString(", ")}"))
+      require(field.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"numericCols column $c has type ${field.dataType} — only " +
+          "numeric columns (a failed cast would profile as nulls)")
     }
     // try_cast: a NaN/Inf/overflow value must neither crash the
     // pass (ANSI cast) nor silently count as a null (non-ANSI) —

@@ -644,7 +644,14 @@ object EventPipelines {
                              value: Option[Double])
   // rightValue is Option so a matched right row's NULL payload
   // stays null in the output, as the batch struct does (folding it
-  // to 0.0 would be a silent wrong value, spec-pinned)
+  // to 0.0 would be a silent wrong value, spec-pinned).
+  // STATE SCHEMA NOTE: this is state-schema v2 (v1 carried a
+  // non-nullable Double and no seenMs) — a checkpointed query
+  // started on v1 cannot restart against this class (Spark's state
+  // store schema check rejects it); restart such a query from a new
+  // checkpoint directory, replaying the source per its delivery
+  // contract. Future field changes here carry the same cost —
+  // widen deliberately.
   final case class AsofLast(ts: Timestamp, rightId: Long,
                             rightValue: Option[Double], seenMs: Long)
 

@@ -117,6 +117,12 @@ class ProfileSpec extends GraftSuite {
     // 100% null through the DECIMAL cast — rejected up front
     intercept[IllegalArgumentException](
       Profile.describe(df, Nil, numericCols = Seq("s")))
+    // the guard resolves like the engine: case-insensitive under the
+    // default resolver, so a casing the query accepts profiles fine
+    assert(Profile.describe(df, Nil, numericCols = Seq("X"))
+      .collect().length == 1)
+    intercept[IllegalArgumentException](
+      Profile.describe(df, Nil, numericCols = Seq("nope")))
   }
 
   test("describeApprox: estimate within 3x rsd of exact; sketch-sized shuffle, single scan") {
