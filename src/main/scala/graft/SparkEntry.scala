@@ -259,6 +259,16 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate"))),
 
+    // oracle-checked: the completed DESCRIBE — moments profile plus
+    // per-numeric-column Hdr quantiles (cent-scaled BIGINT
+    // percentile_disc-style estimates, pure integer arithmetic) in
+    // ONE extra corpus scan for ALL numeric columns (the documented
+    // two-scan trade; ProfileSpec pins scans == 2) (r13)
+    "q_profile_orders_hdr" -> ((s, dir) =>
+      Profile.describeWithQuantiles(Tables(s, dir).orders,
+        Seq("o_orderstatus", "o_orderpriority"),
+        numericCols = Seq("o_totalprice"))),
+
     // oracle-checked: UNPIVOT (melt) — the pivot round-trip back to
     // long form, including the filled-0 absent combinations (r11)
     "q_unpivot_status" -> ((s, dir) =>
@@ -316,6 +326,44 @@ object SparkEntry {
     "q_scd2_intervals" -> ((s, dir) =>
       Scd.buildType2(Tables(s, dir).events, Seq("user_id"), col("ts"),
         col("event_id"), Seq("event_type"))),
+
+    // oracle-checked: keyed MERGE / upsert (the Delta MERGE INTO
+    // analog) — a two-generation change batch (in-batch duplicates,
+    // inserts, updates, effective deletes, no-op deletes of absent
+    // keys, deletes superseded by later upserts) replayed against a
+    // target slice of orders. Latest change per key wins (ts desc,
+    // gen desc); the target never shuffles — it anti-joins the
+    // batch-sized change keys (AQE-broadcast) and unions the
+    // surviving upserts (r13)
+    "q_merge_upsert" -> ((s, dir) =>
+      graft.etl.Merge.merge(mergeDemoTarget(s, dir),
+        mergeDemoChanges(s, dir), Seq("o_orderkey"),
+        col("change_ts"), col("gen"), deleteFlag = Some("is_delete"))),
+
+    // oracle-checked: the same MERGE committed THROUGH the versioned
+    // store — v0 = the target, v1 = the merged table, committed via
+    // VersionStore's shared MarkerCommit crash window; later calls
+    // serve the committed v1, so the STORE round-trip itself is
+    // oracle-checked (the q168 pattern). Path carries the target
+    // fingerprint so a regenerated corpus rebuilds instead of
+    // serving stale rows. Single-writer by the sequential-harness
+    // contract (as q_cms_cells_stored) (r13)
+    "q_merge_versioned" -> ((s, dir) => {
+      import graft.etl.{Merge, VersionStore}
+      val target = mergeDemoTarget(s, dir)
+      val fpRow = target.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(o_orderkey, o_custkey))")).head()
+      val fp = java.lang.Long.toHexString(fpRow.getLong(0) ^
+        (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
+      val root = s"/tmp/graft_serving_idx/merge1_$fp"
+      if (VersionStore.versions(s, root).isEmpty)
+        VersionStore.write(target, root)
+      if (VersionStore.versions(s, root).size < 2)
+        Merge.mergeVersioned(s, root, mergeDemoChanges(s, dir),
+          Seq("o_orderkey"), col("change_ts"), col("gen"),
+          deleteFlag = Some("is_delete"))
+      VersionStore.latest(s, root)
+    }),
 
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
@@ -1531,7 +1579,11 @@ object SparkEntry {
     // q_cms_cells_seeded, so the STORE itself is oracle-checked:
     // what parquet round-trips is cell-for-cell what the engine
     // computed. Artifact path carries the documents fingerprint (a
-    // regenerated table rebuilds instead of serving stale cells) (r12)
+    // regenerated table rebuilds instead of serving stale cells) (r12).
+    // SINGLE-WRITER assumption: getOrBuild runs destructive writer
+    // recovery on this shared path — fine for the sequential harness
+    // (one Verify/Bench process at a time); concurrent harness
+    // invocations would need a per-run path (r12 ADVICE note)
     "q_cms_cells_stored" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val fpRow = docs.agg(count(lit(1)),
@@ -2101,6 +2153,78 @@ object SparkEntry {
     }
   }
 
+  /** DuckDB replay of [[mergeDemoTarget]] + [[mergeDemoChanges]] +
+    * [[graft.etl.Merge.merge]] — shared verbatim by q_merge_upsert
+    * and q_merge_versioned (two commit paths, one semantics). */
+  private val mergeOracleSql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+      |         CAST(o_orderdate AS DATE) AS order_day
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |changes AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(o_orderkey % 1000 AS DECIMAL(18,2)) AS total,
+      |         CAST(o_orderdate AS DATE) AS order_day,
+      |         CAST(o_orderdate AS DATE) AS change_ts, 1 AS gen,
+      |         (o_orderkey % 21 = 0) AS is_delete
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(o_custkey % 1000 AS DECIMAL(18,2)) AS total,
+      |         CAST(o_orderdate AS DATE) AS order_day,
+      |         CAST(o_orderdate AS DATE) + 1 AS change_ts, 2 AS gen,
+      |         (o_orderkey % 18 = 0) AS is_delete
+      |  FROM orders WHERE o_orderkey % 6 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+      |             ORDER BY change_ts DESC, gen DESC) AS rn
+      |    FROM changes c) WHERE rn = 1)
+      |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.total,
+      |       t.order_day
+      |FROM target t ANTI JOIN latest l USING (o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, total, order_day
+      |FROM latest WHERE NOT is_delete""".stripMargin
+
+  /** The MERGE surface's target: the even-keyed half of orders, the
+    * stored keyed table a change feed merges into. */
+  private def mergeDemoTarget(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("total"),
+        to_date(col("o_orderdate")).as("order_day"))
+
+  /** The MERGE surface's change batch: two generations over
+    * overlapping key sets so every merge edge is exercised —
+    * gen 1 (%3 keys, ts = order day): inserts of odd multiples of 3,
+    * updates of even ones, no-op deletes of absent keys (%21 odd
+    * multiples) and deletes a later generation supersedes; gen 2
+    * (%6 keys, ts = order day + 1): within-batch supersessions of
+    * gen 1 and the EFFECTIVE deletes (%18 — even, so present in the
+    * target). Values are integer-derived decimals, so the DuckDB
+    * replay is exact. */
+  private def mergeDemoChanges(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("order_day"))
+    val gen1 = base.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_orderkey") % 1000).cast("decimal(18,2)").as("total"),
+        col("order_day"),
+        col("order_day").as("change_ts"), lit(1).as("gen"),
+        (col("o_orderkey") % 21 === 0).as("is_delete"))
+    val gen2 = base.where(col("o_orderkey") % 6 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_custkey") % 1000).cast("decimal(18,2)").as("total"),
+        col("order_day"),
+        date_add(col("order_day"), 1).as("change_ts"), lit(2).as("gen"),
+        (col("o_orderkey") % 18 === 0).as("is_delete"))
+    gen1.unionByName(gen2)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
@@ -2468,6 +2592,91 @@ object SparkEntry {
         |                            / (md * (md - 1.0)))) END AS stddev
         |FROM d""".stripMargin,
 
+    // the moments profile plus the Hdr quantile read over integer
+    // CENTS of the DECIMAL(18,2) view — the same log-linear bucket
+    // arithmetic as the q_hdr_* oracles (b=5: s = len(bin(v))-1-5,
+    // idx = s*64 + m), est = lo of the first bucket reaching rank
+    // max(ceil(q*n), 1); all-BIGINT outputs, no decimal division
+    "q_profile_orders_hdr" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_null,
+        |         CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |                  TRY_CAST(o_totalprice AS DECIMAL(18,2)) IS NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+        |         count(DISTINCT TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS n_distinct,
+        |         CAST(min(TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+        |              AS VARCHAR) AS min_s,
+        |         CAST(max(TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+        |              AS VARCHAR) AS max_s,
+        |         sum(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+        |         sum(TRY_CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+        |  FROM orders),
+        |d AS (
+        |  SELECT n, n_null, nf, n_distinct, min_s, max_s,
+        |         CAST(n - n_null - nf AS DOUBLE) AS md,
+        |         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+        |  FROM a),
+        |v AS (SELECT CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) AS v
+        |      FROM orders),
+        |e AS (SELECT v, GREATEST(length(bin(v)) - 1 - 5, 0) AS s
+        |      FROM v WHERE v IS NOT NULL AND v >= 0),
+        |mb AS (SELECT s, (v >> s) AS m FROM e),
+        |f AS (SELECT CAST(s AS BIGINT) * 64 + m AS idx, (m << s) AS lo,
+        |             count(*) AS cnt
+        |      FROM mb GROUP BY 1, 2),
+        |c AS (SELECT idx, lo,
+        |        CAST(SUM(cnt) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS nn
+        |      FROM f),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |qe AS (SELECT q, MIN(lo) AS est
+        |       FROM c CROSS JOIN qs
+        |       WHERE cum >= GREATEST(CEIL(q * CAST(nn AS DOUBLE)), 1)
+        |       GROUP BY q),
+        |pv AS (SELECT MAX(CASE WHEN q = 0.5 THEN est END) AS p50_c,
+        |              MAX(CASE WHEN q = 0.9 THEN est END) AS p90_c,
+        |              MAX(CASE WHEN q = 0.99 THEN est END) AS p99_c
+        |       FROM qe)
+        |SELECT 'o_orderstatus' AS column, count(*) AS n,
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null,
+        |       count(DISTINCT o_orderstatus) AS n_distinct,
+        |       CAST(min(o_orderstatus) AS VARCHAR) AS min_s,
+        |       CAST(max(o_orderstatus) AS VARCHAR) AS max_s,
+        |       CAST(NULL AS BIGINT) AS n_cast_fail,
+        |       CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev,
+        |       CAST(NULL AS BIGINT) AS p50_c, CAST(NULL AS BIGINT) AS p90_c,
+        |       CAST(NULL AS BIGINT) AS p99_c
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       count(DISTINCT o_orderpriority),
+        |       CAST(min(o_orderpriority) AS VARCHAR),
+        |       CAST(max(o_orderpriority) AS VARCHAR),
+        |       CAST(NULL AS BIGINT),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |       CAST(NULL AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', n, n_null, n_distinct, min_s, max_s,
+        |       nf AS n_cast_fail,
+        |       CASE WHEN md > 0 THEN sxd / md END AS mean,
+        |       CASE WHEN md > 1 THEN
+        |         sqrt(greatest(0.0, (md * sxxd - sxd * sxd)
+        |                            / (md * (md - 1.0)))) END AS stddev,
+        |       pv.p50_c, pv.p90_c, pv.p99_c
+        |FROM d CROSS JOIN pv""".stripMargin,
+
     // long-form replay: priorities x the fixed status list, absent
     // combos coalesced to the pivot's filled 0
     "q_unpivot_status" ->
@@ -2555,6 +2764,16 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM ch
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // MERGE replay: latest change per key (ts desc, gen desc), then
+    // target ANTI JOIN changed-keys UNION ALL surviving upserts —
+    // the full-outer-join-free formulation both engines plan as a
+    // batch-sized build side against a streamed target
+    "q_merge_upsert" -> mergeOracleSql,
+
+    // the versioned-store round-trip serves the identical merged
+    // table: same oracle, verbatim (the q168 pattern)
+    "q_merge_versioned" -> mergeOracleSql,
 
     // open/close = the value at rank 1 of the asc/desc (ts, id)
     // orderings; position decides, not null-skipping

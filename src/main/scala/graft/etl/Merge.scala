@@ -1,0 +1,205 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.io.{MarkerCommit, PartitionedStore}
+
+/** Keyed MERGE / upsert — the Delta `MERGE INTO` analog. The
+  * reference dances around this with append + latest-run snapshots
+  * (every table carries a RUN_ID and readers pick the max —
+  * ukg_dept_bus_strctr.py:74-81, ukg_delta_to_parquet.py:9); that
+  * pattern re-reads and re-ranks the whole history on every
+  * consumption. A keyed update-else-insert(-else-delete) commits the
+  * change batch ONCE and every reader sees a plain table.
+  *
+  * Semantics (the change-replay contract, spec-pinned): the change
+  * batch is first collapsed to ONE row per key — the latest by
+  * `(ts, tie)` descending (a unique `tie` makes the merge
+  * deterministic under any physical row order and any within-batch
+  * duplication, exactly the [[Scd]]/[[graft.operators.AsofJoin]]
+  * convention). Then, per key:
+  *   - latest change has the delete flag  → key absent from output
+  *     (whether or not it existed — a delete for an unknown key is a
+  *     no-op, never an insert);
+  *   - latest change is an upsert         → that change's row
+  *     (target's column set), replacing any existing row;
+  *   - no change for the key              → target row unchanged.
+  *
+  * Derived identities (both spec-pinned):
+  *   - IDEMPOTENT RE-DELIVERY: `merge(merge(t, c), c) == merge(t, c)`
+  *     — re-applying a batch replaces rows with themselves, so an
+  *     at-least-once delivery pipeline converges.
+  *   - SCD2 COMPOSITION: folding change batches into an empty target
+  *     with no deletes ends at exactly
+  *     `Scd.buildType2(allChanges).where(is_current = 1)`'s
+  *     (keys, attrs) — merge IS the type-1 projection of the type-2
+  *     build, so a warehouse can run both off one change feed and
+  *     they cannot disagree.
+  *
+  * Scale shape of [[merge]]: the change batch pays one batch-sized
+  * shuffle for its per-key window; the TARGET never shuffles — it is
+  * anti-joined against the (distinct-keyed, batch-sized) change keys,
+  * which AQE broadcasts in the overwhelmingly common
+  * small-batch-into-big-table regime, then unioned with the
+  * surviving upserts. At 100 TB the cost is a scan of the target plus
+  * a broadcast probe per row — the minimum any full-table rewrite
+  * pays. What a full rewrite should NOT pay for a small batch is
+  * rewriting untouched bytes: that is [[mergePartitioned]] — see its
+  * doc for the pruning story and its honest atomicity trade vs
+  * [[mergeVersioned]].
+  */
+object Merge {
+
+  /** Collapse a change batch to its latest row per key:
+    * `row_number` over `(ts desc, tie desc)` — within-batch
+    * duplicates and supersessions resolve here, once, for every
+    * merge form. */
+  def latestChanges(changes: DataFrame, keys: Seq[String], ts: Column,
+                    tie: Column): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one equality key")
+    require(!changes.columns.contains("__rn"),
+      "column name __rn is reserved")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ts.desc, tie.desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Pure-frame MERGE: returns the post-merge table. `changes` must
+    * carry every target column (the insert payload) plus whatever
+    * `ts`/`tie`/`deleteFlag` reference; `deleteFlag` names a boolean
+    * column on `changes` (null = false) and must NOT be a target
+    * column — deletes are change metadata, not table data. */
+  def merge(target: DataFrame, changes: DataFrame, keys: Seq[String],
+            ts: Column, tie: Column,
+            deleteFlag: Option[String] = None): DataFrame = {
+    val missing = target.columns.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes must carry every target column; missing: " +
+        missing.mkString(", "))
+    deleteFlag.foreach(d => require(!target.columns.contains(d),
+      s"delete flag '$d' must not be a target column"))
+    val latest = latestChanges(changes, keys, ts, tie)
+    // target rows whose key saw ANY change drop out here (replaced
+    // below or deleted); the anti join's build side is the
+    // batch-sized distinct key set — AQE broadcasts it
+    val survivors = target.join(latest.select(keys.map(col): _*),
+      keys, "left_anti")
+    val upserts = deleteFlag
+      .fold(latest)(d => latest.where(!coalesce(col(d), lit(false))))
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    survivors.unionByName(upserts)
+  }
+
+  /** MERGE into a [[VersionStore]]-kept table: read the latest
+    * committed version, merge, commit the result as the next version
+    * through the shared [[MarkerCommit]] crash window (VersionStore's
+    * commit path since r13). Returns the new version number.
+    *
+    * This is the TABLE-ATOMIC form: readers see the old version or
+    * the new one, never a mixture, and history/time-travel/vacuum
+    * come with it. Its cost is a full-table rewrite per merge — right
+    * for dimension-to-medium tables and audited feeds; a 100 TB fact
+    * table wants [[mergePartitioned]]. The input version and the
+    * successor are different directories, so the lazy-read-while-
+    * overwriting trap cannot occur. */
+  def mergeVersioned(spark: SparkSession, root: String,
+                     changes: DataFrame, keys: Seq[String], ts: Column,
+                     tie: Column,
+                     deleteFlag: Option[String] = None): Long =
+    VersionStore.write(
+      merge(VersionStore.latest(spark, root), changes, keys, ts, tie,
+        deleteFlag),
+      root)
+
+  /** MERGE into a directory-partitioned table ([[PartitionedStore]]
+    * layout), rewriting ONLY the partitions the change batch touches
+    * — the 100 TB form. A batch touching d of D partition values
+    * reads and rewrites d/D of the table; untouched directories are
+    * never opened (static isin → partition pruning on the read,
+    * dynamic partition overwrite on the write).
+    *
+    * CONSTRAINT (the pruning's correctness condition): `partCol` must
+    * be a pure function of the merge keys — a hash bucket of the key
+    * (`pmod(xxhash64(key), D)`) is the canonical choice. If an update
+    * could MOVE a row across partitions, its stale predecessor would
+    * survive in a directory this merge never read. Enforced per batch
+    * against the slice it actually read (cheap: the slice is already
+    * in hand) — a key found in a partition other than the one its
+    * change row names fails the merge before anything is written.
+    *
+    * Atomicity trade, stated honestly: Spark's dynamic partition
+    * overwrite commits per DIRECTORY at job end (output staged in
+    * `_temporary`, so a mid-job crash leaves every old directory
+    * intact) — but a crash DURING the multi-directory commit can land
+    * some touched partitions and not others. Partition-level
+    * atomicity, not table-level. Table-level atomicity is
+    * [[mergeVersioned]]'s contract; Delta buys both with a
+    * transaction log, which is exactly the part of Delta this
+    * library does not rebuild.
+    *
+    * A partition whose rows are ALL deleted writes no data, so
+    * dynamic overwrite would leave its old directory standing — those
+    * directories are deleted explicitly after the write commits
+    * (the merged slice is persisted to make the emptiness check and
+    * the write read one computation, and the check only runs when
+    * `deleteFlag` is set — upsert-only merges cannot empty a
+    * partition). Returns the touched partition values. */
+  def mergePartitioned(spark: SparkSession, path: String,
+                       changes: DataFrame, keys: Seq[String], ts: Column,
+                       tie: Column, partCol: String,
+                       deleteFlag: Option[String] = None,
+                       writeParallelism: Int = 1): Seq[String] = {
+    require(changes.columns.contains(partCol),
+      s"changes must carry the partition column '$partCol'")
+    // touched values: batch-sized driver list, same contract as
+    // PartitionedStore.compactIfFragmented's fragment list
+    val touched = changes.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val slice = spark.read.parquet(path)
+      .where(col(partCol).cast("string").isin(touched: _*))
+    // partCol-stability guard: a changed key already present in the
+    // slice must sit in the SAME partition its change row names — a
+    // mismatch means partCol is not a pure function of the keys, and
+    // some batch will eventually leave a stale row in an unread
+    // directory. One slice-sized pass against the batch-sized
+    // (broadcastable) latest-change keys; fails BEFORE anything is
+    // written. (The unreadable case — the stale row in an untouched
+    // partition — is undetectable without reading it; this catches
+    // the unstable design on the first batch that exhibits it.)
+    val moved = slice
+      .select((keys.map(col) :+
+        col(partCol).cast("string").as("__p_old")): _*)
+      .join(latestChanges(changes, keys, ts, tie)
+        .select((keys.map(col) :+
+          col(partCol).cast("string").as("__p_new")): _*), keys)
+      .where(col("__p_old") =!= col("__p_new"))
+    require(moved.isEmpty,
+      s"mergePartitioned: '$partCol' is not key-stable — a change " +
+        "row names a different partition than the key's stored row; " +
+        "partition the table by a pure function of the merge keys")
+    val merged = merge(slice, changes, keys, ts, tie, deleteFlag)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val present = merged.select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val prevMode = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode").getOrElse("STATIC")
+      try {
+        spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        PartitionedStore.write(merged, path, partCol,
+          org.apache.spark.sql.SaveMode.Overwrite, writeParallelism)
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+      if (deleteFlag.isDefined)
+        (touched.toSet -- present).toSeq.sorted.foreach(v =>
+          MarkerCommit.deleteRecursively(s"$path/$partCol=$v"))
+      touched
+    } finally merged.unpersist()
+  }
+}

@@ -125,7 +125,24 @@ object VersionStore {
     }
     var next = committed.lastOption.fold(0L)(_ + 1)
     while (!f.createNewFile(claim(root, next))) next += 1
-    df.write.mode("errorifexists").parquet(dir(root, next))
+    val vdir = dir(root, next)
+    // commit through the ONE audited crash-window implementation
+    // (io.MarkerCommit, shared with PqIndexStore/SketchStore): the
+    // version lands fully under a temp sibling, its job-committer
+    // _SUCCESS is stripped (it would ride the directory move and make
+    // the version visible at move time instead of marker time), then
+    // commitSwap moves the directory in and writes the visibility
+    // marker LAST. A crash mid-write strands only `v=N.building`; a
+    // crash between move and marker leaves a marker-less `v=N` —
+    // both invisible to [[versions]] and swept by [[vacuum]].
+    require(!f.exists(new Path(vdir)),
+      s"VersionStore.write: claimed number $next already has a " +
+        s"directory at $vdir — claim protocol violated")
+    val tmp = vdir + ".building"
+    graft.io.MarkerCommit.deleteRecursively(tmp)
+    df.write.mode("errorifexists").parquet(tmp)
+    f.delete(new Path(tmp, "_SUCCESS"), false)
+    graft.io.MarkerCommit.commitSwap(vdir, tmp, "_SUCCESS")
     next
   }
 
@@ -216,9 +233,19 @@ object VersionStore {
         val c = claim(root, v)
         if (f.exists(c) && f.getFileStatus(c).getModificationTime < cutoff) {
           f.delete(new Path(dir(root, v)), true)
+          f.delete(new Path(dir(root, v) + ".building"), true)
           f.delete(c, false)
         }
       }
+    }
+    // stranded `v=N.building` temp siblings (a write that crashed
+    // mid-parquet, including one whose number later got re-listed as
+    // committed by a successful retry) — swept on the same TTL so a
+    // LIVE writer's in-flight temp is never deleted under it
+    f.listStatus(new Path(root)).toSeq.foreach { s =>
+      if (s.isDirectory && s.getPath.getName.matches("^v=\\d+\\.building$")
+          && s.getModificationTime < cutoff)
+        f.delete(s.getPath, true)
     }
     drop
   }

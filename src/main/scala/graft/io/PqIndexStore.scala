@@ -1,7 +1,5 @@
 package graft.io
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,7 +65,7 @@ object PqIndexStore {
   private val ResidualMarker = "_RESIDUAL_CODES"
 
   def exists(dir: String): Boolean =
-    Files.exists(Paths.get(dir, Marker))
+    MarkerCommit.markerExists(dir, Marker)
 
   /** Persist a trained index. `codes` must carry `c_id` iff
     * `centroids` is given (the IVF layout contract); `residual`
@@ -105,7 +103,7 @@ object PqIndexStore {
     else
       codes.write.mode("overwrite").parquet(s"$tmp/codes")
     if (residual)
-      Files.writeString(Paths.get(tmp, ResidualMarker), "residual\n")
+      MarkerCommit.touch(s"$tmp/$ResidualMarker", "residual\n")
     // commit: the shared MarkerCommit swap — recover a stranded
     // `.old` predecessor (a prior crash can leave it holding the
     // ONLY committed artifact), rename the current index ASIDE
@@ -130,18 +128,18 @@ object PqIndexStore {
       s"no committed PQ index at $dir (missing $Marker)")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
     val rotation =
-      if (Files.exists(Paths.get(dir, "rotation")))
+      if (MarkerCommit.fileExists(s"$dir/rotation"))
         Some(spark.read.parquet(s"$dir/rotation")
           .orderBy("i").collect()
           .map(r => r.getSeq[Double](1).toSeq).toSeq)
       else None
     val centroids =
-      if (Files.exists(Paths.get(dir, "centroids")))
+      if (MarkerCommit.fileExists(s"$dir/centroids"))
         Some(spark.read.parquet(s"$dir/centroids"))
       else None
     PqIndex(codebooks, spark.read.parquet(s"$dir/codes"),
       rotation, centroids,
-      residual = Files.exists(Paths.get(dir, ResidualMarker)))
+      residual = MarkerCommit.fileExists(s"$dir/$ResidualMarker"))
   }
 
   /** Read the committed index at `dir`, or build + persist it first.

@@ -1,7 +1,5 @@
 package graft.io
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Committed-artifact persistence for the sketch frames
@@ -42,7 +40,7 @@ object SketchStore {
   private val Marker = "_SKETCH_READY"
 
   def exists(dir: String): Boolean =
-    Files.exists(Paths.get(dir, Marker))
+    MarkerCommit.markerExists(dir, Marker)
 
   /** Commit `frame` at `dir` (replacing any committed predecessor)
     * under the marker-last successor discipline. Sketch frames are

@@ -77,7 +77,9 @@ object AsofJoin {
            leftTs: String, rightTs: String, payload: Seq[String],
            tieBreak: String, tolerance: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
-    val reserved = Seq("__ts", "__side", "__r")
+    // __m is created via withColumn below: a left column of that name
+    // would be silently overwritten and re-read as the match struct
+    val reserved = Seq("__ts", "__side", "__r", "__m")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"column names ${reserved.mkString(", ")} are reserved")
     val rTagged = right.where(col(rightTs).isNotNull).select(

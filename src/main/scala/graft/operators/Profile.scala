@@ -139,6 +139,64 @@ object Profile {
       fields ++ numExtras)
   }
 
+  /** [[describe]] plus per-numeric-column quantiles read off an
+    * [[Hdr]] histogram — the completion of the DESCRIBE analog
+    * (count/null/distinct/min/max/mean/stddev/p50..p99 in one call).
+    *
+    * Quantile semantics: each numeric column's DECIMAL(18,2) view is
+    * scaled to integer CENTS (`×100`, exact — the view's whole
+    * domain fits a Long) and folded into the log-linear Hdr frame;
+    * the `p<q>_c` outputs are CENT-scaled `percentile_disc`-style
+    * estimates (`est ≤ true`, relative error ≤ 2^−b — the Hdr
+    * envelope), as BIGINT: integer arithmetic end-to-end, so the
+    * surface replays bit-identically in SQL with no decimal-division
+    * portability risk. The quantile view covers the NON-NEGATIVE
+    * castable values (the Hdr domain — counts/lengths/money);
+    * a column with negative values gets quantiles of its
+    * non-negative part, and `n_null`/`n_cast_fail` still come from
+    * the full profile. Exact-typed columns carry null quantiles.
+    *
+    * Plan shape — the documented TWO-scan trade: [[describe]] stays
+    * one Expand-aggregate scan; the histogram is a second aggregate
+    * with a different key (per-(column, bucket)) that CANNOT ride
+    * the same Expand without materializing every bucket id as a
+    * static aggregate expression (~2k columns per profiled column —
+    * a codegen explosion, not a plan). The second scan union-tags
+    * all numeric columns at once ((column, cents) pairs via one
+    * exploded map), so its shuffle is the per-task partial-aggregated
+    * bucket set — k numeric columns cost ONE extra scan total, never
+    * k. ProfileSpec pins scans == 2. */
+  def describeWithQuantiles(df: DataFrame, cols: Seq[String],
+                            numericCols: Seq[String],
+                            qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                            b: Int = Hdr.DefaultBits): DataFrame = {
+    require(numericCols.nonEmpty,
+      "describeWithQuantiles needs at least one numeric column")
+    require(qs.nonEmpty && qs.forall(q =>
+        q > 0.0 && q <= 1.0 && (q * 100) == math.rint(q * 100)),
+      "quantile probes must be whole percents in (0, 1]")
+    require(qs.distinct.size == qs.size, "duplicate quantile probes")
+    def pName(q: Double) = s"p${math.rint(q * 100).toInt}_c"
+    val base = describe(df, cols, numericCols)
+    // pass 2: every numeric column's cents, union-tagged through one
+    // exploded map — one scan and one (column, bucket)-keyed
+    // aggregate for ALL columns; a failed cast explodes as a null
+    // entry and the Hdr frame drops it (consistent with n_cast_fail
+    // exclusion from the moments)
+    val pairs = numericCols.flatMap(c => Seq(lit(c),
+      (expr(s"try_cast(`$c` AS DECIMAL(18,2))") * 100).cast("long")))
+    val tagged = df.select(explode(
+      map(pairs: _*)).as(Seq("column", "__cents")))
+    val hist = Hdr.frame(tagged, col("__cents"), b,
+      groupCols = Seq("column"))
+    val qCols = qs.map(q =>
+      max(when(col("q") === q, col("est"))).as(pName(q)))
+    val quants = Hdr.quantiles(hist, qs, groupCols = Seq("column"))
+      .groupBy(col("column"))
+      .agg(qCols.head, qCols.tail: _*)
+    base.join(quants, Seq("column"), "left")
+  }
+
   /** [[describe]] with the distinct count approximated: the exact
     * `count_distinct` is the profile's one vocabulary-sized shuffle
     * (every distinct value of every column travels — the q65/q66

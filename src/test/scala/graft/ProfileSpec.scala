@@ -125,6 +125,43 @@ class ProfileSpec extends GraftSuite {
       Profile.describe(df, Nil, numericCols = Seq("nope")))
   }
 
+  test("describeWithQuantiles: Hdr cent quantiles in one extra scan; envelope and null contracts") {
+    // cents land in the Hdr SINGLETON region (< 2^6 at b=5) for small
+    // values, so estimates there are EXACT percentile_disc
+    val xs = Seq(0.01, 0.02, 0.10, 0.25, 0.25, 0.40, 0.55, 0.63, 0.63, 0.63)
+    val df = xs.map(x => (java.lang.Double.valueOf(x), "s"))
+      .toDF("x", "tag")
+    val out = Profile.describeWithQuantiles(df, Seq("tag"), Seq("x"),
+      qs = Seq(0.5, 0.9))
+    // plan BEFORE executing (AQE double-print trap, as the other
+    // asserts): exactly TWO scans — the Expand profile and the one
+    // union-tagged histogram pass for ALL numeric columns
+    val scans = "Scan|LocalTableScan".r
+      .findAllIn(out.queryExecution.executedPlan.toString).size
+    assert(scans == 2, s"expected exactly two scans, got $scans")
+    val got = out.collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    // percentile_disc over cents: rank ceil(0.5*10)=5 -> 25 cents;
+    // ceil(0.9*10)=9 -> 63 cents (singleton buckets: exact)
+    assert(x.getLong(9) == 25L && x.getLong(10) == 63L,
+      s"got p50=${x.getLong(9)} p90=${x.getLong(10)}")
+    // the moments surface is untouched by the quantile join
+    assert(x.getString(4) == "0.01" && x.getString(5) == "0.63")
+    // exact-typed columns carry null quantiles
+    assert(got("tag").isNullAt(9) && got("tag").isNullAt(10))
+    // above the singleton region the Hdr envelope holds:
+    // est <= true <= est * (1 + 2^-b)
+    val big = (1 to 1000).map(i =>
+      java.lang.Double.valueOf(i.toDouble)).toDF("x")
+    val bigRow = Profile.describeWithQuantiles(big, Nil, Seq("x"))
+      .collect().head
+    val (p50, p99) = (bigRow.getLong(9), bigRow.getLong(10 + 1))
+    assert(p50 <= 50000 && 50000 <= p50 + (p50 >> 5) + 31,
+      s"p50_c=$p50 outside the Hdr envelope of 50000")
+    assert(p99 <= 99000 && 99000 <= p99 + (p99 >> 5) + 31,
+      s"p99_c=$p99 outside the Hdr envelope of 99000")
+  }
+
   test("describeApprox: estimate within 3x rsd of exact; sketch-sized shuffle, single scan") {
     val n = 5000
     val df = (0 until n).map(i => (i.toLong * 2654435761L, s"v$i"))
