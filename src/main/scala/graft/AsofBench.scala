@@ -117,16 +117,24 @@ object AsofBench {
       implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val batchSize =
         sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "20000").toInt
-      val tagged = (
+      // event-time delivery order computed by SPARK (global sort —
+      // ordering by the timestamp column is ordering by its micros)
+      // and streamed to the driver batch-by-batch via
+      // toLocalIterator: the driver holds ONE batch at a time, where
+      // the prior collect().sortBy held (and sorted) the whole union
+      // driver-side — a multi-GB allocation at the 10M-row XL rung
+      // that bounded the benchable scale
+      import scala.jdk.CollectionConverters._
+      val batchIt = (
         left.select(col("user_id").as("key"), col("ts"),
             lit(1).as("side"), col("event_id").as("id"),
             lit(null).cast("double").as("value")) unionByName
         right.select(col("user_id").as("key"), col("ts"),
           lit(0).as("side"), col("click_id").as("id"),
           col("click_value").as("value")))
-        .as[EventPipelines.AsofUnion].collect()
-        .sortBy(e => (EventPipelines.tsMicros(e.ts), e.side, e.id))
-      val batches = tagged.grouped(batchSize).toSeq
+        .as[EventPipelines.AsofUnion]
+        .orderBy(col("ts"), col("side"), col("id"))
+        .toLocalIterator().asScala.grouped(batchSize)
       StallProbe.start()
       val loadBefore = loadavg
       val stall0 = StallProbe.totalSec
@@ -136,7 +144,7 @@ object AsofBench {
         .outputMode("append").start()
       val perBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
-        batches.zipWithIndex.foreach { case (b, k) =>
+        batchIt.zipWithIndex.foreach { case (b, k) =>
           val t0 = System.nanoTime()
           mem.addData(b.toSeq: _*)
           q.processAllAvailable()
@@ -171,7 +179,7 @@ object AsofBench {
             perBatch.headOption.getOrElse(-1.0)}""" +
           s""","per_batch_sec":${perBatch.map(x =>
             math.round(x * 1000) / 1000.0).mkString("[", ",", "]")}""" +
-          s""","batches":${batches.size},"batch_rows":$batchSize""" +
+          s""","batches":${perBatch.size},"batch_rows":$batchSize""" +
           s""","n_left":$nLeft,"n_right":$nRight,"keys":$keys""" +
           s""","hot_pct":$hotPct""" +
           s""","stall_sec":${math.round(stallSec * 100) / 100.0}""" +

@@ -141,6 +141,50 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // ---- per-QUERY witnesses (r13, after the r12 in-suite
+    // interference case: q_dedup_embedding_incremental 32.4 s
+    // in-suite vs 15.9 s isolated with nothing in the artifact to
+    // name the interferer). Each timed query records its own GC
+    // time, host-stall, shuffle spill, and per-task peak execution
+    // memory; the JSON carries the MAX across runs per query (the
+    // worst sample is the attribution signal), the stderr log line
+    // carries every run's values. A query whose stall≈gc inflated
+    // in-suite names the JVM; big spill/peakmem on the PRECEDING
+    // query names the interferer (heap pressure it left behind).
+    // SPARK_GRAFT_WITNESS=0 disables the per-query witness machinery
+    // entirely (no listener, no bus drain) — the control arm for
+    // pricing the witness's own overhead against a witness-free run
+    val witnessOn = sys.env.getOrElse("SPARK_GRAFT_WITNESS", "1") != "0"
+    val qSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val qPeakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (witnessOn) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            qSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            qPeakMem.getAndUpdate(cur =>
+              math.max(cur, m.peakExecutionMemory))
+          }
+        }
+      })
+    def gcSecNow: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum / 1e3
+    }
+    val witGc = scala.collection.mutable.Map.empty[String, Double]
+    val witStall = scala.collection.mutable.Map.empty[String, Double]
+    val witSpillMb = scala.collection.mutable.Map.empty[String, Double]
+    val witPeakMb = scala.collection.mutable.Map.empty[String, Double]
+    // codegen compilations per query (max across runs): the
+    // generated-class cache holds 100 entries and a 170-query suite
+    // churns it — an evicted plan recompiles through Janino on its
+    // next run, which reads as "the query got slower" with no source
+    // change (the r12 md5-twin suspicion). Fresh-JVM count == in-suite
+    // count kills that hypothesis; in-suite higher names it.
+    val witCodegen = scala.collection.mutable.Map.empty[String, Double]
     // Per-query watchdog (r6, after an sf1 query ate 40+ min of a
     // single-run probe with NOTHING in the log to name it): the timed
     // action runs under a job group; if it exceeds
@@ -157,8 +201,30 @@ object Bench {
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
       System.err.println(s"[bench] > $name")
+      qSpill.set(0L); qPeakMem.set(0L)
+      val gc0 = gcSecNow
+      val stall0 = StallProbe.totalSec
+      val cg0 = org.apache.spark.sql.graft.CodegenBridge.compileCount
       val t0 = System.nanoTime()
       def secs = (System.nanoTime() - t0) / 1e9
+      def witness(): (Double, Double, Double, Double, Long) = {
+        if (!witnessOn) return (0.0, 0.0, 0.0, 0.0, 0L)
+        // drain the listener bus so the spill/peakmem counters hold
+        // every task of THIS query before they're read
+        try org.apache.spark.sql.graft.ListenerBridge
+          .waitUntilEmpty(spark.sparkContext)
+        catch { case _: Throwable => () }
+        val w = (gcSecNow - gc0, StallProbe.totalSec - stall0,
+          qSpill.get() / 1048576.0, qPeakMem.get() / 1048576.0,
+          org.apache.spark.sql.graft.CodegenBridge.compileCount - cg0)
+        def mx(m: scala.collection.mutable.Map[String, Double],
+               v: Double): Unit = m(name) = math.max(m.getOrElse(name,
+          Double.NegativeInfinity), math.round(v * 100) / 100.0)
+        mx(witGc, w._1); mx(witStall, w._2)
+        mx(witSpillMb, w._3); mx(witPeakMb, w._4)
+        mx(witCodegen, w._5.toDouble)
+        w
+      }
       try {
         val action = new java.util.concurrent.FutureTask[Unit](() =>
           try {
@@ -182,11 +248,15 @@ object Bench {
           case e: java.util.concurrent.ExecutionException => throw e.getCause
         }
         val t = secs
-        System.err.println(f"[bench] < $name ${t}%.2f s")
+        val (g, st, sp, pk, cg) = witness()
+        System.err.println(f"[bench] < $name ${t}%.2f s " +
+          f"gc=$g%.2f s stall=$st%.2f s spill=$sp%.1f MB " +
+          f"peak=$pk%.1f MB codegen=$cg")
         t
       } catch { case e: Throwable =>
         System.err.println(
           f"[bench] < $name FAILED after $secs%.1f s: ${e.getMessage}")
+        witness()
         errors += name; -1.0
       } finally sweep()
     }
@@ -235,11 +305,7 @@ object Bench {
     // the host did it (retry for a quiet window). Added r9 after a
     // full-suite stall chase where neither could be ruled out from
     // the artifact alone.
-    def gcSec: Double = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime.max(0L)).sum / 1e3
-    }
+    def gcSec: Double = gcSecNow
     val attempts = scala.collection.mutable.ArrayBuffer
       .empty[(Map[String, Double], Double)]
     val gcPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -328,6 +394,13 @@ object Bench {
         s""","short_sample":${quietIdx.nonEmpty && quietIdx.size < runs}""" +
         s""","used_runs":${usedIdx.mkString("[", ",", "]")}""" +
         s""","dropped_from_totals":${jarr(dropped)}""" +
+        // per-query witnesses: MAX across runs (worst sample = the
+        // attribution signal; per-run values are in the stderr log)
+        s""","queries_gc_max":${jmap(witGc.toMap)}""" +
+        s""","queries_stall_max":${jmap(witStall.toMap)}""" +
+        s""","queries_spill_max_mb":${jmap(witSpillMb.toMap)}""" +
+        s""","queries_peakmem_max_mb":${jmap(witPeakMb.toMap)}""" +
+        s""","queries_codegen_max":${jmap(witCodegen.toMap)}""" +
         s""","oracle_only":${jarr(oracleOnly.toSeq.sorted)}""" +
         s""","oracle_only_sec":$oracleSec""" +
         s""","skip_oracle_only":$skipOracleOnly""" +

@@ -306,6 +306,184 @@ object StoreBench {
       return
     }
 
+    // "merge" prices the keyed-MERGE maintenance claim (r13): day-N
+    // upsert of a change batch (updates + deletes + inserts over a
+    // replicated orders table) into a stored keyed table, three ways:
+    //  versioned   — Merge.mergeVersioned: table-atomic full rewrite
+    //                per day through the shared MarkerCommit window;
+    //  partitioned — Merge.mergePartitioned over a key-RANGE partCol
+    //                (pure function of the key): only the partitions
+    //                the batch touches are read and rewritten — the
+    //                100 TB form, whose cost tracks the BATCH's
+    //                partition footprint, not the table;
+    //  replay      — the no-store control: rebuild the final table
+    //                from the base + the FULL change log so far (the
+    //                reference's append + latest-run-snapshot
+    //                pattern), whose cost GROWS with history.
+    // Each day's batch is persisted before the timers (derivation
+    // identical across arms); arm order alternates per day; all
+    // three finals are fingerprint-asserted identical before any
+    // number is reported.
+    if (kind == "merge") {
+      import graft.etl.{Merge, VersionStore}
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val days = sys.env.getOrElse("SPARK_GRAFT_STORE_DAYS", "5").toInt
+      val ranges = sys.env.getOrElse("SPARK_GRAFT_MERGE_RANGES", "8").toInt
+      val okMax = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val rangeSize = okMax / ranges + 1
+      val keySpan = rangeSize * ranges // replicas tile ranges exactly
+      def withP(df: DataFrame): DataFrame =
+        df.withColumn("p", expr(s"k div ${rangeSize}L"))
+      def baseTable: DataFrame = withP(
+        (0 until storeScale).map(i =>
+            orders.select((col("o_orderkey") + lit(i * keySpan)).as("k"),
+              col("o_custkey").as("ck"), col("o_orderstatus").as("st"),
+              col("o_totalprice").cast("decimal(18,2)").as("total"),
+              to_date(col("o_orderdate")).as("day")))
+          .reduce(_ unionByName _))
+      // day d churns ONE replica (updates ~5%, deletes ~1%) and
+      // inserts a fresh key range — the recent-keys-churn CDC shape
+      // the partition pruning exists for
+      def dayBatch(d: Int): DataFrame = {
+        val r = (d - 1) % storeScale
+        val rep = orders.select(
+          (col("o_orderkey") + lit(r.toLong * keySpan)).as("k"),
+          col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          col("o_orderstatus").as("st"),
+          to_date(col("o_orderdate")).as("day"))
+        val ups = rep.where(col("ok") % 20 === d % 20)
+          .select(col("k"), col("ck"), col("st"),
+            ((col("k") % 1000) + lit(d)).cast("decimal(18,2)").as("total"),
+            col("day"), lit(d).as("ts"), lit(1).as("gen"),
+            lit(false).as("is_delete"))
+        val dels = rep.where(col("ok") % 97 === d % 97)
+          .select(col("k"), col("ck"), col("st"),
+            lit(null).cast("decimal(18,2)").as("total"), col("day"),
+            lit(d).as("ts"), lit(2).as("gen"), lit(true).as("is_delete"))
+        val ins = orders.where(col("o_orderkey") % 50 === 0)
+          .select((col("o_orderkey") +
+              lit((storeScale + d).toLong * keySpan)).as("k"),
+            col("o_custkey").as("ck"), col("o_orderstatus").as("st"),
+            col("o_totalprice").cast("decimal(18,2)").as("total"),
+            to_date(col("o_orderdate")).as("day"),
+            lit(d).as("ts"), lit(1).as("gen"), lit(false).as("is_delete"))
+        withP(ups.unionByName(dels).unionByName(ins))
+      }
+      val vroot = s"$warehouse/merge_versioned"
+      val ppath = s"$warehouse/merge_partitioned"
+      val replayDir = s"$warehouse/merge_replay"
+      val baseDir = s"$warehouse/merge_base"
+      Seq(vroot, ppath, replayDir, baseDir).foreach(
+        graft.io.MarkerCommit.deleteRecursively)
+      def timed(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def sweep(): Unit = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+      }
+      val tBase = timed {
+        baseTable.write.mode("overwrite").parquet(baseDir)
+        VersionStore.write(spark.read.parquet(baseDir), vroot)
+        graft.io.PartitionedStore.write(
+          spark.read.parquet(baseDir), ppath, "p")
+      }
+      val batchDirs = (1 to days).map { d =>
+        val bd = s"$warehouse/merge_batch_$d"
+        dayBatch(d).write.mode("overwrite").parquet(bd); d -> bd
+      }.toMap
+      sweep()
+      val loadBefore = loadavg
+      StallProbe.start()
+      val stall0 = StallProbe.totalSec
+      val vT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val pT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val rT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val touchedPerDay = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (d <- 1 to days) {
+        val batch = spark.read.parquet(batchDirs(d))
+        var touched = 0
+        val arms: Seq[(String, () => Double)] = Seq(
+          "versioned" -> (() => timed(
+            Merge.mergeVersioned(spark, vroot, batch, Seq("k"),
+              col("ts"), col("gen"), Some("is_delete")))),
+          "partitioned" -> (() => timed {
+            touched = Merge.mergePartitioned(spark, ppath, batch,
+              Seq("k"), col("ts"), col("gen"), "p",
+              Some("is_delete")).size
+          }),
+          "replay" -> (() => timed {
+            val log = (1 to d).map(i =>
+              spark.read.parquet(batchDirs(i))).reduce(_ unionByName _)
+            Merge.merge(spark.read.parquet(baseDir), log, Seq("k"),
+                col("ts"), col("gen"), Some("is_delete"))
+              .write.mode("overwrite").parquet(replayDir)
+          }))
+        val order = if (d % 2 == 1) arms else arms.reverse
+        val got = order.map { case (nm, f) =>
+          val t = f(); sweep(); nm -> t }.toMap
+        vT += got("versioned"); pT += got("partitioned")
+        rT += got("replay"); touchedPerDay += touched
+        // retention upkeep, untimed (the realistic deployment keeps a
+        // bounded history; unbounded versions would also exhaust /tmp)
+        VersionStore.vacuum(spark, vroot, keepLast = 2)
+        System.err.println(f"[store-bench] merge day $d " +
+          f"versioned=${got("versioned")}%.2f s " +
+          f"partitioned=${got("partitioned")}%.2f s " +
+          f"replay=${got("replay")}%.2f s touched=$touched")
+      }
+      // identity across all three commit paths, BEFORE the numbers
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(k, ck, st, total, day, p))")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val fps = Seq(fp(VersionStore.latest(spark, vroot)),
+        fp(spark.read.parquet(ppath)), fp(spark.read.parquet(replayDir)))
+      if (fps.distinct.size != 1) {
+        System.err.println(s"[store-bench] MERGE ARM MISMATCH: $fps")
+        sys.exit(1)
+      }
+      val tableRows = fps.head._1
+      val partTotal = graft.io.PartitionedStore
+        .filesPerPartition(spark, ppath, "p").size
+      val stallSec = StallProbe.totalSec - stall0
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def jarr(xs: Seq[Double]) = xs.map(x =>
+        math.round(x * 1000) / 1000.0).mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"merge_day_median","value":${med(pT.toSeq)}""" +
+          s""","unit":"sec","kind":"merge"""" +
+          s""","versioned_median":${med(vT.toSeq)}""" +
+          s""","partitioned_median":${med(pT.toSeq)}""" +
+          s""","replay_median":${med(rT.toSeq)}""" +
+          s""","versioned_per_day":${jarr(vT.toSeq)}""" +
+          s""","partitioned_per_day":${jarr(pT.toSeq)}""" +
+          s""","replay_per_day":${jarr(rT.toSeq)}""" +
+          s""","replay_over_partitioned":${med(rT.toSeq) / med(pT.toSeq)}""" +
+          s""","versioned_over_partitioned":${med(vT.toSeq) / med(pT.toSeq)}""" +
+          s""","touched_partitions":${touchedPerDay.mkString("[", ",", "]")}""" +
+          s""","total_partitions":$partTotal""" +
+          s""","table_rows":$tableRows,"days":$days""" +
+          s""","store_scale":$storeScale,"ranges_per_replica":$ranges""" +
+          s""","base_build_sec":${math.round(tBase * 100) / 100.0}""" +
+          s""","identity_ok":true""" +
+          s""","stall_sec":${math.round(stallSec * 100) / 100.0}""" +
+          s""","loadavg_before":"$loadBefore","loadavg_after":"$loadavg"""" +
+          s""","cpus":"$cpus","sf":"$sfDir"}"""
+      println(json)
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "store_bench.json")
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[store-bench] write $out failed: $e") }
+      spark.stop()
+      return
+    }
+
     /** One bench-able store layout: the index frames it stores, the
       * increment joined against them, and the store lifecycle — the
       * bucketed-table defaults serve sig/signband; the ivf kind
