@@ -185,6 +185,32 @@ object Bench {
     // change (the r12 md5-twin suspicion). Fresh-JVM count == in-suite
     // count kills that hypothesis; in-suite higher names it.
     val witCodegen = scala.collection.mutable.Map.empty[String, Double]
+    // JIT witnesses (r13, for the md5-twin attribution): the
+    // oracle-only twins execute exactly ONCE, at the END of the
+    // suite, so their wall-clock includes tier-up JIT of their hot
+    // loops — and a fresh-JVM probe showed that cold cost alone is
+    // ~3.5 s on q_bloom_membership_seeded (4.5 s first execution,
+    // 0.9 s warm, codegen=4). If the JVM's code cache fills late in
+    // a 3×171-query suite, the compiler shuts off ("CodeCache is
+    // full") and a late one-shot query runs INTERPRETED — a
+    // consistent min==median slowdown with no source change, which
+    // is exactly the r12 signature. `jit_ms` per query (compiler
+    // thread time, MX bean) and the per-run code-cache occupancy
+    // split that attribution: occupancy at capacity + zero jit
+    // during the slow query names a disabled compiler; high jit
+    // during the query names ordinary cold tier-up.
+    def jitMsNow: Double = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime.toDouble else -1.0
+    }
+    def codeCacheMb: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed / 1048576.0).sum
+    }
+    val witJitMs = scala.collection.mutable.Map.empty[String, Double]
     // Per-query watchdog (r6, after an sf1 query ate 40+ min of a
     // single-run probe with NOTHING in the log to name it): the timed
     // action runs under a job group; if it exceeds
@@ -205,10 +231,11 @@ object Bench {
       val gc0 = gcSecNow
       val stall0 = StallProbe.totalSec
       val cg0 = org.apache.spark.sql.graft.CodegenBridge.compileCount
+      val jit0 = jitMsNow
       val t0 = System.nanoTime()
       def secs = (System.nanoTime() - t0) / 1e9
-      def witness(): (Double, Double, Double, Double, Long) = {
-        if (!witnessOn) return (0.0, 0.0, 0.0, 0.0, 0L)
+      def witness(): (Double, Double, Double, Double, Long, Double) = {
+        if (!witnessOn) return (0.0, 0.0, 0.0, 0.0, 0L, 0.0)
         // drain the listener bus so the spill/peakmem counters hold
         // every task of THIS query before they're read
         try org.apache.spark.sql.graft.ListenerBridge
@@ -216,13 +243,14 @@ object Bench {
         catch { case _: Throwable => () }
         val w = (gcSecNow - gc0, StallProbe.totalSec - stall0,
           qSpill.get() / 1048576.0, qPeakMem.get() / 1048576.0,
-          org.apache.spark.sql.graft.CodegenBridge.compileCount - cg0)
+          org.apache.spark.sql.graft.CodegenBridge.compileCount - cg0,
+          jitMsNow - jit0)
         def mx(m: scala.collection.mutable.Map[String, Double],
                v: Double): Unit = m(name) = math.max(m.getOrElse(name,
           Double.NegativeInfinity), math.round(v * 100) / 100.0)
         mx(witGc, w._1); mx(witStall, w._2)
         mx(witSpillMb, w._3); mx(witPeakMb, w._4)
-        mx(witCodegen, w._5.toDouble)
+        mx(witCodegen, w._5.toDouble); mx(witJitMs, w._6)
         w
       }
       try {
@@ -248,10 +276,11 @@ object Bench {
           case e: java.util.concurrent.ExecutionException => throw e.getCause
         }
         val t = secs
-        val (g, st, sp, pk, cg) = witness()
+        val (g, st, sp, pk, cg, jit) = witness()
         System.err.println(f"[bench] < $name ${t}%.2f s " +
           f"gc=$g%.2f s stall=$st%.2f s spill=$sp%.1f MB " +
-          f"peak=$pk%.1f MB codegen=$cg")
+          f"peak=$pk%.1f MB codegen=$cg jit=${jit / 1000}%.2f s " +
+          f"codecache=$codeCacheMb%.0f MB")
         t
       } catch { case e: Throwable =>
         System.err.println(
@@ -401,6 +430,8 @@ object Bench {
         s""","queries_spill_max_mb":${jmap(witSpillMb.toMap)}""" +
         s""","queries_peakmem_max_mb":${jmap(witPeakMb.toMap)}""" +
         s""","queries_codegen_max":${jmap(witCodegen.toMap)}""" +
+        s""","queries_jit_max_ms":${jmap(witJitMs.toMap)}""" +
+        s""","codecache_mb_final":${math.round(codeCacheMb * 10) / 10.0}""" +
         s""","oracle_only":${jarr(oracleOnly.toSeq.sorted)}""" +
         s""","oracle_only_sec":$oracleSec""" +
         s""","skip_oracle_only":$skipOracleOnly""" +

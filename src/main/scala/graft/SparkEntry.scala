@@ -365,6 +365,43 @@ object SparkEntry {
       VersionStore.latest(s, root)
     }),
 
+    // oracle-checked: the same MERGE through the PARTITION-PRUNED
+    // store path — the 100 TB form: the table lives key-range
+    // partitioned (p = key % 8, a pure function of the key, the
+    // stability guard's contract) and the merge reads and rewrites
+    // ONLY the partitions the batch touches. Re-applied on every
+    // call (idempotent re-delivery, spec-pinned) so the bench prices
+    // the real day-N rewrite; read-back includes the partition
+    // column, so the pruning layout itself is oracle-checked (r13)
+    "q_merge_partitioned" -> ((s, dir) => {
+      import graft.etl.Merge
+      def withP(df: DataFrame): DataFrame =
+        df.withColumn("p", (col("o_orderkey") % 8).cast("int"))
+      val target = withP(mergeDemoTarget(s, dir))
+      val fpRow = target.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(o_orderkey, o_custkey))")).head()
+      val fp = java.lang.Long.toHexString(fpRow.getLong(0) ^
+        (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
+      val path = s"/tmp/graft_serving_idx/mergep_$fp"
+      if (!new java.io.File(path).exists())
+        graft.io.PartitionedStore.write(target, path, "p")
+      Merge.mergePartitioned(s, path, withP(mergeDemoChanges(s, dir)),
+        Seq("o_orderkey"), col("change_ts"), col("gen"), "p",
+        deleteFlag = Some("is_delete"))
+      s.read.parquet(path)
+    }),
+
+    // oracle-checked: the CHANGE DATA FEED the same merge emits —
+    // one row per changed key with its action (insert: key absent;
+    // update: the new payload; delete: the target's pre-image, what
+    // a downstream consumer must retract). Delta CDF analog: the
+    // subscription surface for incremental consumers; spec pins
+    // applyFeed(target, feed) == merge(target, changes) (r13)
+    "q_merge_changes" -> ((s, dir) =>
+      graft.etl.Merge.changeFeed(mergeDemoTarget(s, dir),
+        mergeDemoChanges(s, dir), Seq("o_orderkey"),
+        col("change_ts"), col("gen"), deleteFlag = Some("is_delete"))),
+
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
     // partitioning the aggregate then reuses (one shuffle total);
@@ -2188,6 +2225,53 @@ object SparkEntry {
       |SELECT o_orderkey, o_custkey, o_orderstatus, total, order_day
       |FROM latest WHERE NOT is_delete""".stripMargin
 
+  /** [[mergeOracleSql]] with the partition column riding along —
+    * q_merge_partitioned reads the table back WITH its layout
+    * column, so the oracle derives p = key % 8 the same way. */
+  private val mergePartitionedOracleSql: String =
+    mergeOracleSql.replace(
+      """SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.total,
+        |       t.order_day
+        |FROM target t ANTI JOIN latest l USING (o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, total, order_day
+        |FROM latest WHERE NOT is_delete""".stripMargin,
+      """SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.total,
+        |       t.order_day, CAST(t.o_orderkey % 8 AS INT) AS p
+        |FROM target t ANTI JOIN latest l USING (o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, total, order_day,
+        |       CAST(o_orderkey % 8 AS INT) AS p
+        |FROM latest WHERE NOT is_delete""".stripMargin)
+
+  require(mergePartitionedOracleSql != mergeOracleSql,
+    "mergePartitionedOracleSql rewrite did not match the base oracle")
+
+  /** DuckDB replay of [[graft.etl.Merge.changeFeed]]: latest change
+    * per key LEFT-joined to the target — deletes of present keys
+    * emit the pre-image, upserts emit the new payload labeled by
+    * presence, deletes of absent keys emit nothing. */
+  private val mergeChangesOracleSql: String = {
+    val prefix = mergeOracleSql.substring(0,
+      mergeOracleSql.indexOf("SELECT t.o_orderkey"))
+    prefix +
+      """SELECT CASE WHEN l.is_delete THEN t.o_orderkey
+        |            ELSE l.o_orderkey END AS o_orderkey,
+        |       CASE WHEN l.is_delete THEN t.o_custkey
+        |            ELSE l.o_custkey END AS o_custkey,
+        |       CASE WHEN l.is_delete THEN t.o_orderstatus
+        |            ELSE l.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN l.is_delete THEN t.total
+        |            ELSE l.total END AS total,
+        |       CASE WHEN l.is_delete THEN t.order_day
+        |            ELSE l.order_day END AS order_day,
+        |       CASE WHEN l.is_delete THEN 'delete'
+        |            WHEN t.o_orderkey IS NOT NULL THEN 'update'
+        |            ELSE 'insert' END AS action
+        |FROM latest l LEFT JOIN target t ON l.o_orderkey = t.o_orderkey
+        |WHERE NOT (l.is_delete AND t.o_orderkey IS NULL)""".stripMargin
+  }
+
   /** The MERGE surface's target: the even-keyed half of orders, the
     * stored keyed table a change feed merges into. */
   private def mergeDemoTarget(s: SparkSession, dir: String): DataFrame =
@@ -2774,6 +2858,8 @@ object SparkEntry {
     // the versioned-store round-trip serves the identical merged
     // table: same oracle, verbatim (the q168 pattern)
     "q_merge_versioned" -> mergeOracleSql,
+    "q_merge_partitioned" -> mergePartitionedOracleSql,
+    "q_merge_changes" -> mergeChangesOracleSql,
 
     // open/close = the value at rank 1 of the asc/desc (ts, id)
     // orderings; position decides, not null-skipping

@@ -94,6 +94,78 @@ object Merge {
     survivors.unionByName(upserts)
   }
 
+  /** Change data feed — the row-level actions a [[merge]] of this
+    * batch would take (Delta's CDF analog, the subscription surface
+    * for incremental downstream consumers: an aggregate maintainer
+    * or replica applies the feed instead of diffing snapshots).
+    * One row per CHANGED key — the target column set plus `action`:
+    *   - `insert` — latest change is an upsert, key absent from
+    *     target (row = the incoming payload);
+    *   - `update` — latest change is an upsert, key present (row =
+    *     the NEW payload; consumers keying on `keys` replace);
+    *   - `delete` — latest change is flagged, key present (row =
+    *     the target's LAST row, the pre-image a consumer must
+    *     retract).
+    * A delete of an absent key emits nothing (the merge no-op), and
+    * an update that rewrites a row to itself still emits `update`
+    * (the feed reports actions, not diffs — diffing payload
+    * equality is the consumer's choice). Spec-pinned identity:
+    * applying the feed to the target reproduces `merge(target,
+    * changes)` exactly.
+    *
+    * Scale shape: the batch-sized latest-change frame joins the
+    * target on the keys — AQE broadcasts the batch side in the
+    * small-batch-into-big-table regime, so the target is scanned
+    * once and never shuffled, the same cost class as [[merge]]
+    * itself. */
+  def changeFeed(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                 ts: Column, tie: Column,
+                 deleteFlag: Option[String] = None): DataFrame = {
+    val missing = target.columns.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes must carry every target column; missing: " +
+        missing.mkString(", "))
+    require(!target.columns.contains("action"),
+      "column name 'action' is reserved for the feed")
+    val latest = latestChanges(changes, keys, ts, tie)
+    val isDel = deleteFlag.fold(lit(false))(d =>
+      coalesce(col(d), lit(false)))
+    val payload = target.columns.toIndexedSeq
+    // one row per changed key: the new payload, the delete flag, and
+    // (via the join) whether/what the target held before
+    val incoming = latest.select(
+      (payload.map(c => col(c).as(s"__n_$c")) :+ isDel.as("__del")): _*)
+    val existing = target.select(
+      (payload.map(c => col(c).as(s"__o_$c")) :+
+        lit(true).as("__exists")).toIndexedSeq: _*)
+    val joinCond = keys.map(k => col(s"__n_$k") === col(s"__o_$k"))
+      .reduce(_ && _)
+    incoming.join(existing, joinCond, "left")
+      .withColumn("action",
+        when(col("__del") && coalesce(col("__exists"), lit(false)),
+          lit("delete"))
+          .when(col("__del"), lit(null)) // delete of absent key: no-op
+          .when(coalesce(col("__exists"), lit(false)), lit("update"))
+          .otherwise(lit("insert")))
+      .where(col("action").isNotNull)
+      .select((payload.map(c =>
+        when(col("action") === "delete", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) :+ col("action")): _*)
+  }
+
+  /** Apply a [[changeFeed]] batch to a replica of the target —
+    * the consumer side of the feed: deletes retract, inserts and
+    * updates upsert. `feed` is one emitted batch (one action per
+    * key by construction). Spec-pinned: `applyFeed(target,
+    * changeFeed(target, c)) == merge(target, c)`. */
+  def applyFeed(replica: DataFrame, feed: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    val survivors = replica.join(feed.select(keys.map(col): _*),
+      keys, "left_anti")
+    survivors.unionByName(
+      feed.where(col("action") =!= "delete").drop("action"))
+  }
+
   /** MERGE into a [[VersionStore]]-kept table: read the latest
     * committed version, merge, commit the result as the next version
     * through the shared [[MarkerCommit]] crash window (VersionStore's
@@ -114,6 +186,34 @@ object Merge {
       merge(VersionStore.latest(spark, root), changes, keys, ts, tie,
         deleteFlag),
       root)
+
+  /** Streaming MERGE: each micro-batch of the change stream merges
+    * into the [[VersionStore]]-kept table via [[mergeVersioned]] —
+    * the lakehouse streaming-upsert shape (Delta's `foreachBatch` +
+    * `MERGE INTO` idiom). Returns the writer; the caller starts it.
+    *
+    * Contracts, both spec-pinned:
+    *   - ORDERED DELIVERY: batch-by-batch folding equals one merge
+    *     of the concatenated log when batches arrive in event-time
+    *     order per key (the repo-wide stream contract — a key's
+    *     later change never lands in an earlier batch). Out-of-order
+    *     WITHIN a batch is fine (latestChanges resolves it).
+    *   - AT-LEAST-ONCE SAFETY: re-delivering a batch re-applies an
+    *     idempotent merge — the table cannot diverge under replays
+    *     (it writes one redundant version, which vacuum reclaims).
+    * Empty micro-batches commit nothing. The root must hold a
+    * committed v0 (the base table — possibly empty) before the
+    * stream starts: `VersionStore.write(base, root)`. */
+  def streamVersioned(changes: DataFrame, root: String, keys: Seq[String],
+                      ts: Column, tie: Column,
+                      deleteFlag: Option[String] = None)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          mergeVersioned(batch.sparkSession, root, batch, keys, ts, tie,
+            deleteFlag): Unit
+      }
 
   /** MERGE into a directory-partitioned table ([[PartitionedStore]]
     * layout), rewriting ONLY the partitions the change batch touches

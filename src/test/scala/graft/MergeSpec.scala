@@ -222,4 +222,95 @@ class MergeSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("missing"))
   }
+
+  private def feedSet(df: DataFrame): Set[(Int, String, String)] =
+    df.select("k", "v", "action").as[(Int, String, String)]
+      .collect().toSet
+
+  test("changeFeed labels insert/update/delete; absent-key delete emits nothing") {
+    val target = targetDf(1 -> "a", 2 -> "b", 3 -> "c")
+    val changes = changesDf(
+      (1, "a2", 10, 1, false),     // update
+      (4, "d", 10, 1, false),      // insert
+      (2, "ignored", 10, 1, true), // delete: pre-image rides the feed
+      (5, "ghost", 10, 1, true),   // delete of an absent key: NOTHING
+      (3, "mid", 10, 1, false),
+      (3, "late", 11, 1, false))   // in-batch supersession resolves first
+    val feed = Merge.changeFeed(target, changes, Seq("k"),
+      col("ts"), col("tie"), deleteFlag = Some("is_delete"))
+    assert(feedSet(feed) == Set(
+      (1, "a2", "update"), (4, "d", "insert"),
+      (2, "b", "delete"),  // the TARGET's row, not the change's
+      (3, "late", "update")))
+  }
+
+  test("applyFeed(target, changeFeed) == merge(target, changes)") {
+    val target = targetDf(1 -> "a", 2 -> "b", 3 -> "c", 6 -> "f")
+    val changes = changesDf(
+      (1, "a2", 10, 1, false), (2, "x", 10, 1, true),
+      (4, "d", 10, 1, false), (9, "ghost", 10, 1, true),
+      (3, "mid", 10, 1, false), (3, "late", 11, 1, true))
+    val feed = Merge.changeFeed(target, changes, Seq("k"),
+      col("ts"), col("tie"), deleteFlag = Some("is_delete"))
+    val viaFeed = asSet(Merge.applyFeed(target, feed, Seq("k")))
+    val direct = asSet(Merge.merge(target, changes, Seq("k"),
+      col("ts"), col("tie"), deleteFlag = Some("is_delete")))
+    assert(viaFeed == direct)
+    assert(direct == Set(1 -> "a2", 4 -> "d", 6 -> "f"))
+  }
+
+  test("changeFeed reserves the action column") {
+    val e = intercept[IllegalArgumentException] {
+      Merge.changeFeed(
+        targetDf(1 -> "a").withColumn("action", lit("x")),
+        changesDf((1, "b", 10, 1, false)).withColumn("action", lit("y")),
+        Seq("k"), col("ts"), col("tie"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("streamVersioned: ordered batches fold to the log merge; replay is idempotent") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("msv").toString
+    VersionStore.write(targetDf(1 -> "a", 2 -> "b", 3 -> "c"), root)
+    // a change log in event-time order, split at ARBITRARY points
+    // (sizes 1/4/2/3) — the ordered-delivery contract is per key
+    // across batches, which any time-ordered split satisfies
+    val log = Seq(
+      MergeChg(1, "a2", 10, 1, false), MergeChg(4, "d", 11, 1, false),
+      MergeChg(2, "x", 12, 1, true), MergeChg(5, "ghost", 12, 2, true),
+      MergeChg(4, "d2", 13, 1, false), MergeChg(6, "e", 14, 1, false),
+      MergeChg(1, "a3", 15, 1, false), MergeChg(6, "gone", 16, 1, true),
+      MergeChg(7, "g", 17, 1, false), MergeChg(3, "c2", 18, 1, false))
+    val splits = Seq(log.slice(0, 1), log.slice(1, 5), log.slice(5, 7),
+      log.slice(7, 10))
+    val mem = MemoryStream[MergeChg]
+    val q = Merge.streamVersioned(mem.toDF(), root, Seq("k"),
+      col("ts"), col("tie"), deleteFlag = Some("is_delete")).start()
+    try {
+      splits.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val want = asSet(Merge.merge(targetDf(1 -> "a", 2 -> "b", 3 -> "c"),
+        log.toDF(), Seq("k"), col("ts"), col("tie"),
+        deleteFlag = Some("is_delete")))
+      assert(asSet(VersionStore.latest(spark, root)
+        .select("k", "v")) == want)
+      assert(want == Set(1 -> "a3", 3 -> "c2", 4 -> "d2", 7 -> "g"))
+      // at-least-once: re-delivering the last batch cannot diverge
+      // the table (one redundant version, same rows)
+      val vBefore = VersionStore.versions(spark, root).size
+      mem.addData(splits.last: _*); q.processAllAvailable()
+      assert(asSet(VersionStore.latest(spark, root)
+        .select("k", "v")) == want)
+      assert(VersionStore.versions(spark, root).size == vBefore + 1)
+      // empty micro-batches commit nothing (no new version)
+      q.processAllAvailable()
+      assert(VersionStore.versions(spark, root).size == vBefore + 1)
+    } finally q.stop()
+  }
 }
+
+/** Change row for [[MergeSpec]]'s streaming arm (file-scope so the
+  * product encoder derives cleanly). */
+final case class MergeChg(k: Int, v: String, ts: Int, tie: Int,
+                          is_delete: Boolean)
