@@ -20,7 +20,12 @@ import graft.operators.CensusPipeline
   * executors exactly like a batch shuffle; nothing accumulates on the
   * driver.
   */
-object EventPipelines {
+// Serializable: a state-function lambda that calls a helper method
+// on this object (tsMicros/microsTs) captures the MODULE as a lambda
+// argument, and Spark's closure cleaner cannot null a SerializedLambda
+// captured arg — the task then fails serialization. The module is
+// stateless, so shipping it is free.
+object EventPipelines extends Serializable {
 
   /** Streaming twin of `CensusPipeline.hourlyAgg` — same aggregate
     * expressions (shared `hourlyAggExprs`), tumbling 1-hour windows on
@@ -52,7 +57,15 @@ object EventPipelines {
   // ---------------------------------------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
-  final case class SessionState(startMs: Long, endMs: Long,
+  // session edges in MICROS: `Timestamp.getTime` truncates to millis,
+  // and the batch twin emits full-precision min/max timestamps — a
+  // millis-grained state emitted sessions whose edges were up to
+  // 999 µs early and broke stream == batch on the real (micros-
+  // grained) events table. Caught by StreamBench's identity gate in
+  // r13 (the spec's synthetic inputs were milli-aligned, so the spec
+  // alone never saw it — its inputs now carry micros too). Same bug
+  // family as the r12 streamAsofJoin millis-truncation find.
+  final case class SessionState(startUs: Long, endUs: Long,
                                 n: Long, sum: Double)
   final case class UserSession(user_id: Long, session_start: Timestamp,
                                session_end: Timestamp, n_events: Long,
@@ -85,8 +98,10 @@ object EventPipelines {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
+    val gapUs = gapMs * 1000L
+
     def toSession(uid: Long, s: SessionState): UserSession =
-      UserSession(uid, new Timestamp(s.startMs), new Timestamp(s.endMs),
+      UserSession(uid, microsTs(s.startUs), microsTs(s.endUs),
         s.n, s.sum)
 
     def fn(uid: Long, evts: Iterator[SessionEvent],
@@ -96,17 +111,17 @@ object EventPipelines {
         state.remove()
         return out.iterator
       }
-      val sorted = evts.toArray.sortBy(_.ts.getTime)
+      val sorted = evts.toArray.sortBy(e => tsMicros(e.ts))
       var open = state.getOption
       val closed = Vector.newBuilder[UserSession]
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = tsMicros(e.ts)
         open match {
-          case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+          case Some(s) if t >= s.startUs - gapUs && t <= s.endUs + gapUs =>
             // within gap of either edge: merge, extending both ways
-            open = Some(SessionState(math.min(s.startMs, t),
-              math.max(s.endMs, t), s.n + 1, s.sum + e.value))
-          case Some(s) if t < s.startMs - gapMs =>
+            open = Some(SessionState(math.min(s.startUs, t),
+              math.max(s.endUs, t), s.n + 1, s.sum + e.value))
+          case Some(s) if t < s.startUs - gapUs =>
             // out-of-order beyond the gap: standalone historical session
             closed += UserSession(uid, e.ts, e.ts, 1L, e.value)
           case Some(s) =>
@@ -119,7 +134,10 @@ object EventPipelines {
       open match {
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(s.endMs + gapMs)
+          // timeout clock is millis-grained: round the horizon UP so
+          // the timeout never fires a microsecond early
+          state.setTimeoutTimestamp(
+            Math.floorDiv(s.endUs + gapUs + 999L, 1000L))
         case None => state.remove()
       }
       closed.result().iterator
@@ -558,7 +576,16 @@ object EventPipelines {
 
   final case class FunnelEvent(user_id: Long, ts: Timestamp,
                                event_type: String)
-  final case class FunnelState(timesMs: List[Long])
+  // stage times in MICROS (tsMicros): the batch operator compares
+  // full-precision timestamps, and a millis-grained state let a
+  // stage event up to 999 µs EARLIER than the previous stage's
+  // minimum pass the inclusive `>=` gate (and milli-tied sorting
+  // could pick a micros-later event as "first"), diverging from
+  // batch on micros-grained tables — the sessionize/streamAsofJoin
+  // truncation family. Field renamed with the unit (a checkpoint
+  // started on the millis version must restart from a fresh
+  // checkpoint directory — same Long shape, different meaning).
+  final case class FunnelState(timesUs: List[Long])
   final case class FunnelProgress(user_id: Long, stages_completed: Long)
 
   /** Streaming twin of `EventAnalytics.funnelDepth`: per-user funnel
@@ -586,16 +613,16 @@ object EventPipelines {
 
     def fn(uid: Long, evts: Iterator[FunnelEvent],
            state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
-      var times = state.getOption.map(_.timesMs).getOrElse(Nil)
+      var times = state.getOption.map(_.timesUs).getOrElse(Nil)
       val sorted = evts.toArray
         .filter(e => stageIdx.contains(e.event_type))
-        .sortBy(e => (e.ts.getTime, stageIdx(e.event_type)))
+        .sortBy(e => (tsMicros(e.ts), stageIdx(e.event_type)))
       val out = Vector.newBuilder[FunnelProgress]
       sorted.foreach { e =>
         val k = times.size
         if (k < stages.size && e.event_type == stages(k) &&
-            (k == 0 || e.ts.getTime >= times.last)) {
-          times = times :+ e.ts.getTime
+            (k == 0 || tsMicros(e.ts) >= times.last)) {
+          times = times :+ tsMicros(e.ts)
           out += FunnelProgress(uid, times.size.toLong)
         }
       }
@@ -661,6 +688,15 @@ object EventPipelines {
     * table is micros-grained). */
   private[graft] def tsMicros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+  /** Inverse of [[tsMicros]]: a full-precision Timestamp from epoch
+    * micros (constructor millis + setNanos for the sub-second part —
+    * `new Timestamp(us / 1000)` alone drops the microseconds). */
+  private[graft] def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   final case class AsofOut(key: Long, left_id: Long, ts: Timestamp,
                            asof_right_id: Option[Long],
                            asof_ts: Option[Timestamp],

@@ -69,7 +69,7 @@ class StreamingSpec extends GraftSuite {
     val maxUs = rows.map(_._2).max
     val mem = MemoryStream[EventPipelines.SessionEvent]
     val evts = rows.map { case (u, us, v) =>
-      EventPipelines.SessionEvent(u, new Timestamp(us / 1000L), v)
+      EventPipelines.SessionEvent(u, EventPipelines.microsTs(us), v)
     }
     val q = EventPipelines
       .sessionize(mem.toDS(), gapMinutes = 60)
@@ -108,7 +108,7 @@ class StreamingSpec extends GraftSuite {
       .as[(Long, Long, Double)].collect().toSeq
     val maxUs = rows.map(_._2).max
     val evts = rows.map { case (u, us, v) =>
-      EventPipelines.SessionEvent(u, new Timestamp(us / 1000L), v) }
+      EventPipelines.SessionEvent(u, EventPipelines.microsTs(us), v) }
     val mem = MemoryStream[EventPipelines.SessionEvent]
     // update mode re-emits a user's totals each time a session
     // seals; the final snapshot per user is the rollup of record
@@ -887,11 +887,21 @@ class StreamingSpec extends GraftSuite {
       EventPipelines.FunnelEvent(2L, ts("2026-01-01 10:00:00"), "signup"),
       EventPipelines.FunnelEvent(3L, ts("2026-01-01 09:00:00"), "click"),
       EventPipelines.FunnelEvent(4L, ts("2026-01-01 09:00:00"), "view"))
+    // u5/u6: MICROSECOND boundaries inside one millisecond — u5's
+    // click is 1 µs BEFORE its signup (same milli: a millis-grained
+    // gate would wrongly admit it via >=), u6's click 1 µs after
+    // (must advance). Pins the tsMicros precision of the stage gate.
+    def us(base: String, plus: Long) = EventPipelines.microsTs(
+      EventPipelines.tsMicros(ts(base)) + plus)
     val batch2 = Seq(
       EventPipelines.FunnelEvent(1L, ts("2026-01-01 11:00:00"), "click"),
       EventPipelines.FunnelEvent(1L, ts("2026-01-01 12:00:00"), "purchase"),
       EventPipelines.FunnelEvent(3L, ts("2026-01-01 10:00:00"), "signup"),
-      EventPipelines.FunnelEvent(3L, ts("2026-01-01 11:00:00"), "click"))
+      EventPipelines.FunnelEvent(3L, ts("2026-01-01 11:00:00"), "click"),
+      EventPipelines.FunnelEvent(5L, us("2026-01-01 10:00:00", 100), "signup"),
+      EventPipelines.FunnelEvent(5L, us("2026-01-01 10:00:00", 99), "click"),
+      EventPipelines.FunnelEvent(6L, us("2026-01-01 10:00:00", 100), "signup"),
+      EventPipelines.FunnelEvent(6L, us("2026-01-01 10:00:00", 101), "click"))
     val mem = MemoryStream[EventPipelines.FunnelEvent]
     val q = EventPipelines.streamFunnelDepth(mem.toDS(), stages)
       .writeStream.format("memory").queryName("sfun")
@@ -914,7 +924,8 @@ class StreamingSpec extends GraftSuite {
         "user_id", col("ts"), col("event_type"), stages)
       .as[(Long, Long)].collect().toMap
     assert(maxDepth == batchDepth)
-    assert(maxDepth == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+    assert(maxDepth == Map(1L -> 3L, 2L -> 2L, 3L -> 2L,
+      5L -> 1L, 6L -> 2L))
   }
 
   test("streamOhlcHourly == batch bars on null-free values, invariant under micro-batch split") {
