@@ -39,4 +39,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // itself. Concurrent explicit GC keeps the hygiene semantics with
   // initial-mark-sized pauses.
   "-XX:+ExplicitGCInvokesConcurrent",
+  // A 170-query suite's generated classes + Spark internals exceed the
+  // JDK-17 default 240 MB reserved code cache: occupancy was measured
+  // hovering at 107-147 MB (the flushing zone — the sweeper evicts
+  // cold/profiled methods well before the cap) and hot kernels
+  // recompiled mid-suite, showing up as multi-10s wall-clock variance
+  // with gc/stall/spill all ≈ 0 (q_dedup_incremental 8.7-25.8 s across
+  // identical quiet runs; jit witness 5-11 s per sample). Standard
+  // production Spark sizing; headroom stops the churn.
+  "-XX:ReservedCodeCacheSize=512m",
 )

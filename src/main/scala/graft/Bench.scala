@@ -358,7 +358,17 @@ object Bench {
     val perRun: Seq[Map[String, Double]] = usedIdx.map(i => attempts(i)._1)
     val stallPerRun = attempts.map(_._2).toSeq
     val stallPoisoned = usedIdx.exists(i => attempts(i)._2 > stallMax)
-    // oracle-only twins: one timed sample after the repeat runs
+    // oracle-only twins: TWO timed executions each, after the repeat
+    // runs. The first is a COLD price — a one-shot md5 kernel tiers
+    // up DURING its only execution (measured at sf1:
+    // q_dedup_minhash_seeded 112.8 s cold vs 13.8 s warm in the same
+    // JVM, jit=43 s, gc/stall/spill ≈ 0 — which is the r12 'seeded
+    // twin drift' in its entirety: cold-execution JIT timing, not
+    // code). The SECOND execution is the steady-state price and is
+    // the one recorded in `queries` — comparable across rounds;
+    // `oracle_cold` keeps the first so the tier-up cost stays
+    // visible in the artifact.
+    val oracleCold = oracleNames.map(n => n -> timeOne(n)).toMap
     val oracleTimes = oracleNames.map(n => n -> timeOne(n)).toMap
     // same-session isolated re-times (SPARK_GRAFT_ISOLATE, comma
     // list; default the historically divergent iterative query): a
@@ -434,6 +444,8 @@ object Bench {
         s""","codecache_mb_final":${math.round(codeCacheMb * 10) / 10.0}""" +
         s""","oracle_only":${jarr(oracleOnly.toSeq.sorted)}""" +
         s""","oracle_only_sec":$oracleSec""" +
+        s""","oracle_cold":${jmap(oracleCold)}""" +
+        s""","oracle_cold_sec":${oracleCold.values.filter(_ >= 0).sum}""" +
         s""","skip_oracle_only":$skipOracleOnly""" +
         s""","isolated":${jmap(isoNames.map(n => n -> median(iso(n))).toMap)}""" +
         s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +

@@ -431,10 +431,16 @@ object StoreBench {
           f"partitioned=${got("partitioned")}%.2f s " +
           f"replay=${got("replay")}%.2f s touched=$touched")
       }
-      // identity across all three commit paths, BEFORE the numbers
+      // identity across all three commit paths, BEFORE the numbers.
+      // p is cast to a canonical BIGINT: the partitioned table reads
+      // it back as an INFERRED hive partition column (IntegerType),
+      // and xxhash64 hashes equal int and long values differently —
+      // without the cast, row-identical tables fingerprint-diverge
+      // (observed on this arm's first run; DuckDB row-diff was empty)
       def fp(df: DataFrame): (Long, Long) = {
         val r = df.agg(count(lit(1)),
-          expr("bit_xor(xxhash64(k, ck, st, total, day, p))")).head()
+          expr("bit_xor(xxhash64(k, ck, st, total, day, " +
+            "cast(p as bigint)))")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
       val fps = Seq(fp(VersionStore.latest(spark, vroot)),
