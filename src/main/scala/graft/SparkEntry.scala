@@ -138,6 +138,43 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_click_id", "asof_click_value")
     }),
 
+    // oracle-checked: FORWARD as-of (merge_asof direction='forward')
+    // — earliest click with ts >= purchase ts, inclusive boundary,
+    // ties to the max click_id; the same one-exchange running-last
+    // scanned in descending time (r13)
+    "q_asof_join_forward" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      AsofJoin.asof(
+          left = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          right = ev.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts"), col("value").as("click_value")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+          direction = "forward")
+        .select("event_id", "user_id", "asof_click_id", "asof_click_value")
+    }),
+
+    // oracle-checked: NEAREST as-of — whichever of the backward /
+    // forward matches is closer in time, exact ties resolving
+    // BACKWARD (documented); both candidate windows ride ONE
+    // exchange (the second window reuses the first's hash
+    // partitioning — one extra sort, no extra shuffle) (r13)
+    "q_asof_join_nearest" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      AsofJoin.asof(
+          left = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          right = ev.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts"), col("value").as("click_value")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+          direction = "nearest")
+        .select("event_id", "user_id", "asof_click_id", "asof_click_value")
+    }),
+
     // oracle-checked: the SALTED as-of — same semantics as
     // q_asof_join (identical oracle), executed through the
     // time-sliced skew form: running last partitioned by
@@ -2412,6 +2449,39 @@ object SparkEntry {
         |          ORDER BY c.ts DESC, c.click_id DESC) AS rn
         |      FROM p LEFT JOIN c
         |        ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, click_id AS asof_click_id,
+        |       click_value AS asof_click_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // forward as-of: earliest click with ts >= purchase ts, ties on
+    // equal ts to the max click_id
+    "q_asof_join_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ts ASC, c.click_id DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT event_id, user_id, click_id AS asof_click_id,
+        |       click_value AS asof_click_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // nearest as-of: smallest |click ts - purchase ts|; an exact
+    // distance tie resolves BACKWARD (c.ts <= p.ts ranks first),
+    // equal-ts ties to the max click_id — full-precision micros
+    "q_asof_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+        |                   (c.ts <= p.ts) DESC, c.click_id DESC) AS rn
+        |      FROM p LEFT JOIN c ON c.user_id = p.user_id)
         |SELECT event_id, user_id, click_id AS asof_click_id,
         |       click_value AS asof_click_value
         |FROM j WHERE rn = 1""".stripMargin,

@@ -70,16 +70,37 @@ object AsofJoin {
     * @param tieBreak   right column resolving equal-(key, ts) rights
     *                   (max wins) — a unique id makes the join
     *                   deterministic
-    * @param tolerance  max lookback as an interval Column
+    * @param tolerance  max lookback (backward) / lookahead (forward)
+    *                   / |distance| (nearest) as an interval Column
     *                   (e.g. `expr("INTERVAL 1 HOUR")`); None =
-    *                   unbounded */
+    *                   unbounded
+    * @param direction  `"backward"` (default — latest right with
+    *                   `rightTs <= leftTs`), `"forward"` (earliest
+    *                   right with `rightTs >= leftTs` — pandas
+    *                   `merge_asof(direction='forward')`), or
+    *                   `"nearest"` (whichever of the two is closer
+    *                   in time; an exact tie resolves BACKWARD,
+    *                   documented and spec-pinned). Forward is the
+    *                   same one-exchange running-`last` scanned in
+    *                   DESCENDING time (rights still sort before
+    *                   lefts at an equal timestamp — the inclusive
+    *                   boundary — and equal-(key, ts) rights still
+    *                   resolve to the max tieBreak). Nearest runs
+    *                   BOTH windows over the one union: the second
+    *                   window shares the first's hash partitioning,
+    *                   so the plan pays one extra SORT, never a
+    *                   second Exchange. A left row with a null
+    *                   `leftTs` matches nothing in every direction. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, payload: Seq[String],
-           tieBreak: String, tolerance: Option[Column] = None): DataFrame = {
+           tieBreak: String, tolerance: Option[Column] = None,
+           direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
-    // __m is created via withColumn below: a left column of that name
-    // would be silently overwritten and re-read as the match struct
-    val reserved = Seq("__ts", "__side", "__r", "__m")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
+    // __m/__mb/__mf are created via withColumn below: a left column
+    // of those names would be silently overwritten
+    val reserved = Seq("__ts", "__side", "__r", "__m", "__mb", "__mf")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"column names ${reserved.mkString(", ")} are reserved")
     val rTagged = right.where(col(rightTs).isNotNull).select(
@@ -88,18 +109,61 @@ object AsofJoin {
           payload.filter(_ != tieBreak).map(col)): _*).as("__r")): _*)
     val lTagged = left
       .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__r").getField("__tie"))
+    val tie = col("__r").getField("__tie")
+    // backward scan: time ascending; rights (side 0) before lefts at
+    // an equal ts (inclusive boundary); equal-(key, ts) rights tie
+    // ascending so the running `last` resolves to the max tieBreak.
+    // A null left ts sorts FIRST (asc nulls-first) and sees no right.
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lTagged.unionByName(rTagged, allowMissingColumns = true)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-    val gated = tolerance match {
-      case Some(tol) => matched.withColumn("__m",
-        when(col("__m").getField("__rts") >= col("__ts") - tol, col("__m")))
-      case None => matched
+    // forward scan: time DESCENDING — the running `last` at a left
+    // row is then the SMALLEST right ts still >= it; same side and
+    // tie discipline. A null left ts sorts LAST under desc and would
+    // spuriously see the earliest right, so forward matches are
+    // explicitly nulled on null-ts lefts below.
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side"), tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    def gateB(m: Column): Column = tolerance match {
+      case Some(tol) =>
+        when(m.getField("__rts") >= col("__ts") - tol, m)
+      case None => m
     }
-    gated.select(
+    def gateF(m: Column): Column = {
+      val g = when(col("__ts").isNull, lit(null)).otherwise(m)
+      tolerance match {
+        case Some(tol) => when(g.getField("__rts") <= col("__ts") + tol, g)
+        case None => g
+      }
+    }
+    val matched = direction match {
+      case "backward" =>
+        base.withColumn("__m",
+          gateB(last(col("__r"), ignoreNulls = true).over(wB)))
+      case "forward" =>
+        base.withColumn("__m",
+          gateF(last(col("__r"), ignoreNulls = true).over(wF)))
+      case "nearest" =>
+        // both candidates from the one union; exact |distance| tie
+        // resolves backward (full-precision micros, no truncation)
+        val db = unix_micros(col("__ts")) -
+          unix_micros(col("__mb").getField("__rts"))
+        val df = unix_micros(col("__mf").getField("__rts")) -
+          unix_micros(col("__ts"))
+        base
+          .withColumn("__mb",
+            gateB(last(col("__r"), ignoreNulls = true).over(wB)))
+          .withColumn("__mf",
+            gateF(last(col("__r"), ignoreNulls = true).over(wF)))
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(db <= df, col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    matched.where(col("__side") === 1).select(
       (left.columns.map(col).toSeq ++ payload.map { p =>
         val f = if (p == tieBreak) "__tie" else p
         col("__m").getField(f).as(s"asof_$p")

@@ -150,6 +150,129 @@ class AsofJoinSpec extends GraftSuite {
     assert(got == brute(ls, rs, None))
   }
 
+  /** Micros-precise straight-line reference for all three
+    * directions (the backward [[brute]] predates directions and
+    * compares at millis; these tests include sub-milli stamps). */
+  private def bruteDir(ls: Seq[(Long, Long, Timestamp)],
+                       rs: Seq[(Long, Long, Timestamp, java.lang.Double)],
+                       dir: String, tolMicros: Option[Long])
+      : Map[Long, Option[(Long, java.lang.Double)]] = {
+    def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    ls.map { case (id, u, t) =>
+      val tu = us(t)
+      def back = rs.filter { case (_, ru, rt, _) => ru == u &&
+        us(rt) <= tu && tolMicros.forall(m => us(rt) >= tu - m) }
+        .sortBy { case (rid, _, rt, _) => (us(rt), rid) }.lastOption
+      def fwd = rs.filter { case (_, ru, rt, _) => ru == u &&
+        us(rt) >= tu && tolMicros.forall(m => us(rt) <= tu + m) }
+        .sortBy { case (rid, _, rt, _) => (-us(rt), rid) }.lastOption
+      val best = dir match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (tu - us(b._3) <= us(f._3) - tu) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      id -> best.map { case (rid, _, _, v) => (rid, v) }
+    }.toMap
+  }
+
+  private def runDir(ls: Seq[(Long, Long, Timestamp)],
+                     rs: Seq[(Long, Long, Timestamp, java.lang.Double)],
+                     dir: String, tol: Option[String]) =
+    AsofJoin.asof(
+        ls.toDF("event_id", "user_id", "ts"),
+        rs.toDF("click_id", "user_id", "ts", "click_value"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+        tolerance = tol.map(expr), direction = dir)
+      .select("event_id", "asof_click_id", "asof_click_value")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1),
+           if (r.isNullAt(2)) null: java.lang.Double
+           else java.lang.Double.valueOf(r.getDouble(2))))))
+      .toMap
+
+  test("forward direction: inclusive boundary, max tie, tolerance lookahead") {
+    val got = runDir(lefts, rights, "forward", None)
+    assert(got == bruteDir(lefts, rights, "forward", None))
+    // inclusive: purchase 100 at 10:00 matches the equal-ts clicks,
+    // max click_id 201 wins the tie
+    assert(got(100L).contains((201L, java.lang.Double.valueOf(2.5))))
+    // 101 at 09:59:59.999999 (1 µs earlier): the 10:00 clicks are the
+    // EARLIEST at-or-after — micros-grained, not milli-rounded
+    assert(got(101L).contains((201L, java.lang.Double.valueOf(2.5))))
+    // 102 at 12:00 has no later click -> null
+    assert(got(102L).isEmpty)
+    // tolerance gates the lookahead: 1 µs within a 1-second window
+    // matches, outside does not
+    val gotTol = runDir(lefts, rights, "forward", Some("INTERVAL 1 SECOND"))
+    assert(gotTol == bruteDir(lefts, rights, "forward", Some(1000000L)))
+    assert(gotTol(101L).contains((201L, java.lang.Double.valueOf(2.5))))
+  }
+
+  test("nearest direction: closest wins, exact tie resolves backward") {
+    val ls = Seq(
+      (1L, 9L, ts("2026-01-01 10:00:10")), // equidistant: backward wins
+      (2L, 9L, ts("2026-01-01 10:00:14")), // forward is closer
+      (3L, 9L, ts("2026-01-01 10:00:06")), // backward is closer
+      (4L, 9L, ts("2026-01-01 10:00:00")), // exact hit: d=0, backward
+      (5L, 8L, ts("2026-01-01 10:00:00"))) // no rights for the key
+    val rs = Seq(
+      (20L, 9L, ts("2026-01-01 10:00:00"), java.lang.Double.valueOf(1.0)),
+      (21L, 9L, ts("2026-01-01 10:00:20"), java.lang.Double.valueOf(2.0)))
+    val got = runDir(ls, rs, "nearest", None)
+    assert(got == bruteDir(ls, rs, "nearest", None))
+    assert(got(1L).contains((20L, java.lang.Double.valueOf(1.0))))
+    assert(got(2L).contains((21L, java.lang.Double.valueOf(2.0))))
+    assert(got(3L).contains((20L, java.lang.Double.valueOf(1.0))))
+    assert(got(4L).contains((20L, java.lang.Double.valueOf(1.0))))
+    assert(got(5L).isEmpty)
+    // tolerance is a |distance| gate: 5 s keeps only the <=5 s side
+    val gotTol = runDir(ls, rs, "nearest", Some("INTERVAL 5 SECOND"))
+    assert(gotTol == bruteDir(ls, rs, "nearest", Some(5000000L)))
+    assert(gotTol(1L).isEmpty) // both sides 10 s away -> gated
+    assert(gotTol(3L).isEmpty) // backward 6 s, forward 14 s -> gated
+    assert(gotTol(4L).contains((20L, java.lang.Double.valueOf(1.0))))
+  }
+
+  test("randomized three-direction parity (dense collisions, micros stamps)") {
+    val rnd = new scala.util.Random(77)
+    // sub-millisecond offsets planted on both sides
+    val stamps = (0 until 8).map(h => ts(f"2026-02-01 0$h:00:00")) ++
+      Seq(ts("2026-02-01 03:00:00.0005"), ts("2026-02-01 03:00:00.000501"))
+    val ls = (0 until 40).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, stamps(rnd.nextInt(stamps.size))))
+    val rs = (0 until 60).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, stamps(rnd.nextInt(stamps.size)),
+        if (rnd.nextBoolean()) java.lang.Double.valueOf(rnd.nextInt(100))
+        else null: java.lang.Double))
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some("INTERVAL 1 HOUR"))) {
+      val tolUs = tol.map(_ => 3600L * 1000000L)
+      assert(runDir(ls, rs, dir, tol) == bruteDir(ls, rs, dir, tolUs),
+        s"direction=$dir tol=$tol")
+    }
+  }
+
+  test("forward/nearest: null-ts lefts match nothing, null-ts rights dropped") {
+    val ls = Seq((1L, 9L, null: Timestamp),
+      (2L, 9L, ts("2026-01-01 10:00:00")))
+    val rs = Seq(
+      (20L, 9L, null: Timestamp, java.lang.Double.valueOf(7.0)),
+      (21L, 9L, ts("2026-01-01 11:00:00"), java.lang.Double.valueOf(1.0)))
+    for (dir <- Seq("forward", "nearest")) {
+      val got = runDir(ls, rs, dir, None)
+      assert(got(1L).isEmpty, s"null-ts left must not match ($dir)")
+      assert(got(2L).contains((21L, java.lang.Double.valueOf(1.0))))
+    }
+  }
+
   test("the SCD2 theorem: as-of against the change stream == containment join against buildType2 intervals") {
     // the same randomized dense-collision corpus shape as above;
     // tracked ATTRIBUTES must agree (the as-of may surface a
