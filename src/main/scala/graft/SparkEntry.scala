@@ -372,10 +372,17 @@ object SparkEntry {
     // gen desc); the target never shuffles — it anti-joins the
     // batch-sized change keys (AQE-broadcast) and unions the
     // surviving upserts (r13)
+    // `total` rides DECIMAL(18,2) through the merge and casts to
+    // DOUBLE only at this surface: the r13 lesson — a raw decimal
+    // output column stringifies '78855.80' where the oracle's
+    // float renders '78855.8', a pure-rendering hash fail. The cast
+    // is lossless (values are exact 2-decimal) and the repo-wide
+    // discipline (q_ohlc_hourly, q_star_revenue, q_rollup_orders)
     "q_merge_upsert" -> ((s, dir) =>
       graft.etl.Merge.merge(mergeDemoTarget(s, dir),
         mergeDemoChanges(s, dir), Seq("o_orderkey"),
-        col("change_ts"), col("gen"), deleteFlag = Some("is_delete"))),
+        col("change_ts"), col("gen"), deleteFlag = Some("is_delete"))
+        .withColumn("total", col("total").cast("double"))),
 
     // oracle-checked: the same MERGE committed THROUGH the versioned
     // store — v0 = the target, v1 = the merged table, committed via
@@ -399,7 +406,10 @@ object SparkEntry {
         Merge.mergeVersioned(s, root, mergeDemoChanges(s, dir),
           Seq("o_orderkey"), col("change_ts"), col("gen"),
           deleteFlag = Some("is_delete"))
+      // store keeps DECIMAL; the SURFACE casts (decimal-portability
+      // discipline — see q_merge_upsert)
       VersionStore.latest(s, root)
+        .withColumn("total", col("total").cast("double"))
     }),
 
     // oracle-checked: the same MERGE through the PARTITION-PRUNED
@@ -420,12 +430,21 @@ object SparkEntry {
       val fp = java.lang.Long.toHexString(fpRow.getLong(0) ^
         (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
       val path = s"/tmp/graft_serving_idx/mergep_$fp"
-      if (!new java.io.File(path).exists())
+      // marker-gated bootstrap: a crash during the initial write
+      // must not leave a partial directory that later runs treat as
+      // the complete base table (File.exists alone would). The
+      // marker lands AFTER the write; a marker-less directory is a
+      // detected half-bootstrap and is rebuilt (r14, advisor find)
+      if (!graft.io.MarkerCommit.markerExists(path, "_BOOTSTRAPPED")) {
+        graft.io.MarkerCommit.deleteRecursively(path)
         graft.io.PartitionedStore.write(target, path, "p")
+        graft.io.MarkerCommit.touch(s"$path/_BOOTSTRAPPED", "v1")
+      }
       Merge.mergePartitioned(s, path, withP(mergeDemoChanges(s, dir)),
         Seq("o_orderkey"), col("change_ts"), col("gen"), "p",
         deleteFlag = Some("is_delete"))
       s.read.parquet(path)
+        .withColumn("total", col("total").cast("double"))
     }),
 
     // oracle-checked: the CHANGE DATA FEED the same merge emits —
@@ -437,7 +456,52 @@ object SparkEntry {
     "q_merge_changes" -> ((s, dir) =>
       graft.etl.Merge.changeFeed(mergeDemoTarget(s, dir),
         mergeDemoChanges(s, dir), Seq("o_orderkey"),
-        col("change_ts"), col("gen"), deleteFlag = Some("is_delete"))),
+        col("change_ts"), col("gen"), deleteFlag = Some("is_delete"))
+        .withColumn("total", col("total").cast("double"))),
+
+    // oracle-checked: FILE-LEVEL MIN/MAX DATA SKIPPING (the
+    // Delta/Iceberg stats-pruning analog, r14) — orders land sorted
+    // by order_day (writeSorted: range-exchange + within-file sort,
+    // so per-file date ranges are near-disjoint) with a footer-
+    // derived per-file stats frame committed marker-last beside the
+    // data; the one-year read prunes the FILE LIST before any
+    // skipped footer opens, and the surface REQUIRES files-kept <
+    // files-present so the pruning itself is gated every run. The
+    // data predicate still applies on top (superset contract)
+    "q_store_skip" -> ((s, dir) => {
+      import graft.io.DataSkipping
+      val path = s"/tmp/graft_serving_idx/skip_${skipDemoFp(s, dir)}"
+      if (!DataSkipping.statsCommitted(s, path)) {
+        graft.io.MarkerCommit.deleteRecursively(path)
+        DataSkipping.writeSortedWithStats(skipDemoFrame(s, dir), path,
+          Seq("order_day"), numFiles = 32,
+          statsCols = Seq("order_day", "o_orderkey"))
+      }
+      skipDemoRead(s, path)
+    }),
+
+    // oracle-checked: the same skipping attached to a VERSIONED
+    // commit — stats ride INSIDE the committed v=N directory (an
+    // underscore dir, invisible to data reads), so time travel keeps
+    // per-version stats and vacuum drops them with the version; the
+    // lakehouse read path (VersionStore + MarkerCommit + file
+    // skipping) in one oracle-gated surface. Same output as
+    // q_store_skip, so it carries the same oracle verbatim (the
+    // fromindex-twin pattern — the STORE code path earns its own
+    // rows+schema+hash row)
+    "q_store_skip_versioned" -> ((s, dir) => {
+      import graft.io.DataSkipping
+      import graft.etl.VersionStore
+      val root = s"/tmp/graft_serving_idx/skipv_${skipDemoFp(s, dir)}"
+      if (VersionStore.versions(s, root).isEmpty)
+        VersionStore.write(skipDemoFrame(s, dir)
+          .repartitionByRange(32, col("order_day"))
+          .sortWithinPartitions("order_day"), root)
+      val vdir = s"$root/v=${VersionStore.versions(s, root).max}"
+      if (!DataSkipping.statsCommitted(s, vdir))
+        DataSkipping.writeStats(s, vdir, Seq("order_day"))
+      skipDemoRead(s, vdir)
+    }),
 
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
@@ -2255,31 +2319,35 @@ object SparkEntry {
       |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
       |             ORDER BY change_ts DESC, gen DESC) AS rn
       |    FROM changes c) WHERE rn = 1)
-      |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.total,
-      |       t.order_day
+      |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+      |       CAST(t.total AS DOUBLE) AS total, t.order_day
       |FROM target t ANTI JOIN latest l USING (o_orderkey)
       |UNION ALL
-      |SELECT o_orderkey, o_custkey, o_orderstatus, total, order_day
-      |FROM latest WHERE NOT is_delete""".stripMargin
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CAST(total AS DOUBLE) AS total, order_day
+      |FROM latest WHERE NOT COALESCE(is_delete, FALSE)""".stripMargin
 
   /** [[mergeOracleSql]] with the partition column riding along —
     * q_merge_partitioned reads the table back WITH its layout
     * column, so the oracle derives p = key % 8 the same way. */
   private val mergePartitionedOracleSql: String =
     mergeOracleSql.replace(
-      """SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.total,
-        |       t.order_day
+      """SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        |       CAST(t.total AS DOUBLE) AS total, t.order_day
         |FROM target t ANTI JOIN latest l USING (o_orderkey)
         |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_orderstatus, total, order_day
-        |FROM latest WHERE NOT is_delete""".stripMargin,
-      """SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.total,
-        |       t.order_day, CAST(t.o_orderkey % 8 AS INT) AS p
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(total AS DOUBLE) AS total, order_day
+        |FROM latest WHERE NOT COALESCE(is_delete, FALSE)""".stripMargin,
+      """SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        |       CAST(t.total AS DOUBLE) AS total, t.order_day,
+        |       CAST(t.o_orderkey % 8 AS INT) AS p
         |FROM target t ANTI JOIN latest l USING (o_orderkey)
         |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_orderstatus, total, order_day,
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(total AS DOUBLE) AS total, order_day,
         |       CAST(o_orderkey % 8 AS INT) AS p
-        |FROM latest WHERE NOT is_delete""".stripMargin)
+        |FROM latest WHERE NOT COALESCE(is_delete, FALSE)""".stripMargin)
 
   require(mergePartitionedOracleSql != mergeOracleSql,
     "mergePartitionedOracleSql rewrite did not match the base oracle")
@@ -2292,21 +2360,63 @@ object SparkEntry {
     val prefix = mergeOracleSql.substring(0,
       mergeOracleSql.indexOf("SELECT t.o_orderkey"))
     prefix +
-      """SELECT CASE WHEN l.is_delete THEN t.o_orderkey
+      // COALESCE(is_delete, FALSE) throughout — changeFeed coalesces
+      // a null flag to false (emits 'insert' for an absent key) while
+      // a bare NOT(NULL AND ...) here would filter the row (latent:
+      // mergeDemoChanges never emits null flags; pinned anyway).
+      // total casts to DOUBLE, matching the surface (r14)
+      """SELECT CASE WHEN COALESCE(l.is_delete, FALSE) THEN t.o_orderkey
         |            ELSE l.o_orderkey END AS o_orderkey,
-        |       CASE WHEN l.is_delete THEN t.o_custkey
+        |       CASE WHEN COALESCE(l.is_delete, FALSE) THEN t.o_custkey
         |            ELSE l.o_custkey END AS o_custkey,
-        |       CASE WHEN l.is_delete THEN t.o_orderstatus
+        |       CASE WHEN COALESCE(l.is_delete, FALSE) THEN t.o_orderstatus
         |            ELSE l.o_orderstatus END AS o_orderstatus,
-        |       CASE WHEN l.is_delete THEN t.total
-        |            ELSE l.total END AS total,
-        |       CASE WHEN l.is_delete THEN t.order_day
+        |       CAST(CASE WHEN COALESCE(l.is_delete, FALSE) THEN t.total
+        |            ELSE l.total END AS DOUBLE) AS total,
+        |       CASE WHEN COALESCE(l.is_delete, FALSE) THEN t.order_day
         |            ELSE l.order_day END AS order_day,
-        |       CASE WHEN l.is_delete THEN 'delete'
+        |       CASE WHEN COALESCE(l.is_delete, FALSE) THEN 'delete'
         |            WHEN t.o_orderkey IS NOT NULL THEN 'update'
         |            ELSE 'insert' END AS action
         |FROM latest l LEFT JOIN target t ON l.o_orderkey = t.o_orderkey
-        |WHERE NOT (l.is_delete AND t.o_orderkey IS NULL)""".stripMargin
+        |WHERE NOT (COALESCE(l.is_delete, FALSE)
+        |           AND t.o_orderkey IS NULL)""".stripMargin
+  }
+
+  /** The data-skipping surfaces' table: orders with a DOUBLE total
+    * and a DATE order_day — the sorted-layout store the file-level
+    * min/max pruning reads. */
+  private def skipDemoFrame(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("total"),
+      to_date(col("o_orderdate")).as("order_day"))
+
+  /** Corpus fingerprint for the /tmp skip stores — a regenerated
+    * testdata dir rebuilds instead of serving stale rows (the
+    * mergep_/merge1_ pattern). */
+  private def skipDemoFp(s: SparkSession, dir: String): String = {
+    val fpRow = Tables(s, dir).orders.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(o_orderkey, o_custkey))")).head()
+    java.lang.Long.toHexString(fpRow.getLong(0) ^
+      (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
+  }
+
+  /** The skip surfaces' one-year pruned read: assert the prune
+    * REMOVED files (the q73 measured-suppression discipline — the
+    * row is red if skipping silently stops working), then read only
+    * the survivors and apply the real predicate on top. */
+  private def skipDemoRead(s: SparkSession, path: String): DataFrame = {
+    import graft.io.DataSkipping
+    val pred = DataSkipping.RangePred("order_day",
+      java.sql.Date.valueOf("1994-01-01"),
+      java.sql.Date.valueOf("1994-12-31"))
+    val (kept, total) = DataSkipping.skipFiles(s, path, pred)
+    require(kept.size < total,
+      s"data skipping pruned nothing: ${kept.size} of $total files")
+    DataSkipping.prunedRead(s, path, pred)
+      .where(col("order_day").between(
+        lit("1994-01-01"), lit("1994-12-31")))
   }
 
   /** The MERGE surface's target: the even-keyed half of orders, the
@@ -2472,11 +2582,17 @@ object SparkEntry {
     // nearest as-of: smallest |click ts - purchase ts|; an exact
     // distance tie resolves BACKWARD (c.ts <= p.ts ranks first),
     // equal-ts ties to the max click_id — full-precision micros
+    // the clicks CTE pins ts IS NOT NULL: the operator drops null-ts
+    // rights (no distance), but with no ts join predicate a null-ts
+    // click would otherwise survive into the window and win rn=1
+    // when it is a purchase's ONLY click (latent — the generator
+    // emits no null ts; pinned so the semantics are the oracle's)
     "q_asof_join_nearest" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
         |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
-        |      FROM events WHERE event_type = 'click'),
+        |      FROM events
+        |      WHERE event_type = 'click' AND ts IS NOT NULL),
         |j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_value,
         |        row_number() OVER (PARTITION BY p.event_id
         |          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
@@ -2930,6 +3046,27 @@ object SparkEntry {
     "q_merge_versioned" -> mergeOracleSql,
     "q_merge_partitioned" -> mergePartitionedOracleSql,
     "q_merge_changes" -> mergeChangesOracleSql,
+
+    // file-skipping surfaces: a plain one-year filter — the skipping
+    // is a pure read-path optimization, so the oracle is the
+    // unpruned query (and the surface's files-kept < files-present
+    // require is what gates the pruning itself). The versioned twin
+    // serves the identical table through VersionStore: same oracle,
+    // verbatim (the fromindex pattern)
+    "q_store_skip" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS total,
+        |       CAST(o_orderdate AS DATE) AS order_day
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'""".stripMargin,
+    "q_store_skip_versioned" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS total,
+        |       CAST(o_orderdate AS DATE) AS order_day
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'""".stripMargin,
 
     // open/close = the value at rank 1 of the asc/desc (ts, id)
     // orderings; position decides, not null-skipping

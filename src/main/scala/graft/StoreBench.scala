@@ -490,6 +490,137 @@ object StoreBench {
       return
     }
 
+    // "skip" prices FILE-LEVEL MIN/MAX DATA SKIPPING (r14): the same
+    // replicated orders table committed two ways — SORTED by day
+    // (writeSortedWithStats: near-disjoint per-file date ranges) and
+    // HASH-distributed (same file count, same stats frame, but every
+    // file spans the full seven-year range — the stats exist and
+    // prune nothing, isolating LAYOUT as the thing that makes stats
+    // selective). A one-year aggregate then runs four ways per run:
+    //   skip_sorted — prunedRead on the sorted store (file list cut
+    //                 ~7x BEFORE any skipped footer opens; the prune
+    //                 decision itself is inside the timer);
+    //   scan_sorted — full scan of the sorted store (row-group stats
+    //                 inside each file still help: sorted layout
+    //                 alone, no file pruning);
+    //   skip_hash   — prunedRead on the hash store (stats consulted,
+    //                 nothing prunable — prices the skipping
+    //                 machinery's overhead when it cannot win);
+    //   scan_hash   — the no-layout, no-skipping control.
+    // All four aggregate rows are asserted identical (order-proof
+    // cents-LONG sum + key xor) before any number is reported.
+    if (kind == "skip") {
+      import graft.io.DataSkipping
+      import graft.io.DataSkipping.RangePred
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      def table: DataFrame = (0 until storeScale).map(i =>
+          orders.select(
+            (col("o_orderkey") + lit(i.toLong * 10000000L)).as("k"),
+            col("o_custkey").as("ck"),
+            col("o_totalprice").cast("double").as("total"),
+            to_date(col("o_orderdate")).as("day")))
+        .reduce(_ unionByName _)
+      val sortedDir = s"$warehouse/skip_sorted"
+      val hashDir = s"$warehouse/skip_hash"
+      Seq(sortedDir, hashDir).foreach(
+        graft.io.MarkerCommit.deleteRecursively)
+      val files = sys.env.getOrElse("SPARK_GRAFT_SKIP_FILES", "128").toInt
+      def timed(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def sweep(): Unit = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+      }
+      val tSorted = timed(DataSkipping.writeSortedWithStats(
+        table, sortedDir, Seq("day"), files, Seq("day")))
+      val tHash = timed {
+        table.repartition(files, col("k"))
+          .write.parquet(hashDir)
+        DataSkipping.writeStats(spark, hashDir, Seq("day"))
+      }
+      sweep()
+      val pred = RangePred("day", java.sql.Date.valueOf("1994-01-01"),
+        java.sql.Date.valueOf("1994-12-31"))
+      def year(df: DataFrame): DataFrame = df.where(
+        col("day").between(lit("1994-01-01"), lit("1994-12-31")))
+      // order-proof identity row: count + cents-LONG sum + key xor
+      // (a double sum would wobble with partition order)
+      def fpRow(df: DataFrame): (Long, Long, Long) = {
+        val r = year(df).agg(count(lit(1)),
+          sum((col("total") * 100).cast("long")),
+          expr("bit_xor(xxhash64(k))")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val arms0: Seq[(String, () => DataFrame)] = Seq(
+        "skip_sorted" -> (() => DataSkipping.prunedRead(spark, sortedDir, pred)),
+        "scan_sorted" -> (() => spark.read.parquet(sortedDir)),
+        "skip_hash" -> (() => DataSkipping.prunedRead(spark, hashDir, pred)),
+        "scan_hash" -> (() => spark.read.parquet(hashDir)))
+      val fps = arms0.map { case (nm, rd) => nm -> fpRow(rd()) }
+      if (fps.map(_._2).distinct.size != 1) {
+        System.err.println(s"[store-bench] SKIP ARM MISMATCH: $fps")
+        sys.exit(1)
+      }
+      sweep()
+      val (keptSorted, totSorted) =
+        DataSkipping.skipFiles(spark, sortedDir, pred)
+      val (keptHash, totHash) =
+        DataSkipping.skipFiles(spark, hashDir, pred)
+      val loadBefore = loadavg
+      StallProbe.start()
+      val stall0 = StallProbe.totalSec
+      val times = arms0.map(_._1 -> scala.collection.mutable
+        .ArrayBuffer.empty[Double]).toMap
+      for (r <- 0 until runs) {
+        val order = if (r % 2 == 0) arms0 else arms0.reverse
+        order.foreach { case (nm, rd) =>
+          val t = timed(fpRow(rd()): Unit)
+          sweep()
+          times(nm) += t
+        }
+        System.err.println(f"[store-bench] skip run $r " + arms0.map {
+          case (nm, _) => f"$nm=${times(nm).last}%.2f s" }.mkString(" "))
+      }
+      val stallSec = StallProbe.totalSec - stall0
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def jarr(xs: Seq[Double]) = xs.map(x =>
+        math.round(x * 1000) / 1000.0).mkString("[", ",", "]")
+      val m = arms0.map { case (nm, _) => nm -> med(times(nm).toSeq) }.toMap
+      val json =
+        s"""{"metric":"skip_year_agg_median","value":${m("skip_sorted")}""" +
+          s""","unit":"sec","kind":"skip"""" +
+          arms0.map { case (nm, _) =>
+            s""","${nm}_median":${m(nm)},"${nm}_runs":${jarr(times(nm).toSeq)}"""
+          }.mkString +
+          s""","scan_over_skip_sorted":${m("scan_sorted") / m("skip_sorted")}""" +
+          s""","scan_over_skip_hash":${m("scan_hash") / m("skip_hash")}""" +
+          s""","files_kept_sorted":${keptSorted.size}""" +
+          s""","files_total_sorted":$totSorted""" +
+          s""","files_kept_hash":${keptHash.size}""" +
+          s""","files_total_hash":$totHash""" +
+          s""","table_rows":${orders.count() * storeScale}""" +
+          s""","year_rows":${fps.head._2._1}""" +
+          s""","write_sorted_sec":${math.round(tSorted * 100) / 100.0}""" +
+          s""","write_hash_sec":${math.round(tHash * 100) / 100.0}""" +
+          s""","files_per_layout":$files,"runs":$runs""" +
+          s""","store_scale":$storeScale,"identity_ok":true""" +
+          s""","stall_sec":${math.round(stallSec * 100) / 100.0}""" +
+          s""","loadavg_before":"$loadBefore","loadavg_after":"$loadavg"""" +
+          s""","cpus":"$cpus","sf":"$sfDir"}"""
+      println(json)
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "store_bench.json")
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[store-bench] write $out failed: $e") }
+      spark.stop()
+      return
+    }
+
     /** One bench-able store layout: the index frames it stores, the
       * increment joined against them, and the store lifecycle — the
       * bucketed-table defaults serve sig/signband; the ivf kind

@@ -41,8 +41,22 @@ import graft.streaming.EventPipelines
   *    over the held-out documents (doc_id % 3 != 0) against the
   *    STORED gram frame of the reference third — q120's split; the
   *    stream-static join never re-shuffles the store.
+  *  - merge_versioned (r14): `Merge.streamVersioned` — each
+  *    micro-batch of an orders-derived change stream (upserts +
+  *    deletes, per-key event-time ordered across batches, the
+  *    documented delivery contract) foreachBatch-merges into a
+  *    VersionStore table; the per-batch time INCLUDES the full
+  *    table-atomic commit (read latest + merge + MarkerCommit swap)
+  *    — the honest price of the lakehouse streaming-upsert shape.
+  *    Identity first: the final version must equal ONE merge of the
+  *    concatenated log (the spec's ordered-delivery fold identity).
   */
 object StreamBench {
+
+  /** Change-stream row for the merge_versioned arm: target columns
+    * (k, ck, total) + merge metadata (ts, gen, is_delete). */
+  final case class ChangeEvent(k: Long, ck: Long, total: Double,
+                               ts: Int, gen: Int, is_delete: Boolean)
 
   private def loadavg: String =
     try Files.readString(Paths.get("/proc/loadavg")).trim
@@ -252,6 +266,61 @@ object StreamBench {
           s"${got.size} vs ${want.size}"); failed = true
       }
       results += "spans" -> (times, docBatch)
+    }
+
+    if (arm == "all" || arm == "merge_versioned") {
+      import graft.etl.{Merge, VersionStore}
+      val days =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_MERGE_DAYS", "8").toInt
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val root = "/tmp/graft_stream_bench/merge_v"
+      graft.io.MarkerCommit.deleteRecursively(root)
+      val base = orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          col("o_totalprice").cast("double").as("total"))
+      VersionStore.write(base, root) // v0: the committed base table
+      // day d churns the k % 7 == d % 7 stripe (upserts) and deletes
+      // the k % 53 stripe; ts = d, so a key's later change always
+      // lands in a later batch — the ordered-delivery contract the
+      // fold identity below rides on
+      def day(d: Int): org.apache.spark.sql.DataFrame = {
+        val ups = orders.where(col("o_orderkey") % 7 === d % 7)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            ((col("o_orderkey") % 1000) + lit(d)).cast("double")
+              .as("total"),
+            lit(d).as("ts"), lit(1).as("gen"),
+            lit(false).as("is_delete"))
+        val dels = orders.where(col("o_orderkey") % 53 === d % 53)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            lit(0.0).as("total"), lit(d).as("ts"), lit(2).as("gen"),
+            lit(true).as("is_delete"))
+        ups.unionByName(dels)
+      }
+      val batchSeqs = (1 to days).map(d =>
+        day(d).as[ChangeEvent].collect().toSeq)
+      val mem = MemoryStream[ChangeEvent]
+      val q = Merge.streamVersioned(mem.toDF(), root, Seq("k"),
+        col("ts"), col("gen"), Some("is_delete")).start()
+      val times =
+        try timeBatches(mem, batchSeqs.iterator, q, "merge_versioned")
+        finally q.stop()
+      // the ordered-delivery fold identity, asserted on the REAL
+      // store before the clock is believed (MergeSpec pins it on
+      // synthetic data; this guards the benched configuration)
+      def keyOf(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val log = (1 to days).map(day).reduce(_ unionByName _)
+      val want = Merge.merge(base, log, Seq("k"), col("ts"),
+          col("gen"), Some("is_delete"))
+        .collect().map(keyOf).toSet
+      val got = VersionStore.latest(spark, root)
+        .collect().map(keyOf).toSet
+      if (got != want) {
+        System.err.println(s"[stream-bench] MERGE_VERSIONED MISMATCH: " +
+          s"${got.size} vs ${want.size}"); failed = true
+      }
+      results += "merge_versioned" ->
+        (times, batchSeqs.map(_.size).max)
     }
 
     val stallSec = StallProbe.totalSec

@@ -113,6 +113,14 @@ object Merge {
     * applying the feed to the target reproduces `merge(target,
     * changes)` exactly.
     *
+    * PRECONDITION (shared with [[applyFeed]], same as Delta CDF's):
+    * the target is UNIQUE-KEYED. A duplicate-keyed target would emit
+    * one feed row per duplicate match — breaking the one-action-per-
+    * key contract and the applyFeed == merge identity (merge
+    * collapses target duplicates to the batch's single upsert row;
+    * a replayed feed would union one row per duplicate). [[merge]]
+    * tolerates duplicate targets; the FEED surface does not.
+    *
     * Scale shape: the batch-sized latest-change frame joins the
     * target on the keys — AQE broadcasts the batch side in the
     * small-batch-into-big-table regime, so the target is scanned
@@ -127,6 +135,8 @@ object Merge {
         missing.mkString(", "))
     require(!target.columns.contains("action"),
       "column name 'action' is reserved for the feed")
+    deleteFlag.foreach(d => require(!target.columns.contains(d),
+      s"delete flag '$d' must not be a target column"))
     val latest = latestChanges(changes, keys, ts, tie)
     val isDel = deleteFlag.fold(lit(false))(d =>
       coalesce(col(d), lit(false)))

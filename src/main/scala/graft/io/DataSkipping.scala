@@ -1,0 +1,391 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** File-level min/max DATA SKIPPING — the Delta/Iceberg column-stats
+  * pruning analog for this library's plain-parquet stores. The
+  * reference's Delta tables get file-stats pruning for free from the
+  * format (OPTIMIZE/ZORDER + the transaction log's per-file stats,
+  * ukg_tbl_optmztn.py:24-75's other half); the repo's stores pruned
+  * only on partition DIRECTORIES until r14. This module completes the
+  * lakehouse read path: a per-file stats frame written at commit
+  * time, and a read that prunes the FILE LIST before any footer of a
+  * skipped file is opened.
+  *
+  * Three pieces:
+  *   - [[collectStats]]/[[writeStats]] — per-file `min/max/nullCount`
+  *     for a declared column set, computed from the parquet FOOTERS
+  *     (row-group statistics merged per file): METADATA-ONLY, no data
+  *     pages are read, so attaching stats to a just-committed batch
+  *     costs one footer read per file — the same footers the first
+  *     query would read anyway. The frame commits marker-last under
+  *     `dir/_filestats` (underscore prefix: invisible to Spark data
+  *     reads of `dir`).
+  *   - [[skipFiles]]/[[prunedRead]] — evaluate a [[SkipPred]] against
+  *     the stats frame and hand Spark the SURVIVING file list (with
+  *     `basePath` so directory-partition columns still resolve).
+  *     Pruning is a SUPERSET contract: every file that may hold a
+  *     matching row survives; the caller still applies its own data
+  *     predicate. Conservatism is structural — a file missing from
+  *     the stats frame (late append, foreign writer), a column whose
+  *     footer carries no usable statistics, or a null min/max all KEEP
+  *     the file. Stats can only remove work, never rows.
+  *   - [[writeSorted]] — the layout half: range-repartition + sort on
+  *     the skipping columns before the write, so per-file value
+  *     ranges are near-disjoint and a point/range predicate keeps
+  *     O(matching) files instead of all of them. The same layout
+  *     makes parquet's own ROW-GROUP stats selective inside each
+  *     surviving file — Spark's scan skips row groups for free once
+  *     the data is sorted (the ZORDER-lite single-dimension form).
+  *
+  * Scale shape at 100 TB: the stats frame is one row per data file
+  * (a 100 TB table at 256 MB files ≈ 400k rows — megabytes), read
+  * once per query on the driver exactly like a Delta log checkpoint;
+  * the skip decision is a stats-frame filter, never a data scan. The
+  * driver-side file list is the same contract every Spark file index
+  * (and [[PartitionedStore.filesPerPartition]]) already carries.
+  *
+  * Supported stats column types: integral, float/double, string,
+  * date, timestamp (micros). DECIMAL and nested types are rejected at
+  * collection (declare a DOUBLE/scaled-long surface column instead —
+  * the repo-wide decimal-portability discipline). INT96 timestamps
+  * carry no parquet stats; such columns collect null stats and simply
+  * never prune (conservative, documented). */
+object DataSkipping {
+
+  /** The skip predicate algebra — the subset of data predicates
+    * file-level min/max can decide. Compiled against the stats frame
+    * with keep-if-maybe semantics; anything not expressible here
+    * belongs in the caller's data `.where`, which still runs. */
+  sealed trait SkipPred
+  /** Rows with `lo <= column <= hi` (inclusive; null-valued rows
+    * never match a range, so null counts are irrelevant here). */
+  final case class RangePred(column: String, lo: Any, hi: Any)
+      extends SkipPred
+  /** Rows with `column = v`. */
+  final case class EqPred(column: String, v: Any) extends SkipPred
+  /** Rows with `column IS NULL` — decided by the null count. */
+  final case class IsNullPred(column: String) extends SkipPred
+  final case class AndPred(l: SkipPred, r: SkipPred) extends SkipPred
+  final case class OrPred(l: SkipPred, r: SkipPred) extends SkipPred
+
+  private val StatsDir = "_filestats"
+  private val StatsMarker = "_STATS_OK"
+
+  private def isDataFile(p: Path): Boolean = {
+    val n = p.getName
+    n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Recursive data-file listing under `dir` (skips `_`/`.` names at
+    * every level, so `_filestats` and markers are invisible). */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath
+        .stripPrefix(root.toUri.getPath).stripPrefix("/")
+      val hidden = rel.split('/').exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (f.isFile && !hidden && isDataFile(f.getPath))
+        out += f.getPath.toString
+    }
+    out.result().sorted
+  }
+
+  private def statsColType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Per-file stats row: (min, max, nulls) per tracked column, from
+    * the file's row-group footers. None min/max = no usable stats
+    * (absent, INT96, all-null, or unsupported physical type) — the
+    * pruner keeps such files. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: String, cols: Seq[(String, DataType)])
+  : (Long, Map[String, (Option[Any], Option[Any], Option[Long])]) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byCol = cols.map { case (name, dt) =>
+        // one Option-folded merge over the file's row groups; ANY
+        // group with unusable stats poisons the FILE to "no stats"
+        // (conservative — a partial bound is not a bound)
+        var mn: Option[Any] = None
+        var mx: Option[Any] = None
+        var nulls: Option[Long] = Some(0L)
+        var ok = true
+        blocks.foreach { b =>
+          val chunk = b.getColumns.asScala
+            .find(_.getPath.toDotString == name)
+          chunk match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.isNumNullsSet) ok = false
+              else {
+                nulls = nulls.map(_ + st.getNumNulls)
+                if (st.hasNonNullValue) {
+                  val phys =
+                    c.getPrimitiveType.getPrimitiveTypeName
+                  decode(st.genericGetMin.asInstanceOf[AnyRef],
+                    phys, dt) match {
+                    case Some(v) =>
+                      mn = Some(mn.fold(v)(m => minOf(m, v, dt)))
+                    case None => ok = false
+                  }
+                  decode(st.genericGetMax.asInstanceOf[AnyRef],
+                    phys, dt) match {
+                    case Some(v) =>
+                      mx = Some(mx.fold(v)(m => maxOf(m, v, dt)))
+                    case None => ok = false
+                  }
+                }
+                // all-null group: contributes nulls, no bounds — fine
+              }
+            case None => ok = false // column absent: schema evolution
+          }
+        }
+        if (!ok) name -> (None, None, None)
+        else name -> (mn, mx, nulls)
+      }.toMap
+      (rows, byCol)
+    } finally reader.close()
+  }
+
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8),
+      b.getBytes(StandardCharsets.UTF_8))
+
+  private def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+    // strings compare in UTF-8 BYTE order — the order parquet wrote
+    // the stats in and the order Spark's UTF8String comparisons use;
+    // java.lang.String.compareTo (UTF-16 units) disagrees above the
+    // BMP, which would make a "min" not a lower bound
+    case StringType => utf8Cmp(a.asInstanceOf[String], b.asInstanceOf[String])
+    case ByteType => a.asInstanceOf[Byte] compare b.asInstanceOf[Byte]
+    case ShortType => a.asInstanceOf[Short] compare b.asInstanceOf[Short]
+    case IntegerType => a.asInstanceOf[Int] compare b.asInstanceOf[Int]
+    case LongType => a.asInstanceOf[Long] compare b.asInstanceOf[Long]
+    case FloatType =>
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case DateType =>
+      a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date])
+    case TimestampType | TimestampNTZType =>
+      a.asInstanceOf[java.sql.Timestamp]
+        .compareTo(b.asInstanceOf[java.sql.Timestamp])
+    case other => sys.error(s"unsupported stats type $other")
+  }
+  private def minOf(a: Any, b: Any, dt: DataType): Any =
+    if (cmp(a, b, dt) <= 0) a else b
+  private def maxOf(a: Any, b: Any, dt: DataType): Any =
+    if (cmp(a, b, dt) >= 0) a else b
+
+  /** Physical→external decode for a stats value. None = this
+    * (physical, logical) pairing carries no trustworthy bound —
+    * INT96 timestamps are the canonical case. */
+  private def decode(v: AnyRef, phys: PrimitiveTypeName,
+                     dt: DataType): Option[Any] = (phys, dt) match {
+    case (PrimitiveTypeName.INT32, ByteType) =>
+      Some(v.asInstanceOf[java.lang.Integer].intValue.toByte)
+    case (PrimitiveTypeName.INT32, ShortType) =>
+      Some(v.asInstanceOf[java.lang.Integer].intValue.toShort)
+    case (PrimitiveTypeName.INT32, IntegerType) =>
+      Some(v.asInstanceOf[java.lang.Integer].intValue)
+    case (PrimitiveTypeName.INT32, DateType) =>
+      Some(java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[java.lang.Integer].longValue)))
+    case (PrimitiveTypeName.INT64, LongType) =>
+      Some(v.asInstanceOf[java.lang.Long].longValue)
+    case (PrimitiveTypeName.INT64, TimestampType) |
+         (PrimitiveTypeName.INT64, TimestampNTZType) =>
+      val us = v.asInstanceOf[java.lang.Long].longValue
+      val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      Some(ts)
+    case (PrimitiveTypeName.FLOAT, FloatType) =>
+      Some(v.asInstanceOf[java.lang.Float].floatValue)
+    case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+      Some(v.asInstanceOf[java.lang.Double].doubleValue)
+    case (PrimitiveTypeName.BINARY, StringType) =>
+      Some(v.asInstanceOf[Binary].toStringUsingUTF8)
+    case _ => None // INT96 timestamps land here: no stats, no pruning
+  }
+
+  /** The stats frame for `dir`'s data files: one row per file —
+    * `file, rows` + per tracked column `min_<c>, max_<c>, nulls_<c>`
+    * (min/max in the column's own type). Footer-only: executors read
+    * parquet FOOTERS of the listed files, never data pages. Columns
+    * must exist in the data schema with a supported flat type. */
+  def collectStats(spark: SparkSession, dir: String,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "declare at least one stats column")
+    val dataSchema = spark.read.parquet(dir).schema
+    val typed = cols.map { c =>
+      val f = dataSchema.find(_.name == c).getOrElse(
+        sys.error(s"stats column '$c' not in data schema " +
+          dataSchema.fieldNames.mkString("[", ", ", "]")))
+      require(statsColType(f.dataType),
+        s"stats column '$c' has unsupported type ${f.dataType} — " +
+          "declare a double/long/string/date surface column instead")
+      c -> f.dataType
+    }
+    val files = listDataFiles(spark, dir)
+    require(files.nonEmpty, s"no data files under $dir")
+    val confB = spark.sparkContext.broadcast(
+      new SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val slices = math.min(files.size,
+      spark.sparkContext.defaultParallelism).max(1)
+    val statsSchema = StructType(
+      StructField("file", StringType, nullable = false) +:
+        StructField("rows", LongType, nullable = false) +:
+        typed.flatMap { case (c, dt) => Seq(
+          StructField(s"min_$c", dt, nullable = true),
+          StructField(s"max_$c", dt, nullable = true),
+          StructField(s"nulls_$c", LongType, nullable = true))
+        })
+    val typedLocal = typed // avoid closing over the outer frame
+    val rows = spark.sparkContext.parallelize(files, slices).map { f =>
+      val (n, byCol) = footerStats(confB.value.value, f, typedLocal)
+      Row.fromSeq(
+        f +: (n: java.lang.Long) +: typedLocal.flatMap { case (c, _) =>
+          val (mn, mx, nulls) = byCol(c)
+          Seq(mn.orNull, mx.orNull,
+            nulls.map(Long.box).orNull)
+        })
+    }
+    spark.createDataFrame(rows, statsSchema)
+  }
+
+  /** Collect and COMMIT the stats frame under `dir/_filestats`,
+    * marker-last ([[MarkerCommit]] discipline): a crash mid-write
+    * leaves a marker-less frame that readers ignore — the store
+    * degrades to unpruned reads, never to wrong ones. Call after the
+    * data commit; stats are derived metadata, so losing them is a
+    * performance event, not a correctness one. */
+  def writeStats(spark: SparkSession, dir: String,
+                 cols: Seq[String]): Unit = {
+    val stats = collectStats(spark, dir, cols)
+    val out = s"$dir/$StatsDir"
+    val tmp = s"$out.tmp"
+    MarkerCommit.deleteRecursively(tmp)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    MarkerCommit.commitSwap(out, tmp, StatsMarker)
+  }
+
+  /** Whether `dir` carries a committed stats frame — the cheap
+    * (one-marker) bootstrap gate; the marker lands LAST in
+    * [[writeStats]], so its presence implies the full sorted-write +
+    * stats sequence completed. */
+  def statsCommitted(spark: SparkSession, dir: String): Boolean =
+    MarkerCommit.markerExists(s"$dir/$StatsDir", StatsMarker)
+
+  /** The committed stats frame, if one exists (marker-gated). */
+  def statsFrame(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val out = s"$dir/$StatsDir"
+    if (MarkerCommit.markerExists(out, StatsMarker))
+      Some(spark.read.parquet(out))
+    else None
+  }
+
+  /** Compile a [[SkipPred]] to the keep-this-file condition over the
+    * stats frame. Null min/max (no usable stats) keeps the file. */
+  private[graft] def keepCondition(p: SkipPred): Column = p match {
+    case RangePred(c, lo, hi) =>
+      // overlap test; a null bound means "unknown" = keep
+      (col(s"max_$c").isNull || col(s"max_$c") >= lit(lo)) &&
+        (col(s"min_$c").isNull || col(s"min_$c") <= lit(hi))
+    case EqPred(c, v) => keepCondition(RangePred(c, v, v))
+    case IsNullPred(c) =>
+      col(s"nulls_$c").isNull || col(s"nulls_$c") > 0
+    case AndPred(l, r) => keepCondition(l) && keepCondition(r)
+    case OrPred(l, r) => keepCondition(l) || keepCondition(r)
+  }
+
+  /** The file-level prune: (surviving files, total data files).
+    * Survivors = stats-frame keeps ∪ files the frame has never seen
+    * (late appends stay visible — conservatism is structural). With
+    * no committed stats frame every file survives. The driver-side
+    * list is one string per data file — the same bound every Spark
+    * file index holds. */
+  def skipFiles(spark: SparkSession, dir: String,
+                pred: SkipPred): (Seq[String], Int) = {
+    val all = listDataFiles(spark, dir)
+    statsFrame(spark, dir) match {
+      case None => (all, all.size)
+      case Some(sf) =>
+        val kept = sf.where(keepCondition(pred))
+          .select("file").collect().map(_.getString(0)).toSet
+        val known = sf.select("file").collect()
+          .map(_.getString(0)).toSet
+        (all.filter(f => kept.contains(f) || !known.contains(f)),
+          all.size)
+    }
+  }
+
+  /** Read `dir` with the file list pruned by `pred` BEFORE any
+    * skipped file's footer is opened. SUPERSET contract: the result
+    * contains every row matching `pred` (plus possibly more from
+    * kept files) — apply the real data predicate on top; Catalyst
+    * pushes it into the surviving scans. Directory-partition columns
+    * resolve via `basePath`. An all-files-skipped prune returns the
+    * empty frame with the store's schema. */
+  def prunedRead(spark: SparkSession, dir: String,
+                 pred: SkipPred): DataFrame = {
+    val (kept, _) = skipFiles(spark, dir, pred)
+    if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
+    else spark.read.option("basePath", dir).parquet(kept: _*)
+  }
+
+  /** The LAYOUT half of skipping: range-repartition on `sortCols`
+    * into `numFiles` write tasks and sort within each, so per-file
+    * ranges are near-disjoint (one boundary value may straddle two
+    * files) and parquet row-group stats inside each file are
+    * selective too. A range predicate over the lead sort column then
+    * keeps O(matching range) files. The range exchange samples keys
+    * (one extra pass over the batch) — the usual price of a sorted
+    * layout, paid at write time where it belongs. */
+  def writeSorted(df: DataFrame, dir: String, sortCols: Seq[String],
+                  numFiles: Int,
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortCols.nonEmpty && numFiles >= 1,
+      "writeSorted needs sort columns and a positive file count")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).parquet(dir)
+  }
+
+  /** Sorted write + committed stats in one call — the full
+    * skipping-ready commit for a plain-directory store. */
+  def writeSortedWithStats(df: DataFrame, dir: String,
+                           sortCols: Seq[String], numFiles: Int,
+                           statsCols: Seq[String]): Unit = {
+    writeSorted(df, dir, sortCols, numFiles)
+    writeStats(df.sparkSession, dir, statsCols)
+  }
+}

@@ -65,8 +65,15 @@ object EventPipelines extends Serializable {
   // r13 (the spec's synthetic inputs were milli-aligned, so the spec
   // alone never saw it — its inputs now carry micros too). Same bug
   // family as the r12 streamAsofJoin millis-truncation find.
+  // `schemaV` exists ONLY to change the state arity vs the retired
+  // millis-grained shape: Spark's state-schema compatibility check
+  // ignores FIELD NAMES, so a checkpoint written by the millis
+  // version (same 4-Long/Double shape) would restart cleanly and be
+  // silently reinterpreted 1000x off. One extra field makes the old
+  // checkpoint fail the check loudly instead (advisor find, r14).
   final case class SessionState(startUs: Long, endUs: Long,
-                                n: Long, sum: Double)
+                                n: Long, sum: Double,
+                                schemaV: Int = 2)
   final case class UserSession(user_id: Long, session_start: Timestamp,
                                session_end: Timestamp, n_events: Long,
                                sum_value: Double)
@@ -585,7 +592,10 @@ object EventPipelines extends Serializable {
   // truncation family. Field renamed with the unit (a checkpoint
   // started on the millis version must restart from a fresh
   // checkpoint directory — same Long shape, different meaning).
-  final case class FunnelState(timesUs: List[Long])
+  // `schemaV`: arity-bump guard against millis-era checkpoints, as
+  // SessionState — the state compatibility check ignores field
+  // names, so only a shape change fails the restart loudly.
+  final case class FunnelState(timesUs: List[Long], schemaV: Int = 2)
   final case class FunnelProgress(user_id: Long, stages_completed: Long)
 
   /** Streaming twin of `EventAnalytics.funnelDepth`: per-user funnel

@@ -1,0 +1,238 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.io.DataSkipping
+import graft.io.DataSkipping._
+
+/** File-level min/max data-skipping contracts: footer stats equal a
+  * scan-based oracle per file, pruning keeps measurably FEWER files
+  * than present while the pruned read + data predicate equals the
+  * full-scan read (the superset contract), and every conservatism
+  * rule holds — unknown files, marker-less frames, stats-less
+  * columns (INT96 timestamps), and all-null groups all KEEP files.
+  * Skipping may only ever remove work, never rows. */
+class DataSkippingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_skip_$name").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  /** 10k rows, ids dense 0..9999, v = id/10.0, s = zero-padded id
+    * (so string order == numeric order), d = day id/100, nulls in
+    * `nv` only for id % 100 == 0. */
+  private def corpus: DataFrame =
+    spark.range(10000).select(
+      col("id"),
+      (col("id") / 10.0).as("v"),
+      format_string("s%05d", col("id")).as("s"),
+      date_add(lit(Date.valueOf("2024-01-01")),
+        (col("id") / 100).cast("int")).as("d"),
+      when(col("id") % 100 === 0, lit(null))
+        .otherwise(col("id")).as("nv"))
+
+  test("footer stats equal a scan-based per-file oracle") {
+    val dir = tmpDir("oracle")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id", "v", "s", "d", "nv"))
+    // key per-file rows by file NAME — listDataFiles' Path.toString
+    // and _metadata.file_path render the same local path as
+    // different URI shapes (file:/ vs file:///)
+    val stats = statsFrame(spark, dir).get.collect()
+      .map(r => r.getString(0).split('/').last -> r).toMap
+    // the oracle READS the data: group by the metadata file path
+    val scan = spark.read.parquet(dir)
+      .groupBy(regexp_extract(col("_metadata.file_path"),
+        "[^/]+$", 0).as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min("id").as("min_id"), max("id").as("max_id"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        min("s").as("min_s"), max("s").as("max_s"),
+        min("d").as("min_d"), max("d").as("max_d"),
+        min("nv").as("min_nv"), max("nv").as("max_nv"),
+        sum(when(col("nv").isNull, 1L).otherwise(0L)).as("nulls_nv"))
+      .collect()
+    assert(scan.nonEmpty && scan.length == stats.size)
+    scan.foreach { r =>
+      val s = stats(r.getString(0))
+      assert(s.getLong(s.fieldIndex("rows")) == r.getLong(1))
+      for (c <- Seq("id", "v", "s", "d", "nv")) {
+        assert(s.get(s.fieldIndex(s"min_$c")) ==
+          r.get(r.fieldIndex(s"min_$c")), s"min_$c of ${r.getString(0)}")
+        assert(s.get(s.fieldIndex(s"max_$c")) ==
+          r.get(r.fieldIndex(s"max_$c")), s"max_$c of ${r.getString(0)}")
+      }
+      assert(s.getLong(s.fieldIndex("nulls_nv")) ==
+        r.getLong(r.fieldIndex("nulls_nv")))
+      assert(s.getLong(s.fieldIndex("nulls_id")) == 0L)
+    }
+  }
+
+  test("range prune keeps fewer files and the pruned read is exact") {
+    val dir = tmpDir("range")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id", "d"))
+    val (kept, total) = skipFiles(spark, dir, RangePred("id", 100L, 400L))
+    assert(total == 16, s"expected 16 files, found $total")
+    // a 301-id slice of a 10k corpus over 16 sorted files touches at
+    // most 2 (one boundary straddle) — the measured-count discipline
+    assert(kept.size <= 2 && kept.nonEmpty,
+      s"kept ${kept.size} of $total files for a 3% range")
+    val pruned = prunedRead(spark, dir, RangePred("id", 100L, 400L))
+      .where(col("id").between(100, 400))
+    val full = spark.read.parquet(dir).where(col("id").between(100, 400))
+    assert(pruned.collect().toSet == full.collect().toSet)
+    assert(pruned.count() == 301)
+  }
+
+  test("date and string predicates prune too") {
+    val dir = tmpDir("types")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("d", "s"))
+    val dPred = RangePred("d", Date.valueOf("2024-01-11"),
+      Date.valueOf("2024-01-20"))
+    val (keptD, totD) = skipFiles(spark, dir, dPred)
+    assert(keptD.size < totD, s"date prune kept ${keptD.size}/$totD")
+    val got = prunedRead(spark, dir, dPred)
+      .where(col("d").between(lit("2024-01-11"), lit("2024-01-20")))
+      .agg(count(lit(1)), min("id"), max("id")).head()
+    assert(got.getLong(0) == 1000 && got.getLong(1) == 1000 &&
+      got.getLong(2) == 1999)
+    val sPred = EqPred("s", "s00042")
+    val (keptS, totS) = skipFiles(spark, dir, sPred)
+    assert(keptS.size == 1, s"point string prune kept ${keptS.size}/$totS")
+    assert(prunedRead(spark, dir, sPred)
+      .where(col("s") === "s00042").count() == 1)
+  }
+
+  test("and/or compose; disjoint range prunes everything, exactly") {
+    val dir = tmpDir("compose")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 8,
+      statsCols = Seq("id"))
+    val none = prunedRead(spark, dir, RangePred("id", 20000L, 30000L))
+    assert(none.count() == 0)
+    assert(none.schema == spark.read.parquet(dir).schema)
+    val both = OrPred(RangePred("id", 0L, 10L),
+      RangePred("id", 9990L, 9999L))
+    val (kept, total) = skipFiles(spark, dir, both)
+    assert(kept.size == 2 && total == 8)
+    assert(prunedRead(spark, dir, both)
+      .where(col("id") <= 10 || col("id") >= 9990).count() == 21)
+    val and = AndPred(RangePred("id", 0L, 5000L),
+      RangePred("id", 4000L, 9000L))
+    assert(prunedRead(spark, dir, and)
+      .where(col("id").between(4000, 5000)).count() == 1001)
+  }
+
+  test("IsNull prunes to the files that hold nulls") {
+    val dir = tmpDir("nulls")
+    writeSortedWithStats(corpus.where(col("id") < 250 ||
+        (col("id") % 100 =!= 0)), dir, Seq("id"), numFiles = 10,
+      statsCols = Seq("nv"))
+    // nulls (id % 100 == 0) survive only below 250 → first file(s)
+    val (kept, total) = skipFiles(spark, dir, IsNullPred("nv"))
+    assert(kept.size < total, s"IsNull kept ${kept.size}/$total")
+    assert(prunedRead(spark, dir, IsNullPred("nv"))
+      .where(col("nv").isNull).count() == 3)
+  }
+
+  test("unknown files are conservatively kept (late append)") {
+    val dir = tmpDir("append")
+    writeSortedWithStats(corpus.where(col("id") < 5000), dir,
+      Seq("id"), numFiles = 8, statsCols = Seq("id"))
+    // a foreign writer appends out-of-band — stats never saw it
+    corpus.where(col("id") >= 9000).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val (kept, total) = skipFiles(spark, dir, RangePred("id", 9500L, 9600L))
+    assert(kept.size == 1 && total == 9,
+      s"the unknown file alone should survive: ${kept.size}/$total")
+    assert(prunedRead(spark, dir, RangePred("id", 9500L, 9600L))
+      .where(col("id").between(9500, 9600)).count() == 101)
+  }
+
+  test("no committed stats frame = no pruning, never an error") {
+    val dir = tmpDir("nostats")
+    DataSkipping.writeSorted(corpus, dir, Seq("id"), numFiles = 4)
+    val (kept, total) = skipFiles(spark, dir, RangePred("id", 0L, 1L))
+    assert(kept.size == total && total == 4)
+    // a marker-less (crashed) stats frame is ignored the same way
+    writeStats(spark, dir, Seq("id"))
+    graft.io.MarkerCommit.deleteRecursively(
+      s"$dir/_filestats/_STATS_OK")
+    assert(statsFrame(spark, dir).isEmpty)
+    assert(skipFiles(spark, dir, RangePred("id", 0L, 1L))._1.size == 4)
+  }
+
+  test("INT96 timestamps carry no stats and never prune; micros do") {
+    val dir96 = tmpDir("ts96")
+    val dirUs = tmpDir("tsus")
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, epoch-pinned
+    val withTs = corpus.select(col("id"),
+      timestamp_seconds(lit(base) + col("id")).as("ts"))
+    val prev = spark.conf.getOption(
+      "spark.sql.parquet.outputTimestampType").getOrElse("INT96")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      writeSortedWithStats(withTs, dir96, Seq("id"), 8, Seq("ts"))
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      writeSortedWithStats(withTs, dirUs, Seq("id"), 8, Seq("ts"))
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val pred = RangePred("ts",
+      new java.sql.Timestamp((base + 60) * 1000L),
+      new java.sql.Timestamp((base + 120) * 1000L))
+    val (kept96, tot96) = skipFiles(spark, dir96, pred)
+    assert(kept96.size == tot96, "INT96 must keep every file")
+    val (keptUs, totUs) = skipFiles(spark, dirUs, pred)
+    assert(keptUs.size < totUs, "micros timestamps must prune")
+    assert(prunedRead(spark, dirUs, pred).where(col("ts").between(
+        timestamp_seconds(lit(base + 60)),
+        timestamp_seconds(lit(base + 120)))).count() == 61)
+  }
+
+  test("directory-partitioned store: basePath keeps the layout column") {
+    val dir = tmpDir("part")
+    val df = corpus.withColumn("p", (col("id") % 4).cast("int"))
+    df.repartition(4, col("p")).sortWithinPartitions("id")
+      .write.partitionBy("p").parquet(dir)
+    writeStats(spark, dir, Seq("id"))
+    val (kept, total) = skipFiles(spark, dir, RangePred("id", 0L, 100L))
+    assert(total > kept.size || total == kept.size, "listing works")
+    val got = prunedRead(spark, dir, RangePred("id", 0L, 100L))
+      .where(col("id") <= 100)
+    assert(got.columns.contains("p"), "partition column must survive")
+    assert(got.groupBy("p").count().count() == 4)
+    assert(got.count() == 101)
+  }
+
+  test("decimal stats columns are rejected loudly") {
+    val dir = tmpDir("dec")
+    corpus.select(col("id"),
+        col("v").cast("decimal(18,2)").as("dv"))
+      .coalesce(2).write.parquet(dir)
+    val e = intercept[Exception](writeStats(spark, dir, Seq("dv")))
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("sorted layout: per-file ranges overlap only at boundaries") {
+    val dir = tmpDir("disjoint")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    val ranges = statsFrame(spark, dir).get
+      .select("min_id", "max_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1, s"file ranges interleave: $hi1 vs $lo2")
+      case _ =>
+    }
+  }
+}

@@ -2,6 +2,7 @@
 """Local mirror of the driver's correctness gate — STRICT.
 
 Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+       python3 tools/check.py --selftest
 
 Reads each <name>/ parquet produced by graft.Verify plus oracle_sql.json,
 runs the oracle in DuckDB against the sf tables, and compares the way the
@@ -9,26 +10,158 @@ driver does: columns sorted by name, every value stringified, rows sorted,
 EXACT equality (no float tolerance, which round 1 proved hides real
 hash failures — a Decimal '205941.60' vs float '205941.6' mismatch).
 
+THE r13 LESSON (the mirror's own blind spot): this script used to read
+the SPARK parquet back *through DuckDB* (`read_parquet(...).df()`),
+which flattens DECIMAL->float64 on BOTH sides — so a raw decimal output
+column that the driver stringifies '78855.80' (pyarrow preserves
+Decimal) while the oracle's float renders '78855.8' passed HERE and
+failed THERE (the four r13 merge rows). The spark side is now read with
+pyarrow, preserving DECIMAL as Decimal and date32 as date — the types
+the driver sees. `--selftest` pins the regression: a decimal fixture
+MUST fail the strict compare (and records that the old DuckDB read path
+would have hidden it).
+
+Temporal rendering is normalized SYMMETRICALLY on both sides (dates and
+midnight timestamps both canonicalize to 'YYYY-MM-DD', fractional
+seconds drop trailing zeros) — rendering-only, applied to both sides,
+so a real instant divergence still fails.
+
 `--lenient` restores the old tolerant compare as a diagnostic mode.
 """
 import sys, os, json, glob
+import datetime
+import decimal
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 LENIENT = "--lenient" in sys.argv
 
 
+def _norm_temporal(s: str) -> str:
+    """Symmetric rendering canon for dates/timestamps: drop trailing
+    fractional zeros, then a bare midnight time — date32 '2024-01-03'
+    (pyarrow) and DATE->datetime64 '2024-01-03 00:00:00.000000'
+    (duckdb .df()) canonicalize to the same string."""
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    if s.endswith(" 00:00:00"):
+        s = s[:-9]
+    return s
+
+
+def _cell_str(x) -> str:
+    if x is None:
+        return "None"
+    if isinstance(x, float) and np.isnan(x):
+        return "nan"
+    if isinstance(x, pd.Timestamp) or isinstance(x, datetime.datetime):
+        if pd.isna(x):
+            return "NaT"
+        return _norm_temporal(x.isoformat(sep=" "))
+    if isinstance(x, datetime.date):
+        return x.isoformat()
+    if isinstance(x, decimal.Decimal):
+        return str(x)  # EXACT — '78855.80' stays '78855.80'
+    if isinstance(x, (bytes, bytearray)):
+        return x.hex()
+    if isinstance(x, (np.ndarray, list)):
+        return "[" + ", ".join(_cell_str(v) for v in x) + "]"
+    return str(x)
+
+
 def canon_rows(df: pd.DataFrame):
     """Driver-style canonical form: sorted column names, all values as
-    strings, rows sorted. Returns (columns, list-of-row-tuples)."""
+    strings (temporal rendering normalized, decimals exact), rows
+    sorted. Returns (columns, list-of-row-tuples)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    s = df.astype(str)
-    rows = sorted(map(tuple, s.itertuples(index=False, name=None)))
+    cols = {}
+    for c in df.columns:
+        col = df[c]
+        if str(col.dtype).startswith("datetime64"):
+            cols[c] = [
+                "NaT" if pd.isna(v)
+                else _norm_temporal(v.isoformat(sep=" "))
+                for v in col
+            ]
+        elif col.dtype == object:
+            cols[c] = [_cell_str(v) for v in col]
+        else:
+            cols[c] = col.astype(str).tolist()
+    rows = sorted(zip(*[cols[c] for c in df.columns])) if len(df.columns) \
+        else []
     return list(df.columns), rows
 
 
+def read_spark(files):
+    """Read the Spark verify parquet the way the DRIVER does —
+    pyarrow, types preserved (DECIMAL as Decimal, date32 as date) —
+    NOT through DuckDB's .df() float64 flattening (check.py's r13
+    blind spot)."""
+    tbl = pa.concat_tables([pq.read_table(f) for f in files],
+                           promote_options="permissive")
+    return tbl.to_pandas()
+
+
+def selftest():
+    """The r13 regression, pinned: a raw DECIMAL(18,2) spark output
+    vs a float oracle MUST fail the strict compare (the driver
+    failed it; the old mirror said OK)."""
+    import tempfile
+    d = tempfile.mkdtemp(prefix="graft_checkself_")
+    f = os.path.join(d, "part-0.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "total": pa.array([decimal.Decimal("78855.80"),
+                           decimal.Decimal("0.00")],
+                          pa.decimal128(18, 2)),
+        "order_day": pa.array([datetime.date(2024, 1, 3)] * 2,
+                              pa.date32()),
+    }), f)
+    con = duckdb.connect()
+    oracle = con.sql(
+        "SELECT * FROM (VALUES (1, CAST(78855.80 AS DECIMAL(18,2)),"
+        " CAST('2024-01-03' AS DATE)), (2, CAST(0.00 AS DECIMAL(18,2)),"
+        " CAST('2024-01-03' AS DATE))) t(k, total, order_day)").df()
+    gc, got = canon_rows(read_spark([f]))
+    wc, want = canon_rows(oracle)
+    assert gc == wc, f"selftest schema: {gc} vs {wc}"
+    assert got != want, (
+        "selftest FAILED to fail: decimal '78855.80' vs float "
+        "'78855.8' compared equal — the DECIMAL blind spot is back")
+    # the date column must NOT be the thing that differs (temporal
+    # canon is symmetric); only the decimal cells may diverge
+    diffs = [(a, b) for a, b in zip(got, want) if a != b]
+    for a, b in diffs:
+        assert a[1] == b[1], f"date canon diverged: {a[1]} vs {b[1]}"
+        assert a[2] != b[2], f"expected decimal diff, got {a} vs {b}"
+    # and record the blind spot: the OLD read path (duckdb .df() on
+    # the spark parquet) flattens both sides to float64 and hides it
+    old_gc, old_got = canon_rows(
+        con.sql(f"SELECT * FROM read_parquet(['{f}'])").df())
+    assert old_got == want, "old duckdb-read path no longer hides " \
+        "the decimal diff? (harmless, but update this note)"
+    # a DOUBLE-cast spark side (the r14 fix) must PASS
+    f2 = os.path.join(d, "part-1.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "total": pa.array([78855.80, 0.00], pa.float64()),
+        "order_day": pa.array([datetime.date(2024, 1, 3)] * 2,
+                              pa.date32()),
+    }), f2)
+    _, got2 = canon_rows(read_spark([f2]))
+    assert got2 == want, f"double-cast side should pass: {got2} vs {want}"
+    print("selftest OK: decimal fixture fails strict compare, "
+          "double-cast fixture passes, old duckdb path would have "
+          "hidden the decimal diff")
+
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
@@ -81,7 +214,7 @@ def main():
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
             print(f"MISSING  {name}: no spark output"); fail += 1; continue
-        got_df = con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df()
+        got_df = read_spark(spark_files)
         try:
             want_df = con.sql(sql).df()
         except Exception as e:
@@ -120,7 +253,7 @@ def main():
         if not os.path.isdir(os.path.join(out_dir, name)):
             print(f"MISSING  {name}: no spark output"); fail += 1; continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        n = len(con.sql(f"SELECT * FROM read_parquet({files!r})").df()) if files else 0
+        n = len(read_spark(files)) if files else 0
         print(f"{'ROWSONLY' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
         ok += 1 if n else 0
         fail += 0 if n else 1
