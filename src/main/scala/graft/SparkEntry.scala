@@ -2408,15 +2408,18 @@ object SparkEntry {
     * the survivors and apply the real predicate on top. */
   private def skipDemoRead(s: SparkSession, path: String): DataFrame = {
     import graft.io.DataSkipping
+    // 1996: inside the corpus's 1995..2001 span — kept must be BOTH
+    // nonempty (a year that exists; guards the vacuous empty==empty
+    // oracle pass) and smaller than the file count (pruning worked)
     val pred = DataSkipping.RangePred("order_day",
-      java.sql.Date.valueOf("1994-01-01"),
-      java.sql.Date.valueOf("1994-12-31"))
+      java.sql.Date.valueOf("1996-01-01"),
+      java.sql.Date.valueOf("1996-12-31"))
     val (kept, total) = DataSkipping.skipFiles(s, path, pred)
-    require(kept.size < total,
-      s"data skipping pruned nothing: ${kept.size} of $total files")
-    DataSkipping.prunedRead(s, path, pred)
+    require(kept.nonEmpty && kept.size < total,
+      s"data skipping degenerate: kept ${kept.size} of $total files")
+    DataSkipping.readFiles(s, path, kept)
       .where(col("order_day").between(
-        lit("1994-01-01"), lit("1994-12-31")))
+        lit("1996-01-01"), lit("1996-12-31")))
   }
 
   /** The MERGE surface's target: the even-keyed half of orders, the
@@ -3059,14 +3062,14 @@ object SparkEntry {
         |       CAST(o_orderdate AS DATE) AS order_day
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE)
-        |      BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'""".stripMargin,
+        |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
     "q_store_skip_versioned" ->
       """SELECT o_orderkey, o_custkey,
         |       CAST(o_totalprice AS DOUBLE) AS total,
         |       CAST(o_orderdate AS DATE) AS order_day
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE)
-        |      BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'""".stripMargin,
+        |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
 
     // open/close = the value at rank 1 of the asc/desc (ts, id)
     // orderings; position decides, not null-skipping

@@ -539,10 +539,10 @@ object StoreBench {
         DataSkipping.writeStats(spark, hashDir, Seq("day"))
       }
       sweep()
-      val pred = RangePred("day", java.sql.Date.valueOf("1994-01-01"),
-        java.sql.Date.valueOf("1994-12-31"))
+      val pred = RangePred("day", java.sql.Date.valueOf("1996-01-01"),
+        java.sql.Date.valueOf("1996-12-31"))
       def year(df: DataFrame): DataFrame = df.where(
-        col("day").between(lit("1994-01-01"), lit("1994-12-31")))
+        col("day").between(lit("1996-01-01"), lit("1996-12-31")))
       // order-proof identity row: count + cents-LONG sum + key xor
       // (a double sum would wobble with partition order)
       def fpRow(df: DataFrame): (Long, Long, Long) = {

@@ -84,6 +84,7 @@ object DataSkipping {
 
   private val StatsDir = "_filestats"
   private val StatsMarker = "_STATS_OK"
+  private val SchemaFile = "_DATA_SCHEMA.json"
 
   private def isDataFile(p: Path): Boolean = {
     val n = p.getName
@@ -91,21 +92,23 @@ object DataSkipping {
   }
 
   /** Recursive data-file listing under `dir` (skips `_`/`.` names at
-    * every level, so `_filestats` and markers are invisible). */
+    * every level, so `_filestats` and markers are invisible).
+    * Plain `listStatus` recursion — `fs.listFiles(recursive)` fetches
+    * BLOCK LOCATIONS per file, which on the local fs cost ~4 ms/file
+    * and dominated the whole skip decision (profiled: 0.55 s of a
+    * 0.9 s pruned read at 128 files); the prune needs names only. */
   def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = Seq.newBuilder[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = f.getPath.toUri.getPath
-        .stripPrefix(root.toUri.getPath).stripPrefix("/")
-      val hidden = rel.split('/').exists(s =>
-        s.startsWith("_") || s.startsWith("."))
-      if (f.isFile && !hidden && isDataFile(f.getPath))
-        out += f.getPath.toString
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (s.isDirectory) walk(s.getPath)
+        else if (isDataFile(s.getPath)) out += s.getPath.toString
+      }
     }
+    walk(root)
     out.result().sorted
   }
 
@@ -295,7 +298,36 @@ object DataSkipping {
     val tmp = s"$out.tmp"
     MarkerCommit.deleteRecursively(tmp)
     stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // the data schema rides the stats commit (the Delta-log move):
+    // pruned reads then never footer-infer — with an explicit file
+    // list every root would otherwise pay discovery/inference setup,
+    // which measurably rivaled the prune's win on small tables
+    MarkerCommit.touch(s"$tmp/$SchemaFile",
+      spark.read.parquet(dir).schema.json)
     MarkerCommit.commitSwap(out, tmp, StatsMarker)
+  }
+
+  /** The data schema recorded at stats-commit time, if present.
+    * Appends after the stats commit read fine through it as long as
+    * they don't CHANGE columns (standard parquet missing-column =
+    * null semantics); schema evolution should recommit stats. */
+  def committedSchema(spark: SparkSession,
+                      dir: String): Option[StructType] = {
+    val p = s"$dir/$StatsDir/$SchemaFile"
+    if (!MarkerCommit.markerExists(s"$dir/$StatsDir", StatsMarker) ||
+        !MarkerCommit.fileExists(p)) None
+    else {
+      val path = new Path(p)
+      val in = path.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).open(path)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        Some(DataType.fromJson(
+          new String(bytes.toByteArray, StandardCharsets.UTF_8))
+          .asInstanceOf[StructType])
+      } finally in.close()
+    }
   }
 
   /** Whether `dir` carries a committed stats frame — the cheap
@@ -339,12 +371,14 @@ object DataSkipping {
     statsFrame(spark, dir) match {
       case None => (all, all.size)
       case Some(sf) =>
-        val kept = sf.where(keepCondition(pred))
-          .select("file").collect().map(_.getString(0)).toSet
-        val known = sf.select("file").collect()
-          .map(_.getString(0)).toSet
-        (all.filter(f => kept.contains(f) || !known.contains(f)),
-          all.size)
+        // ONE collect carries both the keep verdicts and the known
+        // set — the skip decision is one small Spark job over a
+        // file-count-sized frame (a second job here measurably
+        // dominated the prune's win on cache-resident tables)
+        val verdicts = sf.select(col("file"),
+            keepCondition(pred).as("__keep")).collect()
+          .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        (all.filter(f => verdicts.getOrElse(f, true)), all.size)
     }
   }
 
@@ -357,9 +391,26 @@ object DataSkipping {
     * empty frame with the store's schema. */
   def prunedRead(spark: SparkSession, dir: String,
                  pred: SkipPred): DataFrame = {
-    val (kept, _) = skipFiles(spark, dir, pred)
-    if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
-    else spark.read.option("basePath", dir).parquet(kept: _*)
+    val (kept, total) = skipFiles(spark, dir, pred)
+    // nothing pruned → plain directory read: an explicit N-root file
+    // list pays per-root planning (~2-3 ms each) the directory scan
+    // does not, so handing Spark the full list would make a no-win
+    // prune strictly worse than not pruning (measured in the skip
+    // bench's hash arm)
+    if (kept.size == total) spark.read.parquet(dir)
+    else readFiles(spark, dir, kept)
+  }
+
+  /** Read an already-pruned file list (the [[skipFiles]] output) —
+    * callers that need the kept/total counts (a measured-suppression
+    * require, a bench report) prune once and read here instead of
+    * paying the stats job twice through [[prunedRead]]. */
+  def readFiles(spark: SparkSession, dir: String,
+                kept: Seq[String]): DataFrame = {
+    val reader = committedSchema(spark, dir)
+      .fold(spark.read)(s => spark.read.schema(s))
+    if (kept.isEmpty) reader.parquet(dir).where(lit(false))
+    else reader.option("basePath", dir).parquet(kept: _*)
   }
 
   /** The LAYOUT half of skipping: range-repartition on `sortCols`
