@@ -503,6 +503,38 @@ object SparkEntry {
       skipDemoRead(s, vdir)
     }),
 
+    // oracle-checked: Z-ORDER clustering (the OPTIMIZE ZORDER
+    // analog) — the same table tiled on (order_day, o_custkey) by
+    // interleaving the bits of the two columns' scaled ranks, so a
+    // predicate on EITHER column (or both) prunes files; a 1-D sort
+    // serves only its lead column (spec-pinned: an x-sorted layout
+    // keeps 16/16 files for a y predicate, the z layout prunes it).
+    // The z value is write-time-only: data columns are untouched and
+    // skipping derives from true footer stats, so a bad z mapping
+    // can only cost selectivity, never rows. The surface REQUIREs a
+    // 2-D prune that kept fewer files than present (r14)
+    "q_store_skip_zorder" -> ((s, dir) => {
+      import graft.io.DataSkipping
+      import graft.io.DataSkipping.{AndPred, RangePred}
+      val path = s"/tmp/graft_serving_idx/skipz_${skipDemoFp(s, dir)}"
+      if (!DataSkipping.statsCommitted(s, path)) {
+        graft.io.MarkerCommit.deleteRecursively(path)
+        DataSkipping.writeZOrderedWithStats(skipDemoFrame(s, dir),
+          path, Seq("order_day", "o_custkey"), numFiles = 32)
+      }
+      val pred = AndPred(
+        RangePred("order_day", java.sql.Date.valueOf("1996-01-01"),
+          java.sql.Date.valueOf("1996-12-31")),
+        RangePred("o_custkey", 1L, 100L))
+      val (kept, total) = DataSkipping.skipFiles(s, path, pred)
+      require(kept.nonEmpty && kept.size < total,
+        s"z-order skipping degenerate: ${kept.size} of $total files")
+      DataSkipping.readFiles(s, path, kept)
+        .where(col("order_day").between(
+          lit("1996-01-01"), lit("1996-12-31")) &&
+          col("o_custkey").between(1, 100))
+    }),
+
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
     // partitioning the aggregate then reuses (one shuffle total);
@@ -3070,6 +3102,18 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE)
         |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
+
+    // the z-ordered store serves a 2-D slice; the layout (and the
+    // in-query files-kept < files-present require) is Spark-side
+    // machinery — the oracle is the plain 2-D filter
+    "q_store_skip_zorder" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS total,
+        |       CAST(o_orderdate AS DATE) AS order_day
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  AND o_custkey BETWEEN 1 AND 100""".stripMargin,
 
     // open/close = the value at rank 1 of the asc/desc (ts, id)
     // orderings; position decides, not null-skipping

@@ -621,6 +621,121 @@ object StoreBench {
       return
     }
 
+    // "zorder" prices the MULTI-COLUMN layout: the same table
+    // committed day-SORTED (1-D lexicographic) vs Z-ORDERED on
+    // (day, ck); a 2-D predicate (one quarter x bottom-decile
+    // customers) then prunes BOTH columns on the z layout but only
+    // `day` on the sorted one. Arms per run (order alternating,
+    // identity fingerprint-asserted first): skip_sorted / skip_zorder
+    // (pruned reads) and scan_sorted / scan_zorder (full scans).
+    if (kind == "zorder") {
+      import graft.io.DataSkipping
+      import graft.io.DataSkipping.{AndPred, RangePred}
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      def table: DataFrame = (0 until storeScale).map(i =>
+          orders.select(
+            (col("o_orderkey") + lit(i.toLong * 10000000L)).as("k"),
+            col("o_custkey").as("ck"),
+            col("o_totalprice").cast("double").as("total"),
+            to_date(col("o_orderdate")).as("day")))
+        .reduce(_ unionByName _)
+      val sortedDir = s"$warehouse/z_day_sorted"
+      val zDir = s"$warehouse/z_zordered"
+      Seq(sortedDir, zDir).foreach(
+        graft.io.MarkerCommit.deleteRecursively)
+      val files = sys.env.getOrElse("SPARK_GRAFT_SKIP_FILES", "128").toInt
+      def timed(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def sweep(): Unit = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+      }
+      val ckMax = orders.agg(max(col("o_custkey"))).head().getLong(0)
+      val ckHi = ckMax / 10 // bottom customer decile
+      val tSorted = timed(DataSkipping.writeSortedWithStats(
+        table, sortedDir, Seq("day"), files, Seq("day", "ck")))
+      val tZ = timed(DataSkipping.writeZOrderedWithStats(
+        table, zDir, Seq("day", "ck"), files))
+      sweep()
+      val pred = AndPred(
+        RangePred("day", java.sql.Date.valueOf("1996-01-01"),
+          java.sql.Date.valueOf("1996-03-31")),
+        RangePred("ck", 1L, ckHi))
+      def slice(df: DataFrame): DataFrame = df.where(
+        col("day").between(lit("1996-01-01"), lit("1996-03-31")) &&
+          col("ck").between(1, ckHi))
+      def fpRow(df: DataFrame): (Long, Long, Long) = {
+        val r = slice(df).agg(count(lit(1)),
+          sum((col("total") * 100).cast("long")),
+          expr("bit_xor(xxhash64(k))")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val arms0: Seq[(String, () => DataFrame)] = Seq(
+        "skip_sorted" -> (() => DataSkipping.prunedRead(spark, sortedDir, pred)),
+        "skip_zorder" -> (() => DataSkipping.prunedRead(spark, zDir, pred)),
+        "scan_sorted" -> (() => spark.read.parquet(sortedDir)),
+        "scan_zorder" -> (() => spark.read.parquet(zDir)))
+      val fps = arms0.map { case (nm, rd) => nm -> fpRow(rd()) }
+      if (fps.map(_._2).distinct.size != 1) {
+        System.err.println(s"[store-bench] ZORDER ARM MISMATCH: $fps")
+        sys.exit(1)
+      }
+      sweep()
+      val (keptS, totS) = DataSkipping.skipFiles(spark, sortedDir, pred)
+      val (keptZ, totZ) = DataSkipping.skipFiles(spark, zDir, pred)
+      val loadBefore = loadavg
+      StallProbe.start()
+      val stall0 = StallProbe.totalSec
+      val times = arms0.map(_._1 -> scala.collection.mutable
+        .ArrayBuffer.empty[Double]).toMap
+      for (r <- 0 until runs) {
+        val order = if (r % 2 == 0) arms0 else arms0.reverse
+        order.foreach { case (nm, rd) =>
+          val t = timed(fpRow(rd()): Unit)
+          sweep()
+          times(nm) += t
+        }
+        System.err.println(f"[store-bench] zorder run $r " + arms0.map {
+          case (nm, _) => f"$nm=${times(nm).last}%.2f s" }.mkString(" "))
+      }
+      val stallSec = StallProbe.totalSec - stall0
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def jarr(xs: Seq[Double]) = xs.map(x =>
+        math.round(x * 1000) / 1000.0).mkString("[", ",", "]")
+      val m = arms0.map { case (nm, _) => nm -> med(times(nm).toSeq) }.toMap
+      val json =
+        s"""{"metric":"zorder_2d_slice_median","value":${m("skip_zorder")}""" +
+          s""","unit":"sec","kind":"zorder"""" +
+          arms0.map { case (nm, _) =>
+            s""","${nm}_median":${m(nm)},"${nm}_runs":${jarr(times(nm).toSeq)}"""
+          }.mkString +
+          s""","files_kept_sorted":${keptS.size}""" +
+          s""","files_kept_zorder":${keptZ.size}""" +
+          s""","files_total":$totZ,"files_total_sorted":$totS""" +
+          s""","slice_rows":${fps.head._2._1}""" +
+          s""","table_rows":${orders.count() * storeScale}""" +
+          s""","ck_hi":$ckHi""" +
+          s""","write_sorted_sec":${math.round(tSorted * 100) / 100.0}""" +
+          s""","write_zorder_sec":${math.round(tZ * 100) / 100.0}""" +
+          s""","files_per_layout":$files,"runs":$runs""" +
+          s""","store_scale":$storeScale,"identity_ok":true""" +
+          s""","stall_sec":${math.round(stallSec * 100) / 100.0}""" +
+          s""","loadavg_before":"$loadBefore","loadavg_after":"$loadavg"""" +
+          s""","cpus":"$cpus","sf":"$sfDir"}"""
+      println(json)
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "store_bench.json")
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[store-bench] write $out failed: $e") }
+      spark.stop()
+      return
+    }
+
     /** One bench-able store layout: the index frames it stores, the
       * increment joined against them, and the store lifecycle — the
       * bucketed-table defaults serve sig/signband; the ivf kind

@@ -439,4 +439,100 @@ object DataSkipping {
     writeSorted(df, dir, sortCols, numFiles)
     writeStats(df.sparkSession, dir, statsCols)
   }
+
+  // -----------------------------------------------------------------
+  // Z-ORDER clustering — the multi-column layout half (the Delta
+  // OPTIMIZE ZORDER analog). A lexicographic sort serves ONE lead
+  // column: files are narrow in it and span the full domain of every
+  // other. Interleaving the bits of k columns' scaled ranks makes
+  // each file a near-rectangular tile in k-space — per-file min/max
+  // stay narrow in EVERY clustered column, so a predicate on any
+  // subset of them prunes. The z value is a WRITE-TIME ordering key
+  // only: it is dropped before the write, data columns are untouched,
+  // and skipping still derives from TRUE footer stats — a bad z
+  // mapping can only cost selectivity, never correctness.
+  // -----------------------------------------------------------------
+
+  /** A clustered column mapped to a monotone DOUBLE (date →
+    * epoch-day, timestamp → micros, strings → leading-7-byte rank,
+    * numerics as-is). Doubles carry 53 mantissa bits — far more than
+    * the 16 the scaling keeps, and never truncate sub-integer
+    * resolution the way a long cast would. */
+  private def monotoneDouble(c: String, dt: DataType): Column = dt match {
+    case DateType => unix_date(col(c)).cast(DoubleType)
+    case TimestampType | TimestampNTZType =>
+      unix_micros(col(c)).cast(DoubleType)
+    case StringType =>
+      // leading 7 UTF-8 bytes as an unsigned big-endian rank —
+      // preserves byte order on the prefix (56 bits < the 64 a
+      // signed long holds, so no sign wrap); coarse, but the z value
+      // is layout-only (see the section comment)
+      val padded = rpad(substring(encode(col(c), "UTF-8"), 1, 7),
+        7, Array[Byte](0))
+      conv(hex(padded), 16, 10).cast(LongType).cast(DoubleType)
+    case _ => col(c).cast(DoubleType)
+  }
+
+  /** Spread the low 16 bits of `x` so consecutive bits land
+    * `stride` apart (the classic morton spread, stride 2 or 4). */
+  private def spreadBits(x: Column, stride: Int): Column = {
+    require(stride == 2 || stride == 4, "2-4 clustered columns")
+    val steps = if (stride == 2)
+      Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+        (1, 0x55555555L))
+    else
+      Seq((24, 0x000000FF000000FFL), (12, 0x000F000F000F000FL),
+        (6, 0x0303030303030303L), (3, 0x1111111111111111L))
+    steps.foldLeft(x) { case (v, (sh, mask)) =>
+      shiftleft(v, sh).bitwiseOR(v).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** The interleaved z value over `cols`, scaling each column's
+    * monotone form to 16 bits against its OWN min/max (computed in
+    * one pass over `df` — a write-time cost). 2 columns → 32-bit z,
+    * 3–4 columns → 48/64-bit. */
+  private[graft] def zOrderValue(df: DataFrame,
+                                 cols: Seq[(String, DataType)]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      "z-order wants 2-4 columns; one column is writeSorted's job")
+    val mono = cols.map { case (c, dt) => c -> monotoneDouble(c, dt) }
+    val aggs = mono.flatMap { case (c, m) =>
+      Seq(min(m).as(s"mn_$c"), max(m).as(s"mx_$c")) }
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val stride = if (cols.size == 2) 2 else 4
+    mono.zipWithIndex.map { case ((c, m), i) =>
+      val lo = bounds.getAs[Double](s"mn_$c")
+      val hi = bounds.getAs[Double](s"mx_$c")
+      val scaled =
+        if (hi == lo) lit(0L)
+        else least(greatest((m - lit(lo)) / lit(hi - lo) * lit(65535.0),
+          lit(0.0)), lit(65535.0)).cast(LongType)
+      shiftleft(spreadBits(scaled, stride), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered write + committed stats: range-partition and sort on
+    * the interleaved key, drop it, commit stats on the clustered
+    * columns (plus `extraStatsCols`). Files tile k-space, so
+    * predicates on ANY clustered column prune — the multi-column
+    * counterpart of [[writeSortedWithStats]]. */
+  def writeZOrderedWithStats(df: DataFrame, dir: String,
+                             zCols: Seq[String], numFiles: Int,
+                             extraStatsCols: Seq[String] = Nil): Unit = {
+    val schema = df.schema
+    val typed = zCols.map { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        sys.error(s"z-order column '$c' not in schema"))
+      c -> f.dataType
+    }
+    require(!df.columns.contains("__z"), "column name __z is reserved")
+    val z = zOrderValue(df, typed)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    writeStats(df.sparkSession, dir, (zCols ++ extraStatsCols).distinct)
+  }
 }

@@ -222,6 +222,75 @@ class DataSkippingSpec extends GraftSuite {
     assert(e.getMessage.contains("unsupported type"))
   }
 
+  test("z-order: files tile BOTH dimensions and 2-D predicates prune") {
+    val dir = tmpDir("zorder")
+    // 100x100 uniform grid — the adversarial case for a 1-D sort
+    val grid = spark.range(10000).select(
+      (col("id") % 100).as("x"),
+      (col("id") / 100).cast("long").as("y"), col("id"))
+    writeZOrderedWithStats(grid, dir, Seq("x", "y"), numFiles = 16)
+    // 16 files over a square → ~4x4 tiles: every file must be NARROW
+    // in both dimensions (a 1-D sort would span the full 0..99 in y)
+    val ranges = statsFrame(spark, dir).get
+      .select("min_x", "max_x", "min_y", "max_y").collect()
+      .map(r => (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2)))
+    assert(ranges.length == 16)
+    // range-exchange boundaries SAMPLE the z space (run-dependent
+    // seed), and a z range straddling a major quadrant boundary
+    // legitimately touches opposite corners — so the guarantee is
+    // statistical, not per-file: the 4 quadrant crossings bound the
+    // wide files, MOST files are narrow in both dimensions, and the
+    // mean tile area stays small (a 1-D sort gives 16 files of area
+    // ~7x100 = the mean blows up in y)
+    val wideX = ranges.count(_._1 > 60)
+    val wideY = ranges.count(_._2 > 60)
+    assert(wideX <= 4 && wideY <= 4,
+      s"too many wide files: x=$wideX y=$wideY of ${ranges.length}")
+    val meanArea = ranges.map { case (xs, ys) =>
+      (xs + 1.0) * (ys + 1.0) }.sum / ranges.length
+    assert(meanArea <= 4 * 26 * 26, f"mean tile area $meanArea%.0f")
+    // a small 2-D box touches few tiles; the read is exact
+    val box = AndPred(RangePred("x", 10L, 20L), RangePred("y", 80L, 90L))
+    val (kept, total) = skipFiles(spark, dir, box)
+    assert(total == 16 && kept.size <= 6,
+      s"2-D box kept ${kept.size}/$total")
+    val got = readFiles(spark, dir, kept)
+      .where(col("x").between(10, 20) && col("y").between(80, 90))
+    val want = spark.read.parquet(dir)
+      .where(col("x").between(10, 20) && col("y").between(80, 90))
+    assert(got.collect().toSet == want.collect().toSet)
+    assert(got.count() == 11 * 11)
+    // the z layout prunes on the NON-lead dimension where the 1-D
+    // sort cannot: same corpus sorted by x, y-only predicate
+    val dirX = tmpDir("xsorted")
+    writeSortedWithStats(grid, dirX, Seq("x"), numFiles = 16,
+      statsCols = Seq("x", "y"))
+    val yOnly = RangePred("y", 0L, 10L)
+    assert(skipFiles(spark, dirX, yOnly)._1.size == 16,
+      "x-sorted layout cannot prune a y predicate")
+    assert(skipFiles(spark, dir, yOnly)._1.size < 16,
+      "z-order must prune a y predicate")
+  }
+
+  test("z-order: 3 columns (stride-4 spread) and a date column read exactly") {
+    val dir = tmpDir("zorder3")
+    val grid = spark.range(8000).select(
+      (col("id") % 20).as("a"),
+      ((col("id") / 20) % 20).cast("long").as("b"),
+      date_add(lit(Date.valueOf("2024-01-01")),
+        (col("id") / 400).cast("int")).as("d"), col("id"))
+    writeZOrderedWithStats(grid, dir, Seq("a", "b", "d"), numFiles = 8)
+    val pred = AndPred(RangePred("a", 0L, 5L),
+      RangePred("d", Date.valueOf("2024-01-01"), Date.valueOf("2024-01-08")))
+    val (kept, total) = skipFiles(spark, dir, pred)
+    assert(kept.size < total, s"3-col z kept ${kept.size}/$total")
+    val got = readFiles(spark, dir, kept)
+      .where(col("a") <= 5 && col("d") <= lit("2024-01-08"))
+    val want = spark.read.parquet(dir)
+      .where(col("a") <= 5 && col("d") <= lit("2024-01-08"))
+    assert(got.collect().toSet == want.collect().toSet)
+  }
+
   test("sorted layout: per-file ranges overlap only at boundaries") {
     val dir = tmpDir("disjoint")
     writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
