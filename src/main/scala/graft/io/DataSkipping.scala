@@ -307,6 +307,68 @@ object DataSkipping {
     MarkerCommit.commitSwap(out, tmp, StatsMarker)
   }
 
+  /** Incremental stats upkeep after appends — the daily-ingest path:
+    * footer-read ONLY the files the committed frame has never seen,
+    * drop rows for files that vanished (compaction), keep every
+    * other row as-is, and recommit. Cost is O(new files), not
+    * O(store) — [[writeStats]] re-reads every footer and is the
+    * bootstrap/schema-evolution path. The tracked column set is the
+    * frame's own (derived from its `min_*` columns). Returns the
+    * number of files newly collected. A dir with no committed frame
+    * falls back to a full [[writeStats]] over `colsIfBootstrap`. */
+  def refreshStats(spark: SparkSession, dir: String,
+                   colsIfBootstrap: Seq[String]): Int = {
+    statsFrame(spark, dir) match {
+      case None =>
+        writeStats(spark, dir, colsIfBootstrap)
+        listDataFiles(spark, dir).size
+      case Some(sf) =>
+        val old = sf.collect()
+        val fileIdx = sf.schema.fieldIndex("file")
+        val all = listDataFiles(spark, dir)
+        val allSet = all.toSet
+        val knownRows = old.filter(r => allSet(r.getString(fileIdx)))
+        val known = knownRows.map(_.getString(fileIdx)).toSet
+        val fresh = all.filterNot(known)
+        if (fresh.isEmpty && knownRows.length == old.length) return 0
+        val cols = sf.schema.fieldNames.toSeq
+          .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        val freshFrame =
+          if (fresh.isEmpty) None
+          else {
+            val dataSchema = spark.read.parquet(dir).schema
+            val typed = cols.map(c => c -> dataSchema(c).dataType)
+            val confB = spark.sparkContext.broadcast(
+              new SerializableConfiguration(
+                spark.sparkContext.hadoopConfiguration))
+            val slices = math.min(fresh.size,
+              spark.sparkContext.defaultParallelism).max(1)
+            val rows = spark.sparkContext.parallelize(fresh, slices)
+              .map { f =>
+                val (n, byCol) = footerStats(confB.value.value, f, typed)
+                Row.fromSeq(f +: (n: java.lang.Long) +:
+                  typed.flatMap { case (c, _) =>
+                    val (mn, mx, nulls) = byCol(c)
+                    Seq(mn.orNull, mx.orNull,
+                      nulls.map(Long.box).orNull)
+                  })
+              }
+            Some(spark.createDataFrame(rows, sf.schema))
+          }
+        val keptOld = spark.createDataFrame(
+          spark.sparkContext.parallelize(knownRows.toSeq, 1), sf.schema)
+        val merged = freshFrame.fold(keptOld)(keptOld.unionByName(_))
+        val out = s"$dir/$StatsDir"
+        val tmp = s"$out.tmp"
+        MarkerCommit.deleteRecursively(tmp)
+        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+        committedSchema(spark, dir).foreach(s =>
+          MarkerCommit.touch(s"$tmp/$SchemaFile", s.json))
+        MarkerCommit.commitSwap(out, tmp, StatsMarker)
+        fresh.size
+    }
+  }
+
   /** The data schema recorded at stats-commit time, if present.
     * Appends after the stats commit read fine through it as long as
     * they don't CHANGE columns (standard parquet missing-column =

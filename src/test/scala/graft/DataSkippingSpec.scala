@@ -157,6 +157,38 @@ class DataSkippingSpec extends GraftSuite {
       .where(col("id").between(9500, 9600)).count() == 101)
   }
 
+  test("refreshStats: appends collect only new footers; vanished files drop") {
+    val dir = tmpDir("refresh")
+    writeSortedWithStats(corpus.where(col("id") < 5000), dir,
+      Seq("id"), numFiles = 8, statsCols = Seq("id"))
+    // two appended batches the committed frame has never seen
+    corpus.where(col("id").between(5000, 7499)).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    corpus.where(col("id") >= 7500).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    // before refresh: unknown files are kept conservatively — an
+    // out-of-range pred still reads them
+    assert(skipFiles(spark, dir, RangePred("id", 0L, 10L))._1.size == 3)
+    val collected = refreshStats(spark, dir, Seq("id"))
+    assert(collected == 2, s"collected $collected new files")
+    // after refresh: the appended files carry stats and prune
+    val (kept, total) = skipFiles(spark, dir, RangePred("id", 0L, 10L))
+    assert(total == 10 && kept.size == 1,
+      s"post-refresh prune kept ${kept.size}/$total")
+    assert(prunedRead(spark, dir, RangePred("id", 6000L, 6100L))
+      .where(col("id").between(6000, 6100)).count() == 101)
+    // a no-change refresh is a no-op
+    assert(refreshStats(spark, dir, Seq("id")) == 0)
+    // vanished files (compaction) drop from the frame
+    val victim = statsFrame(spark, dir).get.select("file")
+      .head().getString(0)
+    graft.io.MarkerCommit.deleteRecursively(victim)
+    refreshStats(spark, dir, Seq("id"))
+    val files = statsFrame(spark, dir).get.select("file").collect()
+      .map(_.getString(0)).toSet
+    assert(!files.contains(victim) && files.size == 9)
+  }
+
   test("no committed stats frame = no pruning, never an error") {
     val dir = tmpDir("nostats")
     DataSkipping.writeSorted(corpus, dir, Seq("id"), numFiles = 4)
