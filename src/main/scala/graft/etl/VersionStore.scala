@@ -271,4 +271,53 @@ object VersionStore {
     val src = latest(spark, root).repartition(files)
     write(src, root)
   }
+
+  /** OPTIMIZE with LAYOUT — the Delta `OPTIMIZE ... ZORDER BY`
+    * analog, completing what [[optimize]]'s plain compaction loses:
+    * the latest version rewrites into ~`targetFileMB` files
+    * range-sorted on `layoutCols` (or Z-ORDER tiled across them when
+    * `zOrder` and 2+ columns — narrow per-file min/max in EVERY
+    * clustered column), commits as the next version, and a
+    * [[graft.io.DataSkipping]] stats frame commits INSIDE the new
+    * version directory — so the compacted table serves pruned reads
+    * immediately, and time travel keeps each version's stats with
+    * it. Rows are untouched (same optimize contract); the layout and
+    * stats only ever remove read work. Returns the new version. */
+  def optimizeSorted(spark: SparkSession, root: String,
+                     layoutCols: Seq[String], targetFileMB: Int = 512,
+                     zOrder: Boolean = false,
+                     extraStatsCols: Seq[String] = Nil,
+                     minFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.col
+    require(layoutCols.nonEmpty, "optimizeSorted needs layout columns")
+    require(targetFileMB >= 1 && minFiles >= 1,
+      "targetFileMB and minFiles must be >= 1")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no versions under $root")
+    val f = fs(spark, root)
+    val bytes = f.listStatus(new Path(dir(root, vs.last)))
+      .filter(_.isFile).map(_.getLen).sum
+    val target = targetFileMB * 1024L * 1024L
+    // minFiles: a parallelism/selectivity floor — a small table still
+    // wants enough files that a range predicate can skip some
+    val files = math.max(minFiles.toLong,
+      (bytes + target - 1) / target).toInt
+    val src = latest(spark, root)
+    val laid =
+      if (zOrder && layoutCols.size >= 2) {
+        require(!src.columns.contains("__z"),
+          "column name __z is reserved")
+        val typed = layoutCols.map(c => c -> src.schema(c).dataType)
+        src.withColumn("__z",
+            graft.io.DataSkipping.zOrderValue(src, typed))
+          .repartitionByRange(files, col("__z"))
+          .sortWithinPartitions("__z").drop("__z")
+      } else
+        src.repartitionByRange(files, layoutCols.map(col): _*)
+          .sortWithinPartitions(layoutCols.map(col): _*)
+    val v = write(laid, root)
+    graft.io.DataSkipping.writeStats(spark, dir(root, v),
+      (layoutCols ++ extraStatsCols).distinct)
+    v
+  }
 }

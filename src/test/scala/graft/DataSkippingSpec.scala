@@ -323,6 +323,39 @@ class DataSkippingSpec extends GraftSuite {
     assert(got.collect().toSet == want.collect().toSet)
   }
 
+  test("VersionStore.optimizeSorted: compaction that serves pruned reads") {
+    import graft.etl.VersionStore
+    val root = tmpDir("optsorted")
+    // v0: an UNSORTED, fragmented commit (8 hash-shuffled files)
+    VersionStore.write(corpus.repartition(8), root)
+    val v = VersionStore.optimizeSorted(spark, root, Seq("id"),
+      targetFileMB = 1, extraStatsCols = Seq("d"), minFiles = 8)
+    assert(v == 1L)
+    val vdir = s"$root/v=$v"
+    assert(statsCommitted(spark, vdir))
+    // same rows, new layout
+    assert(VersionStore.latest(spark, root).collect().toSet ==
+      VersionStore.asOf(spark, root, 0).collect().toSet)
+    // the compacted version prunes — v0 never could
+    val (kept, total) = skipFiles(spark, vdir, RangePred("id", 0L, 500L))
+    assert(kept.size < total && kept.nonEmpty,
+      s"optimized version kept ${kept.size}/$total")
+    assert(readFiles(spark, vdir, kept)
+      .where(col("id") <= 500).count() == 501)
+    // z-order variant tiles two columns
+    val v2 = VersionStore.optimizeSorted(spark, root, Seq("id", "d"),
+      targetFileMB = 1, zOrder = true, minFiles = 16)
+    val v2dir = s"$root/v=$v2"
+    assert(statsCommitted(spark, v2dir))
+    val dPred = RangePred("d", Date.valueOf("2024-01-01"),
+      Date.valueOf("2024-01-10"))
+    assert(skipFiles(spark, v2dir, dPred)._1.size <
+      skipFiles(spark, v2dir, dPred)._2,
+      "z-ordered optimize must prune the second column")
+    assert(VersionStore.latest(spark, root).collect().toSet ==
+      VersionStore.asOf(spark, root, 0).collect().toSet)
+  }
+
   test("sorted layout: per-file ranges overlap only at boundaries") {
     val dir = tmpDir("disjoint")
     writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
