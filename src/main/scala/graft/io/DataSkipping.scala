@@ -564,12 +564,18 @@ object DataSkipping {
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val stride = if (cols.size == 2) 2 else 4
     mono.zipWithIndex.map { case ((c, m), i) =>
-      val lo = bounds.getAs[Double](s"mn_$c")
-      val hi = bounds.getAs[Double](s"mx_$c")
+      val mnIdx = bounds.fieldIndex(s"mn_$c")
       val scaled =
-        if (hi == lo) lit(0L)
-        else least(greatest((m - lit(lo)) / lit(hi - lo) * lit(65535.0),
-          lit(0.0)), lit(65535.0)).cast(LongType)
+        // null bounds = empty frame (or all-null column): constant z
+        if (bounds.isNullAt(mnIdx) ||
+            bounds.isNullAt(bounds.fieldIndex(s"mx_$c"))) lit(0L)
+        else {
+          val lo = bounds.getAs[Double](s"mn_$c")
+          val hi = bounds.getAs[Double](s"mx_$c")
+          if (hi == lo) lit(0L)
+          else least(greatest((m - lit(lo)) / lit(hi - lo) * lit(65535.0),
+            lit(0.0)), lit(65535.0)).cast(LongType)
+        }
       shiftleft(spreadBits(scaled, stride), i)
     }.reduce(_ bitwiseOR _)
   }
