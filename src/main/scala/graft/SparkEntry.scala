@@ -535,6 +535,41 @@ object SparkEntry {
           col("o_custkey").between(1, 100))
     }),
 
+    // oracle-checked: the SAME sorted store served through the
+    // CATALYST-integrated index (io.SkippingFileIndex) — spark.read
+    // shaped, no explicit prune call: the scan's pushed data filters
+    // reach SkippingFileIndex.listFiles at plan time and the file
+    // listing comes back stats-pruned, composing with parquet
+    // row-group pruning and column pruning in ONE plan (VERDICT r14
+    // ask #2). The require reads the PLANNED scan's selected file
+    // count — the skipped files literally never appear in the scan's
+    // file listing — and gates it < total every run (the q73
+    // measured-suppression discipline). Same rows as q_store_skip:
+    // same oracle, verbatim (the fromindex-twin pattern)
+    "q_store_skip_fileindex" -> ((s, dir) => {
+      import graft.io.{DataSkipping, SkippingFileIndex}
+      val path = s"/tmp/graft_serving_idx/skip_${skipDemoFp(s, dir)}"
+      if (!DataSkipping.statsCommitted(s, path)) {
+        graft.io.MarkerCommit.deleteRecursively(path)
+        DataSkipping.writeSortedWithStats(skipDemoFrame(s, dir), path,
+          Seq("order_day"), numFiles = 32,
+          statsCols = Seq("order_day", "o_orderkey"))
+      }
+      val df = SkippingFileIndex.read(s, path)
+        .where(col("order_day").between(
+          lit(java.sql.Date.valueOf("1996-01-01")),
+          lit(java.sql.Date.valueOf("1996-12-31"))))
+      val scan = df.queryExecution.sparkPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(sys.error("q_store_skip_fileindex: no file scan"))
+      val kept = scan.selectedPartitions.totalNumberOfFiles.toInt
+      val total = DataSkipping.listDataFiles(s, path).size
+      require(kept > 0 && kept < total,
+        s"fileindex skipping degenerate: scan lists $kept of $total files")
+      df
+    }),
+
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
     // partitioning the aggregate then reuses (one shuffle total);
@@ -636,6 +671,37 @@ object SparkEntry {
     "q_backfill_range" -> ((s, dir) =>
       Backfill.range(Tables(s, dir).orders.select("o_orderkey", "o_orderdate"),
         col("o_orderdate"), "1996-01-01 00:00:00", "1997-01-01 00:00:00")),
+
+    // oracle-checked: the backfill date-range re-served through a
+    // SKIPPED read (VERDICT r14 ask #5, the fromindex-twin pattern):
+    // the (o_orderkey, o_orderdate) table commits SORTED on
+    // o_orderdate with footer stats, Backfill.rangeStore reads it
+    // through the Catalyst FileIndex, and the pushed [start, end)
+    // literals prune out-of-range files from the scan's listing —
+    // gated kept < total every run. Same rows as q_backfill_range:
+    // same oracle, verbatim
+    "q_backfill_range_store" -> ((s, dir) => {
+      import graft.io.DataSkipping
+      val path = s"/tmp/graft_serving_idx/bfr_${skipDemoFp(s, dir)}"
+      if (!DataSkipping.statsCommitted(s, path)) {
+        graft.io.MarkerCommit.deleteRecursively(path)
+        DataSkipping.writeSortedWithStats(
+          Tables(s, dir).orders.select("o_orderkey", "o_orderdate"),
+          path, Seq("o_orderdate"), numFiles = 32,
+          statsCols = Seq("o_orderdate"))
+      }
+      val df = Backfill.rangeStore(s, path, "o_orderdate",
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00")
+      val scan = df.queryExecution.sparkPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(sys.error("q_backfill_range_store: no file scan"))
+      val kept = scan.selectedPartitions.totalNumberOfFiles.toInt
+      val total = DataSkipping.listDataFiles(s, path).size
+      require(kept > 0 && kept < total,
+        s"backfill skipping degenerate: scan lists $kept of $total files")
+      df
+    }),
 
     "q_cleanse_text" -> ((s, dir) =>
       Tables(s, dir).documents.select(col("doc_id"),
@@ -3102,6 +3168,15 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE)
         |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
+    // the Catalyst-FileIndex twin serves the identical table through
+    // spark.read-shaped planning: same oracle, verbatim
+    "q_store_skip_fileindex" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS total,
+        |       CAST(o_orderdate AS DATE) AS order_day
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
 
     // the z-ordered store serves a 2-D slice; the layout (and the
     // in-query files-kept < files-present require) is Spark-side
@@ -3255,6 +3330,12 @@ object SparkEntry {
         |WHERE ts >= (SELECT max(ts) - INTERVAL 14 DAY FROM events)""".stripMargin,
 
     "q_backfill_range" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    // the skipped-read twin serves the identical range through the
+    // sorted store + Catalyst FileIndex: same oracle, verbatim
+    "q_backfill_range_store" ->
       """SELECT o_orderkey, o_orderdate FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,

@@ -192,10 +192,14 @@ object Merge {
                      changes: DataFrame, keys: Seq[String], ts: Column,
                      tie: Column,
                      deleteFlag: Option[String] = None): Long =
-    VersionStore.write(
-      merge(VersionStore.latest(spark, root), changes, keys, ts, tie,
-        deleteFlag),
-      root)
+    // OCC append (r15): the read-modify-write commits only if the
+    // version it merged against is still newest, else it re-merges
+    // against the advanced state — a backfill merge overlapping the
+    // daily job loses neither writer's rows (VersionStoreSpec pins
+    // the two-writer interleaving)
+    VersionStore.commitRetry(spark, root,
+      (_, state) => merge(state, changes, keys, ts, tie, deleteFlag),
+      action = "append")
 
   /** Streaming MERGE: each micro-batch of the change stream merges
     * into the [[VersionStore]]-kept table via [[mergeVersioned]] —
@@ -270,8 +274,24 @@ object Merge {
     val touched = changes.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
-    val slice = spark.read.parquet(path)
-      .where(col(partCol).cast("string").isin(touched: _*))
+    // read ONLY the touched partition directories (r15, the r14
+    // verdict's ask #5): a root-level read lists the WHOLE table
+    // (O(D) directories, 400k files at 100 TB) before Catalyst
+    // partition-prunes; handing Spark the d touched paths makes the
+    // listing O(d). New-partition inserts have no directory yet —
+    // they contribute no stored rows, so missing paths just drop out
+    // (all-new batch: empty slice through the root read's schema).
+    // The isin stays as the semantic guard either way.
+    val slice = {
+      val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val dirs = touched.map(v => s"$path/$partCol=$v")
+        .filter(d => fsys.exists(new org.apache.hadoop.fs.Path(d)))
+      val base =
+        if (dirs.isEmpty) spark.read.parquet(path)
+        else spark.read.option("basePath", path).parquet(dirs: _*)
+      base.where(col(partCol).cast("string").isin(touched: _*))
+    }
     // partCol-stability guard: a changed key already present in the
     // slice must sit in the SAME partition its change row names — a
     // mismatch means partCol is not a pure function of the keys, and

@@ -47,6 +47,26 @@ object Snapshot {
       "inner").drop("__wm")
   }
 
+  /** [[newerThan]] over a SKIPPING-enabled store directory (r15):
+    * the watermark — a 1-row aggregate — is collected on the driver
+    * so the gate becomes a LITERAL filter over a
+    * [[graft.io.SkippingFileIndex]] read, pushed into the committed
+    * file stats at plan time: files wholly at-or-before the
+    * watermark never enter the scan's listing (the daily-increment
+    * read touches O(new files), the point of a watermark). The
+    * broadcast-join form keeps the all-lazy plan; this form trades
+    * one driver-side row for file pruning — same bootstrap
+    * contract (NULL watermark passes everything). */
+  def newerThanStore(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, tsCol: String,
+                     processed: DataFrame,
+                     watermarkCol: Column): DataFrame = {
+    val wmRow = processed.agg(max(watermarkCol).as("__wm")).head()
+    val store = graft.io.SkippingFileIndex.read(spark, dir)
+    if (wmRow.isNullAt(0)) store
+    else store.where(col(tsCol) > lit(wmRow.get(0)))
+  }
+
   /** New-item detection: rows of `incoming` whose `key` is absent from
     * `processed` (reference collects both sides to Python lists,
     * file_cleanser.py:33-51; here a distributed left-anti join). */

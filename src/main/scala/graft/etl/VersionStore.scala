@@ -26,6 +26,21 @@ import org.apache.spark.sql.types._
 object VersionStore {
 
   private val VersionDir = "^v=(\\d+)$".r
+  private val InfoFile = "_COMMIT_INFO.json"
+
+  /** Two concurrent REWRITES (optimize/compaction) raced: the loser
+    * must not blindly re-rewrite the winner's output — Delta's
+    * ConcurrentTransactionException analog. Appends never throw this;
+    * they rebase. */
+  final class ConcurrentRewriteException(msg: String)
+      extends RuntimeException(msg)
+
+  /** An OCC commit is blocked by a claim marker whose writer never
+    * committed (crashed, or still running): the version slot is
+    * taken but the table is not advancing. `vacuum` sweeps stale
+    * claims on its TTL. */
+  final class StalledClaimException(msg: String)
+      extends RuntimeException(msg)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,6 +66,16 @@ object VersionStore {
 
   private def dir(root: String, v: Long) = s"$root/v=$v"
   private def claim(root: String, v: Long) = new Path(root, s"_claim_v=$v")
+
+  /** Exclusive-create the claim marker for version `v`; false = the
+    * number is taken. Some FileSystem impls THROW (FileAlreadyExists
+    * wrapped in IOException) instead of returning false when two
+    * creators race the same name — either way the claim is taken, so
+    * both read as false. */
+  private def tryClaim(f: org.apache.hadoop.fs.FileSystem, root: String,
+                       v: Long): Boolean =
+    try f.createNewFile(claim(root, v))
+    catch { case _: java.io.IOException => false }
 
   /** Whether version `v` holds any data file. An empty-DataFrame
     * append commits only `_SUCCESS` — no parquet footers — so schema
@@ -95,13 +120,27 @@ object VersionStore {
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
     val committed = versions(spark, root)
-    // enforce against the newest version that actually has parquet
-    // footers: an empty-DataFrame append writes only _SUCCESS, and
-    // inferring schema on it would throw — permanently bricking every
-    // subsequent write. (Check-before-claim caveat: validation runs
-    // before the claim marker, so two concurrent writers — one with
-    // evolve=true — can both pass and commit conflicting schemas;
-    // same single-writer assumption as the claim note below.)
+    validateSchema(spark, f, root, committed, df, evolve, "write")
+    var next = committed.lastOption.fold(0L)(_ + 1)
+    while (!tryClaim(f, root, next)) next += 1
+    commitClaimed(df, root, next, None)
+    next
+  }
+
+  /** Schema enforcement shared by [[write]] and [[tryCommit]]:
+    * enforce against the newest version that actually has parquet
+    * footers — an empty-DataFrame append writes only _SUCCESS, and
+    * inferring schema on it would throw, permanently bricking every
+    * subsequent write. (Check-before-claim caveat for [[write]]:
+    * validation runs before the claim marker, so two concurrent
+    * writers — one with evolve=true — can both pass and commit
+    * conflicting schemas; [[tryCommit]]'s conflict detection closes
+    * that window for OCC writers, which re-validate on rebase.) */
+  private def validateSchema(spark: SparkSession,
+                             f: org.apache.hadoop.fs.FileSystem,
+                             root: String, committed: Seq[Long],
+                             df: DataFrame, evolve: Boolean,
+                             who: String): Unit = {
     committed.reverse.find(hasData(f, root, _)).foreach { last =>
       // schema read = parquet footers of one version, driver-side
       val cur = spark.read.parquet(dir(root, last)).schema
@@ -110,21 +149,30 @@ object VersionStore {
       val clash = curT.keySet.intersect(newT.keySet)
         .filter(k => curT(k) != newT(k))
       require(clash.isEmpty,
-        s"VersionStore.write: column type change rejected (v$last -> new): " +
+        s"VersionStore.$who: column type change rejected (v$last -> new): " +
           clash.toSeq.sorted.map(k => s"$k: ${curT(k)} -> ${newT(k)}")
             .mkString(", "))
       if (!evolve) {
         val added = newT.keySet -- curT.keySet
         val dropped = curT.keySet -- newT.keySet
         require(added.isEmpty && dropped.isEmpty,
-          s"VersionStore.write: schema drift vs v$last rejected " +
+          s"VersionStore.$who: schema drift vs v$last rejected " +
             s"(added=${added.toSeq.sorted.mkString("[", ",", "]")}, " +
             s"dropped=${dropped.toSeq.sorted.mkString("[", ",", "]")}); " +
             "pass evolve=true to change columns deliberately")
       }
     }
-    var next = committed.lastOption.fold(0L)(_ + 1)
-    while (!f.createNewFile(claim(root, next))) next += 1
+  }
+
+  /** Write a frame into an already-CLAIMED version number through the
+    * one audited crash window ([[graft.io.MarkerCommit]]); `info`
+    * (an OCC commit's base + action) rides the atomic directory move
+    * as `_COMMIT_INFO.json`, so it is visible exactly when the
+    * version is. */
+  private def commitClaimed(df: DataFrame, root: String, next: Long,
+                            info: Option[(Long, String)]): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
     val vdir = dir(root, next)
     // commit through the ONE audited crash-window implementation
     // (io.MarkerCommit, shared with PqIndexStore/SketchStore): the
@@ -142,8 +190,175 @@ object VersionStore {
     graft.io.MarkerCommit.deleteRecursively(tmp)
     df.write.mode("errorifexists").parquet(tmp)
     f.delete(new Path(tmp, "_SUCCESS"), false)
+    info.foreach { case (base, action) =>
+      graft.io.MarkerCommit.touch(s"$tmp/$InfoFile",
+        s"""{"base": $base, "action": "$action"}""")
+    }
     graft.io.MarkerCommit.commitSwap(vdir, tmp, "_SUCCESS")
-    next
+  }
+
+  // -------------------------------------------------------------------
+  // OPTIMISTIC CONCURRENCY — the multi-writer protocol [[write]] lacks.
+  //
+  // [[write]]'s while-loop claim gives concurrent writers DISTINCT
+  // version numbers, but a read-modify-write caller (merge, optimize)
+  // that based its frame on v3 can still commit v5 AFTER another
+  // writer's v4 — silently dropping v4's rows from `latest`. The OCC
+  // protocol closes that: a writer declares the BASE version its frame
+  // derives from, and the commit succeeds only if base is still the
+  // newest committed version.
+  //
+  // Validation IS the claim: every commit path (legacy and OCC) claims
+  // its exact number with an exclusive `_claim_v=N` create, so claim
+  // files are DENSE over committed versions. [[tryCommit]] claims
+  // exactly base+1 — if ANY writer advanced the table past `base`
+  // (or is mid-flight on base+1), that claim file already exists, the
+  // exclusive create fails, and the caller gets the conflict. No
+  // separate list-then-check race remains: the atomicity of the claim
+  // create is the whole check.
+  //
+  // Conflict matrix ([[commitRetry]]):
+  //   - append  vs append:  REBASE — recompute against the new latest
+  //     and retry; both writers' rows land (spec-pinned).
+  //   - append  vs rewrite: REBASE — the append recomputes on the
+  //     compacted state; rewrites never change logical content.
+  //   - rewrite vs append:  REBASE — re-optimizing the appended state
+  //     is correct (and picks up the new rows).
+  //   - rewrite vs rewrite: FAIL loudly ([[ConcurrentRewriteException]])
+  //     — blindly re-compacting the winner's output burns a full-table
+  //     rewrite for nothing; Delta fails the second OPTIMIZE too. A
+  //     version with no commit info (legacy [[write]]) counts as an
+  //     append.
+  //
+  // What a local-FS exclusive create can and cannot promise: HDFS and
+  // POSIX filesystems make `createNewFile` atomic, so the protocol is
+  // sound there (and in this repo's single-JVM tests, where racers are
+  // threads). Object stores are weaker — S3A's create is
+  // check-then-put, so two writers can BOTH believe they claimed
+  // base+1; S3 since 2024 and GCS/ABFS offer conditional puts
+  // (If-None-Match) that restore atomicity IF the Hadoop connector
+  // uses them for createFile, which current S3A does not. On such a
+  // store, front the claim with a coordination service (the
+  // DynamoDB-lock pattern Delta on S3 uses) or accept that the claim
+  // is advisory. The REST of the protocol (marker-last visibility,
+  // dense numbering, rebase) is object-store safe.
+  // -------------------------------------------------------------------
+
+  /** Attempt to commit `df` as version `base + 1`, succeeding only if
+    * `base` is still the newest committed version. Returns
+    * `Right(base + 1)` on success; `Left(latestNow)` when the claim
+    * for base+1 is already taken — the table advanced (latestNow >
+    * base: rebase and retry) or another writer is mid-flight /
+    * crashed on base+1 (latestNow == base: retry waits, then
+    * [[commitRetry]] fails loudly). `action` is recorded with the
+    * commit (`_COMMIT_INFO.json` riding the atomic move) for the
+    * conflict matrix and audit. */
+  def tryCommit(df: DataFrame, root: String, base: Long,
+                action: String = "append",
+                evolve: Boolean = false): Either[Long, Long] = {
+    require(action == "append" || action == "rewrite",
+      s"unknown commit action '$action' (append|rewrite)")
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val committed = versions(spark, root)
+    require(base == -1L && committed.isEmpty || committed.contains(base),
+      s"base $base is not a committed version of $root " +
+        s"(committed: ${committed.mkString("[", ",", "]")}; " +
+        "base = -1 bootstraps an empty root)")
+    val next = base + 1
+    if (!tryClaim(f, root, next))
+      Left(versions(spark, root).lastOption.getOrElse(-1L))
+    else {
+      validateSchema(spark, f, root, committed.filter(_ <= base), df,
+        evolve, "tryCommit")
+      commitClaimed(df, root, next, Some((base, action)))
+      Right(next)
+    }
+  }
+
+  /** The recorded (base, action) of an OCC-committed version; None
+    * for legacy [[write]] commits (treated as appends by the
+    * conflict matrix). */
+  def commitInfo(spark: SparkSession, root: String,
+                 version: Long): Option[(Long, String)] = {
+    val p = new Path(dir(root, version), InfoFile)
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        val s = new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val Base = """.*"base"\s*:\s*(-?\d+).*""".r
+        val Act = """.*"action"\s*:\s*"(\w+)".*""".r
+        for {
+          b <- Base.findFirstMatchIn(s).map(_.group(1).toLong)
+          a <- Act.findFirstMatchIn(s).map(_.group(1))
+        } yield (b, a)
+      } finally in.close()
+    }
+  }
+
+  /** Optimistically commit `compute(latestState)` — the multi-writer
+    * read-modify-write loop. Reads the newest committed version,
+    * applies `compute` (which MUST be a pure function of the base
+    * state — e.g. "union these new rows", "merge this change batch",
+    * "repartition sorted" — so replaying it on an advanced state
+    * loses nothing), and [[tryCommit]]s against that base; on
+    * conflict it re-reads and retries up to `maxRetries` times. The
+    * root must hold a committed version first (seed an empty table
+    * with [[write]] — same contract as `streamVersioned`). Fails
+    * loudly:
+    *   - [[ConcurrentRewriteException]] when `action == "rewrite"`
+    *     and any interloping version also recorded "rewrite";
+    *   - [[StalledClaimException]] when the claim for base+1 exists
+    *     but the table never advances across the retries (a crashed
+    *     or wedged writer holds the slot; `vacuum` sweeps it on TTL).
+    * Returns the committed version. */
+  def commitRetry(spark: SparkSession, root: String,
+                  compute: (Long, DataFrame) => DataFrame,
+                  action: String = "append", maxRetries: Int = 10,
+                  evolve: Boolean = false,
+                  backoffMs: Long = 50L): Long = {
+    var attempt = 0
+    while (true) {
+      val base = versions(spark, root).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"commitRetry: no committed version under $root — seed the " +
+            "table with VersionStore.write first"))
+      val out = compute(base, asOf(spark, root, base))
+      tryCommit(out, root, base, action, evolve) match {
+        case Right(v) => return v
+        case Left(latestNow) =>
+          if (action == "rewrite" && latestNow > base) {
+            val rewriters = ((base + 1) to latestNow).filter(v =>
+              commitInfo(spark, root, v).exists(_._2 == "rewrite"))
+            if (rewriters.nonEmpty)
+              throw new ConcurrentRewriteException(
+                s"rewrite based on v$base of $root lost to concurrent " +
+                  s"rewrite(s) ${rewriters.mkString("v", ", v", "")} — " +
+                  "re-run if the table still wants compacting")
+          }
+          attempt += 1
+          if (attempt > maxRetries) {
+            if (latestNow == base)
+              throw new StalledClaimException(
+                s"claim for v${base + 1} of $root is held but the table " +
+                  s"is not advancing after $maxRetries retries — a " +
+                  "crashed writer's stale claim? vacuum sweeps claims " +
+                  "older than its TTL")
+            else
+              throw new IllegalStateException(
+                s"commitRetry: still conflicting after $maxRetries " +
+                  s"retries under $root (hot table — raise maxRetries)")
+          }
+          Thread.sleep(backoffMs * attempt)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Read one committed version. A FOOTERLESS version (only _SUCCESS —
@@ -228,14 +443,22 @@ object VersionStore {
       f.delete(claim(root, v), false)
     }
     val cutoff = System.currentTimeMillis() - claimTtlMs
-    committed.lastOption.foreach { newest =>
-      (0L until newest).filterNot(committed.contains).foreach { v =>
-        val c = claim(root, v)
-        if (f.exists(c) && f.getFileStatus(c).getModificationTime < cutoff) {
+    // stale claims: ANY claimed-but-never-committed number older than
+    // the TTL — including numbers ABOVE the newest committed version
+    // (an OCC writer that crashed after claiming base+1 leaves
+    // exactly that, and it blocks every subsequent tryCommit until
+    // swept — the StalledClaimException recovery path)
+    val ClaimName = "^_claim_v=(\\d+)$".r
+    val committedSet = committed.toSet
+    f.listStatus(new Path(root)).toSeq.foreach { s =>
+      s.getPath.getName match {
+        case ClaimName(n) if !committedSet.contains(n.toLong) &&
+            s.getModificationTime < cutoff =>
+          val v = n.toLong
           f.delete(new Path(dir(root, v)), true)
           f.delete(new Path(dir(root, v) + ".building"), true)
-          f.delete(c, false)
-        }
+          f.delete(s.getPath, false)
+        case _ => ()
       }
     }
     // stranded `v=N.building` temp siblings (a write that crashed
@@ -257,19 +480,19 @@ object VersionStore {
   def optimize(spark: SparkSession, root: String,
                targetFileMB: Int = 512): Long = {
     require(targetFileMB >= 1, "targetFileMB must be >= 1")
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no versions under $root")
+    require(versions(spark, root).nonEmpty, s"no versions under $root")
     val f = fs(spark, root)
-    val bytes = f.listStatus(new Path(dir(root, vs.last)))
-      .filter(_.isFile).map(_.getLen).sum
-    // ceiling: 1023 MB at target 512 → 2 files of ~512, not one ~1 GB
-    val target = targetFileMB * 1024L * 1024L
-    val files = math.max(1L, (bytes + target - 1) / target).toInt
-    // read fully before writing: the source is a different directory,
-    // so this is a plain distributed parquet->parquet rewrite;
-    // write() claims the number, so optimize is concurrency-safe too
-    val src = latest(spark, root).repartition(files)
-    write(src, root)
+    // OCC rewrite: rebases onto concurrent APPENDS (re-optimizing the
+    // appended state is correct and picks up the new rows); a racing
+    // second OPTIMIZE fails loudly (ConcurrentRewriteException)
+    commitRetry(spark, root, (base, st) => {
+      val bytes = f.listStatus(new Path(dir(root, base)))
+        .filter(_.isFile).map(_.getLen).sum
+      // ceiling: 1023 MB at target 512 → 2 files of ~512, not one ~1 GB
+      val target = targetFileMB * 1024L * 1024L
+      val files = math.max(1L, (bytes + target - 1) / target).toInt
+      st.repartition(files)
+    }, action = "rewrite")
   }
 
   /** OPTIMIZE with LAYOUT — the Delta `OPTIMIZE ... ZORDER BY`
@@ -292,18 +515,19 @@ object VersionStore {
     require(layoutCols.nonEmpty, "optimizeSorted needs layout columns")
     require(targetFileMB >= 1 && minFiles >= 1,
       "targetFileMB and minFiles must be >= 1")
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no versions under $root")
+    require(versions(spark, root).nonEmpty, s"no versions under $root")
     val f = fs(spark, root)
-    val bytes = f.listStatus(new Path(dir(root, vs.last)))
-      .filter(_.isFile).map(_.getLen).sum
-    val target = targetFileMB * 1024L * 1024L
-    // minFiles: a parallelism/selectivity floor — a small table still
-    // wants enough files that a range predicate can skip some
-    val files = math.max(minFiles.toLong,
-      (bytes + target - 1) / target).toInt
-    val src = latest(spark, root)
-    val laid =
+    // OCC rewrite, same matrix as [[optimize]]: rebase onto appends
+    // (the layout/bounds recompute on the appended state), fail
+    // loudly against a concurrent rewrite
+    val v = commitRetry(spark, root, (base, src) => {
+      val bytes = f.listStatus(new Path(dir(root, base)))
+        .filter(_.isFile).map(_.getLen).sum
+      val target = targetFileMB * 1024L * 1024L
+      // minFiles: a parallelism/selectivity floor — a small table still
+      // wants enough files that a range predicate can skip some
+      val files = math.max(minFiles.toLong,
+        (bytes + target - 1) / target).toInt
       if (zOrder && layoutCols.size >= 2) {
         require(!src.columns.contains("__z"),
           "column name __z is reserved")
@@ -315,7 +539,7 @@ object VersionStore {
       } else
         src.repartitionByRange(files, layoutCols.map(col): _*)
           .sortWithinPartitions(layoutCols.map(col): _*)
-    val v = write(laid, root)
+    }, action = "rewrite")
     graft.io.DataSkipping.writeStats(spark, dir(root, v),
       (layoutCols ++ extraStatsCols).distinct)
     v

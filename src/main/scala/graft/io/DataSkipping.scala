@@ -149,8 +149,7 @@ object DataSkipping {
               else {
                 nulls = nulls.map(_ + st.getNumNulls)
                 if (st.hasNonNullValue) {
-                  val phys =
-                    c.getPrimitiveType.getPrimitiveTypeName
+                  val phys = c.getPrimitiveType
                   decode(st.genericGetMin.asInstanceOf[AnyRef],
                     phys, dt) match {
                     case Some(v) =>
@@ -181,7 +180,7 @@ object DataSkipping {
       a.getBytes(StandardCharsets.UTF_8),
       b.getBytes(StandardCharsets.UTF_8))
 
-  private def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+  private[graft] def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
     // strings compare in UTF-8 BYTE order — the order parquet wrote
     // the stats in and the order Spark's UTF8String comparisons use;
     // java.lang.String.compareTo (UTF-16 units) disagrees above the
@@ -197,9 +196,12 @@ object DataSkipping {
       java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case DateType =>
       a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date])
-    case TimestampType | TimestampNTZType =>
+    case TimestampType =>
       a.asInstanceOf[java.sql.Timestamp]
         .compareTo(b.asInstanceOf[java.sql.Timestamp])
+    case TimestampNTZType =>
+      a.asInstanceOf[java.time.LocalDateTime]
+        .compareTo(b.asInstanceOf[java.time.LocalDateTime])
     case other => sys.error(s"unsupported stats type $other")
   }
   private def minOf(a: Any, b: Any, dt: DataType): Any =
@@ -207,36 +209,75 @@ object DataSkipping {
   private def maxOf(a: Any, b: Any, dt: DataType): Any =
     if (cmp(a, b, dt) >= 0) a else b
 
+  /** Whether the parquet column's LOGICAL annotation says its INT64
+    * values are microsecond timestamps. A TIMESTAMP_MILLIS file
+    * (foreign writer, or `spark.sql.parquet.outputTimestampType=
+    * TIMESTAMP_MILLIS`) reads back as the SAME Spark TimestampType,
+    * so decoding its millis as micros would shrink every bound 1000×
+    * and prune files that contain matching rows — the annotation, not
+    * the Spark type, decides the unit. NANOS/MILLIS/absent → no
+    * trustworthy bound. */
+  private def isMicrosTimestamp(
+      t: org.apache.parquet.schema.PrimitiveType): Boolean =
+    t.getLogicalTypeAnnotation match {
+      case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                 .TimestampLogicalTypeAnnotation =>
+        ts.getUnit ==
+          org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+      case _ => false
+    }
+
+  private def isDateAnnotated(
+      t: org.apache.parquet.schema.PrimitiveType): Boolean =
+    t.getLogicalTypeAnnotation.isInstanceOf[
+      org.apache.parquet.schema.LogicalTypeAnnotation
+        .DateLogicalTypeAnnotation]
+
   /** Physical→external decode for a stats value. None = this
-    * (physical, logical) pairing carries no trustworthy bound —
-    * INT96 timestamps are the canonical case. */
-  private def decode(v: AnyRef, phys: PrimitiveTypeName,
-                     dt: DataType): Option[Any] = (phys, dt) match {
+    * (physical, logical-annotation, Spark-type) pairing carries no
+    * trustworthy bound — INT96 timestamps and INT64 MILLIS/NANOS
+    * timestamps are the canonical cases; the file is kept. External
+    * types match Spark's row externals: TimestampType →
+    * java.sql.Timestamp (micros = instant), TimestampNTZType →
+    * java.time.LocalDateTime (micros read as a LOCAL datetime, no
+    * zone shift — Spark's NTZ external type; a Timestamp here would
+    * both break createDataFrame and skew by the session zone). */
+  private def decode(v: AnyRef,
+                     pt: org.apache.parquet.schema.PrimitiveType,
+                     dt: DataType): Option[Any] =
+    (pt.getPrimitiveTypeName, dt) match {
     case (PrimitiveTypeName.INT32, ByteType) =>
       Some(v.asInstanceOf[java.lang.Integer].intValue.toByte)
     case (PrimitiveTypeName.INT32, ShortType) =>
       Some(v.asInstanceOf[java.lang.Integer].intValue.toShort)
     case (PrimitiveTypeName.INT32, IntegerType) =>
       Some(v.asInstanceOf[java.lang.Integer].intValue)
-    case (PrimitiveTypeName.INT32, DateType) =>
+    case (PrimitiveTypeName.INT32, DateType) if isDateAnnotated(pt) =>
       Some(java.sql.Date.valueOf(
         java.time.LocalDate.ofEpochDay(
           v.asInstanceOf[java.lang.Integer].longValue)))
     case (PrimitiveTypeName.INT64, LongType) =>
       Some(v.asInstanceOf[java.lang.Long].longValue)
-    case (PrimitiveTypeName.INT64, TimestampType) |
-         (PrimitiveTypeName.INT64, TimestampNTZType) =>
+    case (PrimitiveTypeName.INT64, TimestampType)
+        if isMicrosTimestamp(pt) =>
       val us = v.asInstanceOf[java.lang.Long].longValue
       val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
       ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
       Some(ts)
+    case (PrimitiveTypeName.INT64, TimestampNTZType)
+        if isMicrosTimestamp(pt) =>
+      val us = v.asInstanceOf[java.lang.Long].longValue
+      Some(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
     case (PrimitiveTypeName.FLOAT, FloatType) =>
       Some(v.asInstanceOf[java.lang.Float].floatValue)
     case (PrimitiveTypeName.DOUBLE, DoubleType) =>
       Some(v.asInstanceOf[java.lang.Double].doubleValue)
     case (PrimitiveTypeName.BINARY, StringType) =>
       Some(v.asInstanceOf[Binary].toStringUsingUTF8)
-    case _ => None // INT96 timestamps land here: no stats, no pruning
+    case _ => None // INT96 / MILLIS / NANOS land here: no bound, keep
   }
 
   /** The stats frame for `dir`'s data files: one row per file —
@@ -333,10 +374,35 @@ object DataSkipping {
         if (fresh.isEmpty && knownRows.length == old.length) return 0
         val cols = sf.schema.fieldNames.toSeq
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        // SCHEMA-EVOLUTION enforcement (the committedSchema contract
+        // was previously advisory): merge ALL footers' schemas — an
+        // appended file with a NEW column would otherwise read as
+        // absent forever through the stale committed schema. A
+        // TYPE change in a TRACKED column is rejected loudly (the
+        // kept stats rows hold the old type — mixing is corruption);
+        // a type change in an untracked column just recommits the
+        // merged schema (per-file reads stay parquet-exact).
+        val mergedSchema =
+          try spark.read.option("mergeSchema", "true").parquet(dir).schema
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"refreshStats: footer schemas under $dir do not merge " +
+                "(a column changed type in an appended file?) — fix the " +
+                s"append or recommit deliberately: ${e.getMessage}", e)
+          }
+        cols.foreach { c =>
+          val committed = sf.schema(s"min_$c").dataType
+          val now = mergedSchema.find(_.name == c).map(_.dataType)
+          require(now.contains(committed),
+            s"refreshStats: tracked column '$c' changed type " +
+              s"($committed -> ${now.fold("absent")(_.toString)}) — " +
+              "recommit stats with writeStats after a deliberate " +
+              "schema migration")
+        }
         val freshFrame =
           if (fresh.isEmpty) None
           else {
-            val dataSchema = spark.read.parquet(dir).schema
+            val dataSchema = mergedSchema
             val typed = cols.map(c => c -> dataSchema(c).dataType)
             val confB = spark.sparkContext.broadcast(
               new SerializableConfiguration(
@@ -362,8 +428,10 @@ object DataSkipping {
         val tmp = s"$out.tmp"
         MarkerCommit.deleteRecursively(tmp)
         merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-        committedSchema(spark, dir).foreach(s =>
-          MarkerCommit.touch(s"$tmp/$SchemaFile", s.json))
+        // the MERGED schema rides the recommit — an evolved append's
+        // new column becomes visible to committedSchema readers here,
+        // not silently dropped by the stale pre-append schema
+        MarkerCommit.touch(s"$tmp/$SchemaFile", mergedSchema.json)
         MarkerCommit.commitSwap(out, tmp, StatsMarker)
         fresh.size
     }
@@ -407,9 +475,26 @@ object DataSkipping {
     else None
   }
 
+  /** A NaN float/double predicate bound: parquet writers EXCLUDE NaN
+    * from min/max stats, but Spark's comparisons treat NaN as equal
+    * to NaN and greater than every other value — so a min/max overlap
+    * test against a NaN bound could prune a file whose NaN rows match
+    * the data predicate. Mirror Spark's own parquet pushdown, which
+    * refuses NaN filters: keep every file. */
+  private def isNaNBound(v: Any): Boolean = v match {
+    case f: Float => f.isNaN
+    case d: Double => d.isNaN
+    case f: java.lang.Float => f.isNaN
+    case d: java.lang.Double => d.isNaN
+    case _ => false
+  }
+
   /** Compile a [[SkipPred]] to the keep-this-file condition over the
-    * stats frame. Null min/max (no usable stats) keeps the file. */
+    * stats frame. Null min/max (no usable stats) keeps the file; a
+    * NaN range/eq bound keeps ALL files (see [[isNaNBound]]). */
   private[graft] def keepCondition(p: SkipPred): Column = p match {
+    case RangePred(c, lo, hi) if isNaNBound(lo) || isNaNBound(hi) =>
+      lit(true)
     case RangePred(c, lo, hi) =>
       // overlap test; a null bound means "unknown" = keep
       (col(s"max_$c").isNull || col(s"max_$c") >= lit(lo)) &&

@@ -1282,7 +1282,13 @@ object Dedup {
                hashKey: Column => Column = xxhash64(_),
                minChunk: Option[Int] = None): DataFrame = {
     val base = df.select(id.as("id"), text.as("__txt"))
+    // ONE chunking pass (r15, the shingle-family lineage discipline):
+    // seg feeds the survivor aggregate, the ineligible union AND the
+    // n_chunks count — unpersisted, each consumer would re-split and
+    // re-hash the whole corpus text (the reassembly previously
+    // re-evaluated cdcChunkList on base just for n_chunks)
     val seg = cdcChunks(df, id, text, k, divisor, hashKey, minChunk)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptEligible = seg.where(col("eligible"))
       .groupBy(xxhash64(col("ctext")).as("__h"), col("ctext"))
       .agg(min(struct(col("id"), col("chunk_id"))).as("__min"))
@@ -1290,7 +1296,7 @@ object Dedup {
         col("__min.chunk_id").as("chunk_id"), col("ctext"))
     val survivors = keptEligible.unionByName(
       seg.where(!col("eligible")).select("id", "chunk_id", "ctext"))
-    cdcReassemble(base, survivors, k, divisor, hashKey)
+    cdcReassemble(base, seg, survivors)
   }
 
   /** Incremental CDC dedup — the daily-ingest shape for chunk-level
@@ -1313,6 +1319,7 @@ object Dedup {
                           minChunk: Option[Int] = None): DataFrame = {
     val base = batch.select(id.as("id"), text.as("__txt"))
     val seg = cdcChunks(batch, id, text, k, divisor, hashKey, minChunk)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptEligible = seg.where(col("eligible"))
       .join(refChunks.select(col("ctext")), Seq("ctext"), "left_anti")
       .groupBy(xxhash64(col("ctext")).as("__h"), col("ctext"))
@@ -1321,29 +1328,32 @@ object Dedup {
         col("__min.chunk_id").as("chunk_id"), col("ctext"))
     val survivors = keptEligible.unionByName(
       seg.where(!col("eligible")).select("id", "chunk_id", "ctext"))
-    cdcReassemble(base, survivors, k, divisor, hashKey)
+    cdcReassemble(base, seg, survivors)
   }
 
   /** Shared reassembly tail of the two CDC modes: survivors back to
-    * per-doc `(id, text_clean, n_chunks, n_dropped)`. */
-  private def cdcReassemble(base: DataFrame, survivors: DataFrame,
-                            k: Int, divisor: Int,
-                            hashKey: Column => Column): DataFrame = {
+    * per-doc `(id, text_clean, n_chunks, n_dropped)`. `n_chunks` is
+    * the per-id row count of the (persisted) chunk frame — the chunk
+    * list is never empty (even "" yields one chunk), so the count
+    * equals the old `size(cdcChunkList(__txt))` re-evaluation
+    * without a second text+hash pass (r15). */
+  private def cdcReassemble(base: DataFrame, seg: DataFrame,
+                            survivors: DataFrame): DataFrame = {
     val rebuilt = survivors.groupBy(col("id"))
       .agg(count(lit(1)).as("__n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("chunk_id"), col("ctext")))),
           s => s.getField("ctext")), " ").as("__text"))
     base
-      .select(col("id"),
-        size(cdcChunkList(col("__txt"), k, divisor, hashKey)).cast("long")
-          .as("n_chunks"))
+      .select(col("id"))
+      .join(seg.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_chunks")), Seq("id"), "left")
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("__text"), lit("")).as("text_clean"),
-        col("n_chunks"),
-        (col("n_chunks") - coalesce(col("__n_kept"), lit(0L)))
-          .as("n_dropped"))
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        (coalesce(col("n_chunks"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
   }
 
   /** INTRA-document repeated-window removal (Gopher-style repetition
@@ -1564,7 +1574,22 @@ object Dedup {
     * true run is longer). The default is `None` — EXACT `longest_run`
     * always; the cap is an explicit opt-in for corpora where
     * hyper-repetitive pairs make the verify join quadratic (the
-    * query surface opts into `Some(64)`, mirrored in its oracle). */
+    * query surface opts into `Some(64)`, mirrored in its oracle).
+    *
+    * ONE-PASS lineage (r15 — the shingle-price investigation's fix):
+    * the every-position k-gram hash frame, which the verifier needs
+    * anyway, is computed ONCE and persisted (MEMORY_AND_DISK: (id,
+    * pos, 8-byte hash) ≈ a fifth of corpus text bytes, spilling to
+    * executor-local disk at scale); winnowing fingerprints DERIVE
+    * from it with a w-sliding min over (id, pos) — the same
+    * robust-winnowing rightmost-minimum struct the array form
+    * selects, probe-verified row-identical at sf1. The previous form
+    * re-derived normalize+split+hash from text once per lineage
+    * consumer (~5×: the fp-df cap aggregate, both candidate
+    * self-join sides, both verify sides) — measured at sf1, the
+    * one-pass form prices 14–18 s vs 20–24 s shipped, and cuts the
+    * codegen/JIT surface that made the old price swing ~1.5× across
+    * quiet same-code runs (PERF.md r15). */
   def winnowVerifiedPairs(df: DataFrame, id: Column, text: Column,
                           k: Int = 5, w: Int = 4,
                           hashKey: Column => Column = xxhash64(_),
@@ -1575,8 +1600,47 @@ object Dedup {
     val runFloor = minRun.getOrElse(w + k - 1)
     require(runFloor >= k,
       s"minRun must be at least k=$k (shorter runs share no k-gram)")
-    val cands = winnowCandidatePairs(df, id, text, k, w, hashKey, maxFpDf)
-    val kg = kgramHashes(df, id, text, k, hashKey, maxHashPerDoc)
+    val kgBase = kgramHashes(df, id, text, k, hashKey, None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val winW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        w - 1)
+    // full windows only (pos ≤ n_kgrams − w ⇔ the doc-length cutoff
+    // the array form applies); min(struct(h, -pos)) = the rightmost
+    // minimum (robust winnowing tie-break), as the array form
+    val fps = kgBase
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__sel",
+        min(struct(col("h").as("fp"),
+          (-col("pos")).cast("long").as("np"))).over(winW))
+      .where(col("pos") <= col("__n") - w)
+      .select(col("id"), col("__sel.fp").as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = maxFpDf match {
+      case None => fps
+      case Some(cap) =>
+        require(cap >= 2, "maxFpDf must be at least 2")
+        fps.join(
+          fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= cap).select("fp"),
+          "fp")
+    }
+    val cands = kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val kg = maxHashPerDoc match {
+      case None => kgBase
+      case Some(cap) =>
+        require(cap >= 1, "maxHashPerDoc must be at least 1")
+        val byDocHash = org.apache.spark.sql.expressions.Window
+          .partitionBy("id", "h").orderBy("pos")
+        kgBase.withColumn("__rn", row_number().over(byDocHash))
+          .where(col("__rn") <= cap).drop("__rn")
+    }
     val matched = cands
       .join(kg.select(col("id").as("id_a"), col("pos").as("__i"), col("h")),
         "id_a")

@@ -254,6 +254,187 @@ class DataSkippingSpec extends GraftSuite {
     assert(e.getMessage.contains("unsupported type"))
   }
 
+  // -----------------------------------------------------------------
+  // r15: Catalyst-integrated skipping (SkippingFileIndex), the
+  // foreign-timestamp-unit / NTZ / NaN advice fixes, and the
+  // refreshStats schema-evolution contract.
+  // -----------------------------------------------------------------
+
+  private def scanFileCount(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles.toInt
+    }.getOrElse(sys.error("no FileSourceScanExec in plan"))
+
+  test("FileIndex: pushed filters prune the scan's file listing; rows exact") {
+    val dir = tmpDir("fidx")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id", "d", "s", "nv"))
+    val total = listDataFiles(spark, dir).size
+    val expect = spark.read.parquet(dir)
+      .where(col("id").between(100, 200)).collect().toSet
+
+    val pruned = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("id").between(100, 200))
+    assert(scanFileCount(pruned) < total,
+      "pushed range must shrink the scan's file listing")
+    assert(pruned.collect().toSet == expect)
+
+    // strings, dates, IN, IsNull all translate and prune/keep right
+    val byDate = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("d") === lit(Date.valueOf("2024-01-15")))
+    assert(scanFileCount(byDate) < total)
+    assert(byDate.count() ==
+      spark.read.parquet(dir)
+        .where(col("d") === lit(Date.valueOf("2024-01-15"))).count())
+    val byIn = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("id").isin(5L, 6L, 9999L))
+    assert(scanFileCount(byIn) < total)
+    assert(byIn.count() == 3)
+    val byNull = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("nv").isNull)
+    assert(byNull.count() == 100)
+
+    // an untranslatable predicate (function of the column) keeps all
+    // files — and still returns exact rows
+    val fn = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(abs(col("id") - 150) <= 50)
+    assert(scanFileCount(fn) == total)
+    assert(fn.collect().toSet == expect)
+
+    // OR: both arms translate => prunes; one arm opaque => keeps all
+    val orBoth = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("id") < 50 || col("id") > 9950)
+    assert(scanFileCount(orBoth) < total)
+    assert(orBoth.count() == 99)
+    val orOpaque = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("id") < 50 || abs(col("id")) > 99999)
+    assert(scanFileCount(orOpaque) == total)
+    assert(orOpaque.count() == 50)
+  }
+
+  test("FileIndex: late appends are conservatively kept; no stats = no pruning") {
+    val dir = tmpDir("fidx_append")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 8,
+      statsCols = Seq("id"))
+    // a foreign append the stats frame has never seen — ids far
+    // outside every committed file's range
+    spark.range(90000, 90100).select(
+        col("id"), (col("id") / 10.0).as("v"),
+        format_string("s%05d", col("id")).as("s"),
+        date_add(lit(Date.valueOf("2024-01-01")), 3).as("d"),
+        col("id").as("nv"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    val got = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("id") >= 90000)
+    assert(got.count() == 100,
+      "rows in an unknown file must survive the prune")
+
+    // no committed stats at all: every file listed, reads exact
+    val bare = tmpDir("fidx_bare")
+    corpus.coalesce(4).write.parquet(bare)
+    val all = graft.io.SkippingFileIndex.read(spark, bare)
+      .where(col("id") < 10)
+    assert(scanFileCount(all) == listDataFiles(spark, bare).size)
+    assert(all.count() == 10)
+  }
+
+  test("foreign TIMESTAMP_MILLIS files collect no bounds and never prune") {
+    val dir = tmpDir("tsms")
+    val base = 1704067200L
+    val withTs = corpus.select(col("id"),
+      timestamp_seconds(lit(base) + col("id")).as("ts"))
+    val prev = spark.conf.getOption(
+      "spark.sql.parquet.outputTimestampType").getOrElse("INT96")
+    try {
+      // the foreign-writer unit: INT64 annotated MILLIS — decoding
+      // its stats as micros would shrink bounds 1000x and prune
+      // files that HOLD matching rows (the r14 advice's row-loss)
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MILLIS")
+      writeSortedWithStats(withTs, dir, Seq("id"), 8, Seq("ts"))
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val pred = RangePred("ts",
+      new java.sql.Timestamp((base + 60) * 1000L),
+      new java.sql.Timestamp((base + 120) * 1000L))
+    val (kept, tot) = skipFiles(spark, dir, pred)
+    assert(kept.size == tot,
+      "MILLIS-annotated timestamps carry no trustworthy micros bound")
+    assert(prunedRead(spark, dir, pred).where(col("ts").between(
+      timestamp_seconds(lit(base + 60)),
+      timestamp_seconds(lit(base + 120)))).count() == 61)
+  }
+
+  test("TIMESTAMP_NTZ stats decode to LocalDateTime and prune") {
+    val dir = tmpDir("ntz")
+    val base = 1704067200L
+    val withTs = corpus.select(col("id"),
+      timestamp_seconds(lit(base) + col("id"))
+        .cast("timestamp_ntz").as("ts"))
+    writeSortedWithStats(withTs, dir, Seq("id"), 8, Seq("ts"))
+    def ldt(off: Long) = java.time.LocalDateTime.ofEpochSecond(
+      base + off, 0, java.time.ZoneOffset.UTC)
+    val pred = RangePred("ts", ldt(60), ldt(120))
+    val (kept, tot) = skipFiles(spark, dir, pred)
+    assert(kept.size < tot, "NTZ micros must prune")
+    assert(prunedRead(spark, dir, pred)
+      .where(col("ts").between(lit(ldt(60)), lit(ldt(120))))
+      .count() == 61)
+  }
+
+  test("NaN bounds keep every file (parquet stats exclude NaN)") {
+    val dir = tmpDir("nan")
+    val withNaN = spark.range(100).select(col("id"),
+      when(col("id") === 7, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("x"))
+    writeSortedWithStats(withNaN, dir, Seq("id"), 4, Seq("x"))
+    val (kept, tot) = skipFiles(spark, dir,
+      EqPred("x", Double.NaN))
+    assert(kept.size == tot, "a NaN bound must not prune")
+    // Spark's semantics: NaN = NaN is TRUE — the row must survive
+    assert(prunedRead(spark, dir, EqPred("x", Double.NaN))
+      .where(col("x") === lit(Double.NaN)).count() == 1)
+    // and through the FileIndex the same conjunct keeps all files
+    val viaIdx = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("x") === lit(Double.NaN))
+    assert(scanFileCount(viaIdx) == listDataFiles(spark, dir).size)
+    assert(viaIdx.count() == 1)
+  }
+
+  test("refreshStats: evolved append recommits the merged schema; tracked type change throws") {
+    val dir = tmpDir("evolve")
+    writeSortedWithStats(corpus.select("id", "v"), dir, Seq("id"),
+      numFiles = 4, statsCols = Seq("id"))
+    assert(committedSchema(spark, dir).get.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // an appended file brings a NEW column: refresh must surface it
+    // in the committed schema (previously the stale schema dropped
+    // it from every readFiles/FileIndex read forever)
+    spark.range(20000, 20100).select(col("id"),
+        (col("id") / 10.0).as("v"), lit("fresh").as("tag"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    assert(refreshStats(spark, dir, Seq("id")) == 1)
+    val evolved = committedSchema(spark, dir).get
+    assert(evolved.fieldNames.contains("tag"),
+      "merged schema must carry the appended column")
+    val got = readFiles(spark, dir, listDataFiles(spark, dir))
+      .where(col("tag") === "fresh")
+    assert(got.count() == 100)
+
+    // a TYPE change in a TRACKED column is loud corruption-prevention
+    val dir2 = tmpDir("evolve2")
+    writeSortedWithStats(corpus.select("id", "v"), dir2, Seq("id"),
+      numFiles = 2, statsCols = Seq("id"))
+    spark.range(5).select(col("id").cast("int").as("id"),
+        (col("id") / 10.0).as("v"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir2)
+    val e = intercept[IllegalArgumentException](
+      refreshStats(spark, dir2, Seq("id")))
+    assert(e.getMessage.contains("changed type") ||
+      e.getMessage.contains("do not merge"))
+  }
+
   test("z-order: files tile BOTH dimensions and 2-D predicates prune") {
     val dir = tmpDir("zorder")
     // 100x100 uniform grid — the adversarial case for a 1-D sort

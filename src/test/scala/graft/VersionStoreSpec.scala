@@ -164,4 +164,156 @@ class VersionStoreSpec extends GraftSuite {
       == (0L until 1000L))
     assert(VersionStore.asOf(spark, root, 0).count() == 1000)
   }
+
+  // ---------------------------------------------------------------
+  // Optimistic concurrency (r15): tryCommit / commitRetry / the
+  // conflict matrix / the crash window.
+  // ---------------------------------------------------------------
+
+  test("OCC two-writer interleave: loser rebases, neither row set is lost") {
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(Seq((1, "base")).toDF("id", "x"), root)
+
+    // writer A reads v0 and computes its append — but before A
+    // commits, writer B lands one: A's tryCommit against base 0 must
+    // CONFLICT, not silently drop B's rows
+    val aFrame = VersionStore.latest(spark, root)
+      .unionByName(Seq((2, "from_a")).toDF("id", "x"))
+    val vb = VersionStore.tryCommit(
+      VersionStore.latest(spark, root)
+        .unionByName(Seq((3, "from_b")).toDF("id", "x")),
+      root, base = 0L)
+    assert(vb == Right(1L))
+    assert(VersionStore.tryCommit(aFrame, root, base = 0L) == Left(1L))
+
+    // A rebases through commitRetry: recompute on the advanced state
+    val va = VersionStore.commitRetry(spark, root,
+      (_, state) => state.unionByName(Seq((2, "from_a")).toDF("id", "x")))
+    assert(va == 2L)
+    assert(VersionStore.latest(spark, root).select("id")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("OCC threaded race: concurrent commitRetry appends both land") {
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(spark.range(1).toDF("id"), root)
+    val threads = (10 to 13).map { n =>
+      new Thread(() => {
+        VersionStore.commitRetry(spark, root,
+          (_, state) => state.unionByName(
+            Seq(n.toLong).toDF("id")), maxRetries = 30): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(VersionStore.versions(spark, root) == (0L to 4L))
+    assert(VersionStore.latest(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(0L, 10L, 11L, 12L, 13L))
+  }
+
+  test("OCC conflict matrix: rewrite loses loudly to rewrite, rebases over append") {
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(spark.range(5).toDF("id"), root)
+
+    // rewrite vs rewrite: an interloping REWRITE commits while our
+    // rewrite computes — fail loudly, never blind-recompact
+    var fired = false
+    val e = intercept[VersionStore.ConcurrentRewriteException] {
+      VersionStore.commitRetry(spark, root, (base, st) => {
+        if (!fired) {
+          fired = true
+          assert(VersionStore.tryCommit(
+            VersionStore.asOf(spark, root, base).repartition(1),
+            root, base, action = "rewrite").isRight)
+        }
+        st.repartition(1)
+      }, action = "rewrite")
+    }
+    assert(e.getMessage.contains("concurrent rewrite"))
+    assert(VersionStore.commitInfo(spark, root, 1L) ==
+      Some((0L, "rewrite")))
+
+    // append vs rewrite: the append rebases onto the compacted state
+    var fired2 = false
+    val va = VersionStore.commitRetry(spark, root, (base, st) => {
+      if (!fired2) {
+        fired2 = true
+        assert(VersionStore.tryCommit(
+          VersionStore.asOf(spark, root, base).repartition(1),
+          root, base, action = "rewrite").isRight)
+      }
+      st.unionByName(Seq(99L).toDF("id"))
+    }, action = "append")
+    assert(va == 3L)
+    assert(VersionStore.latest(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(0L, 1L, 2L, 3L, 4L, 99L))
+
+    // rewrite vs append: the rewrite rebases and picks up the new row
+    var fired3 = false
+    val vr = VersionStore.commitRetry(spark, root, (base, st) => {
+      if (!fired3) {
+        fired3 = true
+        assert(VersionStore.tryCommit(
+          VersionStore.asOf(spark, root, base)
+            .unionByName(Seq(100L).toDF("id")),
+          root, base, action = "append").isRight)
+      }
+      st.repartition(1)
+    }, action = "rewrite")
+    assert(vr == 5L)
+    assert(VersionStore.latest(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(0L, 1L, 2L, 3L, 4L, 99L, 100L))
+  }
+
+  test("OCC crash window: a stale claim blocks loudly, vacuum sweeps it") {
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(Seq((1, "a")).toDF("id", "x"), root)
+
+    // simulate a writer that claimed v1 and crashed before commit
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.createNewFile(
+      new org.apache.hadoop.fs.Path(root, "_claim_v=1")))
+
+    val e = intercept[VersionStore.StalledClaimException] {
+      VersionStore.commitRetry(spark, root,
+        (_, st) => st, maxRetries = 2, backoffMs = 1L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+
+    // vacuum (TTL 0: everything stale) sweeps the orphan claim;
+    // the committed version and ITS claim survive
+    Thread.sleep(5) // ms-granularity modtime must be < the cutoff
+    VersionStore.vacuum(spark, root, keepLast = 1, claimTtlMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_claim_v=1")))
+    assert(VersionStore.versions(spark, root) == Seq(0L))
+
+    // and the blocked writer now commits
+    assert(VersionStore.commitRetry(spark, root, (_, st) => st) == 1L)
+  }
+
+  test("OCC bookkeeping: commitInfo, base validation, legacy writes read as appends") {
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(Seq((1, "a")).toDF("id", "x"), root)
+    assert(VersionStore.commitInfo(spark, root, 0L).isEmpty) // legacy
+
+    assert(VersionStore.tryCommit(Seq((2, "b")).toDF("id", "x"), root,
+      base = 0L) == Right(1L))
+    assert(VersionStore.commitInfo(spark, root, 1L) ==
+      Some((0L, "append")))
+
+    // a base that is not a committed version is a caller bug
+    intercept[IllegalArgumentException] {
+      VersionStore.tryCommit(Seq((3, "c")).toDF("id", "x"), root,
+        base = 7L)
+    }
+    // bootstrap an empty root with base = -1
+    val root2 = Files.createTempDirectory("vs").toString
+    assert(VersionStore.tryCommit(Seq((1, "a")).toDF("id", "x"), root2,
+      base = -1L) == Right(0L))
+    // schema enforcement holds on the OCC path too
+    intercept[IllegalArgumentException] {
+      VersionStore.tryCommit(Seq((1, "a", 2.0)).toDF("id", "x", "y"),
+        root2, base = 0L)
+    }
+  }
 }

@@ -21,10 +21,18 @@ the driver sees. `--selftest` pins the regression: a decimal fixture
 MUST fail the strict compare (and records that the old DuckDB read path
 would have hidden it).
 
-Temporal rendering is normalized SYMMETRICALLY on both sides (dates and
-midnight timestamps both canonicalize to 'YYYY-MM-DD', fractional
-seconds drop trailing zeros) — rendering-only, applied to both sides,
-so a real instant divergence still fails.
+THE r14 LESSON (same class, temporal): this script used to read the
+ORACLE through DuckDB's `.df()` (DATE flattens to datetime64 midnight)
+and compensated by stripping ' 00:00:00' on BOTH sides — so a Spark
+output that wrongly produced a midnight TIMESTAMP where the oracle
+yields a DATE compared equal HERE while the driver's exact stringify
+(pyarrow date32 '2024-01-03' vs timestamp '2024-01-03 00:00:00') fails.
+The oracle is now fetched via `.arrow()` (DATE stays date32, DECIMAL
+stays Decimal — types preserved like the spark side) and the midnight
+normalization is GONE; only symmetric trailing-fractional-zero trimming
+remains (rendering-only: timestamp[us] vs timestamp[ns] unit noise).
+`--selftest` pins this too: a midnight-timestamp-vs-DATE fixture MUST
+fail the strict compare.
 
 `--lenient` restores the old tolerant compare as a diagnostic mode.
 """
@@ -41,14 +49,14 @@ LENIENT = "--lenient" in sys.argv
 
 
 def _norm_temporal(s: str) -> str:
-    """Symmetric rendering canon for dates/timestamps: drop trailing
-    fractional zeros, then a bare midnight time — date32 '2024-01-03'
-    (pyarrow) and DATE->datetime64 '2024-01-03 00:00:00.000000'
-    (duckdb .df()) canonicalize to the same string."""
+    """Symmetric rendering canon for timestamps: drop trailing
+    fractional zeros ONLY (timestamp[us] vs timestamp[ns] render the
+    same instant with different fractional padding). A midnight
+    timestamp stays '... 00:00:00' — distinct from a bare date — so a
+    Spark TIMESTAMP where the oracle yields a DATE fails here exactly
+    as the driver's exact stringify does (the r14 mirror blind spot)."""
     if "." in s:
         s = s.rstrip("0").rstrip(".")
-    if s.endswith(" 00:00:00"):
-        s = s[:-9]
     return s
 
 
@@ -121,10 +129,16 @@ def selftest():
                               pa.date32()),
     }), f)
     con = duckdb.connect()
+    # oracle through .arrow() — the main-path read; DATE stays date32
+    # on both sides, DECIMAL stays Decimal on both sides. The decimal
+    # fixture still MUST fail: the spark side is DECIMAL(18,2) and the
+    # r14 double-cast rule says the SURFACE should have cast it — the
+    # strict compare vs the float oracle catches the missing cast.
     oracle = con.sql(
-        "SELECT * FROM (VALUES (1, CAST(78855.80 AS DECIMAL(18,2)),"
-        " CAST('2024-01-03' AS DATE)), (2, CAST(0.00 AS DECIMAL(18,2)),"
-        " CAST('2024-01-03' AS DATE))) t(k, total, order_day)").df()
+        "SELECT * FROM (VALUES (1, CAST(78855.80 AS DOUBLE),"
+        " CAST('2024-01-03' AS DATE)), (2, CAST(0.00 AS DOUBLE),"
+        " CAST('2024-01-03' AS DATE))) t(k, total, order_day)"
+    ).arrow().to_pandas()
     gc, got = canon_rows(read_spark([f]))
     wc, want = canon_rows(oracle)
     assert gc == wc, f"selftest schema: {gc} vs {wc}"
@@ -138,11 +152,15 @@ def selftest():
         assert a[1] == b[1], f"date canon diverged: {a[1]} vs {b[1]}"
         assert a[2] != b[2], f"expected decimal diff, got {a} vs {b}"
     # and record the blind spot: the OLD read path (duckdb .df() on
-    # the spark parquet) flattens both sides to float64 and hides it
+    # the spark parquet) flattens the DECIMAL to float64 and hides the
+    # diff (it also flattens date32 to midnight datetime64 — visible
+    # now that the midnight strip is gone, so compare decimals only)
     old_gc, old_got = canon_rows(
         con.sql(f"SELECT * FROM read_parquet(['{f}'])").df())
-    assert old_got == want, "old duckdb-read path no longer hides " \
-        "the decimal diff? (harmless, but update this note)"
+    ti = old_gc.index("total")
+    assert [r[ti] for r in old_got] == [r[ti] for r in want], \
+        "old duckdb-read path no longer hides the decimal diff? " \
+        "(harmless, but update this note)"
     # a DOUBLE-cast spark side (the r14 fix) must PASS
     f2 = os.path.join(d, "part-1.parquet")
     pq.write_table(pa.table({
@@ -153,9 +171,28 @@ def selftest():
     }), f2)
     _, got2 = canon_rows(read_spark([f2]))
     assert got2 == want, f"double-cast side should pass: {got2} vs {want}"
+    # the r14 temporal pin: a spark MIDNIGHT TIMESTAMP where the
+    # oracle yields a DATE must FAIL (the old midnight-strip canon
+    # hid it; the driver's exact stringify never did)
+    f3 = os.path.join(d, "part-2.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "total": pa.array([78855.80, 0.00], pa.float64()),
+        "order_day": pa.array(
+            [datetime.datetime(2024, 1, 3, 0, 0, 0)] * 2,
+            pa.timestamp("us")),
+    }), f3)
+    _, got3 = canon_rows(read_spark([f3]))
+    assert got3 != want, (
+        "selftest FAILED to fail: midnight timestamp vs DATE compared "
+        "equal — the r14 temporal blind spot is back")
+    for a, b in zip(got3, want):
+        assert a[0] == b[0] and a[2] == b[2], f"only order_day may " \
+            f"differ: {a} vs {b}"
+        assert a[1] != b[1], f"expected temporal diff, got {a} vs {b}"
     print("selftest OK: decimal fixture fails strict compare, "
           "double-cast fixture passes, old duckdb path would have "
-          "hidden the decimal diff")
+          "hidden the decimal diff, midnight-timestamp-vs-DATE fails")
 
 
 def main():
@@ -216,7 +253,11 @@ def main():
             print(f"MISSING  {name}: no spark output"); fail += 1; continue
         got_df = read_spark(spark_files)
         try:
-            want_df = con.sql(sql).df()
+            # .arrow(), NOT .df(): DATE stays date32, DECIMAL stays
+            # Decimal — the same preserved types the spark side gets
+            # from pyarrow, and (per the r13/r14 lessons) the types
+            # the driver's exact stringify sees
+            want_df = con.sql(sql).arrow().to_pandas()
         except Exception as e:
             print(f"ORACLE!  {name}: {e}"); fail += 1; continue
         gc, got = canon_rows(got_df)
