@@ -553,6 +553,14 @@ object StoreBench {
       }
       val arms0: Seq[(String, () => DataFrame)] = Seq(
         "skip_sorted" -> (() => DataSkipping.prunedRead(spark, sortedDir, pred)),
+        // r15: the CATALYST-integrated path — no explicit prune call;
+        // the year filter (inside fpRow's `year`) is pushed into
+        // SkippingFileIndex.listFiles at plan time. Prices the
+        // plan-time in-memory prune against prunedRead's stats JOB —
+        // the index is rebuilt per read here (worst case: stats
+        // collect per query; a serving deployment holds the index)
+        "fidx_sorted" -> (() =>
+          graft.io.SkippingFileIndex.read(spark, sortedDir)),
         "scan_sorted" -> (() => spark.read.parquet(sortedDir)),
         "skip_hash" -> (() => DataSkipping.prunedRead(spark, hashDir, pred)),
         "scan_hash" -> (() => spark.read.parquet(hashDir)))
@@ -597,6 +605,7 @@ object StoreBench {
             s""","${nm}_median":${m(nm)},"${nm}_runs":${jarr(times(nm).toSeq)}"""
           }.mkString +
           s""","scan_over_skip_sorted":${m("scan_sorted") / m("skip_sorted")}""" +
+          s""","scan_over_fidx_sorted":${m("scan_sorted") / m("fidx_sorted")}""" +
           s""","scan_over_skip_hash":${m("scan_hash") / m("skip_hash")}""" +
           s""","files_kept_sorted":${keptSorted.size}""" +
           s""","files_total_sorted":$totSorted""" +

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
-  In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+  In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or,
+  StartsWith}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -141,6 +142,27 @@ object SkippingFileIndex {
       case _ => true
     }
   }
+  /** `col LIKE 'p%'` over a string column — the same prefix-bounds
+    * test Spark's own parquet pushdown runs: a file may hold a
+    * p-prefixed string iff max >= p (full byte compare: every
+    * p-prefixed string is >= p) and the first |p| BYTES of min are
+    * <= p (a min whose prefix already exceeds p bounds every row
+    * above all p-prefixed strings). UTF-8 byte order throughout —
+    * the order the stats were merged in. */
+  private final case class StartsWithP(c: String, prefix: String)
+      extends FilePred {
+    private val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    private def bytes(s: Any) = s.asInstanceOf[String]
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def keep(fs: FileStats): Boolean = fs.cols.get(c).forall {
+      case (Some(mn), Some(mx), _) =>
+        val mnb = bytes(mn)
+        val mnPre = java.util.Arrays.copyOf(mnb, math.min(mnb.length, p.length))
+        java.util.Arrays.compareUnsigned(bytes(mx), p) >= 0 &&
+          java.util.Arrays.compareUnsigned(mnPre, p) <= 0
+      case _ => true
+    }
+  }
 
   /** Catalyst INTERNAL literal → the stats frame's external value.
     * None = don't prune on this literal (null, NaN — mirroring
@@ -213,6 +235,9 @@ object SkippingFileIndex {
       case (c, v, dt, false) => LeP(c, v, strict = false, dt)
       case (c, v, dt, true) => GeP(c, v, strict = false, dt)
     }
+    case StartsWith(a: Attribute, Literal(v, StringType))
+        if types.get(a.name).contains(StringType) && v != null =>
+      Some(StartsWithP(a.name, v.asInstanceOf[UTF8String].toString))
     case IsNull(a: Attribute) if types.contains(a.name) =>
       Some(NullP(a.name))
     case IsNotNull(a: Attribute) if types.contains(a.name) =>

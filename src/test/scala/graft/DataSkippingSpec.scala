@@ -307,6 +307,16 @@ class DataSkippingSpec extends GraftSuite {
       .where(col("id") < 50 || col("id") > 9950)
     assert(scanFileCount(orBoth) < total)
     assert(orBoth.count() == 99)
+
+    // prefix LIKE prunes on the string column (UTF-8 prefix bounds):
+    // s is zero-padded so 's0123%' lands in one sorted file
+    val pre = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("s").startsWith("s00123"))
+    assert(scanFileCount(pre) < total)
+    assert(pre.count() == 1)
+    val preWide = graft.io.SkippingFileIndex.read(spark, dir)
+      .where(col("s").startsWith("s"))
+    assert(preWide.count() == 10000, "all rows share prefix 's'")
     val orOpaque = graft.io.SkippingFileIndex.read(spark, dir)
       .where(col("id") < 50 || abs(col("id")) > 99999)
     assert(scanFileCount(orOpaque) == total)
