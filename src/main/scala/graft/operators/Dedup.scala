@@ -1474,8 +1474,13 @@ object Dedup {
                            k: Int = 5, w: Int = 4,
                            hashKey: Column => Column = xxhash64(_),
                            maxFpDf: Option[Int] = None): DataFrame = {
+    // persisted (r15, the one-pass lineage discipline): the df-cap
+    // aggregate and BOTH self-join sides consume this frame —
+    // unpersisted, each re-derives the normalize+split+hash pass
+    // from text
     val fps = winnowFingerprints(df, id, text, k, w, hashKey)
       .select(col("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = maxFpDf match {
       case None => fps
       case Some(cap) =>
@@ -1590,6 +1595,31 @@ object Dedup {
     * one-pass form prices 14–18 s vs 20–24 s shipped, and cuts the
     * codegen/JIT surface that made the old price swing ~1.5× across
     * quiet same-code runs (PERF.md r15). */
+  /** Winnowing selection over an ALREADY-COMPUTED every-position
+    * k-gram frame (`(id, pos, h)`, [[kgramHashes]]'s shape) — the
+    * distinct `(id, fp)` set [[winnowFingerprints]] would select
+    * from the same text, derived without re-touching it: full
+    * windows only (`pos ≤ n_kgrams − w` ⇔ the array form's
+    * doc-length cutoff) and `min(struct(h, −pos))` over a w-row
+    * sliding window = the robust-winnowing RIGHTMOST minimum, the
+    * array form's tie-break exactly (equivalence spec-pinned on an
+    * adversarial tie corpus, plus probe-verified row-identical at
+    * sf1 through the verify surface). */
+  private[graft] def winnowFingerprintsFromKgrams(kg: DataFrame,
+                                                  w: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val winW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        w - 1)
+    kg.withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__sel",
+        min(struct(col("h").as("fp"),
+          (-col("pos")).cast("long").as("np"))).over(winW))
+      .where(col("pos") <= col("__n") - w)
+      .select(col("id"), col("__sel.fp").as("fp")).distinct()
+  }
+
   def winnowVerifiedPairs(df: DataFrame, id: Column, text: Column,
                           k: Int = 5, w: Int = 4,
                           hashKey: Column => Column = xxhash64(_),
@@ -1602,21 +1632,7 @@ object Dedup {
       s"minRun must be at least k=$k (shorter runs share no k-gram)")
     val kgBase = kgramHashes(df, id, text, k, hashKey, None)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val winW = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        w - 1)
-    // full windows only (pos ≤ n_kgrams − w ⇔ the doc-length cutoff
-    // the array form applies); min(struct(h, -pos)) = the rightmost
-    // minimum (robust winnowing tie-break), as the array form
-    val fps = kgBase
-      .withColumn("__n", count(lit(1)).over(byDoc))
-      .withColumn("__sel",
-        min(struct(col("h").as("fp"),
-          (-col("pos")).cast("long").as("np"))).over(winW))
-      .where(col("pos") <= col("__n") - w)
-      .select(col("id"), col("__sel.fp").as("fp")).distinct()
+    val fps = winnowFingerprintsFromKgrams(kgBase, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = maxFpDf match {
       case None => fps

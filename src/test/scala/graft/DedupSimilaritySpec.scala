@@ -609,6 +609,46 @@ class DedupSimilaritySpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("window-derived winnow fingerprints == the array form (ties, repeats, cutoff)") {
+    import spark.implicits._
+    // adversarial for the rightmost-minimum tie-break and the
+    // doc-length cutoff: hyper-repetitive docs (every window is an
+    // all-tie window — the selection must pick the RIGHTMOST
+    // position, and distinct() must collapse identically), docs
+    // exactly at/below the k + w - 1 cutoff, and normal text
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (
+      Seq(
+        (1L, Seq.fill(30)("spam").mkString(" ")),       // all ties
+        (2L, ("x " * 20 + "spam " * 10).trim),          // tie block
+        (3L, vocab(0) * 1),                             // below cutoff
+        (4L, Seq.fill(8)(vocab(rng.nextInt(5))).mkString(" ")), // == cutoff (k=5,w=4)
+        (5L, Seq.fill(7)(vocab(rng.nextInt(5))).mkString(" "))  // one short
+      ) ++ (6L to 20L).map(i =>
+        i -> Seq.fill(40)(vocab(rng.nextInt(5))).mkString(" "))
+    ).toDF("doc_id", "text")
+    for (key <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        xxhash64(_), graft.operators.QualityModel.seededKey)) {
+      val arrayForm = Dedup.winnowFingerprints(docs, col("doc_id"),
+          col("text"), k = 5, w = 4, hashKey = key)
+        .select(col("id"), col("fp")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val windowForm = Dedup.winnowFingerprintsFromKgrams(
+          Dedup.kgramHashes(docs, col("doc_id"), col("text"), 5, key,
+            None), w = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(windowForm == arrayForm,
+        s"derivations diverge: only-window=${windowForm -- arrayForm} " +
+          s"only-array=${arrayForm -- windowForm}")
+      assert(arrayForm.nonEmpty)
+      // cutoff: doc 5 (7 tokens < k + w - 1 = 8) selects nothing;
+      // doc 4 (exactly 8) selects exactly one fingerprint position set
+      assert(!arrayForm.exists(_._1 == 5L))
+      assert(arrayForm.exists(_._1 == 4L))
+    }
+  }
+
   test("winnow-verified pairs: longest_run is exact (DP replay), complete at the guarantee floor, a subset of candidates") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
