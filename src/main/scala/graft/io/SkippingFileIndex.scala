@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or,
   StartsWith}
 import org.apache.spark.sql.execution.datasources.{
-  FileIndex, HadoopFsRelation, PartitionDirectory}
+  FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -268,23 +268,13 @@ object SkippingFileIndex {
     case _ => None
   }
 
-  /** Load (files, stats-by-file, tracked column types) for `dir`. */
-  private def load(spark: SparkSession, dir: String)
-      : (Seq[FileStatus], Map[String, FileStats],
-         Map[String, DataType]) = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Seq.newBuilder[FileStatus]
-    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
-      val n = s.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
-        if (s.isDirectory) walk(s.getPath)
-        else if (n.endsWith(".parquet")) files += s
-      }
-    }
-    walk(root)
+  /** Load the committed stats for `dir` as driver-side maps:
+    * file → [[FileStats]] and tracked column → type. Empty maps when
+    * no frame is committed (no pruning, never an error). */
+  private[io] def loadStats(spark: SparkSession, dir: String)
+      : (Map[String, FileStats], Map[String, DataType]) =
     DataSkipping.statsFrame(spark, dir) match {
-      case None => (files.result(), Map.empty, Map.empty)
+      case None => (Map.empty, Map.empty)
       case Some(sf) =>
         val cols = sf.schema.fieldNames.toSeq
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
@@ -302,8 +292,26 @@ object SkippingFileIndex {
           }.toMap
           r.getString(fileIdx) -> FileStats(r.getLong(rowsIdx), byCol)
         }.toMap
-        (files.result(), stats, types)
+        (stats, types)
     }
+
+  /** Load (files, stats-by-file, tracked column types) for `dir`. */
+  private def load(spark: SparkSession, dir: String)
+      : (Seq[FileStatus], Map[String, FileStats],
+         Map[String, DataType]) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Seq.newBuilder[FileStatus]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet")) files += s
+      }
+    }
+    walk(root)
+    val (stats, types) = loadStats(spark, dir)
+    (files.result(), stats, types)
   }
 
   /** Read `dir` through the skipping index: a stock parquet relation
@@ -325,5 +333,65 @@ object SkippingFileIndex {
         bucketSpec = None,
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(classic))
+  }
+
+  /** Read a HIVE-PARTITIONED root (`dir/p=v/…`, the
+    * [[PartitionedStore]] layout) with BOTH prunings in one index:
+    * Spark's own partition discovery + directory pruning (inherited
+    * from `InMemoryFileIndex`) and the committed per-file stats
+    * verdicts layered on the surviving directories' files. A
+    * predicate on the partition column drops whole directories, a
+    * predicate on a tracked data column drops files inside the kept
+    * directories, and both compose with parquet row-group pruning in
+    * the same plan. Stats conservatism is unchanged (unknown files /
+    * opaque conjuncts keep). */
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val classic = spark.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession]
+    val index = new SkippingPartitionedFileIndex(classic, dir)
+    val partSchema = index.partitionSchema
+    val full = DataSkipping.committedSchema(spark, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+    val dataSchema = StructType(
+      full.fields.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    classic.baseRelationToDataFrame(
+      HadoopFsRelation(
+        location = index,
+        partitionSchema = partSchema,
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(classic))
+  }
+}
+
+/** The hive-partitioned sibling of [[SkippingFileIndex]]: Spark's
+  * `InMemoryFileIndex` does the partition discovery and
+  * partition-filter pruning it already does best; this subclass
+  * post-filters each surviving directory's FILE list through the
+  * committed [[DataSkipping]] stats, translated from the scan's
+  * pushed data filters — the Delta read path's two-level prune
+  * (partitions, then file stats) in one Catalyst index. */
+final class SkippingPartitionedFileIndex(
+    session: org.apache.spark.sql.classic.SparkSession, dir: String)
+  extends InMemoryFileIndex(session, Seq(new Path(dir)),
+    Map.empty[String, String], None) {
+
+  import SkippingFileIndex.{loadStats, translate}
+
+  private val (statsByFile, colTypes) = loadStats(session, dir)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    val preds = dataFilters.flatMap(translate(_, colTypes))
+    if (preds.isEmpty || statsByFile.isEmpty) dirs
+    else dirs.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        statsByFile.get(f.fileStatus.getPath.toString)
+          .forall(fs => preds.forall(_.keep(fs)))
+      })
+    }
   }
 }

@@ -349,6 +349,46 @@ class DataSkippingSpec extends GraftSuite {
     assert(all.count() == 10)
   }
 
+  test("partitioned FileIndex: directory pruning and file-stats pruning compose") {
+    val dir = tmpDir("fidx_part")
+    // hive layout p=0..3, sorted by id inside each partition, stats
+    // on id at the root (partition col lives in the PATH, not the
+    // footers — exactly the two-level Delta shape)
+    val df = corpus.withColumn("p", (col("id") % 4).cast("int"))
+    df.repartitionByRange(16, col("p"), col("id"))
+      .sortWithinPartitions("p", "id")
+      .write.partitionBy("p").parquet(dir)
+    writeStats(spark, dir, Seq("id"))
+    val total = listDataFiles(spark, dir).size
+    assert(total >= 8, s"want a multi-file-per-partition layout: $total")
+
+    // partition filter alone: directories drop (inherited pruning)
+    val pOnly = graft.io.SkippingFileIndex.readPartitioned(spark, dir)
+      .where(col("p") === 1)
+    val pOnlyFiles = scanFileCount(pOnly)
+    assert(pOnlyFiles < total)
+    assert(pOnly.count() == 2500)
+
+    // partition filter + tracked data column: files drop INSIDE the
+    // kept directory — strictly fewer than the partition prune alone
+    val both = graft.io.SkippingFileIndex.readPartitioned(spark, dir)
+      .where(col("p") === 1 && col("id").between(100, 200))
+    assert(scanFileCount(both) < pOnlyFiles,
+      "stats pruning must compose on top of partition pruning")
+    assert(both.collect().toSet ==
+      spark.read.parquet(dir)
+        .where(col("p") === 1 && col("id").between(100, 200))
+        .collect().toSet)
+
+    // data-column filter alone still prunes files across partitions
+    val idOnly = graft.io.SkippingFileIndex.readPartitioned(spark, dir)
+      .where(col("id") === 9999)
+    assert(scanFileCount(idOnly) < total)
+    assert(idOnly.count() == 1)
+    // and the partition column survives in the output schema
+    assert(idOnly.columns.contains("p"))
+  }
+
   test("foreign TIMESTAMP_MILLIS files collect no bounds and never prune") {
     val dir = tmpDir("tsms")
     val base = 1704067200L
