@@ -570,6 +570,49 @@ object SparkEntry {
       df
     }),
 
+    // oracle-checked: the HIVE-PARTITIONED two-level prune — the
+    // store lays out `p = o_custkey % 4` directories with files
+    // range-sorted on o_orderkey inside, stats committed at the
+    // root; one readPartitioned plan then prunes DIRECTORIES on the
+    // partition filter (Spark's own pruning, inherited) and FILES on
+    // the o_orderkey range (the committed stats) — the Delta read
+    // shape. REQUIREs: overall kept < total always; the composed
+    // prune strictly under the partition-only prune whenever the
+    // kept directory holds >= 4 files (graded SFs — tiny fuzz
+    // corpora legitimately land 1-file directories). The file-level
+    // compose is also spec-pinned strictly (DataSkippingSpec)
+    "q_store_skip_partitioned" -> ((s, dir) => {
+      import graft.io.{DataSkipping, SkippingFileIndex}
+      val path = s"/tmp/graft_serving_idx/skipp_${skipDemoFp(s, dir)}"
+      if (!DataSkipping.statsCommitted(s, path)) {
+        graft.io.MarkerCommit.deleteRecursively(path)
+        skipDemoFrame(s, dir)
+          .withColumn("p", pmod(col("o_custkey"), lit(4L)).cast("int"))
+          .repartitionByRange(32, col("p"), col("o_orderkey"))
+          .sortWithinPartitions("p", "o_orderkey")
+          .write.partitionBy("p").parquet(path)
+        DataSkipping.writeStats(s, path, Seq("o_orderkey"))
+      }
+      def files(df: DataFrame): Int =
+        df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles.toInt
+        }.getOrElse(sys.error("q_store_skip_partitioned: no file scan"))
+      val both = SkippingFileIndex.readPartitioned(s, path)
+        .where(col("p") === 1 &&
+          col("o_orderkey").between(1000L, 50000L))
+      val keptBoth = files(both)
+      val keptPart = files(SkippingFileIndex.readPartitioned(s, path)
+        .where(col("p") === 1))
+      val total = DataSkipping.listDataFiles(s, path).size
+      require(keptBoth > 0 && keptBoth < total,
+        s"partitioned skipping degenerate: $keptBoth of $total files")
+      require(keptPart < 4 || keptBoth < keptPart,
+        s"stats prune did not compose: $keptBoth vs partition-only " +
+          s"$keptPart")
+      both.select("o_orderkey", "o_custkey", "total", "order_day", "p")
+    }),
+
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
     // partitioning the aggregate then reuses (one shuffle total);
@@ -3177,6 +3220,17 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE)
         |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
+    // the two-level (partition dir + file stats) prune serves a
+    // partition slice x key range; the layout is Spark-side
+    // machinery, the oracle is the plain filter
+    "q_store_skip_partitioned" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS total,
+        |       CAST(o_orderdate AS DATE) AS order_day,
+        |       CAST(o_custkey % 4 AS INT) AS p
+        |FROM orders
+        |WHERE o_custkey % 4 = 1
+        |  AND o_orderkey BETWEEN 1000 AND 50000""".stripMargin,
 
     // the z-ordered store serves a 2-D slice; the layout (and the
     // in-query files-kept < files-present require) is Spark-side
