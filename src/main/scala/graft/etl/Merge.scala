@@ -329,6 +329,15 @@ object Merge {
       if (deleteFlag.isDefined)
         (touched.toSet -- present).toSeq.sorted.foreach(v =>
           MarkerCommit.deleteRecursively(s"$path/$partCol=$v"))
+      // stats upkeep (r15): if the store committed a DataSkipping
+      // frame, the rewrite just replaced the touched partitions'
+      // files — refresh drops the vanished rows and footer-reads
+      // ONLY the new files (O(touched), not O(store)). Without it
+      // the store stays CORRECT (vanished-file verdicts are inert,
+      // new files are unknown = kept) but the rewritten partitions
+      // silently stop pruning.
+      if (graft.io.DataSkipping.statsCommitted(spark, path))
+        graft.io.DataSkipping.refreshStats(spark, path, Nil): Unit
       touched
     } finally merged.unpersist()
   }

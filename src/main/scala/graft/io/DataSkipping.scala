@@ -375,20 +375,42 @@ object DataSkipping {
         val cols = sf.schema.fieldNames.toSeq
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         // SCHEMA-EVOLUTION enforcement (the committedSchema contract
-        // was previously advisory): merge ALL footers' schemas — an
-        // appended file with a NEW column would otherwise read as
-        // absent forever through the stale committed schema. A
-        // TYPE change in a TRACKED column is rejected loudly (the
-        // kept stats rows hold the old type — mixing is corruption);
-        // a type change in an untracked column just recommits the
-        // merged schema (per-file reads stay parquet-exact).
+        // was previously advisory): union the committed schema with
+        // the FRESH files' footer schemas — an appended file with a
+        // NEW column would otherwise read as absent forever through
+        // the stale committed schema. Only the fresh footers are
+        // opened (the O(new files) contract; the committed schema
+        // stands in for every already-seen file). A TYPE change in
+        // ANY shared column is rejected loudly — for a tracked
+        // column the kept stats rows hold the old type (mixing is
+        // corruption), and for a data column a silent type fork
+        // corrupts every unioning reader.
+        val baseSchema = committedSchema(spark, dir)
+          .getOrElse(spark.read.parquet(dir).schema)
         val mergedSchema =
-          try spark.read.option("mergeSchema", "true").parquet(dir).schema
-          catch {
-            case e: Exception => throw new IllegalArgumentException(
-              s"refreshStats: footer schemas under $dir do not merge " +
-                "(a column changed type in an appended file?) — fix the " +
-                s"append or recommit deliberately: ${e.getMessage}", e)
+          if (fresh.isEmpty) baseSchema
+          else {
+            val freshSchema =
+              try spark.read.option("mergeSchema", "true")
+                .parquet(fresh: _*).schema
+              catch {
+                case e: Exception => throw new IllegalArgumentException(
+                  s"refreshStats: appended footer schemas under $dir " +
+                    "do not merge (a column changed type between " +
+                    s"appends?): ${e.getMessage}", e)
+              }
+            val baseT = baseSchema.fields.map(f => f.name -> f.dataType)
+              .toMap
+            freshSchema.fields.foreach { f =>
+              baseT.get(f.name).foreach(t => require(t == f.dataType,
+                s"refreshStats: column '${f.name}' changed type " +
+                  s"($t -> ${f.dataType}) in an appended file — " +
+                  "recommit stats with writeStats after a deliberate " +
+                  "schema migration"))
+            }
+            StructType(baseSchema.fields ++
+              freshSchema.fields.filterNot(f =>
+                baseT.contains(f.name)))
           }
         cols.foreach { c =>
           val committed = sf.schema(s"min_$c").dataType

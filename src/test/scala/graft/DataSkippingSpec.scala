@@ -452,6 +452,55 @@ class DataSkippingSpec extends GraftSuite {
     assert(viaIdx.count() == 1)
   }
 
+  test("newerThanStore: the watermark gate prunes files; NULL watermark passes everything") {
+    val dir = tmpDir("wm")
+    writeSortedWithStats(corpus.select("id", "nv"), dir, Seq("id"),
+      numFiles = 8, statsCols = Seq("id"))
+    val total = listDataFiles(spark, dir).size
+    // processed high-water mark: ids <= 8999 seen — the daily
+    // increment reads O(new files), not the store
+    val processed = spark.range(9000).toDF("id")
+    val inc = graft.etl.Snapshot.newerThanStore(spark, dir, "id",
+      processed, col("id"))
+    assert(scanFileCount(inc) < total,
+      "watermark literal must prune at-or-before files")
+    assert(inc.count() == 1000)
+    assert(inc.agg(min("id")).head().getLong(0) == 9000)
+    // bootstrap: an empty processed frame aggregates to a NULL
+    // watermark, which must pass the FULL store through
+    val boot = graft.etl.Snapshot.newerThanStore(spark, dir, "id",
+      processed.where(lit(false)), col("id"))
+    assert(boot.count() == 10000)
+  }
+
+  test("mergePartitioned refreshes a committed stats frame after the rewrite") {
+    import spark.implicits._
+    val dir = tmpDir("merge_stats")
+    val base = spark.range(1000).select(
+      col("id").as("k"), (col("id") % 4).cast("int").as("p"),
+      lit(1L).as("v"), lit(0L).as("ts"))
+    base.write.partitionBy("p").parquet(dir)
+    writeStats(spark, dir, Seq("k"))
+    val before = statsFrame(spark, dir).get.collect()
+      .map(_.getString(0)).toSet
+    // a change batch touching partition 1 only
+    val changes = Seq((1L, 1, 99L, 5L), (401L, 1, 99L, 5L))
+      .toDF("k", "p", "v", "ts")
+    graft.etl.Merge.mergePartitioned(spark, dir, changes,
+      Seq("k"), col("ts"), col("v"), partCol = "p")
+    // the frame recommitted: vanished (rewritten) files dropped,
+    // the rewrite's new files collected — verdicts prune again
+    val after = statsFrame(spark, dir).get.collect()
+      .map(_.getString(0)).toSet
+    assert(after != before, "stats frame must be refreshed")
+    val listed = listDataFiles(spark, dir).toSet
+    assert(after == listed,
+      "refreshed frame must cover exactly the store's files")
+    // and the merged rows read right through a pruned read
+    assert(prunedRead(spark, dir, EqPred("k", 401L))
+      .where(col("k") === 401L).head().getAs[Long]("v") == 99L)
+  }
+
   test("refreshStats: evolved append recommits the merged schema; tracked type change throws") {
     val dir = tmpDir("evolve")
     writeSortedWithStats(corpus.select("id", "v"), dir, Seq("id"),
