@@ -1163,6 +1163,9 @@ object Dedup {
         ceil(size(col("__w")).cast("double") / k).cast("long")
           .as("n_passages"))
     val w = col("__w")
+    // ONE segmentation pass (r15, the same lineage discipline as the
+    // winnow/CDC fixes): the eligible aggregate, the short-tail
+    // union and the n_passages count all consume this frame
     val seg = base.select(col("id"), col("n_passages"),
         posexplode(transform(sequence(lit(0L), col("n_passages") - 1L),
           i => slice(w, (i * k + 1).cast("int"), lit(k))))
@@ -1170,6 +1173,7 @@ object Dedup {
       .select(col("id"), col("seg_id").cast("long").as("seg_id"),
         array_join(col("__p"), " ").as("ptext"),
         (size(col("__p")) === k).as("eligible"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one surviving (id, seg_id) per distinct full-length passage —
     // the aggregate output is the survivor set, no join back. The
     // grouping key leads with xxhash64(ptext) (r7): the 8-byte prefix
@@ -1195,7 +1199,10 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("seg_id"), col("ptext")))),
           s => s.getField("ptext")), " ").as("__text"))
-    base.select(col("id"), col("n_passages"))
+    // n_passages = the per-id seg row count (every doc yields >= 1
+    // passage, so the count equals base's ceil(|tokens|/k) without a
+    // third pass over base's split)
+    seg.groupBy(col("id")).agg(count(lit(1)).as("n_passages"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("__text"), lit("")).as("text_clean"),
