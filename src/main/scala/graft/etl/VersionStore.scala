@@ -397,6 +397,23 @@ object VersionStore {
     readVersion(spark, root, vs.last)
   }
 
+  /** [[latest]] through the Catalyst skipping index when the latest
+    * version carries a committed [[graft.io.DataSkipping]] stats
+    * frame (an [[optimizeSorted]] output always does): pushed
+    * filters then prune the version's FILE list at plan time. Falls
+    * back to the plain [[latest]] read when no stats are committed
+    * (or the version is footerless) — never an error, never fewer
+    * rows. */
+  def latestIndexed(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no versions under $root")
+    val vdir = dir(root, vs.last)
+    if (hasData(fs(spark, root), root, vs.last) &&
+        graft.io.DataSkipping.statsCommitted(spark, vdir))
+      graft.io.SkippingFileIndex.read(spark, vdir)
+    else readVersion(spark, root, vs.last)
+  }
+
   /** DESCRIBE HISTORY analog: (version, n_files, bytes, modified,
     * schema_ddl) — the per-version schema makes an `evolve`d append
     * auditable (which version changed columns, and to what). */

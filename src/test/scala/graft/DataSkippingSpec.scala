@@ -389,6 +389,85 @@ class DataSkippingSpec extends GraftSuite {
     assert(idOnly.columns.contains("p"))
   }
 
+  test("partitioned FileIndex: dynamic partition pruning composes (join-driven)") {
+    import spark.implicits._
+    val dir = tmpDir("fidx_dpp")
+    val df = corpus.withColumn("p", (col("id") % 4).cast("int"))
+    df.repartitionByRange(16, col("p"), col("id"))
+      .sortWithinPartitions("p", "id")
+      .write.partitionBy("p").parquet(dir)
+    writeStats(spark, dir, Seq("id"))
+    val total = listDataFiles(spark, dir).size
+    // a 1-row dim selects partition 2 at RUNTIME — DPP should inject
+    // the partition filter into the scan via the broadcast result
+    // DPP requires a SELECTIVE predicate on the filtering side (a
+    // bare dim never qualifies) — and the dim must be a REAL
+    // relation: a filtered LocalRelation constant-folds away before
+    // the DPP rule sees the filter. The standard star-join shape:
+    // dim scanned + filtered, fact pruned by the join key at runtime
+    val dimDir = tmpDir("fidx_dpp_dim")
+    Seq((2, "keep"), (3, "drop")).toDF("p", "tag")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("tag") === "keep")
+    // useStats=false: the benefit heuristic estimates from the
+    // fallback ratio instead of (absent) column stats — this corpus
+    // is KBs, far below any real table the heuristic was tuned for
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      .getOrElse("true")
+    val joined =
+      try {
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        val j = graft.io.SkippingFileIndex.readPartitioned(spark, dir)
+          .join(dim, "p")
+        // execute FIRST: AQE finalizes the plan (and DPP's runtime
+        // filter fires) only at execution
+        assert(j.collect().length == 2500)
+        j
+      } finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP filter in the plan:\n${plan.take(3000)}")
+    // files actually read (post-execution metric) < the full store:
+    // the runtime partition filter pruned directories through the
+    // inherited InMemoryFileIndex path. AQE hides scan nodes inside
+    // query stages, so the metric check re-runs the same join with
+    // AQE off (DPP is an optimizer rule, independent of AQE).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j2 = graft.io.SkippingFileIndex.readPartitioned(spark, dir)
+        .join(dim, "p")
+      assert(j2.collect().length == 2500)
+      val scans = j2.queryExecution.executedPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.isInstanceOf[
+              graft.io.SkippingPartitionedFileIndex] => f
+      }
+      assert(scans.nonEmpty)
+      val filesRead = scans.head.metrics("numFiles").value
+      assert(filesRead > 0 && filesRead < total,
+        s"DPP did not prune: read $filesRead of $total files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("VersionStore.latestIndexed: optimizeSorted output serves pruned plans") {
+    import graft.etl.VersionStore
+    val root = tmpDir("vs_idx")
+    VersionStore.write(corpus.repartition(8), root)
+    // plain latest (no stats on v0): falls back, full listing
+    assert(VersionStore.latestIndexed(spark, root).count() == 10000)
+    VersionStore.optimizeSorted(spark, root, Seq("id"), minFiles = 8)
+    val pruned = VersionStore.latestIndexed(spark, root)
+      .where(col("id").between(100, 200))
+    val vdir = s"$root/v=${VersionStore.versions(spark, root).max}"
+    assert(scanFileCount(pruned) < listDataFiles(spark, vdir).size,
+      "pushed range must prune the optimized version's files")
+    assert(pruned.count() == 101)
+  }
+
   test("foreign TIMESTAMP_MILLIS files collect no bounds and never prune") {
     val dir = tmpDir("tsms")
     val base = 1704067200L
