@@ -333,8 +333,33 @@ object DataSkipping {
     * data commit; stats are derived metadata, so losing them is a
     * performance event, not a correctness one. */
   def writeStats(spark: SparkSession, dir: String,
-                 cols: Seq[String]): Unit = {
-    val stats = collectStats(spark, dir, cols)
+                 cols: Seq[String]): Unit =
+    commitStatsFrame(spark, dir, collectStats(spark, dir, cols))
+
+  /** [[writeStats]] for a directory that is ABOUT TO MOVE — the
+    * version-commit path: the data sits in a `.building` temp that an
+    * atomic rename will turn into `finalDir`, and the stats must ride
+    * that rename. Footers are read under `dataDir`, but the frame's
+    * `file` column records the paths the files WILL have after the
+    * move (rename preserves names, so it is a root-prefix swap) —
+    * otherwise every post-move lookup would miss and the structural
+    * keep-unknown conservatism would silently disable pruning
+    * forever. Paths are compared fully qualified (the form
+    * `listStatus` returns and [[SkippingFileIndex]] looks up). */
+  def writeStatsRelocated(spark: SparkSession, dataDir: String,
+                          finalDir: String, cols: Seq[String]): Unit = {
+    val fs = new Path(dataDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val qSrc = fs.makeQualified(new Path(dataDir)).toString
+    val qDst = fs.makeQualified(new Path(finalDir)).toString
+    val relocated = collectStats(spark, dataDir, cols)
+      .withColumn("file", concat(lit(qDst),
+        col("file").substr(lit(qSrc.length + 1), lit(Int.MaxValue))))
+    commitStatsFrame(spark, dataDir, relocated)
+  }
+
+  private def commitStatsFrame(spark: SparkSession, dir: String,
+                               stats: DataFrame): Unit = {
     val out = s"$dir/$StatsDir"
     val tmp = s"$out.tmp"
     MarkerCommit.deleteRecursively(tmp)

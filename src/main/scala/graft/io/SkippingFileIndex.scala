@@ -319,7 +319,15 @@ object SkippingFileIndex {
     * filters. Same superset contract as `prunedRead`; same rows as
     * `spark.read.parquet(dir).where(...)` by construction (the
     * filters still run). The committed data schema rides the index
-    * (no footer inference on the read path). */
+    * (no footer inference on the read path).
+    *
+    * SNAPSHOT-SCOPED (here and in [[readPartitioned]]): the file
+    * list and stats load at construction, so a frame held across a
+    * concurrent append serves the construction-time file set — the
+    * right isolation over [[graft.etl.VersionStore]]'s immutable
+    * version directories (`latestIndexed` hands out one version), but
+    * NOT a live view of a mutable flat store: re-read (or call the
+    * index's `refresh()`) to see files appended after construction. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val schema = DataSkipping.committedSchema(spark, dir)
       .getOrElse(spark.read.parquet(dir).schema)
@@ -379,7 +387,18 @@ final class SkippingPartitionedFileIndex(
 
   import SkippingFileIndex.{loadStats, translate}
 
-  private val (statsByFile, colTypes) = loadStats(session, dir)
+  private var (statsByFile, colTypes) = loadStats(session, dir)
+
+  /** Reload BOTH the inherited file/partition listing and the stats
+    * maps — without this, a frame held across a concurrent
+    * append/refreshStats would keep serving the construction-time
+    * file list (missing new files: FEWER rows than a fresh read,
+    * unlike stats staleness, which is merely conservative). */
+  override def refresh(): Unit = {
+    super.refresh()
+    val reloaded = loadStats(session, dir)
+    statsByFile = reloaded._1; colTypes = reloaded._2
+  }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
