@@ -613,6 +613,68 @@ object SparkEntry {
       both.select("o_orderkey", "o_custkey", "total", "order_day", "p")
     }),
 
+    // oracle-checked: DYNAMIC FILE PRUNING (the Delta "dynamic file
+    // pruning" analog, r16) — the star-join shape where the selective
+    // predicate lives on the DIMENSION: lineitem lands sorted by
+    // l_orderkey (the monotone-id ingest clustering every
+    // auto-increment table has) with committed stats; the dim is an
+    // ingest-batch manifest derived from orders (batch =
+    // floor(key / W), W sized for 16 batches), filtered on
+    // `ingest_batch` — a column the fact never sees, so no plan-time
+    // literal can reach the fact scan. Spark's own PartitionPruning
+    // rule plants the runtime filter against graft.io.SkipDataSource
+    // (SupportsRuntimeFiltering over the stats columns) and the
+    // delivered key set prunes the FILE list at execution. The
+    // builder executes the join once under the DPP fallback ratio
+    // (testdata is KBs — below the benefit heuristic's tuning range)
+    // and REQUIREs the runtime filter fired and kept < total files,
+    // so the prune is gated every run, by measured file count
+    "q_store_skip_dynamic" -> ((s, dir) => {
+      import graft.io.{DataSkipping, SkipScan}
+      val path = s"/tmp/graft_serving_idx/skipd_${dfpDemoFp(s, dir)}"
+      if (!DataSkipping.statsCommitted(s, path)) {
+        graft.io.MarkerCommit.deleteRecursively(path)
+        DataSkipping.writeSortedWithStats(
+          Tables(s, dir).lineitem.select(col("l_orderkey"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price")),
+          path, Seq("l_orderkey"), numFiles = 32,
+          statsCols = Seq("l_orderkey"))
+      }
+      val mx = Tables(s, dir).orders.agg(max("o_orderkey"))
+        .head().getLong(0)
+      val w = math.max(1L, math.ceil((mx + 1) / 16.0).toLong)
+      val dim = Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          floor(col("o_orderkey") / lit(w)).cast("long")
+            .as("ingest_batch"))
+        .where(col("ingest_batch") === 7)
+      val fact = s.read.format("graft.io.SkipDataSource").load(path)
+      val out = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum("qty").cast("double").as("sum_qty"),
+          sum("price").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+      // gate the prune: one execution under the fallback ratio, the
+      // record read immediately after (each QueryExecution rebuilds
+      // the scan and its record)
+      val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+      val prev = s.conf.getOption(key).getOrElse("true")
+      val prune =
+        try {
+          s.conf.set(key, "false")
+          out.count()
+          SkipScan.lastPrune(path)
+        } finally s.conf.set(key, prev)
+      require(prune.runtimeFilterSeen,
+        "dynamic file pruning: runtime filter never reached the scan")
+      require(prune.keptRuntime > 0 &&
+        (prune.total < 8 || prune.keptRuntime < prune.total),
+        s"dynamic file pruning degenerate: kept ${prune.keptRuntime} " +
+          s"of ${prune.total} files")
+      out
+    }),
+
     // oracle-checked: hourly OHLC bars — order-sensitive open/close
     // from two row_number windows over the SAME (key, bucket)
     // partitioning the aggregate then reuses (one shuffle total);
@@ -2543,6 +2605,15 @@ object SparkEntry {
       (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
   }
 
+  /** Corpus fingerprint for the dynamic-pruning store (lineitem is
+    * the fact there — fingerprint the table the store holds). */
+  private def dfpDemoFp(s: SparkSession, dir: String): String = {
+    val fpRow = Tables(s, dir).lineitem.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(l_orderkey, l_linenumber))")).head()
+    java.lang.Long.toHexString(fpRow.getLong(0) ^
+      (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)))
+  }
+
   /** The skip surfaces' one-year pruned read: assert the prune
     * REMOVED files (the q73 measured-suppression discipline — the
     * row is red if skipping silently stops working), then read only
@@ -3231,6 +3302,24 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey % 4 = 1
         |  AND o_orderkey BETWEEN 1000 AND 50000""".stripMargin,
+
+    // dynamic file pruning: the pruning (runtime join-driven file
+    // skipping) is Spark-side machinery — the oracle is the plain
+    // star join with the same derived ingest-batch manifest; sums
+    // ride DECIMAL(18,2) and surface as DOUBLE on both sides
+    "q_store_skip_dynamic" ->
+      """WITH w AS (SELECT CAST(ceil((max(o_orderkey) + 1) / 16.0)
+        |                       AS BIGINT) AS w FROM orders),
+        |     dim AS (SELECT o_orderkey FROM orders, w
+        |             WHERE CAST(floor(o_orderkey / w.w) AS BIGINT) = 7)
+        |SELECT l.l_orderkey,
+        |       CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2)))
+        |                 AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |                 AS VARCHAR) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN dim ON l.l_orderkey = dim.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // the z-ordered store serves a 2-D slice; the layout (and the
     // in-query files-kept < files-present require) is Spark-side

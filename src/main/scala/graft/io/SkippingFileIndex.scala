@@ -106,7 +106,7 @@ object SkippingFileIndex {
     * [[DataSkipping.keepCondition]]'s Column form, run at PLAN time
     * over the in-memory stats list. */
   private[io] sealed trait FilePred { def keep(fs: FileStats): Boolean }
-  private final case class GeP(c: String, v: Any, strict: Boolean,
+  private[io] final case class GeP(c: String, v: Any, strict: Boolean,
                                dt: DataType) extends FilePred {
     def keep(fs: FileStats): Boolean = fs.cols.get(c).forall {
       case (_, Some(mx), _) =>
@@ -114,7 +114,7 @@ object SkippingFileIndex {
       case _ => true
     }
   }
-  private final case class LeP(c: String, v: Any, strict: Boolean,
+  private[io] final case class LeP(c: String, v: Any, strict: Boolean,
                                dt: DataType) extends FilePred {
     def keep(fs: FileStats): Boolean = fs.cols.get(c).forall {
       case (Some(mn), _, _) =>
@@ -122,26 +122,56 @@ object SkippingFileIndex {
       case _ => true
     }
   }
-  private final case class AndP(l: FilePred, r: FilePred)
+  private[io] final case class AndP(l: FilePred, r: FilePred)
       extends FilePred {
     def keep(fs: FileStats): Boolean = l.keep(fs) && r.keep(fs)
   }
-  private final case class OrP(l: FilePred, r: FilePred)
+  private[io] final case class OrP(l: FilePred, r: FilePred)
       extends FilePred {
     def keep(fs: FileStats): Boolean = l.keep(fs) || r.keep(fs)
   }
-  private final case class NullP(c: String) extends FilePred {
+  private[io] final case class NullP(c: String) extends FilePred {
     def keep(fs: FileStats): Boolean = fs.cols.get(c).forall {
       case (_, _, Some(nulls)) => nulls > 0
       case _ => true
     }
   }
-  private final case class NotNullP(c: String) extends FilePred {
+  private[io] final case class NotNullP(c: String) extends FilePred {
     def keep(fs: FileStats): Boolean = fs.cols.get(c).forall {
       case (_, _, Some(nulls)) => nulls < fs.rows
       case _ => true
     }
   }
+  /** `col IN (vs)` against a file's [min, max]: keep iff ANY member
+    * falls inside the bounds. `vs` is sorted (stats order, see
+    * [[DataSkipping.cmp]]) and deduplicated, so the verdict is one
+    * binary search per file — O(log values), not O(values): a
+    * join-driven runtime filter routinely carries thousands of keys
+    * (every key of the dim's selected slice), and the Or-of-equals
+    * expansion would make each file's verdict linear in that. */
+  private[io] final case class InP(c: String, vs: Array[Any],
+                                   dt: DataType) extends FilePred {
+    def keep(fs: FileStats): Boolean = fs.cols.get(c).forall {
+      case (Some(mn), Some(mx), _) =>
+        var lo = 0
+        var hi = vs.length
+        while (lo < hi) { // least member >= min
+          val mid = (lo + hi) >>> 1
+          if (DataSkipping.cmp(vs(mid), mn, dt) < 0) lo = mid + 1
+          else hi = mid
+        }
+        lo < vs.length && DataSkipping.cmp(vs(lo), mx, dt) <= 0
+      case _ => true
+    }
+  }
+
+  /** Sort + dedupe IN-list members into [[InP]]'s searchable form. */
+  private[io] def inPred(c: String, members: Seq[Any],
+                         dt: DataType): FilePred =
+    InP(c,
+      members.distinct.sortWith(DataSkipping.cmp(_, _, dt) < 0).toArray,
+      dt)
+
   /** `col LIKE 'p%'` over a string column — the same prefix-bounds
     * test Spark's own parquet pushdown runs: a file may hold a
     * p-prefixed string iff max >= p (full byte compare: every
@@ -149,7 +179,7 @@ object SkippingFileIndex {
     * <= p (a min whose prefix already exceeds p bounds every row
     * above all p-prefixed strings). UTF-8 byte order throughout —
     * the order the stats were merged in. */
-  private final case class StartsWithP(c: String, prefix: String)
+  private[io] final case class StartsWithP(c: String, prefix: String)
       extends FilePred {
     private val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     private def bytes(s: Any) = s.asInstanceOf[String]
@@ -246,16 +276,13 @@ object SkippingFileIndex {
         if types.contains(a.name) && list.nonEmpty &&
           list.forall(_.isInstanceOf[Literal]) =>
       val dt = types(a.name)
-      val eqs = list.map { case Literal(v, ldt) =>
-        if (ldt != dt) None
-        else external(v, ldt).map(ev =>
-          AndP(GeP(a.name, ev, strict = false, dt),
-            LeP(a.name, ev, strict = false, dt)): FilePred)
+      val members = list.map { case Literal(v, ldt) =>
+        if (ldt != dt) None else external(v, ldt)
       }
       // ANY null/untranslatable member poisons the IN (could match
       // rows the bounds don't see) — keep everything
-      if (eqs.exists(_.isEmpty)) None
-      else eqs.flatten.reduceOption(OrP(_, _))
+      if (members.exists(_.isEmpty)) None
+      else Some(inPred(a.name, members.flatten, dt))
     case And(l, r) =>
       (translate(l, types), translate(r, types)) match {
         case (Some(a), Some(b)) => Some(AndP(a, b))

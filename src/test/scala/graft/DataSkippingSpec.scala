@@ -728,4 +728,130 @@ class DataSkippingSpec extends GraftSuite {
       case _ =>
     }
   }
+
+  // ---------------------------------------------------------------
+  // r16: DYNAMIC FILE PRUNING (graft.io.SkipDataSource) — a runtime
+  // JOIN-DERIVED filter drives the per-file stats verdicts on a
+  // NON-partition tracked column. Measured by FILE COUNT from the
+  // scan's own prune record, never by plan text (the r8 lesson).
+  // ---------------------------------------------------------------
+
+  /** Run `body` with DPP's benefit heuristic on its fallback ratio —
+    * these corpora are KBs, far below the stats thresholds the
+    * heuristic was tuned for. */
+  private def withDppFallback[T](body: => T): T = {
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = spark.conf.getOption(key).getOrElse("true")
+    try { spark.conf.set(key, "false"); body }
+    finally spark.conf.set(key, prev)
+  }
+
+  private def dfpRead(dir: String): DataFrame =
+    spark.read.format("graft.io.SkipDataSource").load(dir)
+
+  test("dynamic file pruning: join-driven runtime filter prunes on a non-partition column") {
+    val dir = tmpDir("dfp")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    // the dim: every fact key tagged with its INGEST BATCH (monotone
+    // ids make batch ranges contiguous — the auto-increment shape
+    // every production ingest has). The filter is on `batch`, a
+    // column the fact never sees: constraint propagation cannot turn
+    // it into a plan-time literal on the join key, so any file
+    // pruning is necessarily RUNTIME, driven by the join
+    val dimDir = tmpDir("dfp_dim")
+    spark.range(10000).select(col("id").as("dk"),
+      (col("id") / 625).cast("long").as("batch"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("batch") === 5)
+
+    // execute, then read the prune record IMMEDIATELY: each new
+    // QueryExecution over the source builds a fresh scan (fresh
+    // registry entry), so the record must be read right after the
+    // action whose execution it describes
+    val (rows, prune, plan) = withDppFallback {
+      val j = dfpRead(dir).join(dim, col("id") === col("dk"))
+        .select("id", "v", "batch")
+      val r = j.collect() // j's OWN QueryExecution: the filter fires
+      (r, graft.io.SkipScan.lastPrune(dir),
+        j.queryExecution.executedPlan.toString)
+    }
+    assert(rows.length == 625)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a runtime filter in the plan:\n${plan.take(3000)}")
+    assert(prune.runtimeFilterSeen, "runtime filter never delivered")
+    assert(prune.total == 16 && prune.keptStatic == 16)
+    // 625 contiguous ids over 16 disjoint 625-row files: at most 2
+    assert(prune.keptRuntime <= 2,
+      s"join-driven prune too weak: kept ${prune.keptRuntime} of 16")
+    // identity against the plain unpruned join
+    val oracle = spark.read.parquet(dir)
+      .join(dim, col("id") === col("dk")).select("id", "v", "batch")
+    assert(rows.toSet == oracle.collect().toSet)
+  }
+
+  test("dynamic file pruning: scattered dim keys keep every file, rows stay right") {
+    val dir = tmpDir("dfp_scatter")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    // keys hitting EVERY file's range (every 10th id — denser than
+    // any sampled range boundary): min/max can prove nothing — the
+    // prune must keep all 16 and the result must still be exact
+    // (the conservatism half of the contract)
+    val dimDir = tmpDir("dfp_scatter_dim")
+    spark.range(10000).select(col("id").as("dk"),
+      (col("id") % 10).as("m"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("m") === 7)
+    val (rows, prune) = withDppFallback {
+      val j = dfpRead(dir).join(dim, col("id") === col("dk"))
+        .select("id", "v")
+      val r = j.collect()
+      (r, graft.io.SkipScan.lastPrune(dir))
+    }
+    assert(prune.runtimeFilterSeen && prune.keptRuntime == 16,
+      s"scattered keys must keep all files, kept ${prune.keptRuntime}")
+    assert(rows.map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10000L).filter(_ % 10 == 7))
+  }
+
+  test("SkipDataSource: plan-time literal filters prune without any join") {
+    val dir = tmpDir("dfp_static")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    val df = dfpRead(dir).where(col("id").between(1000, 1999))
+    assert(df.count() == 1000)
+    val prune = graft.io.SkipScan.lastPrune(dir)
+    assert(!prune.runtimeFilterSeen)
+    assert(prune.keptStatic <= 3,
+      s"literal prune too weak: kept ${prune.keptStatic} of 16")
+    assert(dfpRead(dir).where(col("id").between(1000, 1999))
+      .select(sum("id")).as[Long].head() == (1000L to 1999L).sum)
+    // column pruning reaches the inner parquet scan: a 1-col read
+    assert(dfpRead(dir).select("v").where(col("id") < 10)
+      .count() == 10)
+  }
+
+  test("SkipDataSource: a join on an untracked column neither prunes nor breaks") {
+    val dir = tmpDir("dfp_untracked")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    // join key `s` carries no stats: filterAttributes don't cover it,
+    // Spark plants no runtime filter, the scan reads everything, the
+    // join is exact
+    val dimDir = tmpDir("dfp_untracked_dim")
+    spark.range(100).select(
+      format_string("s%05d", col("id")).as("ds"),
+      (col("id") % 10).as("m")).write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("m") === 3)
+    val (rows, prune) = withDppFallback {
+      val j = dfpRead(dir).join(dim, col("s") === col("ds"))
+        .select("id", "s")
+      val r = j.collect()
+      (r, graft.io.SkipScan.lastPrune(dir))
+    }
+    assert(!prune.runtimeFilterSeen && prune.keptRuntime == 16)
+    assert(rows.map(_.getLong(0)).sorted.toSeq ==
+      (0L until 100L by 10).map(_ + 3))
+  }
 }
