@@ -130,12 +130,53 @@ object WinnowProbe {
         key, Some(64)).count())
     stage("verified_full", () => shipped().count())
 
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+
+    // r16 JIT-band experiment (VERDICT r15 ask #6): the winnow band
+    // (15.3–20.3 s same-code) is mechanism-named — JIT recompilation
+    // churn on the repo's widest codegen surface, with 5–7 s of JIT
+    // per rep. ONE structural intervention, A/B'd in this same-JVM
+    // alternating harness: spark.sql.codegen.hugeMethodLimit=8000
+    // aligns Spark's whole-stage-codegen fallback with HotSpot's own
+    // huge-method compile refusal (-XX:-DontCompileHugeMethods caps
+    // at 8000 bytecode bytes), so a generated method the JIT would
+    // refuse (or churn on) runs through the interpreted Catalyst path
+    // instead of poisoning the code cache. Control arm:
+    // wholeStage=false (the blunt no-codegen form) brackets the
+    // intervention from below. WINNOW_PROBE_JIT=1 selects this mode.
+    if (sys.env.get("WINNOW_PROBE_JIT").contains("1")) {
+      def withConf(k: String, v: String)(body: => Double): Double = {
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, v)
+        try body
+        finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+      val arms: Seq[(String, () => Double)] = Seq(
+        "default" -> (() => time("default", () => shipped())),
+        "huge8k" -> (() =>
+          withConf("spark.sql.codegen.hugeMethodLimit", "8000")(
+            time("huge8k", () => shipped()))),
+        "nocodegen" -> (() =>
+          withConf("spark.sql.codegen.wholeStage", "false")(
+            time("nocodegen", () => shipped()))))
+      val series = arms.map(_._1 -> Seq.newBuilder[Double]).toMap
+      (1 to reps).foreach { r =>
+        val order = if (r % 2 == 1) arms else arms.reverse
+        order.foreach { case (nm, run) => series(nm) += run() }
+      }
+      println(arms.map { case (nm, _) =>
+        val xs = series(nm).result()
+        f"$nm=${med(xs)}%.2f(min=${xs.min}%.2f,max=${xs.max}%.2f)"
+      }.mkString("JIT_ARMS ", " ", ""))
+      spark.stop()
+      return
+    }
+
     val (as, bs) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
     (1 to reps).foreach { _ =>
       as += time("shipped", () => shipped())
       bs += time("multipass", () => multipass())
     }
-    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     println(f"MEDIAN shipped=${med(as.result())}%.2f " +
       f"multipass=${med(bs.result())}%.2f")
     spark.stop()

@@ -20,6 +20,18 @@ import graft.plans.HashExpressions
   */
 object Dedup {
 
+  /** Operator-internal MEMORY_AND_DISK persist, registered with
+    * [[graft.util.CacheScope]]: the one-pass-lineage caches (the r15
+    * fix for the ~5× text re-derivation) live in the CacheManager
+    * until released — GC never frees a Dataset-level cache — so a
+    * long-lived caller releases them deterministically with
+    * `CacheScope.releaseAll()` after its consuming actions; the
+    * documented cache-lifecycle contract (r16, spec-pinned in
+    * CacheScopeSpec). */
+  private def cached(df: DataFrame): DataFrame =
+    graft.util.CacheScope.track(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Exact dedup: one row per distinct normalized-text fingerprint,
     * carrying the canonical (minimum) id and the duplicate count.
     * A single hash-aggregate with map-side partial aggregation — the
@@ -97,7 +109,7 @@ object Dedup {
       .select(col("id"),
         explode(HashExpressions.hashedShingles(col("__w"), n)).as("shingle"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val sh = maxShingleDf.fold(sh0) { cap =>
       // document frequency per shingle is a dimension-sized aggregate
       val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
@@ -233,7 +245,7 @@ object Dedup {
     // recomputed post-cap anyway; uncapped, the core aggregates them
     // the same way the one-shot operator does)
     val refIdx = rawShingleIndex(refDocs, id, text, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     incrementalShingleOverlapFromIndexes(
       rawShingleIndex(newDocs, id, text, n), refIdx, maxShingleDf)
   }
@@ -283,7 +295,7 @@ object Dedup {
     // and both sides of the self-join (batch-sized — tiny next to the
     // store); the caller owns cache lifetime
     val newIdx = newIndex
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     maxShingleDf match {
       case None if carried =>
         // stamped n_sh (the store shape): no per-doc aggregate at all
@@ -321,12 +333,12 @@ object Dedup {
           .where(coalesce(col("__rdf"), lit(0L)) +
             coalesce(col("__ndf"), lit(0L)) <= cap)
           .select("shingle")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(cached)
         val refCapped = refIndex.join(ok, "shingle")
         // batch-sized and consumed four times (both self-join sides,
         // the store join's probe side, the count union)
         val newCapped = newIdx.join(ok, "shingle")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(cached)
         // post-cap per-doc sizes over the union, recomputed exactly
         // as the one-shot run counts them (slim (id) longs — the
         // text pass is gone), joined under both pair sides
@@ -552,7 +564,7 @@ object Dedup {
     // store); the caller owns cache lifetime, as the other pair
     // generators
     val newIdx0 = bandIndex(newSigs, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val (newIdx, refIdx) = maxBucketSize.fold((newIdx0, refIndex)) { c =>
       val ok = newIdx0.select("band", "bk")
         .unionByName(refIndex.select("band", "bk"))
@@ -674,7 +686,7 @@ object Dedup {
                                maxBucketSize: Option[Int],
                                salt: Int): DataFrame = {
     val sig = sig0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val banded = capBuckets(sig.select(
         (Seq(col("id")) ++ carry.map(col) :+
           explode(array((0 until bands).map(bi =>
@@ -1173,7 +1185,7 @@ object Dedup {
       .select(col("id"), col("seg_id").cast("long").as("seg_id"),
         array_join(col("__p"), " ").as("ptext"),
         (size(col("__p")) === k).as("eligible"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     // one surviving (id, seg_id) per distinct full-length passage —
     // the aggregate output is the survivor set, no join back. The
     // grouping key leads with xxhash64(ptext) (r7): the 8-byte prefix
@@ -1295,7 +1307,7 @@ object Dedup {
     // re-hash the whole corpus text (the reassembly previously
     // re-evaluated cdcChunkList on base just for n_chunks)
     val seg = cdcChunks(df, id, text, k, divisor, hashKey, minChunk)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val keptEligible = seg.where(col("eligible"))
       .groupBy(xxhash64(col("ctext")).as("__h"), col("ctext"))
       .agg(min(struct(col("id"), col("chunk_id"))).as("__min"))
@@ -1326,7 +1338,7 @@ object Dedup {
                           minChunk: Option[Int] = None): DataFrame = {
     val base = batch.select(id.as("id"), text.as("__txt"))
     val seg = cdcChunks(batch, id, text, k, divisor, hashKey, minChunk)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val keptEligible = seg.where(col("eligible"))
       .join(refChunks.select(col("ctext")), Seq("ctext"), "left_anti")
       .groupBy(xxhash64(col("ctext")).as("__h"), col("ctext"))
@@ -1487,7 +1499,7 @@ object Dedup {
     // from text
     val fps = winnowFingerprints(df, id, text, k, w, hashKey)
       .select(col("id"), col("fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val kept = maxFpDf match {
       case None => fps
       case Some(cap) =>
@@ -1638,9 +1650,9 @@ object Dedup {
     require(runFloor >= k,
       s"minRun must be at least k=$k (shorter runs share no k-gram)")
     val kgBase = kgramHashes(df, id, text, k, hashKey, None)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val fps = winnowFingerprintsFromKgrams(kgBase, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val kept = maxFpDf match {
       case None => fps
       case Some(cap) =>
@@ -1920,7 +1932,7 @@ object Dedup {
     require(Seq("h", "c").forall(refGramCounts.columns.contains),
       "refGramCounts must be a gramCounts frame: (h, c)")
     val kg = kgramHashes(docs, id, text, minRun, hashKey)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val within = kg.groupBy("id", "h").agg(count(lit(1)).as("__wc"))
     val anchors = kg.join(within, Seq("id", "h"))
       .join(refGramCounts.select(col("h"), col("c").as("__rc")),
@@ -1940,7 +1952,7 @@ object Dedup {
     // persisted: the batch grams feed the count aggregate and the
     // anchor join (batch-sized)
     val kg = kgramHashes(newDocs, id, text, minRun, hashKey)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val dup = kg.groupBy("h").agg(count(lit(1)).as("__bc"))
       .join(refGramCounts.select(col("h"), col("c").as("__rc")),
         Seq("h"), "left")
@@ -1996,7 +2008,7 @@ object Dedup {
                              maxFpDf: Option[Int] = None): DataFrame = {
     val newFps = winnowFingerprints(batch, id, text, k, w, hashKey)
       .select(col("id"), col("fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cached)
     val ref = refFps.select(col("id"), col("fp"))
     val dfOk = maxFpDf.map { cap =>
       require(cap >= 2, "maxFpDf must be at least 2")

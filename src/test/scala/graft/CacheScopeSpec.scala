@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.util.CacheScope
+
+/** The cache-lifecycle contract (r16): the dedup family's one-pass
+  * lineages persist operator-internal intermediates; by default those
+  * blocks are GC-scoped (right for query-per-action shapes), and a
+  * long-lived caller releases them DETERMINISTICALLY with
+  * `CacheScope.releaseAll()` — storage returns to baseline without
+  * waiting on a driver GC, and the returned frames stay usable
+  * (unpersist recomputes, never loses rows). */
+class CacheScopeSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "a completely different document about spark catalyst planning"),
+    (4L, "a completely different document about spark catalyst planning " +
+      "with a long unique tail of extra tokens to shift its windows"))
+    .toDF("doc_id", "text")
+
+  test("dedup-family caches release deterministically; storage returns to baseline") {
+    // drain whatever earlier suites left registered, then snapshot
+    // the session's remaining cached RDDs as the baseline
+    CacheScope.releaseAll(blocking = true)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+
+    // two one-pass-lineage operators, each driven through a real
+    // action (the persist materializes during the action)
+    val pairs = Dedup.winnowVerifiedPairs(docs, col("doc_id"),
+      col("text"), k = 3, w = 2)
+    assert(pairs.count() >= 1)
+    val cdc = Dedup.cdcDedup(docs, col("doc_id"), col("text"),
+      k = 3, divisor = 8)
+    assert(cdc.count() == 4)
+
+    // the operators registered their intermediates and the blocks are
+    // live right now (that's the within-query reuse the r15 lineage
+    // fix exists for)...
+    assert(CacheScope.liveCount > 0, "operators registered no caches")
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .diff(baseline).nonEmpty, "expected live cached blocks")
+
+    // ...and one release call returns storage to the baseline —
+    // deterministic, no GC involved
+    val released = CacheScope.releaseAll(blocking = true)
+    assert(released > 0)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet
+      .diff(baseline)
+    assert(leftover.isEmpty,
+      s"cached blocks survived releaseAll: $leftover")
+
+    // released frames stay correct: the lineage recomputes
+    assert(cdc.count() == 4)
+    assert(CacheScope.releaseAll(blocking = true) >= 0) // idempotent
+  }
+}
