@@ -414,6 +414,41 @@ class VersionStoreSpec extends GraftSuite {
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("rewrite-vs-rewrite caught even when the competitor is mid-flight at conflict time") {
+    // the r15 advice #4 interleaving: our rewrite conflicts while the
+    // competing rewrite still HOLDS the claim (latestNow == base, no
+    // commitInfo to consult yet); the competitor commits while we
+    // sleep; the next iteration must consult every version since the
+    // FIRST observed base and fail loudly instead of silently
+    // re-compacting the winner's output
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(spark.range(6).toDF("id"), root)
+
+    // competitor: claims v1, lingers mid-commit (onBuilt sleep),
+    // then lands its rewrite
+    val competitor = new Thread(() => {
+      VersionStore.tryCommit(
+        spark.range(6).toDF("id").repartition(1), root, base = 0L,
+        action = "rewrite",
+        onBuilt = Some((_, _) => Thread.sleep(1200))): Unit
+    })
+    competitor.start()
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + 10000
+    while (!f.exists(new org.apache.hadoop.fs.Path(root, "_claim_v=1")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+
+    val e = intercept[VersionStore.ConcurrentRewriteException] {
+      VersionStore.commitRetry(spark, root, (_, st) => st.repartition(1),
+        action = "rewrite", backoffMs = 100L, stallTimeoutMs = 30000L)
+    }
+    competitor.join()
+    assert(e.getMessage.contains("concurrent rewrite"))
+    assert(VersionStore.commitInfo(spark, root, 1L) ==
+      Some((0L, "rewrite")))
+  }
+
   test("ClaimStore seam: a non-atomic claim store reproduces the double-claim hazard") {
     // the documented object-store failure: check-then-put lets two
     // writers BOTH believe they claimed the slot. Force the
