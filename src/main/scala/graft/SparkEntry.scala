@@ -650,7 +650,14 @@ object SparkEntry {
             .as("ingest_batch"))
         .where(col("ingest_batch") === 7)
       val fact = s.read.format("graft.io.SkipDataSource").load(path)
-      val out = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      // explicit broadcast: the dim's post-filter slice is
+      // broadcast-sized at every SF, but plan-stat estimates don't
+      // shrink through the batch filter, so past ~sf0.1 auto-broadcast
+      // declines, the join goes sort-merge, and DPP's
+      // reuseBroadcastOnly default then drops the runtime filter —
+      // the hint keeps the star shape (and the prune) at every scale
+      val out = fact.join(broadcast(dim),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(sum("qty").cast("double").as("sum_qty"),
           sum("price").cast("double").as("revenue"),

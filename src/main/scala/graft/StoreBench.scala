@@ -679,25 +679,52 @@ object StoreBench {
       // batch from the PER-REPLICA original key (the replicated key
       // domain is sparse between replicas — a global W would land
       // whole batches in the gaps): batch 7 selects the same
-      // contiguous 1/16 key slice inside each replica, so the
-      // selected keys are storeScale disjoint runs — still O(1/16)
-      // of the sorted files, and nonempty at every SF
+      // contiguous key slice inside each replica, so the selected
+      // keys are storeScale disjoint runs, nonempty at every SF.
+      // SPARK_GRAFT_DFP_BATCHES sizes the slice: the reference's
+      // census↔dim joins select DIMENSION-sized key sets (a snapshot
+      // of plans/locations), so the default keeps the per-batch key
+      // count small relative to the fact — the first x10 run with 16
+      // fat batches (9.4M keys) measured the other regime: the prune
+      // still cut 128→19 files but the subquery + 100MB broadcast
+      // cost more than the locally page-cached scan it saved
+      // (scan_over_dfp 0.66, bench_store_sf1_dfp_x10_fat16.json)
+      val batches = sys.env.getOrElse("SPARK_GRAFT_DFP_BATCHES",
+        "256").toInt
       val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
-      val w = math.max(1L, math.ceil((mx + 1) / 16.0).toLong)
-      def dim: DataFrame = (0 until storeScale).map(i =>
+      val w = math.max(1L, math.ceil((mx + 1).toDouble / batches).toLong)
+      // the manifest is a STORED table (what an ingest pipeline
+      // keeps), batch-sorted so the per-query batch filter prunes its
+      // row groups — otherwise every arm pays a full 10×orders union
+      // scan + broadcast build and the measurement floors on the dim,
+      // not the fact (the first 256-batch run measured that: all
+      // join arms ≈ 0.8 s with the fact side nearly free)
+      val dimDir = s"$warehouse/dfp_manifest"
+      graft.io.MarkerCommit.deleteRecursively(dimDir)
+      (0 until storeScale).map(i =>
           orders.select(
             (col("o_orderkey") + lit(i.toLong * 10000000L)).as("dk"),
             floor(col("o_orderkey") / lit(w)).cast("long").as("batch")))
         .reduce(_ unionByName _)
-        .where(col("batch") === 7)
+        .repartitionByRange(64, col("batch"), col("dk"))
+        .sortWithinPartitions("batch", "dk")
+        .write.parquet(dimDir)
+      def dim: DataFrame =
+        spark.read.parquet(dimDir).where(col("batch") === 7)
       // the benefit heuristic tuned for cluster-scale tables declines
       // at local sizes — pin the fallback ratio for ALL arms (the
       // control arms don't read it; documented, symmetric)
       spark.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
-      // order-proof identity row: count + cents-LONG sum + key xor
+      // order-proof identity row: count + cents-LONG sum + key xor.
+      // The dim broadcasts EXPLICITLY (the census↔dim star shape —
+      // and what a 100 TB user writes): the post-filter key slice is
+      // broadcast-sized, but plan-stat estimates don't shrink through
+      // the filter, so auto-broadcast declines, the join goes
+      // sort-merge, and reuseBroadcastOnly then drops the DPP filter
+      // — measured here before the hint was added
       def fpRow(fact: DataFrame): (Long, Long, Long) = {
-        val r = fact.join(dim, col("k") === col("dk"))
+        val r = fact.join(broadcast(dim), col("k") === col("dk"))
           .agg(count(lit(1)), sum((col("price") * 100).cast("long")),
             expr("bit_xor(xxhash64(k))")).head()
         (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -763,6 +790,7 @@ object StoreBench {
           s""","files_total":${prune.total}""" +
           s""","fact_rows":${lineitem.count() * storeScale}""" +
           s""","join_rows":${fps.head._2._1}""" +
+          s""","dim_batches":$batches""" +
           s""","write_sorted_sec":${math.round(tWrite * 100) / 100.0}""" +
           s""","files_per_layout":$files,"runs":$runs""" +
           s""","store_scale":$storeScale,"identity_ok":true""" +

@@ -151,7 +151,7 @@ object WinnowProbe {
         try body
         finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
-      val arms: Seq[(String, () => Double)] = Seq(
+      val allArms: Seq[(String, () => Double)] = Seq(
         "default" -> (() => time("default", () => shipped())),
         "huge8k" -> (() =>
           withConf("spark.sql.codegen.hugeMethodLimit", "8000")(
@@ -159,6 +159,12 @@ object WinnowProbe {
         "nocodegen" -> (() =>
           withConf("spark.sql.codegen.wholeStage", "false")(
             time("nocodegen", () => shipped()))))
+      // WINNOW_PROBE_ARMS=default,huge8k narrows the A/B (the
+      // nocodegen control compiles its own interpreter paths and
+      // contaminates the JIT-warming trend the experiment measures)
+      val pick = sys.env.get("WINNOW_PROBE_ARMS")
+        .map(_.split(",").map(_.trim).toSet)
+      val arms = pick.fold(allArms)(p => allArms.filter(a => p(a._1)))
       val series = arms.map(_._1 -> Seq.newBuilder[Double]).toMap
       (1 to reps).foreach { r =>
         val order = if (r % 2 == 1) arms else arms.reverse
