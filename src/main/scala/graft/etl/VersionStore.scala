@@ -513,6 +513,25 @@ object VersionStore {
     else readVersion(spark, root, vs.last)
   }
 
+  /** [[latestIndexed]]'s JOIN-shaped sibling: the latest
+    * stats-committed version served through
+    * [[graft.io.SkipDataSource]], so a star join against a filtered
+    * dimension prunes this version's FILE list at runtime (Spark's
+    * own DPP delivers the dim's key set to the scan — dynamic file
+    * pruning over the versioned store). Literal predicates prune at
+    * plan time exactly as [[latestIndexed]]; same fallback to the
+    * plain read when no stats are committed. Snapshot-scoped like
+    * every version read (immutable version directories). */
+  def latestDynamic(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no versions under $root")
+    val vdir = dir(root, vs.last)
+    if (hasData(fs(spark, root), root, vs.last) &&
+        graft.io.DataSkipping.statsCommitted(spark, vdir))
+      spark.read.format("graft.io.SkipDataSource").load(vdir)
+    else readVersion(spark, root, vs.last)
+  }
+
   /** DESCRIBE HISTORY analog: (version, n_files, bytes, modified,
     * schema_ddl) — the per-version schema makes an `evolve`d append
     * auditable (which version changed columns, and to what). */

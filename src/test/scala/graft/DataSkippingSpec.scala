@@ -832,6 +832,36 @@ class DataSkippingSpec extends GraftSuite {
       .count() == 10)
   }
 
+  test("VersionStore.latestDynamic: DPP composes with the versioned store") {
+    import graft.etl.VersionStore
+    val root = tmpDir("vs_dfp")
+    VersionStore.write(corpus.repartition(8), root)
+    val v = VersionStore.optimizeSorted(spark, root, Seq("id"),
+      targetFileMB = 1, minFiles = 16)
+    val vdir = s"$root/v=$v"
+    assert(statsCommitted(spark, vdir))
+    // the dim selects one contiguous ingest batch; the join must
+    // prune the VERSION's file list at runtime
+    val dimDir = tmpDir("vs_dfp_dim")
+    spark.range(10000).select(col("id").as("dk"),
+      (col("id") / 625).cast("long").as("batch"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("batch") === 3)
+    val (rows, prune) = withDppFallback {
+      val j = VersionStore.latestDynamic(spark, root)
+        .join(dim, col("id") === col("dk")).select("id", "v")
+      val r = j.collect()
+      (r, graft.io.SkipScan.lastPrune(vdir))
+    }
+    assert(rows.length == 625)
+    assert(prune.runtimeFilterSeen && prune.keptRuntime < prune.total,
+      s"versioned DPP did not prune: $prune")
+    // a stats-less root falls back to the plain read, no error
+    val root2 = tmpDir("vs_dfp_plain")
+    VersionStore.write(corpus.limit(100), root2)
+    assert(VersionStore.latestDynamic(spark, root2).count() == 100)
+  }
+
   test("SkipDataSource: a join on an untracked column neither prunes nor breaks") {
     val dir = tmpDir("dfp_untracked")
     writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
