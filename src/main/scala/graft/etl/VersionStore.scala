@@ -119,11 +119,46 @@ object VersionStore {
       // clean failure: release the claim (and the temp) so the number
       // is not stranded until a vacuum TTL — crash-only claims are
       // vacuum's job, clean failures are ours
-      graft.io.MarkerCommit.deleteRecursively(dir(root, next) + ".building")
-      claims.release(f, claim(root, next))
+      cleanupFailedCommit(f, root, next, claims)
       throw e
     }
     next
+  }
+
+  /** Clean-failure cleanup after a CLAIMED commit attempt threw
+    * (r16 advice #2 — the throw can land at three different points
+    * and each wants different cleanup):
+    *
+    *   - before commitSwap's directory move: only the `.building`
+    *     temp exists — delete it, release the claim (the number is
+    *     immediately reusable);
+    *   - after the move but before the `_SUCCESS` marker (a failed
+    *     marker touch): a MARKER-LESS `v=N` directory exists —
+    *     invisible by contract, so delete it too before releasing;
+    *     releasing WITHOUT deleting would let the next claimant of
+    *     the slot trip commitClaimed's `claim protocol violated`
+    *     require instead of committing cleanly;
+    *   - after the marker (a throw past visibility): the commit
+    *     actually LANDED — neither delete nor release may run (the
+    *     caller still sees the exception: at-least-once ambiguity,
+    *     but the table state is correct and the claim stays dense
+    *     over the committed version).
+    */
+  private[graft] def cleanupFailedCommit(f: org.apache.hadoop.fs.FileSystem,
+                                         root: String, next: Long,
+                                         claims: ClaimStore): Unit = {
+    val vdir = new Path(dir(root, next))
+    val landed =
+      try f.exists(new Path(vdir, "_SUCCESS"))
+      catch { case _: java.io.FileNotFoundException => false }
+    if (landed) return
+    graft.io.MarkerCommit.deleteRecursively(dir(root, next) + ".building")
+    val markerless =
+      try f.exists(vdir)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (markerless)
+      graft.io.MarkerCommit.deleteRecursively(dir(root, next))
+    claims.release(f, claim(root, next))
   }
 
   /** Schema enforcement shared by [[write]] and [[tryCommit]]:
@@ -302,9 +337,7 @@ object VersionStore {
         commitClaimed(df, root, next, Some((base, action)), onBuilt)
         Right(next)
       } catch { case scala.util.control.NonFatal(e) =>
-        graft.io.MarkerCommit.deleteRecursively(
-          dir(root, next) + ".building")
-        claims.release(f, claim(root, next))
+        cleanupFailedCommit(f, root, next, claims)
         throw e
       }
     }
@@ -442,20 +475,31 @@ object VersionStore {
     * the temp's immediate children (parquet tasks create/close files
     * there throughout a healthy commit). 0 when neither claim nor
     * temp exists any more (the slot was freed — retry immediately).
-    * The listing is file-count bounded, driver-side, per poll. */
-  private def slotQuietMs(f: org.apache.hadoop.fs.FileSystem,
-                          root: String, v: Long): Long = {
+    * The listing is file-count bounded, driver-side, per poll.
+    *
+    * TOCTOU discipline (r16 advice #1): between an `exists` probe
+    * and the status/listing call, the competitor's commitSwap can
+    * rename the temp away (or a clean failure can delete the claim)
+    * — exactly when a HEALTHY waiter is about to win. A vanished
+    * path reads as "slot freed" (0 contribution), never as a crash
+    * of the waiting writer. */
+  private[graft] def slotQuietMs(f: org.apache.hadoop.fs.FileSystem,
+                                 root: String, v: Long): Long = {
     val now = System.currentTimeMillis()
     val cl = claim(root, v)
     val claimM =
-      if (f.exists(cl)) f.getFileStatus(cl).getModificationTime else 0L
+      try {
+        if (f.exists(cl)) f.getFileStatus(cl).getModificationTime else 0L
+      } catch { case _: java.io.FileNotFoundException => 0L }
     val bld = new Path(dir(root, v) + ".building")
     val bldM =
-      if (f.exists(bld)) {
-        val top = f.getFileStatus(bld).getModificationTime
-        val kids = f.listStatus(bld).map(_.getModificationTime)
-        (top +: kids.toSeq).max
-      } else 0L
+      try {
+        if (f.exists(bld)) {
+          val top = f.getFileStatus(bld).getModificationTime
+          val kids = f.listStatus(bld).map(_.getModificationTime)
+          (top +: kids.toSeq).max
+        } else 0L
+      } catch { case _: java.io.FileNotFoundException => 0L }
     val last = math.max(claimM, bldM)
     if (last == 0L) 0L else math.max(0L, now - last)
   }

@@ -197,8 +197,10 @@ object SkippingFileIndex {
   /** Catalyst INTERNAL literal → the stats frame's external value.
     * None = don't prune on this literal (null, NaN — mirroring
     * [[DataSkipping.keepCondition]]'s NaN refusal — or a type the
-    * stats don't carry). */
-  private def external(v: Any, dt: DataType): Option[Any] =
+    * stats don't carry). Shared with [[SkipDataSource]]'s
+    * partition-value conversion (partition values are InternalRow
+    * members — the same internal forms). */
+  private[io] def external(v: Any, dt: DataType): Option[Any] =
     if (v == null) None
     else dt match {
       case StringType => Some(v.asInstanceOf[UTF8String].toString)

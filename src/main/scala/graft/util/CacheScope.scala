@@ -42,7 +42,10 @@ import org.apache.spark.sql.Dataset
   * CheckpointBridge, which this registry would only duplicate. */
 object CacheScope {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val live = new ConcurrentLinkedQueue[Dataset[_]]
+  private val swallowed = new java.util.concurrent.atomic.AtomicLong
 
   /** Register an operator-persisted intermediate; returns it. */
   private[graft] def track[T](ds: Dataset[T]): Dataset[T] = {
@@ -54,17 +57,44 @@ object CacheScope {
     * returns how many were released. Idempotent. `blocking` waits for
     * the blocks to actually drop (the spec's deterministic
     * storage-returns-to-baseline assertion wants that; services
-    * usually don't). */
-  def releaseAll(blocking: Boolean = false): Int = {
+    * usually don't).
+    *
+    * Failure discipline (r16 advice #4): only NonFatal unpersist
+    * failures are swallowed (a stopped session has nothing to free;
+    * fatal errors — OOM, linkage, interrupts — propagate), and every
+    * swallow is OBSERVABLE: logged at WARN and counted in
+    * [[swallowedCount]], so a real leak never hides behind the
+    * cleanup-path tolerance. */
+  def releaseAll(blocking: Boolean = false): Int =
+    releaseAllWith((ds, b) => { ds.unpersist(b); () }, blocking)
+
+  /** The drain loop with the unpersist call injectable — the spec
+    * seam that pins "a failing frame is counted, logged, and does
+    * not abort the rest of the drain" without needing a session that
+    * really fails mid-unpersist. */
+  private[graft] def releaseAllWith(un: (Dataset[_], Boolean) => Unit,
+                                    blocking: Boolean): Int = {
     var released = 0
     var ds = live.poll()
     while (ds != null) {
-      try { ds.unpersist(blocking); released += 1 }
-      catch { case _: Throwable => () } // a stopped session: nothing to free
+      try { un(ds, blocking); released += 1 }
+      catch { case scala.util.control.NonFatal(e) =>
+        swallowed.incrementAndGet()
+        logger.warn(
+          s"CacheScope.releaseAll: unpersist failed " +
+            s"(${e.getClass.getName}: ${e.getMessage}) — one frame's " +
+            "blocks were not freed (total swallowed: " +
+            s"${swallowed.get})")
+      }
       ds = live.poll()
     }
     released
   }
+
+  /** Unpersist failures [[releaseAll]] swallowed since JVM start —
+    * 0 in a healthy service; a growing count is the leak signal the
+    * silent catch used to hide. */
+  def swallowedCount: Long = swallowed.get
 
   /** Currently registered (not yet released) intermediates. */
   def liveCount: Int = live.size()

@@ -58,4 +58,35 @@ class CacheScopeSpec extends GraftSuite {
     assert(cdc.count() == 4)
     assert(CacheScope.releaseAll(blocking = true) >= 0) // idempotent
   }
+
+  test("a failing unpersist is counted and logged, and never aborts the drain (r17)") {
+    CacheScope.releaseAll(blocking = true)
+    val before = CacheScope.swallowedCount
+    // two frames; the injected unpersist fails on the FIRST — the
+    // drain must continue to the second, count the swallow, and
+    // leave the registry empty (the r16 advice: the silent
+    // catch-everything would have eaten a real failure invisibly)
+    val a = graft.util.CacheScope.track(spark.range(5).toDF("a"))
+    val b = graft.util.CacheScope.track(spark.range(7).toDF("b"))
+    var seen = 0
+    val released = CacheScope.releaseAllWith((ds, _) => {
+      seen += 1
+      if (ds eq a) throw new RuntimeException("injected unpersist fault")
+    }, blocking = false)
+    assert(seen == 2, "the drain aborted at the failing frame")
+    assert(released == 1)
+    assert(CacheScope.swallowedCount == before + 1,
+      "the swallow must be observable")
+    assert(CacheScope.liveCount == 0)
+    // fatal errors propagate (NonFatal discipline)
+    graft.util.CacheScope.track(spark.range(1).toDF("c"))
+    intercept[InterruptedException] {
+      CacheScope.releaseAllWith((_, _) =>
+        throw new InterruptedException("fatal"), blocking = false)
+    }
+    Thread.interrupted() // clear any flag paranoia; drain the frame
+    assert(CacheScope.releaseAll(blocking = true) >= 0)
+    assert(CacheScope.swallowedCount == before + 1,
+      "a FATAL error must not be swallowed-and-counted")
+  }
 }

@@ -736,18 +736,39 @@ class DataSkippingSpec extends GraftSuite {
   // scan's own prune record, never by plan text (the r8 lesson).
   // ---------------------------------------------------------------
 
-  /** Run `body` with DPP's benefit heuristic on its fallback ratio —
-    * these corpora are KBs, far below the stats thresholds the
-    * heuristic was tuned for. */
+  /** Run `body` with DPP's benefit heuristic disarmed — these corpora
+    * are KBs, far below the thresholds the heuristic was tuned for:
+    * useStats=false switches to the fallback ratio, and the ratio
+    * itself must be raised because a scan already shrunk by
+    * PLAN-TIME pruning (partition dirs + file stats) estimates so
+    * small that `0.5 × factSize > dimSize` fails at toy scale even
+    * when the runtime prune is real. */
   private def withDppFallback[T](body: => T): T = {
-    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
-    val prev = spark.conf.getOption(key).getOrElse("true")
-    try { spark.conf.set(key, "false"); body }
-    finally spark.conf.set(key, prev)
+    val kStats = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val kRatio =
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+    val prevStats = spark.conf.getOption(kStats).getOrElse("true")
+    val prevRatio = spark.conf.getOption(kRatio).getOrElse("0.5")
+    try {
+      spark.conf.set(kStats, "false")
+      spark.conf.set(kRatio, "10000")
+      body
+    } finally {
+      spark.conf.set(kStats, prevStats)
+      spark.conf.set(kRatio, prevRatio)
+    }
   }
 
   private def dfpRead(dir: String): DataFrame =
     spark.read.format("graft.io.SkipDataSource").load(dir)
+
+  /** The prune witness of `df`'s own executed SkipScan over `dir` —
+    * r17: records ride the scan INSTANCE (read via the executed
+    * plan), so concurrent/interleaved scans never clobber each other. */
+  private def pruneOf(df: DataFrame, dir: String): graft.io.SkipScan.Prune =
+    graft.io.SkipScan.prunesIn(df).collectFirst {
+      case (d, p) if d == dir => p
+    }.getOrElse(fail(s"no SkipScan over $dir in the executed plan"))
 
   test("dynamic file pruning: join-driven runtime filter prunes on a non-partition column") {
     val dir = tmpDir("dfp")
@@ -773,7 +794,7 @@ class DataSkippingSpec extends GraftSuite {
       val j = dfpRead(dir).join(dim, col("id") === col("dk"))
         .select("id", "v", "batch")
       val r = j.collect() // j's OWN QueryExecution: the filter fires
-      (r, graft.io.SkipScan.lastPrune(dir),
+      (r, pruneOf(j, dir),
         j.queryExecution.executedPlan.toString)
     }
     assert(rows.length == 625)
@@ -807,7 +828,7 @@ class DataSkippingSpec extends GraftSuite {
       val j = dfpRead(dir).join(dim, col("id") === col("dk"))
         .select("id", "v")
       val r = j.collect()
-      (r, graft.io.SkipScan.lastPrune(dir))
+      (r, pruneOf(j, dir))
     }
     assert(prune.runtimeFilterSeen && prune.keptRuntime == 16,
       s"scattered keys must keep all files, kept ${prune.keptRuntime}")
@@ -820,8 +841,8 @@ class DataSkippingSpec extends GraftSuite {
     writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
       statsCols = Seq("id"))
     val df = dfpRead(dir).where(col("id").between(1000, 1999))
-    assert(df.count() == 1000)
-    val prune = graft.io.SkipScan.lastPrune(dir)
+    assert(df.collect().length == 1000) // collect: df's OWN execution
+    val prune = pruneOf(df, dir)
     assert(!prune.runtimeFilterSeen)
     assert(prune.keptStatic <= 3,
       s"literal prune too weak: kept ${prune.keptStatic} of 16")
@@ -851,7 +872,7 @@ class DataSkippingSpec extends GraftSuite {
       val j = VersionStore.latestDynamic(spark, root)
         .join(dim, col("id") === col("dk")).select("id", "v")
       val r = j.collect()
-      (r, graft.io.SkipScan.lastPrune(vdir))
+      (r, pruneOf(j, vdir))
     }
     assert(rows.length == 625)
     assert(prune.runtimeFilterSeen && prune.keptRuntime < prune.total,
@@ -878,10 +899,156 @@ class DataSkippingSpec extends GraftSuite {
       val j = dfpRead(dir).join(dim, col("s") === col("ds"))
         .select("id", "s")
       val r = j.collect()
-      (r, graft.io.SkipScan.lastPrune(dir))
+      (r, pruneOf(j, dir))
     }
     assert(!prune.runtimeFilterSeen && prune.keptRuntime == 16)
     assert(rows.map(_.getLong(0)).sorted.toSeq ==
       (0L until 100L by 10).map(_ + 3))
+  }
+
+  // ---------------------------------------------------------------
+  // r17: the FULL Delta read shape in ONE V2 scan — hive-partition
+  // directory pruning + file-stats pruning + runtime (join-driven)
+  // filters against a single construction-time listing; per-scan
+  // prune witnesses; the fat-key cost gate.
+  // ---------------------------------------------------------------
+
+  test("partitioned store: ONE V2 scan prunes directories, files, then runtime files — by measured count") {
+    val dir = tmpDir("dfp_part")
+    // 4 hive partitions (p = id / 2500), ~4 range-sorted files inside
+    // each; stats committed at the root (the q181 layout served
+    // through the V2 source instead of readPartitioned)
+    corpus.withColumn("p", (col("id") / 2500).cast("int"))
+      .repartitionByRange(16, col("p"), col("id"))
+      .sortWithinPartitions("p", "id")
+      .write.partitionBy("p").parquet(dir)
+    DataSkipping.writeStats(spark, dir, Seq("id"))
+    // narrow dim slice (125 contiguous ids at the START of p=2's
+    // range) — margins ~500 ids wide vs repartitionByRange's sampled
+    // boundaries, so every level's strict decrease is robust
+    val dimDir = tmpDir("dfp_part_dim")
+    spark.range(10000).select(col("id").as("dk"),
+      (col("id") / 125).cast("long").as("batch"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("batch") === 40)
+    // broadcast(dim) EXPLICITLY (the r16 lesson, doubly so here: the
+    // plan-time prune shrinks the fact estimate below the dim's, so
+    // Spark would otherwise build on the FACT side and
+    // reuseBroadcastOnly would silently drop the runtime filter)
+    val (rows, prune) = withDppFallback {
+      val j = dfpRead(dir)
+        .where(col("p") === 2 && col("id") < 6000)
+        .join(broadcast(dim), col("id") === col("dk"))
+        .select("id", "v", "p")
+      val r = j.collect()
+      (r, pruneOf(j, dir))
+    }
+    assert(rows.length == 125 && rows.forall(_.getInt(2) == 2))
+    assert(prune.total >= 12, s"layout degenerate: ${prune.total} files")
+    // level 1: the p literal drops whole DIRECTORIES
+    assert(prune.keptPartition < prune.total,
+      s"directory prune missing: $prune")
+    // level 2: the id range drops FILES inside the kept directory
+    assert(prune.keptStatic < prune.keptPartition,
+      s"stats prune did not compose: $prune")
+    // level 3: the join-delivered key set drops MORE files
+    assert(prune.runtimeFilterSeen &&
+      prune.keptRuntime < prune.keptStatic,
+      s"runtime prune did not compose: $prune")
+    // identity, including the reconstituted partition column
+    val oracle = spark.read.parquet(dir)
+      .where(col("p") === 2 && col("id") < 6000)
+      .join(dim, col("id") === col("dk")).select("id", "v", "p")
+    assert(rows.toSet == oracle.collect().toSet)
+  }
+
+  test("prune witnesses are per scan instance: an interleaved second scan never clobbers the first") {
+    val dir = tmpDir("dfp_iso")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    val dimDir = tmpDir("dfp_iso_dim")
+    spark.range(10000).select(col("id").as("dk"),
+      (col("id") / 625).cast("long").as("batch")).write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("batch") === 5)
+    withDppFallback {
+      val joined = dfpRead(dir).join(dim, col("id") === col("dk"))
+        .select("id", "v")
+      assert(joined.collect().length == 625)
+      // a SECOND scan over the same store, constructed and executed
+      // AFTER the first — under the r16 dir-keyed registry its
+      // construction reset runtimeFilterSeen for the whole store and
+      // clobbered the first scan's witness
+      val literal = dfpRead(dir).where(col("id").between(0, 624))
+      assert(literal.collect().length == 625)
+      val pJoin = pruneOf(joined, dir)
+      val pLit = pruneOf(literal, dir)
+      assert(pJoin.runtimeFilterSeen && pJoin.keptRuntime <= 2,
+        s"first scan's witness clobbered: $pJoin")
+      assert(!pLit.runtimeFilterSeen && pLit.keptStatic <= 2,
+        s"second scan's witness wrong: $pLit")
+    }
+  }
+
+  test("prune witnesses stay per-instance under CONCURRENT scans of one store") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = tmpDir("dfp_conc")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    val dimDir = tmpDir("dfp_conc_dim")
+    spark.range(10000).select(col("id").as("dk"),
+      (col("id") / 625).cast("long").as("batch")).write.parquet(dimDir)
+    withDppFallback {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def run(batch: Int): Future[(Int, graft.io.SkipScan.Prune)] =
+        Future {
+          val dim = spark.read.parquet(dimDir)
+            .where(col("batch") === batch)
+          val j = dfpRead(dir).join(dim, col("id") === col("dk"))
+            .select("id")
+          barrier.await() // align the two executions
+          val n = j.collect().length
+          (n, pruneOf(j, dir))
+        }
+      val fa = run(2)
+      val fb = run(11)
+      val (na, pa) = Await.result(fa, 180.seconds)
+      val (nb, pb) = Await.result(fb, 180.seconds)
+      assert(na == 625 && nb == 625)
+      // <= 4: sampled range boundaries can land a 625-key window on
+      // 3-4 files (r16 lesson: never assert exact per-file splits)
+      assert(pa.runtimeFilterSeen && pa.keptRuntime <= 4,
+        s"scan A's witness wrong under concurrency: $pa")
+      assert(pb.runtimeFilterSeen && pb.keptRuntime <= 4,
+        s"scan B's witness wrong under concurrency: $pb")
+    }
+  }
+
+  test("runtime-filter cost gate: a fat delivered key set is declined, rows stay exact") {
+    val dir = tmpDir("dfp_fat")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    val dimDir = tmpDir("dfp_fat_dim")
+    spark.range(10000).select(col("id").as("dk"),
+      (col("id") / 625).cast("long").as("batch")).write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("batch") === 5)
+    val (rows, prune) = withDppFallback {
+      val j = spark.read.format("graft.io.SkipDataSource")
+        .option("maxRuntimeFilterKeys", "100") // 625 delivered > 100
+        .load(dir).join(dim, col("id") === col("dk")).select("id", "v")
+      val r = j.collect()
+      (r, pruneOf(j, dir))
+    }
+    assert(prune.runtimeFilterSeen,
+      "the filter must still be DELIVERED (the gate declines the " +
+        "file pass, not the delivery)")
+    assert(prune.runtimeKeysDeclined > 0L,
+      s"decline not recorded: $prune")
+    assert(prune.keptRuntime == prune.keptStatic &&
+      prune.keptRuntime == 16,
+      s"a declined delivery must not prune: $prune")
+    assert(rows.map(_.getLong(0)).sorted.toSeq ==
+      (3125L until 3750L), "rows must stay exact under the decline")
   }
 }

@@ -508,4 +508,122 @@ class VersionStoreSpec extends GraftSuite {
         new org.apache.hadoop.fs.Path(dir.toString, "notadir/_claim_v=1"))
     }
   }
+
+  // -----------------------------------------------------------------
+  // r17: the object-store ClaimStore (conditional put), the
+  // post-move clean-failure cleanup, and the liveness probe's TOCTOU.
+  // -----------------------------------------------------------------
+
+  test("ClaimStore.ConditionalPut: one winner under the barrier race; the protocol runs end-to-end through it") {
+    import java.util.concurrent.CyclicBarrier
+    import graft.etl.ClaimStore
+    val store = new ClaimStore.InMemoryConditionalStore
+    val claims = ClaimStore.ConditionalPut(store)
+    val dir = Files.createTempDirectory("claims")
+    val fs = new org.apache.hadoop.fs.Path(dir.toString).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir.toString, "_claim_v=1")
+    // the SAME barrier-aligned race that double-claims through a
+    // check-then-put store: the conditional put admits exactly one
+    val start = new CyclicBarrier(2)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (1 to 2).map(_ => new Thread(() => {
+      start.await()
+      if (claims.tryClaim(fs, marker)) wins.incrementAndGet(): Unit
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(wins.get() == 1)
+    assert(!claims.tryClaim(fs, marker)) // held until release
+    claims.release(fs, marker)
+    assert(claims.tryClaim(fs, marker)) // released = reusable
+    assert(!fs.exists(marker),
+      "the claim must live in the side store, never on the filesystem")
+
+    // protocol end-to-end through the plug-in: a seed write, then two
+    // concurrent OCC appenders — distinct versions, both row sets
+    // land, commit info intact (every path shares ONE claim store:
+    // density is per-store)
+    val root = Files.createTempDirectory("vs").toString
+    VersionStore.write(Seq(0L).toDF("id"), root, claims = claims)
+    val t = (1 to 2).map(i => new Thread(() =>
+      VersionStore.commitRetry(spark, root,
+        (_, st) => st.unionByName(Seq(i.toLong * 100).toDF("id")),
+        claims = claims): Unit))
+    t.foreach(_.start()); t.foreach(_.join())
+    assert(VersionStore.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(VersionStore.latest(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(0L, 100L, 200L))
+  }
+
+  test("clean failure AFTER the directory move: marker-less version deleted, landed commit untouched") {
+    import graft.etl.ClaimStore
+    val root = Files.createTempDirectory("vs").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    VersionStore.write(spark.range(3).toDF("id"), root)
+    val claims = ClaimStore.ExclusiveCreate
+
+    // the throw-between-move-and-marker state (a failed marker
+    // touch): claimed slot, v=1 directory present WITHOUT _SUCCESS.
+    // The pre-r17 cleanup released the claim but left the directory —
+    // the next claimant then tripped commitClaimed's "claim protocol
+    // violated" require instead of committing (r16 advice #2)
+    assert(claims.tryClaim(fs,
+      new org.apache.hadoop.fs.Path(root, "_claim_v=1")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v=1"))
+    VersionStore.cleanupFailedCommit(fs, root, 1L, claims)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=1")),
+      "the invisible marker-less directory must be swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_claim_v=1")))
+    // the slot is fully recoverable: the next OCC commit takes v=1
+    assert(VersionStore.tryCommit(spark.range(2).toDF("id"), root, 0L)
+      == Right(1L))
+
+    // the throw-PAST-visibility state (the commit LANDED): cleanup
+    // must touch nothing — no delete, no release
+    assert(claims.tryClaim(fs,
+      new org.apache.hadoop.fs.Path(root, "_claim_v=2")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v=2"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/v=2/_SUCCESS"), true)
+      .close()
+    VersionStore.cleanupFailedCommit(fs, root, 2L, claims)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=2/_SUCCESS")),
+      "a landed commit must never be deleted by the failure path")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_claim_v=2")),
+      "a landed commit's claim must stay (dense numbering)")
+    assert(VersionStore.versions(spark, root) == Seq(0L, 1L, 2L))
+  }
+
+  test("slotQuietMs: a slot freed between probe and stat reads as freed, never a crash") {
+    // the TOCTOU shape (r16 advice #1): exists() sees the claim /
+    // .building temp, but the competitor's commitSwap (or a clean
+    // failure's release) removes it before getFileStatus/listStatus —
+    // exactly when a healthy waiter is about to win. The probe must
+    // read 0 ("slot freed — retry now"), not throw out of commitRetry
+    val root = Files.createTempDirectory("vs").toString
+    val real = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hostile = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def listStatus(p: org.apache.hadoop.fs.Path)
+          : Array[org.apache.hadoop.fs.FileStatus] =
+        if (p.getName.endsWith(".building"))
+          throw new java.io.FileNotFoundException(p.toString)
+        else super.listStatus(p)
+      override def getFileStatus(p: org.apache.hadoop.fs.Path)
+          : org.apache.hadoop.fs.FileStatus =
+        if (p.getName.startsWith("_claim_"))
+          throw new java.io.FileNotFoundException(p.toString)
+        else super.getFileStatus(p)
+    }
+    // temp present at exists() time, listing throws FNF → freed
+    real.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v=1.building"))
+    assert(VersionStore.slotQuietMs(hostile, root, 1L) == 0L)
+    // claim present at exists() time, stat throws FNF → freed
+    real.create(new org.apache.hadoop.fs.Path(root, "_claim_v=2"), true)
+      .close()
+    assert(VersionStore.slotQuietMs(hostile, root, 2L) == 0L)
+    // sanity: through the REAL fs the same states read as live
+    assert(VersionStore.slotQuietMs(real, root, 1L) >= 0L)
+    assert(VersionStore.slotQuietMs(real, root, 2L) >= 0L)
+  }
 }
