@@ -61,12 +61,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * COST GATE (r17): a delivered runtime `IN` whose key count exceeds
   * `maxRuntimeFilterKeys` (option; default
-  * [[SkipScan.MaxRuntimeFilterKeysDefault]]) is DECLINED — the
-  * driver-side sort/dedup of a fat key set costs more than the prune
-  * recovers (measured: a 9.4M-key dim made the DFP arm 1.5× slower
-  * than the plain scan, bench_store_sf1_dfp_x10_fat16.json — the
-  * served shape is dimension-sized key sets). Declining only skips
-  * the FILE pass; rows stay exact (the join still filters).
+  * [[SkipScan.MaxRuntimeFilterKeysDefault]]) is DECLINED — see the
+  * default's doc for the measured split of who pays what in the
+  * fat-dim regime (the scan's own pass vs Spark's broadcast-key
+  * collection). Declining only skips the FILE pass; rows stay exact
+  * (the join still filters), and the declined key count rides the
+  * prune witness.
   *
   * Everything below the file list is stock Spark: the scan IS a
   * [[ParquetScan]] (vectorized reader, row-group pruning from the
@@ -332,13 +332,24 @@ private[io] final class SkipScan(
 
 object SkipScan {
 
-  /** Decline runtime `IN` filters above this many keys by default:
-    * the served DFP shape is a DIMENSION-sized key set (thousands to
-    * low millions); the measured counter-regime
-    * (bench_store_sf1_dfp_x10_fat16.json: 9.4M keys → DFP 1.5×
-    * SLOWER than the plain scan) sits past this crossover. Override
-    * per read with `.option("maxRuntimeFilterKeys", n)`. */
-  val MaxRuntimeFilterKeysDefault: Long = 4000000L
+  /** Decline runtime `IN` filters above this many keys by default.
+    * What the gate can and cannot save, measured
+    * (bench_store_sf1_dfp_x10_fat16_r17_{pass,declined}.json, 937k
+    * delivered keys): the scan's OWN pass (dedup + sort + per-file
+    * binary searches) cost 0.13 s — declining recovered exactly
+    * that (1.95 → 1.82 s) — while the regime's real cost is
+    * SPARK-SIDE key collection from the reused join broadcast
+    * (InSubqueryExec.values, ~0.5 s at 937k keys), which runs
+    * BEFORE `filter()` is ever called and which only Spark's own
+    * stats-based DPP benefit heuristic
+    * (`dynamicPartitionPruning.useStats`, the production default —
+    * our toy-scale arms disable it explicitly) can decline. So the
+    * default guards only against deliveries where OUR pass alone
+    * turns material (~0.14 µs/key ⇒ ~1 s at this size), and stays
+    * HIGH enough not to forfeit file suppression (19/128 kept at
+    * 937k keys — the object-store win) for a 7% local saving.
+    * Override per read with `.option("maxRuntimeFilterKeys", n)`. */
+  val MaxRuntimeFilterKeysDefault: Long = 8000000L
 
   /** Measured suppression for one scan instance: file counts before
     * any prune, after the partition-only literal filters (directory

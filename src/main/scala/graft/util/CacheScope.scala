@@ -47,10 +47,39 @@ object CacheScope {
   private val live = new ConcurrentLinkedQueue[Dataset[_]]
   private val swallowed = new java.util.concurrent.atomic.AtomicLong
 
-  /** Register an operator-persisted intermediate; returns it. */
+  /** Register an operator-persisted intermediate; returns it. Each
+    * registration first purges entries whose cache entry no longer
+    * exists — a caller that freed blocks with its own
+    * `spark.catalog.clearCache()` (instead of [[releaseAll]]) must
+    * not leave the registry strongly retaining dead plans forever
+    * (r16 advice #4's retention half: the driver-side plan leak in a
+    * service that never calls releaseAll). O(live × cache-lookup),
+    * both registry-sized — dozens, not thousands. */
   private[graft] def track[T](ds: Dataset[T]): Dataset[T] = {
+    purgeCleared()
     live.add(ds)
     ds
+  }
+
+  /** Drop registry entries that are no longer in the session's
+    * CacheManager (the caller cleared them out-of-band). A lookup
+    * that throws (stopped session) keeps the entry — releaseAll's
+    * tolerant drain owns that case. Returns how many were purged. */
+  private[graft] def purgeCleared(): Int = {
+    var purged = 0
+    live.removeIf { ds =>
+      val dead =
+        try {
+          val session = ds.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          session.sharedState.cacheManager.lookupCachedData(
+            ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+            .isEmpty
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (dead) purged += 1
+      dead
+    }
+    purged
   }
 
   /** Unpersist every registered intermediate and drain the registry;

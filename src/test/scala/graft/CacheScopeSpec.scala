@@ -59,19 +59,44 @@ class CacheScopeSpec extends GraftSuite {
     assert(CacheScope.releaseAll(blocking = true) >= 0) // idempotent
   }
 
+  test("an out-of-band clearCache does not leave the registry retaining dead plans (r17)") {
+    CacheScope.releaseAll(blocking = true)
+    val cached = graft.util.CacheScope.track(
+      spark.range(100).toDF("x").persist())
+    assert(cached.count() == 100)
+    assert(CacheScope.liveCount == 1)
+    // the caller frees blocks with its own clearCache instead of
+    // releaseAll — the registry must not strongly retain the dead
+    // plan forever (the r16-advice driver-side leak); the next
+    // track() purges it
+    spark.catalog.clearCache()
+    assert(graft.util.CacheScope.purgeCleared() == 1)
+    assert(CacheScope.liveCount == 0)
+    // a LIVE entry is never purged
+    val live = graft.util.CacheScope.track(
+      spark.range(50).toDF("y").persist())
+    assert(live.count() == 50)
+    assert(graft.util.CacheScope.purgeCleared() == 0)
+    assert(CacheScope.liveCount == 1)
+    assert(CacheScope.releaseAll(blocking = true) == 1)
+  }
+
   test("a failing unpersist is counted and logged, and never aborts the drain (r17)") {
     CacheScope.releaseAll(blocking = true)
     val before = CacheScope.swallowedCount
-    // two frames; the injected unpersist fails on the FIRST — the
+    // two PERSISTED frames (track's purge drops unpersisted entries
+    // by design); the injected unpersist fails on the FIRST — the
     // drain must continue to the second, count the swallow, and
     // leave the registry empty (the r16 advice: the silent
     // catch-everything would have eaten a real failure invisibly)
-    val a = graft.util.CacheScope.track(spark.range(5).toDF("a"))
-    val b = graft.util.CacheScope.track(spark.range(7).toDF("b"))
+    val a = graft.util.CacheScope.track(spark.range(5).toDF("a").persist())
+    val b = graft.util.CacheScope.track(spark.range(7).toDF("b").persist())
+    assert(a.count() == 5 && b.count() == 7)
     var seen = 0
-    val released = CacheScope.releaseAllWith((ds, _) => {
+    val released = CacheScope.releaseAllWith((ds, bl) => {
       seen += 1
       if (ds eq a) throw new RuntimeException("injected unpersist fault")
+      ds.unpersist(bl); ()
     }, blocking = false)
     assert(seen == 2, "the drain aborted at the failing frame")
     assert(released == 1)
@@ -88,5 +113,6 @@ class CacheScopeSpec extends GraftSuite {
     assert(CacheScope.releaseAll(blocking = true) >= 0)
     assert(CacheScope.swallowedCount == before + 1,
       "a FATAL error must not be swallowed-and-counted")
+    a.unpersist(true) // the injected fault skipped a's real blocks
   }
 }
