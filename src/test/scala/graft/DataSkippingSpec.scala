@@ -1025,6 +1025,46 @@ class DataSkippingSpec extends GraftSuite {
     }
   }
 
+  test("SkipDataSource edges: stats-less store reads exact, empty projection counts, null partition stays conservative") {
+    // (a) a store with NO committed stats: every verdict is
+    // keep-unknown — full listing, exact rows, no error
+    val bare = tmpDir("dfp_bare")
+    corpus.repartition(4).write.parquet(bare)
+    val bareDf = dfpRead(bare).where(col("id") < 100)
+    assert(bareDf.collect().length == 100)
+    val pBare = pruneOf(bareDf, bare)
+    assert(pBare.keptStatic == pBare.total && pBare.total > 0)
+
+    // (b) an empty projection (count(*) shape) through the pruned
+    // scan — the reader runs with an empty read schema
+    val dir = tmpDir("dfp_countstar")
+    writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
+      statsCols = Seq("id"))
+    assert(dfpRead(dir).where(col("id") < 625).count() == 625)
+
+    // (c) hive null partition (__HIVE_DEFAULT_PARTITION__): files
+    // under it carry NO usable partition bound — a p literal keeps
+    // them (conservatism: the filter still runs on rows), while
+    // `p IS NULL` prunes every NON-null directory exactly (their
+    // partition-value stats say nullCount = 0)
+    val np = tmpDir("dfp_nullpart")
+    corpus.withColumn("p",
+        when(col("id") % 5 === 0, lit(null))
+          .otherwise(pmod(col("id"), lit(2L))).cast("int"))
+      .repartition(4).write.partitionBy("p").parquet(np)
+    DataSkipping.writeStats(spark, np, Seq("id"))
+    val nullRows = dfpRead(np).where(col("p").isNull)
+    assert(nullRows.collect().length == 2000)
+    val pNull = pruneOf(nullRows, np)
+    assert(pNull.keptStatic < pNull.total,
+      s"IS NULL must prune the non-null directories: $pNull")
+    val litRows = dfpRead(np).where(col("p") === 1)
+    assert(litRows.collect().length == 4000)
+    // identity against the stock partitioned read, all three shapes
+    assert(dfpRead(np).collect().map(_.toSeq).toSet ==
+      spark.read.parquet(np).collect().map(_.toSeq).toSet)
+  }
+
   test("runtime-filter cost gate: a fat delivered key set is declined, rows stay exact") {
     val dir = tmpDir("dfp_fat")
     writeSortedWithStats(corpus, dir, Seq("id"), numFiles = 16,
