@@ -95,6 +95,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized to the query surface (static conf,
+      // default 100 entries): a 183-query suite generates ~3-4k
+      // distinct codegen classes, so at the default every query's
+      // classes are evicted before its next execution and EVERY run
+      // re-pays Janino compilation + JIT tier-up (the per-query
+      // codegen witness read the same nonzero count in every run).
+      // Not a toy-scale knob: a production driver hosting this many
+      // distinct queries sizes the compiler cache to its plan
+      // inventory the same way; data-independent, affects no result.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       // a >10 s JVM freeze (32 GiB full GC, or the host stalls the
       // probe documents) breaches the default executor-heartbeat RPC
       // timeout and kills the whole SparkContext mid-suite — an sf1

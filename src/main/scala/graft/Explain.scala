@@ -27,6 +27,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized to the query surface (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       // stall tolerance, as Bench: a >10 s freeze must not kill the
       // context mid-audit
       .config("spark.executor.heartbeatInterval", "60s")

@@ -607,9 +607,27 @@ object SparkEntry {
       val total = DataSkipping.listDataFiles(s, path).size
       require(keptBoth > 0 && keptBoth < total,
         s"partitioned skipping degenerate: $keptBoth of $total files")
-      require(keptPart < 4 || keptBoth < keptPart,
-        s"stats prune did not compose: $keptBoth vs partition-only " +
-          s"$keptPart")
+      // EXACT prune expectations from the committed stats, not a
+      // strictly-fewer heuristic: repartitionByRange samples its
+      // boundaries with a session-dependent seed, so whether p=1
+      // gets a file wholly outside [1000, 50000] at tiny SFs is a
+      // per-build roll — the old `keptBoth < keptPart` gate failed
+      // on an unlucky sf0.01 layout this round (r18, inherited).
+      // The scan must keep exactly the p=1 files whose committed
+      // [min, max] o_orderkey range intersects the predicate —
+      // layout-independent, and strictly stronger where the stats
+      // CAN prune.
+      val statsDf = DataSkipping.statsFrame(s, path).getOrElse(
+        sys.error("q_store_skip_partitioned: no committed stats"))
+      val p1 = statsDf.where(col("file").contains("/p=1/"))
+        .select("min_o_orderkey", "max_o_orderkey").collect()
+      val expectPart = p1.length
+      val expectBoth = p1.count(r =>
+        r.getLong(1) >= 1000L && r.getLong(0) <= 50000L)
+      require(keptPart == expectPart,
+        s"partition prune kept $keptPart of expected $expectPart")
+      require(keptBoth == expectBoth,
+        s"stats prune kept $keptBoth, committed stats allow $expectBoth")
       both.select("o_orderkey", "o_custkey", "total", "order_day", "p")
     }),
 
@@ -644,49 +662,50 @@ object SparkEntry {
       val mx = Tables(s, dir).orders.agg(max("o_orderkey"))
         .head().getLong(0)
       val w = math.max(1L, math.ceil((mx + 1) / 16.0).toLong)
-      val dim = Tables(s, dir).orders
-        .select(col("o_orderkey"),
-          floor(col("o_orderkey") / lit(w)).cast("long")
-            .as("ingest_batch"))
-        .where(col("ingest_batch") === 7)
-      val fact = s.read.format("graft.io.SkipDataSource").load(path)
       // explicit broadcast: the dim's post-filter slice is
       // broadcast-sized at every SF, but plan-stat estimates don't
       // shrink through the batch filter, so past ~sf0.1 auto-broadcast
       // declines, the join goes sort-merge, and DPP's
       // reuseBroadcastOnly default then drops the runtime filter —
       // the hint keeps the star shape (and the prune) at every scale
-      val out = fact.join(broadcast(dim),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(sum("qty").cast("double").as("sum_qty"),
-          sum("price").cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-      // gate the prune: one execution under the fallback ratio (NOTE
-      // this flips SESSION-global conf around the gating action —
-      // fine in the sequential Verify/Bench harnesses, a visible
-      // window to any concurrent query in the same session), then the
-      // witness read off THIS dataset's own executed scan instance
-      // (SkipScan.prunesIn — collect() runs out's own QueryExecution;
-      // count() would derive a new one and a fresh scan)
-      val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
-      val prev = s.conf.getOption(key).getOrElse("true")
-      val prune =
-        try {
-          s.conf.set(key, "false")
-          out.collect()
-          SkipScan.prunesIn(out).collectFirst {
-            case (d, p) if d == path => p
-          }.getOrElse(sys.error(
-            "q_store_skip_dynamic: no SkipScan in the executed plan"))
-        } finally s.conf.set(key, prev)
+      def build(sess: SparkSession): DataFrame = {
+        val dim = Tables(sess, dir).orders
+          .select(col("o_orderkey"),
+            floor(col("o_orderkey") / lit(w)).cast("long")
+              .as("ingest_batch"))
+          .where(col("ingest_batch") === 7)
+        val fact = sess.read.format("graft.io.SkipDataSource").load(path)
+        fact.join(broadcast(dim),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(sum("qty").cast("double").as("sum_qty"),
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      }
+      // gate the prune: one execution under the fallback ratio, on a
+      // CLONED session so the useStats flip is invisible to `s` (r17
+      // advice #4 — the old in-place set/restore opened a window any
+      // concurrent query in the shared session could plan under).
+      // The witness reads off THIS dataset's own executed scan
+      // instance (SkipScan.prunesIn — collect() runs the gated
+      // frame's own QueryExecution; count() would derive a new one
+      // and a fresh scan)
+      val gateS = org.apache.spark.sql.graft.SessionBridge.cloneSession(s)
+      gateS.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val gated = build(gateS)
+      gated.collect()
+      val prune = SkipScan.prunesIn(gated).collectFirst {
+        case (d, p) if d == path => p
+      }.getOrElse(sys.error(
+        "q_store_skip_dynamic: no SkipScan in the executed plan"))
       require(prune.runtimeFilterSeen,
         "dynamic file pruning: runtime filter never reached the scan")
       require(prune.keptRuntime > 0 &&
         (prune.total < 8 || prune.keptRuntime < prune.total),
         s"dynamic file pruning degenerate: kept ${prune.keptRuntime} " +
           s"of ${prune.total} files")
-      out
+      build(s)
     }),
 
     // oracle-checked: the FULL Delta read shape in ONE V2 scan (r17,
@@ -714,33 +733,34 @@ object SparkEntry {
       val mx = Tables(s, dir).orders.agg(max("o_orderkey"))
         .head().getLong(0)
       val w = math.max(1L, math.ceil((mx + 1) / 16.0).toLong)
-      val dim = Tables(s, dir).orders
-        .select(col("o_orderkey"),
-          floor(col("o_orderkey") / lit(w)).cast("long")
-            .as("ingest_batch"))
-        .where(col("ingest_batch") === 7)
       // p = 1: directory prune; l_orderkey < 12w: a static stats
       // range KEEPING batch 7 (7w..8w) so the runtime level still
       // has keys to deliver; broadcast(dim): the q182 star shape
-      val fact = s.read.format("graft.io.SkipDataSource").load(path)
-        .where(col("p") === 1 && col("l_orderkey") < lit(12L * w))
-      val out = fact.join(broadcast(dim),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "p")
-        .agg(sum("qty").cast("double").as("sum_qty"),
-          count(lit(1)).as("n_items"))
-      // same session-conf gate caveat as q_store_skip_dynamic
-      val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
-      val prev = s.conf.getOption(key).getOrElse("true")
-      val prune =
-        try {
-          s.conf.set(key, "false")
-          out.collect()
-          SkipScan.prunesIn(out).collectFirst {
-            case (d, p) if d == path => p
-          }.getOrElse(sys.error(
-            "q_store_skip_dynamic_part: no SkipScan in the executed plan"))
-        } finally s.conf.set(key, prev)
+      def build(sess: SparkSession): DataFrame = {
+        val dim = Tables(sess, dir).orders
+          .select(col("o_orderkey"),
+            floor(col("o_orderkey") / lit(w)).cast("long")
+              .as("ingest_batch"))
+          .where(col("ingest_batch") === 7)
+        val fact = sess.read.format("graft.io.SkipDataSource").load(path)
+          .where(col("p") === 1 && col("l_orderkey") < lit(12L * w))
+        fact.join(broadcast(dim),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "p")
+          .agg(sum("qty").cast("double").as("sum_qty"),
+            count(lit(1)).as("n_items"))
+      }
+      // gate on a CLONED session, as q_store_skip_dynamic: the
+      // useStats flip never touches the shared session's conf
+      val gateS = org.apache.spark.sql.graft.SessionBridge.cloneSession(s)
+      gateS.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val gated = build(gateS)
+      gated.collect()
+      val prune = SkipScan.prunesIn(gated).collectFirst {
+        case (d, p) if d == path => p
+      }.getOrElse(sys.error(
+        "q_store_skip_dynamic_part: no SkipScan in the executed plan"))
       require(prune.runtimeFilterSeen,
         "partitioned DFP: runtime filter never reached the scan")
       require(prune.keptRuntime > 0,
@@ -753,7 +773,7 @@ object SparkEntry {
       require(prune.keptStatic < 3 ||
         prune.keptRuntime < prune.keptStatic,
         s"partitioned DFP: runtime prune did not compose: $prune")
-      out
+      build(s)
     }),
 
     // oracle-checked: hourly OHLC bars — order-sensitive open/close

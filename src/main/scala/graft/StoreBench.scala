@@ -98,6 +98,9 @@ object StoreBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized to the query surface (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
       .getOrCreate()
@@ -846,6 +849,11 @@ object StoreBench {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
       val rounds = sys.env.getOrElse("SPARK_GRAFT_CACHE_ROUNDS", "4").toInt
+      // the retained-arm growth check compares last vs head, which is
+      // vacuous (and always fails) with a single round
+      require(rounds >= 2,
+        s"SPARK_GRAFT_CACHE_ROUNDS must be >= 2 (got $rounds): the " +
+          "retained-arm growth witness needs at least two rounds")
       def slice(r: Int): DataFrame = docs.select(
         (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
         col("text"))

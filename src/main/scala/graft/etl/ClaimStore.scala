@@ -35,6 +35,18 @@ trait ClaimStore extends Serializable {
   def release(fs: FileSystem, marker: Path): Unit = {
     fs.delete(marker, false); ()
   }
+
+  /** Milliseconds since the claim at `marker` was taken, when this
+    * store can tell; None when unknown or unclaimed. Filesystem-backed
+    * stores need no override — the marker's own modification time is
+    * the liveness evidence [[VersionStore.slotQuietMs]] reads. A
+    * SIDE-CHANNEL store (DynamoDB lock, conditional PUT bookkeeping)
+    * leaves NO FS marker, so a claimant that crashes between winning
+    * the claim and creating the `v=N.building` temp would otherwise be
+    * invisible to stall detection: quiet reads 0 forever and
+    * commitRetry livelocks (r17 advice #1). Overriding this folds the
+    * store's own claim timestamp into the quiet clock. */
+  def claimAgeMs(fs: FileSystem, marker: Path): Option[Long] = None
 }
 
 object ClaimStore {
@@ -101,6 +113,12 @@ object ClaimStore {
     def putIfAbsent(key: String): Boolean
     /** Remove `key` (release / lifecycle). Absent key is a no-op. */
     def delete(key: String): Unit
+    /** Epoch millis when `key` was claimed; None when absent or the
+      * store does not track it (DynamoDB items carry a timestamp
+      * attribute for exactly this; S3 conditional PUTs have the
+      * object's Last-Modified). Feeds [[ClaimStore.claimAgeMs]] so a
+      * marker-less claim is still visible to stall detection. */
+    def claimedAtMs(key: String): Option[Long] = None
   }
 
   /** In-memory reference [[ConditionalStore]]:
@@ -110,10 +128,13 @@ object ClaimStore {
     * double-claims through a non-atomic store). */
   final class InMemoryConditionalStore extends ConditionalStore {
     private val m =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
     override def putIfAbsent(key: String): Boolean =
-      m.putIfAbsent(key, java.lang.Boolean.TRUE) == null
+      m.putIfAbsent(key,
+        java.lang.Long.valueOf(System.currentTimeMillis())) == null
     override def delete(key: String): Unit = { m.remove(key); () }
+    override def claimedAtMs(key: String): Option[Long] =
+      Option(m.get(key)).map(_.longValue())
     def size: Int = m.size
     def contains(key: String): Boolean = m.containsKey(key)
   }
@@ -143,5 +164,8 @@ object ClaimStore {
       store.putIfAbsent(key(fs, marker))
     override def release(fs: FileSystem, marker: Path): Unit =
       store.delete(key(fs, marker))
+    override def claimAgeMs(fs: FileSystem, marker: Path): Option[Long] =
+      store.claimedAtMs(key(fs, marker)).map(t =>
+        math.max(0L, System.currentTimeMillis() - t))
   }
 }

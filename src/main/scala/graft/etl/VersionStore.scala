@@ -452,7 +452,7 @@ object VersionStore {
             // in-flight or crashed writer. Presume ALIVE while the
             // claim or its .building temp shows recent modification;
             // declare a stall only after stallTimeoutMs of quiet.
-            val quiet = slotQuietMs(f, root, base + 1)
+            val quiet = slotQuietMs(f, root, base + 1, claims)
             if (quiet > stallTimeoutMs)
               throw new StalledClaimException(
                 s"claim for v${base + 1} of $root is held with no " +
@@ -484,12 +484,21 @@ object VersionStore {
     * path reads as "slot freed" (0 contribution), never as a crash
     * of the waiting writer. */
   private[graft] def slotQuietMs(f: org.apache.hadoop.fs.FileSystem,
-                                 root: String, v: Long): Long = {
+                                 root: String, v: Long,
+                                 claims: ClaimStore =
+                                   ClaimStore.ExclusiveCreate): Long = {
     val now = System.currentTimeMillis()
     val cl = claim(root, v)
     val claimM =
       try {
-        if (f.exists(cl)) f.getFileStatus(cl).getModificationTime else 0L
+        if (f.exists(cl)) f.getFileStatus(cl).getModificationTime
+        else
+          // side-channel claims (ConditionalPut) leave no FS marker:
+          // the store's own claim timestamp is the only evidence of a
+          // claimant that crashed before creating the .building temp —
+          // without it quiet reads 0 forever and commitRetry livelocks
+          // on a permanently held slot (r17 advice #1)
+          claims.claimAgeMs(f, cl).map(age => now - age).getOrElse(0L)
       } catch { case _: java.io.FileNotFoundException => 0L }
     val bld = new Path(dir(root, v) + ".building")
     val bldM =

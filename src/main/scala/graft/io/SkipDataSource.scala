@@ -524,11 +524,9 @@ private[io] final class KeepSetFileIndex(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] = {
-    val pruned = baseDirs.map(pd => pd.copy(files =
+    baseDirs.map(pd => pd.copy(files =
       pd.files.filter(f => kept(f.getPath.toString))))
       .filter(_.files.nonEmpty)
-    if (pruned.nonEmpty || baseDirs.isEmpty) pruned
-    else Seq.empty
   }
 
   override def sizeInBytes: Long = keptBytes

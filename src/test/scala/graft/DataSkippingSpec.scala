@@ -1007,7 +1007,11 @@ class DataSkippingSpec extends GraftSuite {
             .where(col("batch") === batch)
           val j = dfpRead(dir).join(dim, col("id") === col("dk"))
             .select("id")
-          barrier.await() // align the two executions
+          // blocking{}: the global pool sizes itself to cores and a
+          // barrier-parked worker is invisible to it — on a 1-core
+          // runner both futures would need the single worker and the
+          // barrier would never trip (Await dies at 180 s instead)
+          scala.concurrent.blocking { barrier.await() } // align the two executions
           val n = j.collect().length
           (n, pruneOf(j, dir))
         }

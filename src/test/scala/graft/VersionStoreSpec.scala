@@ -555,6 +555,35 @@ class VersionStoreSpec extends GraftSuite {
       .toSeq == Seq(0L, 100L, 200L))
   }
 
+  test("ConditionalPut claim with no FS evidence: the quiet clock runs from the store's claim timestamp, so commitRetry stalls out instead of livelocking") {
+    import graft.etl.ClaimStore
+    val store = new ClaimStore.InMemoryConditionalStore
+    val claims = ClaimStore.ConditionalPut(store)
+    val root = Files.createTempDirectory("vs").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    VersionStore.write(spark.range(3).toDF("id"), root, claims = claims)
+    // a claimant that crashed between winning the claim and creating
+    // the .building temp: claim held in the side store, zero FS
+    // evidence — the r17-advice livelock shape
+    assert(claims.tryClaim(fs,
+      new org.apache.hadoop.fs.Path(root, "_claim_v=1")))
+    Thread.sleep(60)
+    val q = VersionStore.slotQuietMs(fs, root, 1L, claims)
+    assert(q >= 50,
+      s"quiet must run from the store's claim timestamp, got ${q}ms")
+    // the FS-only probe (default claims) still reads 0 for this slot —
+    // exactly why the claim store must be consulted
+    assert(VersionStore.slotQuietMs(fs, root, 1L) == 0L)
+    // bounded: the waiter throws StalledClaimException once quiet
+    // exceeds the timeout, instead of waiting forever on quiet == 0
+    intercept[VersionStore.StalledClaimException] {
+      VersionStore.commitRetry(spark, root,
+        (_, st) => st, claims = claims,
+        stallTimeoutMs = 250L, backoffMs = 20L)
+    }
+  }
+
   test("clean failure AFTER the directory move: marker-less version deleted, landed commit untouched") {
     import graft.etl.ClaimStore
     val root = Files.createTempDirectory("vs").toString
