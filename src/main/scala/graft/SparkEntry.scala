@@ -934,7 +934,7 @@ object SparkEntry {
     // 3-grams to effective bigrams and puts 98% of its 192M candidate
     // pairs on df>100 boilerplate shingles (measured; PERF.md r6).
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables(s, dir).documents, col("doc_id"),
+      Dedup.jaccardPairs(Tables(s, dir).documentsWide, col("doc_id"),
         col("text"), n = 3, threshold = 0.5, maxShingleDf = Some(64))),
 
     // oracle-checked CONTAINMENT pairs (Broder 1997's asymmetric
@@ -944,7 +944,7 @@ object SparkEntry {
     // wrapper is ~0.1 resemblance, 1.0 containment; spec pins the
     // contrast). Same candidate machinery and cap as q22.
     "q_dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables(s, dir).documents, col("doc_id"),
+      Dedup.containmentPairs(Tables(s, dir).documentsWide, col("doc_id"),
         col("text"), n = 3, threshold = 0.8, maxShingleDf = Some(64))),
 
     // rows-only: minhash signatures use xxhash64, not reproducible in SQL
@@ -1020,7 +1020,7 @@ object SparkEntry {
     // seeded entry below oracle-checks the ESTIMATOR itself.
     "q_dedup_containment_minhash" -> ((s, dir) =>
       Dedup.containmentFromSignatures(
-        Dedup.minhashSignaturesWithSize(Tables(s, dir).documents,
+        Dedup.minhashSignaturesWithSize(Tables(s, dir).documentsWide,
           col("doc_id"), col("text"), n = 3, numHashes = 32),
         numHashes = 32, threshold = 0.8)),
 
@@ -1031,7 +1031,7 @@ object SparkEntry {
     // leaning only on the exact twin
     "q_dedup_containment_minhash_seeded" -> ((s, dir) =>
       Dedup.containmentFromSignatures(
-        Dedup.minhashSignaturesSeededWithSize(Tables(s, dir).documents,
+        Dedup.minhashSignaturesSeededWithSize(Tables(s, dir).documentsWide,
           col("doc_id"), col("text"), n = 3, numHashes = 16),
         numHashes = 16, threshold = 0.8,
         bandKey = (_, sl) => md5(concat_ws("|", sl)))),
@@ -1059,7 +1059,7 @@ object SparkEntry {
     // LSH code path gets a rows+schema+hash oracle; the xxhash64
     // variant stays the scale path (fused codegen, 8-byte keys)
     "q_dedup_minhash_seeded" -> ((s, dir) =>
-      Dedup.minhashLshPairsSeeded(Tables(s, dir).documents,
+      Dedup.minhashLshPairsSeeded(Tables(s, dir).documentsWide,
         col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
         threshold = 0.5)),
 
@@ -1076,14 +1076,14 @@ object SparkEntry {
     // no-oracle operator family gets a rows+schema+hash row;
     // xxhash64 stays the scale path
     "q_dedup_simhash_seeded" -> ((s, dir) =>
-      Dedup.simhashPairsSeeded(Tables(s, dir).documents, col("doc_id"),
+      Dedup.simhashPairsSeeded(Tables(s, dir).documentsWide, col("doc_id"),
         col("text"), maxHamming = 3, bands = 4)),
 
     // Axis-plane LSH candidates (sign of the first 16 dims, 8 bands of
     // 2 bits) + exact-cosine verify — the oracle reproduces the exact
     // same bucketing, so the result is deterministic.
     "q_dedup_embedding" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables(s, dir).embeddings, threshold = 0.4,
+      Similarity.nearDupPairs(Tables(s, dir).embeddingsWide, threshold = 0.4,
         planes = Similarity.axisPlanes(64, 16), bitsPerBand = 2)),
 
     // oracle-checked: the daily-batch regime for embeddings (q56's
@@ -1405,7 +1405,7 @@ object SparkEntry {
     // from a store == one more opqTrain alternation, bitwise).
     "q_opq_refresh" -> ((s, dir) => {
       val idx = opqServingIndex(s, dir)
-      val emb = Tables(s, dir).embeddings
+      val emb = Tables(s, dir).embeddingsWide
         .where(graft.functions.VectorFns.l2Norm(col("embedding")) > 0)
       val storedCodes = idx.codes.select(col("n_id").as("vec_id"),
         col("code"))
@@ -1453,7 +1453,7 @@ object SparkEntry {
     // WHOLE pipeline (gates → exact dedup → near-dup drop) verifies
     // rows+schema+hash against one composed DuckDB query
     "q_training_prep_jaccard" -> ((s, dir) =>
-      TrainingPipeline.prepareWith(Tables(s, dir).documents,
+      TrainingPipeline.prepareWith(Tables(s, dir).documentsWide,
         col("doc_id"), col("text"), TrainingPipeline.Config(),
         (d, i, t) => Dedup.jaccardPairs(d, i, t, n = 3, threshold = 0.8,
           maxShingleDf = Some(64)))),
@@ -1494,14 +1494,23 @@ object SparkEntry {
     // then contiguous 2048-token packs in that order; one SQL oracle
     // replays the whole chain
     "q_curriculum_pack" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsWide
       val scored = QualityModel.score(docs, col("doc_id"), col("text"),
           dim = 4096, QualityModel.seededKey)
         .select(col("id"), col("score"))
+      // persisted: repartitionByRange computes its child TWICE (the
+      // range-boundary sampling pass, then the shuffle itself), and
+      // this child carries the md5-hashed feature scoring — the
+      // priciest per-row chain in the query (measured: the scoring
+      // stage ran twice, back to back, before the cache). Cheap-
+      // lineage packing callers (q_pack_sequences etc.) deliberately
+      // skip this: a persist there costs more storage than the
+      // recompute it saves.
       val withTok = scored.join(
         docs.select(col("doc_id").as("id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Batching.packByWeight(withTok,
           order = struct((-col("score")).as("s"), col("id").as("i")),
           weight = col("n_tokens"), budget = 2048, partitions = 8)
@@ -1533,7 +1542,7 @@ object SparkEntry {
     // oracle propagates min labels with WITH RECURSIVE
     "q_dedup_clusters_jaccard" -> ((s, dir) =>
       Dedup.connectedComponents(
-        Dedup.jaccardPairs(Tables(s, dir).documents,
+        Dedup.jaccardPairs(Tables(s, dir).documentsWide,
           col("doc_id"), col("text"), n = 3, threshold = 0.5,
           maxShingleDf = Some(64)))),
 
@@ -1666,7 +1675,7 @@ object SparkEntry {
     // non-aligned complement to q53's aligned windows. In-row scan
     // algebra; the md5-prefix hash replays in DuckDB.
     "q_fingerprint_winnow" -> ((s, dir) =>
-      Dedup.winnowFingerprints(Tables(s, dir).documents,
+      Dedup.winnowFingerprints(Tables(s, dir).documentsWide,
           col("doc_id"), col("text"), k = 5, w = 4,
           hashKey = QualityModel.seededKey)
         .withColumnRenamed("id", "doc_id")),
@@ -2225,7 +2234,7 @@ object SparkEntry {
     // path (q_quality_model_seeded is the hash-green md5 twin; the
     // two share every line but the hash key)
     "q_quality_model" -> ((s, dir) =>
-      QualityModel.score(Tables(s, dir).documents,
+      QualityModel.score(Tables(s, dir).documentsWide,
           col("doc_id"), col("text"), dim = 4096)
         .withColumnRenamed("id", "doc_id")),
 
@@ -2233,7 +2242,7 @@ object SparkEntry {
     // margin and label bit-for-bit in DuckDB — margins are exact
     // integer sums, so no float accumulation can drift
     "q_quality_model_seeded" -> ((s, dir) =>
-      QualityModel.score(Tables(s, dir).documents,
+      QualityModel.score(Tables(s, dir).documentsWide,
           col("doc_id"), col("text"), dim = 4096, QualityModel.seededKey)
         .withColumnRenamed("id", "doc_id")),
 
@@ -2370,7 +2379,7 @@ object SparkEntry {
     // (unigrams + bigrams → md5-prefix buckets, replayed in DuckDB).
     // Target = the doc_id % 7 == 0 slice.
     "q_dsir_counts" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsWide
       val target = docs.where(col("doc_id") % 7 === 0)
       val raw = docs.where(col("doc_id") % 7 =!= 0)
       Dsir.scoreCounts(raw, col("doc_id"), col("text"),
