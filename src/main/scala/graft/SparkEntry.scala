@@ -272,7 +272,7 @@ object SparkEntry {
     // as one Expand + shuffle, never k scans); typed min/max cast to
     // string after aggregating (r11)
     "q_profile_orders" -> ((s, dir) =>
-      Profile.describe(Tables(s, dir).orders,
+      Profile.describe(Tables(s, dir).ordersWide,
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate"))),
 
@@ -282,7 +282,7 @@ object SparkEntry {
     // fixed double chain (the Stats discipline); still ONE
     // aggregate for every column (r12)
     "q_profile_orders_moments" -> ((s, dir) =>
-      Profile.describe(Tables(s, dir).orders,
+      Profile.describe(Tables(s, dir).ordersWide,
         Seq("o_orderstatus", "o_orderpriority"),
         numericCols = Seq("o_totalprice"))),
 
@@ -292,7 +292,7 @@ object SparkEntry {
     // sketches per column instead of every distinct value, the
     // 100 TB profile shape (r12)
     "q_profile_orders_approx" -> ((s, dir) =>
-      Profile.describeApprox(Tables(s, dir).orders,
+      Profile.describeApprox(Tables(s, dir).ordersWide,
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate"))),
 
@@ -302,7 +302,7 @@ object SparkEntry {
     // ONE extra corpus scan for ALL numeric columns (the documented
     // two-scan trade; ProfileSpec pins scans == 2) (r13)
     "q_profile_orders_hdr" -> ((s, dir) =>
-      Profile.describeWithQuantiles(Tables(s, dir).orders,
+      Profile.describeWithQuantiles(Tables(s, dir).ordersWide,
         Seq("o_orderstatus", "o_orderpriority"),
         numericCols = Seq("o_totalprice"))),
 

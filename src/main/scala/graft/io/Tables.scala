@@ -84,6 +84,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documentsWide: DataFrame = parallelized(t("documents"), "documents")
   def embeddingsWide: DataFrame =
     parallelized(t("embeddings"), "embeddings")
+  /** As the accessors above, for the profile family: the multi-
+    * count_distinct Expand multiplies the (serial) scan's rows
+    * ~12× before the first exchange, so the whole partial-aggregate
+    * pass otherwise runs in the scan's one task. */
+  def ordersWide: DataFrame = parallelized(t("orders"), "orders")
 
   private def parallelized(df: DataFrame, name: String): DataFrame = {
     val sc = spark.sparkContext
