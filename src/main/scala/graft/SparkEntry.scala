@@ -24,6 +24,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CensusPipeline.censusCount(Tables(spark, "/root/testdata/sf0.001"))
 
+  /** Query-local MEMORY_AND_DISK persist, registered with
+    * [[graft.util.CacheScope]] (the repo's cache-lifecycle contract):
+    * for query bodies that build a "stored" reference frame from text
+    * inline and then consume it more than once — the persist
+    * materializes the store build exactly once per query execution,
+    * as a real deployment's write-once store would. Intra-query only;
+    * Bench/Verify clear it between queries, long-lived callers free
+    * it with `CacheScope.releaseAll()`. */
+  private def scopedCache(df: DataFrame): DataFrame =
+    graft.util.CacheScope.track(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ETL core (reference-derived) ----
@@ -687,14 +699,17 @@ object SparkEntry {
       // advice #4 — the old in-place set/restore opened a window any
       // concurrent query in the shared session could plan under).
       // The witness reads off THIS dataset's own executed scan
-      // instance (SkipScan.prunesIn — collect() runs the gated
-      // frame's own QueryExecution; count() would derive a new one
-      // and a fresh scan)
+      // instance (SkipScan.prunesIn — executing the gated frame's own
+      // QueryExecution; count() would derive a new one and a fresh
+      // scan). Executed via toRdd.foreach, NOT collect(): the gate
+      // only needs the scan to run — the aggregate is one row per
+      // join key, which collect() would pull to the driver,
+      // driver-sized at 100 TB (r18 verdict #5; guide §5).
       val gateS = org.apache.spark.sql.graft.SessionBridge.cloneSession(s)
       gateS.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
       val gated = build(gateS)
-      gated.collect()
+      gated.queryExecution.toRdd.foreach(_ => ())
       val prune = SkipScan.prunesIn(gated).collectFirst {
         case (d, p) if d == path => p
       }.getOrElse(sys.error(
@@ -751,12 +766,15 @@ object SparkEntry {
             count(lit(1)).as("n_items"))
       }
       // gate on a CLONED session, as q_store_skip_dynamic: the
-      // useStats flip never touches the shared session's conf
+      // useStats flip never touches the shared session's conf; the
+      // gate executes the frame's own QueryExecution without driver
+      // materialization (toRdd.foreach — the aggregate is join-key-
+      // sized, r18 verdict #5)
       val gateS = org.apache.spark.sql.graft.SessionBridge.cloneSession(s)
       gateS.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
       val gated = build(gateS)
-      gated.collect()
+      gated.queryExecution.toRdd.foreach(_ => ())
       val prune = SkipScan.prunesIn(gated).collectFirst {
         case (d, p) if d == path => p
       }.getOrElse(sys.error(
@@ -993,20 +1011,28 @@ object SparkEntry {
     // the increment
     "q_dedup_incremental_fromindex" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
+      // persisted (r19): the query plays store-builder AND increment
+      // in one plan — the computed reference index (at scale a
+      // bucketed parquet scan, built once per corpus) feeds the df
+      // cap aggregate and the capped-index join, so uncached the
+      // reference text pass + its id-window ran per consumer. The
+      // persist materializes the "store build" once, exactly as a
+      // deployment would; (id, shingle, n_sh) longs, never text.
       Dedup.incrementalJaccardPairsFromIndex(
         docs.where(col("doc_id") % 3 =!= 0),
-        Dedup.shingleIndex(docs.where(col("doc_id") % 3 === 0),
-          col("doc_id"), col("text"), n = 3),
+        scopedCache(Dedup.shingleIndex(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), n = 3)),
         col("doc_id"), col("text"), n = 3, threshold = 0.5,
         maxShingleDf = Some(64))
     }),
 
     "q_dedup_containment_fromindex" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
+      // persisted (r19): see q_dedup_incremental_fromindex
       Dedup.incrementalContainmentPairsFromIndex(
         docs.where(col("doc_id") % 3 =!= 0),
-        Dedup.shingleIndex(docs.where(col("doc_id") % 3 === 0),
-          col("doc_id"), col("text"), n = 3),
+        scopedCache(Dedup.shingleIndex(docs.where(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), n = 3)),
         col("doc_id"), col("text"), n = 3, threshold = 0.8,
         maxShingleDf = Some(64))
     }),
@@ -1506,11 +1532,10 @@ object SparkEntry {
       // lineage packing callers (q_pack_sequences etc.) deliberately
       // skip this: a persist there costs more storage than the
       // recompute it saves.
-      val withTok = scored.join(
+      val withTok = scopedCache(scored.join(
         docs.select(col("doc_id").as("id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        "id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        "id"))
       Batching.packByWeight(withTok,
           order = struct((-col("score")).as("s"), col("id").as("i")),
           weight = col("n_tokens"), budget = 2048, partitions = 8)
@@ -1698,10 +1723,15 @@ object SparkEntry {
     // winnow here.
     "q_dedup_winnow_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val refFps = Dedup.winnowFingerprints(
+      // persisted (r19): the query builds the reference fingerprint
+      // store from text inline, and the increment consumes it twice
+      // (the combined df-cap aggregate + the cross-candidate join) —
+      // uncached, the reference winnowing text pass ran per consumer;
+      // at scale this frame is a stored parquet artifact read once.
+      val refFps = scopedCache(Dedup.winnowFingerprints(
           docs.where(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
           k = 5, w = 4, hashKey = QualityModel.seededKey)
-        .select(col("id"), col("fp")).distinct()
+        .select(col("id"), col("fp")).distinct())
       Dedup.incrementalWinnowPairs(docs.where(col("doc_id") % 3 =!= 0),
         col("doc_id"), col("text"), refFps, k = 5, w = 4,
         hashKey = QualityModel.seededKey, maxFpDf = Some(64))

@@ -115,8 +115,24 @@ object Bpe {
     require(numMerges >= 1, "at least one merge")
     val wc = wordCounts(df, text)
     val lim = math.min(localFinishMaxVocab, Int.MaxValue - 1L).toInt
-    if (lim > 0 && wc.limit(lim + 1).count() <= lim)
-      return trainLocal(df.sparkSession, wc, numMerges)
+    // ONE corpus pass for the fits-the-driver probe AND the local
+    // collect (r19): the old `wc.limit(lim+1).count()` gate ran the
+    // corpus word-count aggregate once for the count and AGAIN for
+    // trainLocal's collect — collecting `lim + 1` rows directly
+    // answers both (≤ lim rows collected ⇔ the vocab fits), halving
+    // the trainer's corpus-pass cost on the (default) local path.
+    // The distributed fallback recomputes wc, as before — that path
+    // exists for vocabularies too big to collect at all.
+    if (lim > 0) {
+      val rows = wc
+        .select(col("w"), col("c"), symbolsOf(col("w")).as("syms"))
+        .limit(lim + 1).collect()
+      if (rows.length <= lim)
+        return trainLocal(df.sparkSession,
+          rows.map(r =>
+            (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray)),
+          numMerges)
+    }
     var vocab = wc
       .select(col("w"), col("c"), symbolsOf(col("w")).as("syms"))
       .localCheckpoint(true)
@@ -171,12 +187,10 @@ object Bpe {
   }
 
   private def trainLocal(spark: org.apache.spark.sql.SparkSession,
-                         wc: DataFrame, numMerges: Int): Model = {
+                         collected: Array[(String, Long, Array[String])],
+                         numMerges: Int): Model = {
     import spark.implicits._
-    var entries: Array[(String, Long, Array[String])] = wc
-      .select(col("w"), col("c"), symbolsOf(col("w")).as("syms"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+    var entries: Array[(String, Long, Array[String])] = collected
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {

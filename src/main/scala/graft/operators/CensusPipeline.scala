@@ -56,6 +56,7 @@ object CensusPipeline {
       .select(col("o_orderkey"), col("c_mktsegment"),
         to_date(col("o_orderdate")).as("o_day"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.track(_))
     // Latest file analog: keep only the most recent day in the slice
     // (reference: ltst_file CTE, ukg_open_census.py:344-346).
     val latest = facts.agg(max(col("o_day")).as("max_day"))

@@ -281,6 +281,7 @@ object CorpusStats {
     val tf = occ.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.track(_))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // tf is already distinct (id, term)
     val n = tf.select(count_distinct(col("id")).as("__n"))

@@ -341,7 +341,19 @@ object Dedup {
             coalesce(col("__ndf"), lit(0L)) <= cap)
           .select("shingle")
           .transform(cached)
+        // persisted (r19): the capped STORE-side index feeds BOTH the
+        // post-cap count union and the candidate join's reference
+        // side — uncached, the store-vs-ok join (and everything above
+        // it: at bench the from-docs/from-index ref lineage) executed
+        // twice per query, the same duplicated-subtree disease the
+        // r18 shingleOverlap fix measured (guide §2: a duplicated
+        // subtree is a duplicated shuffle). Projected to the two long
+        // columns both consumers need before caching — keys+hashes,
+        // never text; ~50× smaller than the text it derives from,
+        // MEMORY_AND_DISK so scale corpora spill instead of OOM.
         val refCapped = refIndex.join(ok, "shingle")
+          .select("id", "shingle")
+          .transform(cached)
         // batch-sized and consumed four times (both self-join sides,
         // the store join's probe side, the count union)
         val newCapped = newIdx.join(ok, "shingle")
@@ -1511,10 +1523,15 @@ object Dedup {
       case None => fps
       case Some(cap) =>
         require(cap >= 2, "maxFpDf must be at least 2")
-        fps.join(
+        // persisted (r19): the capped frame feeds BOTH self-join
+        // sides, which canonicalize differently (id→id_a / id→id_b),
+        // so exchange reuse never fires and the df-cap aggregate +
+        // join re-executed per side (the r18 shingleOverlap finding,
+        // same fix). Two longs per row.
+        cached(fps.join(
           fps.groupBy("fp").agg(count(lit(1)).as("__df"))
             .where(col("__df") <= cap).select("fp"),
-          "fp")
+          "fp"))
     }
     kept.select(col("fp"), col("id").as("id_a"))
       .join(kept.select(col("fp"), col("id").as("id_b")), "fp")
@@ -1664,10 +1681,13 @@ object Dedup {
       case None => fps
       case Some(cap) =>
         require(cap >= 2, "maxFpDf must be at least 2")
-        fps.join(
+        // persisted (r19): both candidate self-join sides consume the
+        // capped frame under different canonicalization — see
+        // winnowCandidatePairs
+        cached(fps.join(
           fps.groupBy("fp").agg(count(lit(1)).as("__df"))
             .where(col("__df") <= cap).select("fp"),
-          "fp")
+          "fp"))
     }
     val cands = kept.select(col("fp"), col("id").as("id_a"))
       .join(kept.select(col("fp"), col("id").as("id_b")), "fp")
@@ -1771,7 +1791,14 @@ object Dedup {
                     minRun: Int,
                     hashKey: Column => Column = xxhash64(_)): DataFrame = {
     require(minRun >= 1, "minRun must be at least 1")
+    // persisted (r19): the every-position L-gram frame feeds the
+    // frequency aggregate AND the anchor join — uncached, the
+    // normalize+split+hash text pass ran twice per query (the same
+    // duplicated-subtree fix the incremental/perDoc variants already
+    // carry, and winnowVerifiedPairs' kgBase). (id, pos, 8-byte hash)
+    // ≈ a fifth of corpus text bytes, MEMORY_AND_DISK.
     val kg = kgramHashes(df, id, text, minRun, hashKey)
+      .transform(cached)
     val dup = kg.groupBy("h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= 2).select("h")
     mergeAnchorSpans(kg.join(dup, "h").select("id", "pos"), minRun)
@@ -1852,6 +1879,14 @@ object Dedup {
                        minRun: Int, lambda: Double = 4.0,
                        hashKey: Column => Column = xxhash64(_))
       : DataFrame = {
+    // DELIBERATELY uncached (r19 negative result): perDoc's two
+    // consumers (the frequency aggregate and the join-back) keep
+    // IDENTICAL canonicalization — no aliasing — so ReuseExchange
+    // already deduplicates the (id, h) exchange and the text pass
+    // runs ONCE; a persist here measured 6→8 stages and 2.5→37 s of
+    // tasktime at sf0.1 (cache write + columnar round-trip bought
+    // nothing). Contrast the capped winnow/shingle frames, whose
+    // consumers alias (id→id_a / id→id_b) and defeat reuse.
     val perDoc = kgramHashes(df, id, text, minRun, hashKey)
       .groupBy("id", "h").agg(count(lit(1)).as("__k"))
     val freq = perDoc.groupBy("h").agg(sum(col("__k")).as("__c"))
@@ -2017,14 +2052,21 @@ object Dedup {
       .select(col("id"), col("fp")).distinct()
       .transform(cached)
     val ref = refFps.select(col("id"), col("fp"))
+    // persisted (r19): the combined-df survivor set gates BOTH the
+    // reference and the batch side — uncached, the ref ∪ new count
+    // aggregate (reference-sized) executed once per gated side
     val dfOk = maxFpDf.map { cap =>
       require(cap >= 2, "maxFpDf must be at least 2")
-      ref.unionByName(newFps)
+      cached(ref.unionByName(newFps)
         .groupBy("fp").agg(count(lit(1)).as("__df"))
-        .where(col("__df") <= cap).select("fp")
+        .where(col("__df") <= cap).select("fp"))
     }
     def capped(s: DataFrame) = dfOk.fold(s)(ok => s.join(ok, "fp"))
-    val keptNew = capped(newFps)
+    // persisted (r19) when capped: the capped batch fingerprints feed
+    // the cross join's right side and both within-batch sides
+    // (batch-sized); uncapped, newFps itself is already cached
+    val keptNew =
+      if (dfOk.isDefined) cached(capped(newFps)) else newFps
     val cross = capped(ref).select(col("fp"), col("id").as("id_a"))
       .join(keptNew.select(col("fp"), col("id").as("id_b")), "fp")
     val within = keptNew.select(col("fp"), col("id").as("id_a"))

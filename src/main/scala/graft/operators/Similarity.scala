@@ -613,11 +613,12 @@ object Similarity {
     // ONE matrix-bound sign_bands node (r8): posexplode's position IS
     // the band index, and the plane coefficients appear once per
     // plan, not once per band.
-    val banded = v.select(col("id"),
+    val banded = graft.util.CacheScope.track(
+      v.select(col("id"),
         posexplode(graft.plans.PlaneExpressions
           .signBands(col("e"), planes, bitsPerBand))
           .as(Seq("band", "bits")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     (v, banded)
   }
 

@@ -63,6 +63,7 @@ object TrainingPipeline {
     // really does cost one more pass over the survivors.
     val prepped = prepareWith(docs, id, text, cfg, pairGen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.track(_))
     val benchConformed = bench.select(benchId.as("id"), benchText.as("text"))
     val contaminated = Decontaminate.overlapStats(prepped, benchConformed,
         col("id"), col("text"), benchN, maxOverlap)
@@ -86,6 +87,7 @@ object TrainingPipeline {
     // same single-extra-pass caching argument as prepareDecontaminatedWith
     val prepped = prepareWith(docs, id, text, cfg, pairGen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.track(_))
     val contaminated = Decontaminate.overlapStatsBloom(prepped, sketch,
         col("id"), col("text"), maxOverlap)
       .where(col("contaminated") === 1).select("id")
@@ -117,6 +119,7 @@ object TrainingPipeline {
         col("stop_ratio") <= cfg.maxStopRatio &&
         col("lang_pred").isInCollection(cfg.langs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.track(_))
     // exact dedup: keep the canonical (minimum) id per fingerprint
     val canonical = Dedup.exact(staged, col("id"), col("text"))
       .select(col("canonical_id").as("id"))

@@ -139,8 +139,20 @@ object Wordpiece {
     require(numMerges >= 1, "at least one merge")
     val wc = Bpe.wordCounts(df, text)
     val lim = math.min(localFinishMaxVocab, Int.MaxValue - 1L).toInt
-    if (lim > 0 && wc.limit(lim + 1).count() <= lim)
-      return trainLocal(df.sparkSession, wc, numMerges)
+    // ONE corpus pass for the fits-the-driver probe AND the local
+    // collect (r19, the [[Bpe.train]] fix): collecting `lim + 1` rows
+    // answers the gate and feeds trainLocal — the old count() gate
+    // ran the corpus word-count aggregate twice on the default path.
+    if (lim > 0) {
+      val rows = wc
+        .select(col("w"), col("c"), initialSymbols(col("w")).as("syms"))
+        .limit(lim + 1).collect()
+      if (rows.length <= lim)
+        return trainLocal(df.sparkSession,
+          rows.map(r =>
+            (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray)),
+          numMerges)
+    }
     var vocab = wc
       .select(col("w"), col("c"), initialSymbols(col("w")).as("syms"))
       .localCheckpoint(true)
@@ -173,12 +185,10 @@ object Wordpiece {
     * operations in the same order as [[scoreCol]]'s casts, so local
     * and distributed argmaxes compare bit-identical doubles. */
   private def trainLocal(spark: org.apache.spark.sql.SparkSession,
-                         wc: DataFrame, numMerges: Int): Model = {
+                         collected: Array[(String, Long, Array[String])],
+                         numMerges: Int): Model = {
     import spark.implicits._
-    var entries: Array[(String, Long, Array[String])] = wc
-      .select(col("w"), col("c"), initialSymbols(col("w")).as("syms"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+    var entries: Array[(String, Long, Array[String])] = collected
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
