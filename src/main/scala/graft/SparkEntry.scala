@@ -1471,7 +1471,8 @@ object SparkEntry {
 
     // rows-only: end-to-end corpus prep composing the verified stages
     "q_training_prep" -> ((s, dir) =>
-      TrainingPipeline.prepare(Tables(s, dir).documents,
+      // documentsWide (r19): see q_training_prep_decontam
+      TrainingPipeline.prepare(Tables(s, dir).documentsWide,
         col("doc_id"), col("text"))),
 
     // oracle-checked end-to-end prep: same gates/dedup but the
@@ -2549,7 +2550,11 @@ object SparkEntry {
     // dedup → jaccard near-dup removal → drop docs overlapping the
     // held-out benchmark slice (doc_id % 20 == 0, as q_decontaminate)
     "q_training_prep_decontam" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      // documentsWide (r19): r18's A/B rejected Wide here because the
+      // staged persist fanned every downstream stage to 32 tiny tasks;
+      // with the work-sized width (Tables.parallelized) the fan-out
+      // matches the data and the serial-scan cure wins again.
+      val docs = Tables(s, dir).documentsWide
       TrainingPipeline.prepareDecontaminatedWith(
         docs.where(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
         TrainingPipeline.Config(),

@@ -107,6 +107,26 @@ final case class Tables(spark: SparkSession, dir: String) {
       } catch { case _: java.io.FileNotFoundException => Seq.empty }
     val est = files.map(f =>
       math.max(1L, (f.getLen + maxSplit - 1) / maxSplit)).sum
-    if (est > 0 && est < cores) df.repartition(cores) else df
+    // Width is sized to WORK, not to cores (r18 verdict #4):
+    // `repartition(defaultParallelism)` pinned the exchange to the
+    // core count (REPARTITION_BY_NUM — AQE never coalesces it), so at
+    // toy SFs every downstream stage fanned out to 32 tasks of a few
+    // KB each; StageProbe measured the fan-out inflating tasktime
+    // 5-7× (q_curriculum_pack 4.3 s at 8 tasks vs 22.7 s at 32, same
+    // data) from per-task overhead + core oversubscription. The floor
+    // is bytes-per-task: ~64 KB of compressed parquet text ≈ 0.25-1 MB
+    // raw ≈ the ≥100 ms of heavy per-row work that amortizes one
+    // task's scheduling cost. Production layouts are unaffected twice
+    // over — the est<cores gate already no-ops there, and any input
+    // past cores×64 KB (a few MB) still widens to all cores.
+    val minTaskBytes = math.max(1L,
+      sys.env.getOrElse("SPARK_GRAFT_WIDE_TASK_BYTES", "65536").toLong)
+    val bytes = files.map(_.getLen).sum
+    if (est > 0 && est < cores) {
+      val width = math.max(est,
+        math.min(cores.toLong, (bytes + minTaskBytes - 1) / minTaskBytes))
+        .toInt
+      if (width > est) df.repartition(width) else df
+    } else df
   }
 }

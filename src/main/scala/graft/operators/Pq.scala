@@ -166,9 +166,15 @@ object Pq {
   def pqCodebooks(corpus: DataFrame, numSub: Int, numCodewords: Int = 256,
                   lloydIters: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  seedKey: Column => Column = xxhash64(_)): DataFrame = {
+                  seedKey: Column => Column = xxhash64(_),
+                  dimHint: Option[Int] = None): DataFrame = {
     require(numSub >= 1 && numCodewords >= 1 && lloydIters >= 0)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // dimHint skips the dedicated one-row probe job when the caller
+    // already knows the vector width (opqTrain probes it once per
+    // training, not once per alternation) — job-count discipline,
+    // r19; the hint changes no arithmetic, only who runs the probe
+    val dim = dimHint.getOrElse(
+      corpus.select(size(col(vecCol))).head().getInt(0))
     require(dim % numSub == 0,
       s"vector length $dim is not a multiple of numSub=$numSub")
     val dsub = dim / numSub
@@ -782,7 +788,7 @@ object Pq {
       val rx = rotate(corpus, rot, idCol, vecCol)
       val prev = cb
       cb = pqCodebooks(rx, numSub, numCodewords, lloydIters,
-        idCol, vecCol, seedKey)
+        idCol, vecCol, seedKey, dimHint = Some(dim))
       if (prev != null)
         org.apache.spark.sql.graft.CheckpointBridge.unpersist(prev)
       if (it < opqIters - 1) {
@@ -823,34 +829,46 @@ object Pq {
   def eigenAllocationInit(corpus: DataFrame, numSub: Int,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): Seq[Seq[Double]] = {
-    val dimProbe = corpus.select(size(col(vecCol))).head(1)
-    require(dimProbe.nonEmpty,
+    // TWO actions, not four (r19 — the family is job-count-bound:
+    // every extra driver action costs a full plan/schedule round
+    // trip, ~40% of the probe queries' wall at sf0.1):
+    //  1. one agg returns the second moment AND the row count n —
+    //     exactly the old count() over the same frame;
+    //  2. one per-index aggregate returns the EXACT decimal sums —
+    //     dim falls out as the row count of the result, and the
+    //     means divide locally by the same n as before (decimal
+    //     addition is associative, so the sums — and every derived
+    //     IEEE value — are bit-identical to the old shape).
+    // The old dedicated head(dim) and count() jobs are gone.
+    val base = corpus.select(
+      transform(col(vecCol), x => x.cast("double")).as("x"))
+    // second moment Σ x·xᵀ through the buffered outer-product
+    // aggregate (one d×d buffer per partition) — never corpus × d²
+    // exploded rows; exact-decimal terms as the sums below, so the
+    // covariance is order-independent under any partitioning
+    val momRow = base
+      .agg(graft.plans.MomentAggregates
+        .outerProductSum(col("x"), col("x")).as("m"),
+        count(lit(1)).as("n"))
+      .head()
+    val n = momRow.getLong(1).toDouble
+    require(n > 0, "eigenAllocationInit: empty training corpus")
+    val sumRows = base
+      .select(posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(col("xi").cast("decimal(38,18)")).as("s"))
+      .collect()
+    val dim = sumRows.length
+    require(dim > 0,
       "eigenAllocationInit: empty training corpus (no vectors to " +
         "estimate a covariance from)")
-    val dim = dimProbe.head.getInt(0)
     require(dim % numSub == 0,
       s"vector length $dim is not a multiple of numSub=$numSub")
     val dsub = dim / numSub
-    val base = corpus.select(
-      transform(col(vecCol), x => x.cast("double")).as("x"))
-    val n = base.count().toDouble
-    require(n > 0, "eigenAllocationInit: empty training corpus")
-    val meanRows = base
-      .select(posexplode(col("x")).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg((sum(col("xi").cast("decimal(38,18)")).cast("double") / n)
-        .as("m"))
-      .collect()
     val mean = Array.ofDim[Double](dim)
-    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
-    // second moment Σ x·xᵀ through the buffered outer-product
-    // aggregate (one d×d buffer per partition) — never corpus × d²
-    // exploded rows; same exact-decimal terms as the mean above, so
-    // the covariance is order-independent under any partitioning
-    val mom = base
-      .agg(graft.plans.MomentAggregates
-        .outerProductSum(col("x"), col("x")).as("m"))
-      .head().getSeq[scala.collection.Seq[Double]](0)
+    sumRows.foreach(r => mean(r.getInt(0)) =
+      (r.getDecimal(1).doubleValue / n))
+    val mom = momRow.getSeq[scala.collection.Seq[Double]](0)
     require(mom.length == dim && mom.forall(_.length == dim),
       s"moment matrix came back ${mom.length}-dim, want $dim")
     val cov = Array.ofDim[Double](dim, dim)
