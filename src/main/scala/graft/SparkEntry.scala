@@ -2443,7 +2443,9 @@ object SparkEntry {
     // repeats, replayed exactly in DuckDB. The ONE corpus-sized pass
     // is the word count; the pair table is vocabulary-sized.
     "q_bpe_pair_counts" -> ((s, dir) => {
-      val vocab = Bpe.wordCounts(Tables(s, dir).documents, col("text"))
+      // documentsWide (r19): the word count's heavy map side
+      // (normalize+split+explode) otherwise runs in the serial scan
+      val vocab = Bpe.wordCounts(Tables(s, dir).documentsWide, col("text"))
       Bpe.pairCounts(vocab.select(col("w"), col("c"),
         concat(split(col("w"), ""), array(lit(Bpe.EndOfWord))).as("syms")))
     }),
@@ -2455,7 +2457,7 @@ object SparkEntry {
     // count step.
     "q_bpe_vocab" -> ((s, dir) => {
       import s.implicits._
-      val model = Bpe.train(Tables(s, dir).documents, col("text"),
+      val model = Bpe.train(Tables(s, dir).documentsWide, col("text"),
         numMerges = 16)
       model.merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
@@ -2466,7 +2468,7 @@ object SparkEntry {
     // two vocabulary-keyed equi-joins, never a per-row merge replay;
     // OOV words fall back to the character split, flagged.
     "q_bpe_encode" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsWide
       val model = Bpe.train(docs, col("text"), numMerges = 16)
       Bpe.encode(docs, col("doc_id"), col("text"), model)
         .withColumnRenamed("id", "doc_id")
@@ -2499,7 +2501,7 @@ object SparkEntry {
     // fall back to the character split (complete: chars are never
     // pruned), flagged.
     "q_unigram_encode" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsWide
       val model = Unigram.train(docs, col("text"),
         vocabSize = 120, maxLen = 4, seedSize = 400, emIters = 2)
       Unigram.encode(docs, col("doc_id"), col("text"), model)
@@ -2514,7 +2516,8 @@ object SparkEntry {
     // replayed exactly in DuckDB. The ONE corpus-sized pass is the
     // word count; both aggregates are vocabulary-sized.
     "q_wordpiece_pair_scores" -> ((s, dir) => {
-      val vocab = Bpe.wordCounts(Tables(s, dir).documents, col("text"))
+      // documentsWide (r19): see q_bpe_pair_counts
+      val vocab = Bpe.wordCounts(Tables(s, dir).documentsWide, col("text"))
       Wordpiece.pairStats(vocab.select(col("w"), col("c"),
         Wordpiece.initialSymbols(col("w")).as("syms")))
     }),
@@ -2527,7 +2530,7 @@ object SparkEntry {
     // round's count step.
     "q_wordpiece_vocab" -> ((s, dir) => {
       import s.implicits._
-      val model = Wordpiece.train(Tables(s, dir).documents, col("text"),
+      val model = Wordpiece.train(Tables(s, dir).documentsWide, col("text"),
         numMerges = 16)
       model.merges.zipWithIndex
         .map { case ((a, b), i) =>
@@ -2540,7 +2543,7 @@ object SparkEntry {
     // OOV words fall back to the ##-convention character split,
     // flagged (the [UNK] policy stays with the caller).
     "q_wordpiece_encode" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsWide
       val model = Wordpiece.train(docs, col("text"), numMerges = 16)
       Wordpiece.encode(docs, col("doc_id"), col("text"), model)
         .withColumnRenamed("id", "doc_id")
