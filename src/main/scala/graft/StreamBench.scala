@@ -103,6 +103,11 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized to the query surface, as every
+      // other graft session builder since r18 (StreamBench was the
+      // one harness still on the 100-entry default)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
       .getOrCreate()
@@ -113,14 +118,19 @@ object StreamBench {
 
     StallProbe.start()
     val loadBefore = loadavg
-    val results =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Int)]
+    // per arm: (per-batch seconds, batch rows, state rows after the
+    // last timed batch, codegen compilations across WARM batches) —
+    // the r18 verdict's streaming witnesses: state stays watermark-
+    // bounded and no plan recompiles per batch
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[Double], Int, Long, Long)]
     var failed = false
 
     def timeBatches[T](mem: MemoryStream[T], batches: Iterator[Seq[T]],
                        q: org.apache.spark.sql.streaming.StreamingQuery,
-                       tag: String): Seq[Double] = {
+                       tag: String): (Seq[Double], Long, Long) = {
       val perBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var cgCold = -1L
       batches.zipWithIndex.foreach { case (b, k) =>
         val t0 = System.nanoTime()
         mem.addData(b: _*)
@@ -128,8 +138,22 @@ object StreamBench {
         perBatch += (System.nanoTime() - t0) / 1e9
         System.err.println(f"[stream-bench] $tag batch $k " +
           f"(${b.size} rows) ${perBatch.last}%.2f s")
+        if (k == 0)
+          cgCold = org.apache.spark.sql.graft.CodegenBridge.compileCount
       }
-      perBatch.toSeq
+      // codegen compilations during WARM batches (cold batch 0 pays
+      // classload + first compile by design): nonzero here would mean
+      // the stream re-compiles its plan per trigger
+      val cgWarm =
+        if (cgCold < 0) 0L
+        else org.apache.spark.sql.graft.CodegenBridge.compileCount - cgCold
+      // total state rows after the last timed batch, before any
+      // sentinel flush — the watermark-bounded-state witness
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      System.err.println(s"[stream-bench] $tag state_rows=$stateRows " +
+        s"codegen_warm=$cgWarm")
+      (perBatch.toSeq, stateRows, cgWarm)
     }
 
     // events in event-time order, streamed to the driver one batch at
@@ -166,7 +190,7 @@ object StreamBench {
       val q = EventPipelines.sessionize(mem.toDS(), gapMinutes = 30)
         .writeStream.format("memory").queryName("sb_sessionize")
         .outputMode("append").start()
-      val times =
+      val (times, stateRows, cgWarm) =
         try {
           val ts = timeBatches(mem, batches, q, "sessionize")
           sentinels(mem, q, maxUs) // untimed flush of open sessions
@@ -181,7 +205,7 @@ object StreamBench {
         System.err.println(s"[stream-bench] SESSIONIZE MISMATCH: " +
           s"${got.size} vs ${want.size}"); failed = true
       }
-      results += "sessionize" -> (times, evBatch)
+      results += "sessionize" -> ((times, evBatch, stateRows, cgWarm))
     }
 
     if (arm == "all" || arm == "session_stats") {
@@ -201,7 +225,7 @@ object StreamBench {
           df.collect().foreach(r => snapshot.put(r.getLong(0),
             (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
         }.start()
-      val times =
+      val (times, stateRows, cgWarm) =
         try {
           val ts = timeBatches(mem, batches, q, "session_stats")
           sentinels(mem, q, maxUs)
@@ -222,7 +246,8 @@ object StreamBench {
         System.err.println(s"[stream-bench] SESSION_STATS MISMATCH: " +
           s"${got.size} vs ${want.size}"); failed = true
       }
-      results += "session_stats" -> (times, evBatch)
+      results += "session_stats" ->
+        ((times, evBatch, stateRows, cgWarm))
     }
 
     if (arm == "all" || arm == "spans") {
@@ -248,7 +273,7 @@ object StreamBench {
           minRun = 10)
         .writeStream.format("memory").queryName("sb_spans")
         .outputMode("append").start()
-      val times =
+      val (times, stateRows, cgWarm) =
         try timeBatches(mem, batches, q, "spans")
         finally q.stop()
       val got = spark.table("sb_spans").collect()
@@ -265,7 +290,7 @@ object StreamBench {
         System.err.println(s"[stream-bench] SPANS MISMATCH: " +
           s"${got.size} vs ${want.size}"); failed = true
       }
-      results += "spans" -> (times, docBatch)
+      results += "spans" -> ((times, docBatch, stateRows, cgWarm))
     }
 
     if (arm == "all" || arm == "merge_versioned") {
@@ -301,7 +326,7 @@ object StreamBench {
       val mem = MemoryStream[ChangeEvent]
       val q = Merge.streamVersioned(mem.toDF(), root, Seq("k"),
         col("ts"), col("gen"), Some("is_delete")).start()
-      val times =
+      val (times, stateRows, cgWarm) =
         try timeBatches(mem, batchSeqs.iterator, q, "merge_versioned")
         finally q.stop()
       // the ordered-delivery fold identity, asserted on the REAL
@@ -320,18 +345,18 @@ object StreamBench {
           s"${got.size} vs ${want.size}"); failed = true
       }
       results += "merge_versioned" ->
-        (times, batchSeqs.map(_.size).max)
+        ((times, batchSeqs.map(_.size).max, stateRows, cgWarm))
     }
 
     val stallSec = StallProbe.totalSec
-    val armsJson = results.map { case (name, (times, bs)) =>
+    val armsJson = results.map { case (name, (times, bs, st, cg)) =>
       val warm = if (times.size > 1) times.drop(1) else times
       s""""$name":{"warm_median_sec":${med(warm)}""" +
         s""","cold_first_batch_sec":${times.headOption.getOrElse(-1.0)}""" +
         s""","per_batch_sec":${jarr(times)},"batches":${times.size}""" +
-        s""","batch_rows":$bs}"""
+        s""","batch_rows":$bs,"state_rows":$st,"codegen_warm":$cg}"""
     }.mkString("{", ",", "}")
-    val headline = med(results.values.flatMap { case (t, _) =>
+    val headline = med(results.values.flatMap { case (t, _, _, _) =>
       if (t.size > 1) t.drop(1) else t }.toSeq)
     val json =
       s"""{"metric":"stream_batch_median","value":$headline""" +
