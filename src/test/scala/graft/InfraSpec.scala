@@ -43,6 +43,40 @@ class InfraSpec extends GraftSuite {
     assert(!out.fullySucceeded && out.allErrors.size == 3)
   }
 
+  // ---------------- Tables.documentsWide width (r19) ----------------
+
+  test("documentsWide sizes the redistribution to work, not cores") {
+    // an under-split single-file table big enough that the 64 KB/task
+    // floor yields a width strictly between 1 and the core count —
+    // the repartition must use THAT width, not defaultParallelism
+    val dir = Files.createTempDirectory("graft_wide_test").toString
+    spark.range(700).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(k =>
+          md5(concat(col("id").cast("string"), lit(k)))): _*).as("text"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val cores = spark.sparkContext.defaultParallelism
+    val expect = math.max(1L,
+      math.min(cores.toLong, (bytes + 65535) / 65536)).toInt
+    assume(bytes > 65536 && expect < cores,
+      s"corpus came out $bytes bytes — resize the generator")
+    val wide = graft.io.Tables(spark, dir).documentsWide
+    assert(wide.rdd.getNumPartitions == expect,
+      s"width should be ceil($bytes/64K)=$expect, not cores=$cores")
+  }
+
+  test("documentsWide is a no-op when one task's work fits the floor") {
+    // sf0.001 documents is a few KB: est=1 splits, width=1 — the
+    // accessor must return the scan untouched (no exchange)
+    val t = graft.io.Tables(spark, sfDir)
+    assert(t.documentsWide.rdd.getNumPartitions ==
+      t.documents.rdd.getNumPartitions)
+  }
+
   // ---------------- Notify ----------------
 
   test("failureBody escapes HTML and tabulates errors") {
